@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory for the graft engine.
+  *
+  * Local testing runs `local[32]`; the same conf names govern cluster
+  * deployments — only master/memory change. AQE stays on so skewed
+  * shuffles re-plan at runtime (salting fallback for the pathological
+  * cases is built into the operators that need it).
+  */
+object GraftSession {
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = builder().getOrCreate()
+}

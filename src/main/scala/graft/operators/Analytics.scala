@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-style analytics over the synced tables.
+  *
+  * All money/quantity aggregates are computed as exact integer cents
+  * (`round(x*100)` per row, summed as Long): this keeps map-side
+  * partial aggregation fully codegen'd AND makes results bit-stable
+  * across engines (no float-summation-order drift at 1000 executors).
+  * Timestamps leave the engine as `unix_micros` integers for the same
+  * reason.
+  */
+object Analytics {
+
+  /** Exact integer cents of a 2-decimal monetary double. */
+  def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast("long")
+
+  /** B1: TPC-H Q1-flavor pricing summary. Single scan, hash agg with
+    * map-side combine; shuffles only |flags|x|status| groups.
+    */
+  def q1Pricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+          .as("sum_charge_c"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** B2: shipping-priority flavor — revenue of BUILDING-segment orders
+    * shipped after cutoff, top 10. customer is broadcast (small dim);
+    * orders⋈lineitem is the only shuffle.
+    */
+  def q3TopkJoin(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c")
+      )
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("rev_c")).as("revenue_c"),
+        first(unix_micros(col("o_orderdate").cast("timestamp"))).as("odate_us")
+      )
+      .orderBy(col("revenue_c").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** B3: 5-way join (region→nation→customer→orders→lineitem), revenue
+    * by nation for one region. All dims broadcast; the single large
+    * shuffle is the lineitem aggregation.
+    */
+  def q5Join5(
+      region: DataFrame,
+      nation: DataFrame,
+      customer: DataFrame,
+      orders: DataFrame,
+      lineitem: DataFrame
+  ): DataFrame = {
+    val dims = nation
+      .join(region.filter(col("r_name") === "ASIA"), nation("n_regionkey") === region("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = customer.join(broadcast(dims), customer("c_nationkey") === dims("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val ord = orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .select("o_orderkey", "n_name")
+    lineitem
+      .select(
+        col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c")
+      )
+      .join(ord, col("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+      .orderBy(col("n_name"))
+  }
+
+  /** B4: hourly event rollup (the observability query the reference's
+    * target warehouse exists for). date_trunc keeps partial agg.
+    */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type")
+      )
+      .agg(sum(cents(col("value"))).as("sum_value_c"), count(lit(1)).as("n"))
+      .orderBy(col("hour_us"), col("event_type"))
+
+  /** B5: top-3 orders per customer by price — window rank. One shuffle
+    * on o_custkey.
+    */
+  def windowRank(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"),
+        row_number().over(w).cast("long").as("rk")
+      )
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** B6: gap-based sessionization of the event stream: a session break
+    * is a >30-min silence per user. lag + running sum of breaks — two
+    * window passes over ONE shuffle (same partitioning reused).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source-catalog discovery: list the tables available under a data
+  * directory and select them with comma-separated wildcard patterns.
+  *
+  * Mirrors the reference's index/table/collection discovery
+  * (es_to_bytehouse.py:239-258 `get_es_indices`,
+  * clickhouse_to_bytehouse.py:83-99 `match_tables`,
+  * mongodb_to_bytehouse.py:136-152 `match_collections`): wildcard `*`
+  * and `?`, comma-separated alternatives, system objects (leading `.`
+  * or `_`) excluded.
+  *
+  * Listing is filesystem-metadata only (one namenode RPC per dir) —
+  * no data is read, so this scales to any table count.
+  */
+object Catalog {
+
+  /** List table names (parquet basenames) under `dir`, excluding
+    * system entries (leading '.' or '_'), sorted.
+    */
+  def listTables(spark: SparkSession, dir: String): Seq[String] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path)
+      .toIndexedSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .sorted
+  }
+
+  /** fnmatch-style pattern: `*` any run, `?` any char; commas separate
+    * alternative patterns. Everything else is literal.
+    */
+  def matchesPattern(name: String, pattern: String): Boolean =
+    pattern.split(",").map(_.trim).filter(_.nonEmpty).exists { p =>
+      val regex = p.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+        case c => c.toString
+      }
+      name.matches(regex)
+    }
+
+  def selectTables(spark: SparkSession, dir: String, pattern: String): Seq[String] =
+    listTables(spark, dir).filter(matchesPattern(_, pattern))
+
+  /** Load one source table. The `events` stream table carries
+    * nanosecond parquet timestamps, which Spark only reads as Long
+    * (`nanosAsLong`); normalize to a micro-precision TimestampType
+    * column with exact integer division (never double math — ns epochs
+    * exceed 2^53).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("every declared query runs at sf0.001 and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every query with an oracle is declared, and vice-versa keys line up") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
+  }
+
+  test("q1 cents sums are exact integers and grouped correctly") {
+    val df = SparkEntry.queries("q1_pricing")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).distinct.length <= 3)
+    val total = rows.map(_.getLong(6)).sum
+    val liCount = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(total == liCount)
+  }
+
+  test("sessionize: session ids are dense per user starting at 1") {
+    val df = SparkEntry.queries("sessionize")(spark, sf)
+    val bad = df
+      .groupBy(col("user_id"))
+      .agg(min(col("session_id")).as("mn"), max(col("session_id")).as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+Reads outDir/<name>/ parquet (written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle SQL in DuckDB against the
+sfDir parquet tables, and compares schema + row values.
+"""
+import sys, json, glob, os
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    resdir = f"{out}/{name}"
+    if not os.path.isdir(resdir):
+        print(f"FAIL {name}: no spark result dir"); fails += 1; continue
+    try:
+        got = con.sql(f"SELECT * FROM '{resdir}/*.parquet'")
+        exp = con.sql(sql)
+        gcols = sorted(got.columns); ecols = sorted(exp.columns)
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} vs {ecols}"); fails += 1; continue
+        gtypes = [str(t) for _, t in sorted(zip(got.columns, got.types))]
+        etypes = [str(t) for _, t in sorted(zip(exp.columns, exp.types))]
+        if gtypes != etypes:
+            print(f"WARN {name}: types {gtypes} vs {etypes}")
+        sel = ", ".join(f'"{c}"' for c in gcols)
+        grows = con.sql(f"SELECT {sel} FROM got ORDER BY ALL").fetchall()
+        erows = con.sql(f"SELECT {sel} FROM exp ORDER BY ALL").fetchall()
+        if grows == erows:
+            print(f"PASS {name}: {len(grows)} rows")
+        else:
+            fails += 1
+            print(f"FAIL {name}: {len(grows)} vs {len(erows)} rows")
+            diff = [(a, b) for a, b in zip(grows, erows) if a != b]
+            for a, b in diff[:3]:
+                print(f"   spark: {a}\n   duck : {b}")
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1
+
+extra = [os.path.basename(d) for d in glob.glob(f"{out}/*") if os.path.isdir(d)
+         and os.path.basename(d) not in oracle]
+if extra:
+    print(f"rows-only (no oracle): {sorted(extra)}")
+sys.exit(1 if fails else 0)
