@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Analytics
-import graft.sources.Catalog
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AllString, Analytics, Incremental, TypeMapper}
+import graft.sinks.ClickHouseDdl
+import graft.sources.{Catalog, JsonIngest}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -29,8 +32,82 @@ object SparkEntry {
     )
   }
 
+  private val allTables = Seq(
+    "customer", "documents", "embeddings", "events", "lineitem",
+    "nation", "orders", "part", "region", "supplier"
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. migration / sync core ----
+    "src_discovery" -> ((s, d) => {
+      import s.implicits._
+      Catalog.selectTables(s, d, "*tion,c*").toDF("table_name").orderBy("table_name")
+    }),
+    "scan_fields" -> ((s, d) => JsonIngest.scanFields(t(s, d, "events"), "props")),
+    "flatten_json" -> ((s, d) =>
+      JsonIngest
+        .parseAndFlatten(s, t(s, d, "events").select("event_id", "props"), "props")
+        .orderBy("event_id")),
+    "stringify_all" -> ((s, d) =>
+      AllString.stringify(t(s, d, "orders")).orderBy(col("o_orderkey").cast("long"))),
+    "type_mapping" -> ((s, d) => {
+      import s.implicits._
+      allTables
+        .flatMap { name =>
+          t(s, d, name).schema.fields.map(f => (name, f.name, TypeMapper.clickhouseType(f.dataType)))
+        }
+        .toDF("table_name", "column_name", "ch_type")
+        .orderBy("table_name", "column_name")
+    }),
+    "incremental_read" -> ((s, d) =>
+      Incremental
+        .newerThan(t(s, d, "events"), "ts", "2024-01-24 00:00:00")
+        .select(
+          col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("user_id"),
+          col("event_type"),
+          Analytics.cents(col("value")).as("value_c"),
+          col("props")
+        )
+        .orderBy("event_id")),
+    "sync_state" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val timeField = Incremental.detectTimeField(ev.schema).get
+      Incremental.syncState(ev, "events", timeField)
+    }),
+    "upsert_latest" -> ((s, d) =>
+      Incremental
+        .latestPerKey(t(s, d, "events"), Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .orderBy("user_id")),
+    "schema_evolution" -> ((s, d) => {
+      import s.implicits._
+      val target = t(s, d, "events").schema
+      val incoming = JsonIngest.parseAndFlatten(s, t(s, d, "events").select("event_id", "props"), "props").schema
+      Incremental.newFields(target, incoming).toDF("new_column", "ch_type").orderBy("new_column")
+    }),
+    "multi_table_union" -> ((s, d) => {
+      val r = t(s, d, "region").select(
+        lit("region").as("src_table"),
+        col("r_regionkey").cast("long").as("key"),
+        col("r_name").as("name")
+      )
+      val n = t(s, d, "nation").select(
+        lit("nation").as("src_table"),
+        col("n_nationkey").cast("long").as("key"),
+        col("n_name").as("name")
+      )
+      r.unionByName(n).orderBy("src_table", "key")
+    }),
+    "ddl_generate" -> ((s, d) => {
+      import s.implicits._
+      Seq("region", "nation", "supplier")
+        .map(n => (n, ClickHouseDdl.createTableSql("graft", n, t(s, d, n).schema)))
+        .toDF("table_name", "ddl")
+        .orderBy("table_name")
+    }),
     // ---- B. analytics engine ----
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(t(s, d, "lineitem"))),
     "q3_topk_join" -> ((s, d) =>
@@ -50,6 +127,69 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
   def oracleSql: Map[String, String] = Map(
+    "src_discovery" ->
+      "SELECT * FROM (VALUES ('customer'),('nation')) AS t(table_name) ORDER BY 1",
+    "scan_fields" ->
+      """SELECT k AS field, count(*) AS n
+        |FROM (SELECT unnest(json_keys(props)) AS k FROM events) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "flatten_json" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS props_k FROM events ORDER BY event_id",
+    "stringify_all" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey,
+        | o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR) AS o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "type_mapping" ->
+      ("SELECT * FROM (VALUES " +
+        "('customer','c_custkey','Int64'),('customer','c_name','String'),('customer','c_nationkey','Int32')," +
+        "('customer','c_acctbal','Float64'),('customer','c_mktsegment','String')," +
+        "('documents','doc_id','Int64'),('documents','text','String'),('documents','lang','String')," +
+        "('documents','source','String'),('documents','n_chars','Int64')," +
+        "('embeddings','vec_id','Int64'),('embeddings','embedding','Array(Float32)'),('embeddings','label','Int32')," +
+        "('events','event_id','Int64'),('events','ts','DateTime64(6)'),('events','user_id','Int64')," +
+        "('events','event_type','String'),('events','value','Float64'),('events','props','String')," +
+        "('lineitem','l_orderkey','Int64'),('lineitem','l_partkey','Int64'),('lineitem','l_suppkey','Int64')," +
+        "('lineitem','l_linenumber','Int32'),('lineitem','l_quantity','Float64'),('lineitem','l_extendedprice','Float64')," +
+        "('lineitem','l_discount','Float64'),('lineitem','l_tax','Float64'),('lineitem','l_returnflag','String')," +
+        "('lineitem','l_linestatus','String'),('lineitem','l_shipdate','DateTime64(6)')," +
+        "('nation','n_nationkey','Int32'),('nation','n_name','String'),('nation','n_regionkey','Int32')," +
+        "('orders','o_orderkey','Int64'),('orders','o_custkey','Int64'),('orders','o_orderstatus','String')," +
+        "('orders','o_totalprice','Float64'),('orders','o_orderdate','DateTime64(6)'),('orders','o_orderpriority','String')," +
+        "('part','p_partkey','Int64'),('part','p_name','String'),('part','p_brand','String')," +
+        "('part','p_type','String'),('part','p_size','Int32'),('part','p_retailprice','Float64')," +
+        "('region','r_regionkey','Int32'),('region','r_name','String')," +
+        "('supplier','s_suppkey','Int64'),('supplier','s_name','String'),('supplier','s_nationkey','Int32')," +
+        "('supplier','s_acctbal','Float64')" +
+        ") AS t(table_name, column_name, ch_type) ORDER BY table_name, column_name"),
+    "incremental_read" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        | CAST(round(value*100) AS BIGINT) AS value_c, props
+        |FROM events WHERE epoch_us(ts) > epoch_us(TIMESTAMP '2024-01-24 00:00:00')
+        |ORDER BY event_id""".stripMargin,
+    "sync_state" ->
+      """SELECT 'events' AS table_name, 'ts' AS time_field,
+        | epoch_us(max(ts)) AS last_sync_us, count(*) AS n_rows FROM events""".stripMargin,
+    "upsert_latest" ->
+      """SELECT user_id, event_id, ts_us, event_type
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events) x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "schema_evolution" ->
+      "SELECT 'props_k' AS new_column, 'String' AS ch_type",
+    "multi_table_union" ->
+      """SELECT * FROM (
+        |  SELECT 'region' AS src_table, CAST(r_regionkey AS BIGINT) AS key, r_name AS name FROM region
+        |  UNION ALL
+        |  SELECT 'nation', CAST(n_nationkey AS BIGINT), n_name FROM nation
+        |) u ORDER BY src_table, key""".stripMargin,
+    "ddl_generate" ->
+      ("SELECT * FROM (VALUES " +
+        "('region','CREATE TABLE IF NOT EXISTS `graft`.`region` (`r_regionkey` Nullable(Int32), `r_name` Nullable(String)) ENGINE = MergeTree() ORDER BY tuple()')," +
+        "('nation','CREATE TABLE IF NOT EXISTS `graft`.`nation` (`n_nationkey` Nullable(Int32), `n_name` Nullable(String), `n_regionkey` Nullable(Int32)) ENGINE = MergeTree() ORDER BY tuple()')," +
+        "('supplier','CREATE TABLE IF NOT EXISTS `graft`.`supplier` (`s_suppkey` Nullable(Int64), `s_name` Nullable(String), `s_nationkey` Nullable(Int32), `s_acctbal` Nullable(Float64)) ENGINE = MergeTree() ORDER BY tuple()')" +
+        ") AS t(table_name, ddl) ORDER BY table_name"),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incremental-sync machinery: watermark reads, sync-state bookkeeping,
+  * UNIQUE-KEY upsert semantics, and schema evolution — the reference's
+  * core loop (es_to_bytehouse.py:825-1006, 412-465, 1020-1051)
+  * re-expressed as declarative plans.
+  *
+  * Scale notes: the watermark filter is a plain scan predicate →
+  * parquet min/max skipping + partition pruning do the work at 100 TB
+  * (no per-row driver loop like the reference's scroll). The upsert is
+  * one hash shuffle on the key; AQE handles skewed keys.
+  */
+object Incremental {
+
+  /** Time-field candidates, highest priority first. Matches the
+    * reference list (es_to_bytehouse.py:156) plus `ts` for our event
+    * schema; `@` is stripped by sanitization before matching.
+    */
+  val TimeFieldCandidates: Seq[String] = Seq(
+    "timestamp", "ts", "cTime", "StartTime", "ExecutionTime", "doc_time",
+    "created_at", "updated_at", "_timestamp"
+  )
+
+  def detectTimeField(schema: StructType): Option[String] = {
+    val names = schema.fieldNames.toSet
+    TimeFieldCandidates.map(c => Flatten.sanitizeName(c)).find(names.contains)
+  }
+
+  /** One incremental batch: rows strictly newer than the watermark.
+    * Comparison happens at microsecond precision (the engine's
+    * timestamp grain) so results are reproducible across sources.
+    */
+  def newerThan(df: DataFrame, timeCol: String, watermark: String): DataFrame =
+    df.filter(col(timeCol) > lit(watermark).cast("timestamp"))
+
+  /** The new `_sync_state` row after syncing a batch
+    * (es_to_bytehouse.py:412-432): max time seen + row count.
+    */
+  def syncState(df: DataFrame, tableName: String, timeCol: String): DataFrame =
+    df.agg(
+      max(unix_micros(col(timeCol).cast("timestamp"))).as("last_sync_us"),
+      count(lit(1)).as("n_rows")
+    ).select(
+      lit(tableName).as("table_name"),
+      lit(timeCol).as("time_field"),
+      col("last_sync_us"),
+      col("n_rows")
+    )
+
+  /** UNIQUE-KEY upsert semantics (ENGINE=...UNIQUE KEY _id in the
+    * reference, es_to_bytehouse.py:329-334): latest version per key
+    * wins, with a total tiebreak order for reproducibility.
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Merge an incremental batch into the base table with upsert
+    * semantics (insert new keys, replace updated ones).
+    */
+  def mergeUpsert(
+      base: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String]
+  ): DataFrame =
+    latestPerKey(base.unionByName(delta, allowMissingColumns = true), keyCols, orderCols)
+
+  /** Schema evolution: fields present in the incoming batch but not in
+    * the target — the ALTER TABLE plan (es_to_bytehouse.py:1043-1051
+    * `detect_new_fields_from_batch` + 1020-1041 `add_new_columns`).
+    */
+  def newFields(target: StructType, incoming: StructType): Seq[(String, String)] = {
+    val have = target.fieldNames.map(Flatten.sanitizeName).toSet
+    incoming.fields.toIndexedSeq
+      .filterNot(f => have.contains(Flatten.sanitizeName(f.name)))
+      .map(f => Flatten.sanitizeName(f.name) -> TypeMapper.clickhouseType(f.dataType))
+  }
+
+  /** ALTER statements for the new fields, ClickHouse dialect. */
+  def alterStatements(db: String, table: String, fields: Seq[(String, String)]): Seq[String] =
+    fields.map { case (name, chType) =>
+      s"ALTER TABLE `$db`.`$table` ADD COLUMN `$name` Nullable($chType)"
+    }
+}

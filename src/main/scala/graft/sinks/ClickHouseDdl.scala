@@ -1,0 +1,45 @@
+package graft.sinks
+
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Flatten, TypeMapper}
+
+/** Target-DDL + upsert-INSERT generation for a ClickHouse-family sink
+  * (the reference's `generate_create_table_sql`,
+  * es_to_bytehouse.py:300-336, and batched INSERT,
+  * es_to_bytehouse.py:675-694).
+  *
+  * Single-line DDL, deterministic column order (schema order), every
+  * data column Nullable — source docs may omit any field.
+  */
+object ClickHouseDdl {
+
+  def createTableSql(db: String, table: String, schema: StructType): String = {
+    val cols = schema.fields
+      .map(f => s"`${Flatten.sanitizeName(f.name)}` Nullable(${TypeMapper.clickhouseType(f.dataType)})")
+      .mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS `$db`.`${Flatten.sanitizeName(table)}` ($cols) " +
+      "ENGINE = MergeTree() ORDER BY tuple()"
+  }
+
+  /** Upsert-capable variant: ReplacingMergeTree keyed on the id column
+    * keeps the latest version per key — the ClickHouse-native
+    * equivalent of the reference's `UNIQUE KEY _id`.
+    */
+  def createUpsertTableSql(db: String, table: String, schema: StructType, keyCol: String, versionCol: String): String = {
+    val cols = schema.fields
+      .map { f =>
+        val nullable = f.name != keyCol && f.name != versionCol
+        val t = TypeMapper.clickhouseType(f.dataType)
+        s"`${Flatten.sanitizeName(f.name)}` ${if (nullable) s"Nullable($t)" else t}"
+      }
+      .mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS `$db`.`${Flatten.sanitizeName(table)}` ($cols) " +
+      s"ENGINE = ReplacingMergeTree(`$versionCol`) ORDER BY (`$keyCol`)"
+  }
+
+  def insertSql(db: String, table: String, columns: Seq[String]): String = {
+    val cols = columns.map(c => s"`${Flatten.sanitizeName(c)}`").mkString(", ")
+    s"INSERT INTO `$db`.`${Flatten.sanitizeName(table)}` ($cols) VALUES"
+  }
+}

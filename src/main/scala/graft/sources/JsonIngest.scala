@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Flatten
+
+/** Semi-structured ingestion: schema discovery over a JSON string
+  * column — the Spark-native form of the reference's mapping fetch +
+  * data scan (es_to_bytehouse.py:260-294 `get_es_mapping`/
+  * `flatten_mapping`, 338-395 `scan_all_fields`).
+  *
+  * Discovery reads a bounded sample (distributed `limit`, one small
+  * job) — the 100 TB path never full-scans to learn a schema, exactly
+  * like the reference's `sample_size` bound.
+  */
+object JsonIngest {
+
+  /** Field scan: which keys appear in the data and how often. The
+    * reference walks documents in Python; here it is one distributed
+    * explode + count-aggregate.
+    */
+  def scanFields(df: DataFrame, jsonCol: String): DataFrame =
+    df.select(explode(json_object_keys(col(jsonCol))).as("field"))
+      .groupBy(col("field"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("field"))
+
+  /** Infer a StructType for the JSON column from a bounded sample. */
+  def inferSchema(spark: SparkSession, df: DataFrame, jsonCol: String, sample: Int = 5000): StructType = {
+    import spark.implicits._
+    val ds = df.select(col(jsonCol)).na.drop().limit(sample).as[String]
+    spark.read.json(ds).schema
+  }
+
+  /** Parse + flatten the JSON column into sanitized `prefix_key`
+    * String columns alongside the passthrough columns — the
+    * reference's document pipeline as one codegen'd projection.
+    */
+  def parseAndFlatten(
+      spark: SparkSession,
+      df: DataFrame,
+      jsonCol: String,
+      sample: Int = 5000
+  ): DataFrame = {
+    val schema = inferSchema(spark, df, jsonCol, sample)
+    val parsed = df.withColumn(jsonCol, from_json(col(jsonCol), schema))
+    val flat = Flatten.flatten(parsed)
+    // all-String value model for the discovered fields (reference
+    // stores every ES value as String: es_to_bytehouse.py:166-188)
+    val discovered = flat.columns.filter(_.startsWith(s"${Flatten.sanitizeName(jsonCol)}_")).toSet
+    flat.select(flat.columns.toIndexedSeq.map { c =>
+      if (discovered(c)) col(c).cast("string").as(c) else col(c)
+    }: _*)
+  }
+}

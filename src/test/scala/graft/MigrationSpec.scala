@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AllString, Flatten, Incremental}
+import graft.sinks.ClickHouseDdl
+import graft.sources.{Catalog, JsonIngest}
+
+class MigrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pattern matching: wildcards, comma lists, system exclusion") {
+    assert(Catalog.matchesPattern("message_log", "*_log"))
+    assert(Catalog.matchesPattern("user_log", "message_log,user_log"))
+    assert(Catalog.matchesPattern("evt_2024", "evt_????"))
+    assert(!Catalog.matchesPattern("events", "*_log"))
+    assert(Catalog.matchesPattern("a.b", "a.b") && !Catalog.matchesPattern("axb", "a.b"))
+    val tables = Catalog.listTables(spark, sf)
+    assert(tables.contains("lineitem") && !tables.exists(_.startsWith(".")))
+  }
+
+  test("sanitizeName matches reference cleanup rules") {
+    assert(Flatten.sanitizeName("agent.id") == "agent_id")
+    assert(Flatten.sanitizeName("@timestamp") == "timestamp")
+    assert(Flatten.sanitizeName("a-b") == "a_b")
+    assert(Flatten.sanitizeName("2024idx") == "idx_2024idx")
+  }
+
+  test("flatten: deep nesting, arrays to JSON, sanitized names") {
+    val df = Seq((1L, """{"agent":{"id":"a1","geo":{"lat":1.5}},"tags":["x","y"],"n":7}"""))
+      .toDF("id", "doc")
+    val flat = JsonIngest.parseAndFlatten(spark, df, "doc")
+    assert(
+      flat.columns.toSeq == Seq("id", "doc_agent_geo_lat", "doc_agent_id", "doc_n", "doc_tags")
+    )
+    val r = flat.collect()(0)
+    assert(r.getAs[String]("doc_agent_id") == "a1")
+    assert(r.getAs[String]("doc_tags") == """["x","y"]""")
+    assert(r.getAs[String]("doc_n") == "7")
+  }
+
+  test("expandArray: indexed array-of-struct expansion (reference compat)") {
+    val df = Seq((1L, Seq((10, "a"), (20, "b")))).toDF("id", "items")
+      .withColumn("items", col("items").cast("array<struct<v:int,s:string>>"))
+    val out = Flatten.expandArray(df, "items", 3)
+    val r = out.collect()(0)
+    assert(r.getAs[Int]("items_0_v") == 10 && r.getAs[String]("items_1_s") == "b")
+    assert(r.isNullAt(r.fieldIndex("items_2_v")))
+  }
+
+  test("mergeUpsert: delta replaces base rows by key, inserts new keys") {
+    val base = Seq((1L, "old", 100L), (2L, "keep", 100L)).toDF("k", "v", "ver")
+    val delta = Seq((1L, "new", 200L), (3L, "ins", 200L)).toDF("k", "v", "ver")
+    val merged = Incremental
+      .mergeUpsert(base, delta, Seq("k"), Seq("ver"))
+      .orderBy("k")
+      .collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("newFields + alterStatements: schema evolution plan") {
+    val target = StructType(Seq(StructField("a", LongType)))
+    val incoming = StructType(Seq(StructField("a", LongType), StructField("b.c", StringType)))
+    val nf = Incremental.newFields(target, incoming)
+    assert(nf == Seq("b_c" -> "String"))
+    assert(Incremental.alterStatements("db", "t", nf) ==
+      Seq("ALTER TABLE `db`.`t` ADD COLUMN `b_c` Nullable(String)"))
+  }
+
+  test("detectTimeField follows candidate priority") {
+    val s1 = StructType(Seq(StructField("created_at", TimestampType), StructField("ts", TimestampType)))
+    assert(Incremental.detectTimeField(s1).contains("ts"))
+    val s2 = StructType(Seq(StructField("x", LongType)))
+    assert(Incremental.detectTimeField(s2).isEmpty)
+  }
+
+  test("AllString: stable formats for every type") {
+    val df = Seq((1L, 2.5, true, Seq(1, 2))).toDF("i", "d", "b", "arr")
+      .withColumn("ts", lit("2024-01-02 03:04:05.123456").cast("timestamp"))
+    val r = AllString.stringify(df).collect()(0)
+    assert(r.getString(0) == "1")
+    assert(r.getString(1) == "2.500000")
+    assert(r.getString(2) == "true")
+    assert(r.getString(3) == "[1,2]")
+    assert(r.getString(4) == "2024-01-02 03:04:05.123456")
+  }
+
+  test("ClickHouse upsert DDL and insert SQL") {
+    val schema = StructType(Seq(
+      StructField("_id", StringType), StructField("v", LongType), StructField("ver", LongType)
+    ))
+    val ddl = ClickHouseDdl.createUpsertTableSql("db", "t", schema, "_id", "ver")
+    assert(ddl.contains("ReplacingMergeTree(`ver`)") && ddl.contains("ORDER BY (`_id`)"))
+    assert(ddl.contains("`_id` String") && ddl.contains("`v` Nullable(Int64)"))
+    assert(ClickHouseDdl.insertSql("db", "t", Seq("_id", "v")) ==
+      "INSERT INTO `db`.`t` (`_id`, `v`) VALUES")
+  }
+
+  test("incremental newerThan pushes filter to parquet scan") {
+    val ev = Catalog.load(spark, sf, "events")
+    val plan = Incremental
+      .newerThan(ev, "ts", "2024-01-24 00:00:00")
+      .queryExecution.executedPlan.toString
+    // the ts predicate must exist; source column filters reach the scan
+    assert(plan.contains("Filter"))
+  }
+}

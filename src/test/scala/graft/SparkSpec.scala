@@ -5,9 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs (one per suite, lazy). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = GraftSession
-    .builder(master = "local[4]", shufflePartitions = 4)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
   val sf = "/root/testdata/sf0.001"
 }
