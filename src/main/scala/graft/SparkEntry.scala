@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AllString, Analytics, Incremental, TypeMapper}
+import graft.functions.Fingerprint64.fingerprint64
+import graft.operators.{AllString, Analytics, Dedup, Incremental, Multimodal, Similarity, TextAnalysis, TypeMapper}
 import graft.sinks.ClickHouseDdl
 import graft.sources.{Catalog, JsonIngest}
 
@@ -122,7 +123,50 @@ object SparkEntry {
       )),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(t(s, d, "events"))),
     "window_rank" -> ((s, d) => Analytics.windowRank(t(s, d, "orders"))),
-    "sessionize" -> ((s, d) => Analytics.sessionize(t(s, d, "events")))
+    "sessionize" -> ((s, d) => Analytics.sessionize(t(s, d, "events"))),
+    // ---- C. LLM-data-pipeline ----
+    "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, tauPct = 80)),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", tauPct = 80)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)),
+    "sim_topk_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+    "sim_topk_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, planes = 8)
+    }),
+    "text_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text")),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")),
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), fingerprint64(col("text")).as("fp")).orderBy("doc_id")),
+    "mm_binary_meta" -> ((s, d) =>
+      Multimodal.binaryMeta(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id",
+        "payload"
+      )),
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id",
+        "payload",
+        frameLen = 16,
+        stride = 64,
+        maxFrames = 4
+      ))
   )
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
@@ -238,6 +282,54 @@ object SparkEntry {
         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM b)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
-        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS kept_id, count(*) AS n_dups
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM documents) x
+        |GROUP BY norm ORDER BY kept_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(floor(100.0*len(list_intersect(a.sh,b.sh)) /
+        |   (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))) AS BIGINT) AS jacc_pct
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))
+        |ORDER BY 1,2""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY 1,2""".stripMargin,
+    "sim_topk_brute" ->
+      """SELECT qid, rn AS rank, cid AS neighbor_id FROM (
+        | SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn
+        | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) x
+        |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (SELECT doc_id, text,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS n_words,
+        | CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS BIGINT) AS n_stop,
+        | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        | CASE WHEN len(w) > 0 THEN CAST(floor(100.0*len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x)))/len(w)) AS BIGINT) ELSE 0 END AS stop_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,'[^ ]+')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        | lower(hex(CAST(substring(text,1,8) AS BLOB))) AS header_hex,
+        | md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, f AS frame_idx, lower(hex(CAST(substring(text, CAST(1+f*64 AS INT), 16) AS BLOB))) AS frame_hex
+        |FROM documents, (SELECT unnest(range(4)) AS f) t
+        |WHERE octet_length(CAST(text AS BLOB)) >= f*64+16
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

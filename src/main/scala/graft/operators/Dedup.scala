@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data prep at 100 TB.
+  *
+  * Four tiers, cheapest-first — the intended pipeline runs them in
+  * order so each tier only sees what the previous one kept:
+  *   1. [[exact]] — hash group-by, one shuffle on a 16-byte key.
+  *   2. [[minhashLshPairs]] — MinHash + banded LSH; the self-join runs
+  *      on (band, bucket) keys, NEVER a cross join, so candidate
+  *      generation is linear-ish in corpus size at any scale.
+  *   3. [[simhashPairs]] — 64-bit SimHash with pigeonhole banding for
+  *      Hamming ≤ maxHamming.
+  *   4. [[ngramJaccardPairs]] — exact pairwise verification; quadratic,
+  *      only ever applied inside candidate blocks (or small corpora —
+  *      it doubles as the oracle-checkable baseline).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no
+  * UDFs anywhere in the hot path.
+  */
+object Dedup {
+
+  /** Content normalization shared by all tiers: lowercase, collapse
+    * whitespace, trim.
+    */
+  def normalize(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Distinct word n-gram shingles of normalized text. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val words = split(normalize(c), " ")
+    when(
+      size(words) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(words) - n), i => array_join(slice(words, i + 1, lit(n)), " "))
+      )
+    ).otherwise(array(array_join(words, " ")))
+  }
+
+  /** C1: exact dedup. Group by a 128-bit content hash (shuffles the
+    * hash, not the document), keep the smallest id per group.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(normalize(col(textCol))).as("__h"))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
+      .select(col("kept_id"), col("n_dups"))
+      .orderBy(col("kept_id"))
+
+  /** C2: exact n-gram Jaccard pairs at >= tauPct/100 similarity.
+    * Thresholding uses pure integer math (100*|I| >= tau*|U|) so the
+    * result is reproducible bit-for-bit on any engine.
+    * Quadratic-in-block by design — see class doc.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("u", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("i"))
+      .filter(col("i") * 100 >= col("u") * tauPct)
+      .select(col("id_a"), col("id_b"), floor(col("i") * lit(100.0) / col("u")).as("jacc_pct"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash signature: k minimums of per-permutation hashes. The j-th
+    * permutation is `xxhash64(shingle_hash, j)` — one native 64-bit
+    * hash per (shingle, permutation), fully codegen'd.
+    */
+  private def withSignature(df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn(
+        "sig",
+        transform(sequence(lit(0), lit(k - 1)), j => array_min(transform(col("hs"), h => xxhash64(h, j))))
+      )
+
+  /** C3: MinHash-LSH near-dup pairs. `bands` bands of `k/bands` rows;
+    * candidates = docs sharing any band bucket; candidates are then
+    * verified with exact Jaccard over shingle-hash sets (integer
+    * threshold math, like [[ngramJaccardPairs]]).
+    *
+    * Shuffle profile: explode to `bands` rows/doc, hash-join on
+    * (band, bucket_hash); verification joins are id-keyed. No stage is
+    * quadratic in corpus size.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      tauPct: Int = 80
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = withSignature(df, idCol, textCol, k, shingleN).persist()
+    val banded = sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)))))
+    ).toDF("id", "band", "bh")
+    val cands = banded
+      .alias("a")
+      .join(banded.alias("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val hashes = sigs.select(col("id"), col("hs"))
+    cands
+      .join(hashes.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hashes.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("u", (size(array_distinct(col("hs_a"))) + size(array_distinct(col("hs_b")))).cast("long") - col("i"))
+      .filter(col("i") * 100 >= col("u") * tauPct)
+      .select(col("id_a"), col("id_b"), floor(col("i") * lit(100.0) / col("u")).as("jacc_pct"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** 64-bit SimHash of the (weighted) word multiset: bit j of the
+    * signature is the sign of sum over words of ±1 votes, where the
+    * vote is bit j of the word's hash. One pass over the words with a
+    * 64-wide vote accumulator — single codegen'd expression.
+    */
+  def simhash64(c: Column): Column = {
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val words = split(normalize(c), " ")
+    val votes = aggregate(
+      transform(words, w => xxhash64(w)),
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, masks, (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1))
+    )
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L),
+      (a, x) => a.bitwiseOR(x)
+    )
+  }
+
+  /** C4: SimHash near-dup pairs at Hamming distance <= maxHamming.
+    * Pigeonhole banding: with 4 chunks of 16 bits, any pair at
+    * distance <= 3 shares at least one exact chunk — candidates join
+    * on (chunk_idx, chunk_value), then exact `bit_count(xor)` filters.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunks = sigs.select(
+      col("id"),
+      col("sig"),
+      posexplode(array((0 until 4).map(ci => shiftrightunsigned(col("sig"), ci * 16).bitwiseAND(lit(0xffffL))): _*))
+    ).toDF("id", "sig", "chunk_idx", "chunk")
+    chunks
+      .alias("a")
+      .join(
+        chunks.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id")
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** C5: embedding-cosine near-dup pairs above a threshold. Pairing is
+    * blocked by `blockCol` when given (at scale: an LSH bucket or
+    * cluster id — see Similarity.lshBuckets); cosine math is done in
+    * double precision from float vectors.
+    */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      blockCol: Option[String] = None
+  ): DataFrame = {
+    val baseCols = Seq(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm")) ++
+      blockCol.map(col)
+    val base = df.select(baseCols: _*)
+    val a = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"${c}_a")).alias("a")
+    val b = base.columns.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"${c}_b")).alias("b")
+    val joinCond = blockCol
+      .map(bc => col(s"${bc}_a") === col(s"${bc}_b") && col("id_a") < col("id_b"))
+      .getOrElse(col("id_a") < col("id_b"))
+    a.join(b, joinCond)
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video payloads ride through the
+  * engine as opaque `binary` columns with typed metadata. The Spark
+  * plumbing (schemas, projections, chunking, batch shapes) is real and
+  * tested; the actual media decode is STUBBED (no codec libraries in
+  * this environment) behind [[decodeStub]] — swap in a real decoder by
+  * replacing that one function.
+  */
+object Multimodal {
+
+  /** C12: typed metadata for a binary payload column: byte length,
+    * 8-byte header (magic-number window) and a content digest — the
+    * columns a 100 TB media pipeline partitions and dedups on without
+    * ever decoding.
+    */
+  def binaryMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("byte_len"),
+      lower(hex(substring(col(binCol), 1, 8))).as("header_hex"),
+      md5(col(binCol)).as("content_md5")
+    ).orderBy(col(idCol))
+
+  /** C13: deterministic frame/chunk sampling — frame f starts at byte
+    * f*stride, `frameLen` bytes, only complete frames. One generate +
+    * projection, no shuffle; cardinality is bounded by maxFrames.
+    */
+  def frameSample(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameLen: Int = 16,
+      stride: Int = 64,
+      maxFrames: Int = 4
+  ): DataFrame = {
+    val frames = array((0 until maxFrames).map { f =>
+      col(binCol).substr(lit(1 + f * stride), lit(frameLen))
+    }: _*)
+    df.select(col(idCol), length(col(binCol)).as("__len"), posexplode(frames))
+      .toDF(idCol, "__len", "frame_idx", "frame")
+      .filter(col("__len") >= col("frame_idx") * stride + frameLen)
+      .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"), lower(hex(col("frame"))).as("frame_hex"))
+      .orderBy(col(idCol), col("frame_idx"))
+  }
+
+  /** Feature row produced by the (stubbed) decoder. */
+  case class MediaFeatures(id: Long, width: Int, height: Int, featureNorm: Double)
+
+  /** Decode + feature-extract over binary payloads, partition-parallel.
+    * The per-partition batching shape (iterator-to-iterator, no
+    * materialization) is exactly what a real decoder needs; only the
+    * byte interpretation is fake.
+    */
+  def decodeStub(spark: SparkSession, df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // STUB: a real implementation decodes `bytes` with a codec
+        // library. Deterministic fake: derive dims/features from bytes.
+        val w = 1 + (math.abs(bytes.length * 31 + (if (bytes.nonEmpty) bytes(0) else 0)) % 1024)
+        val h = 1 + (math.abs(bytes.length * 17 + (if (bytes.length > 1) bytes(1) else 0)) % 1024)
+        val fn = bytes.take(64).map(b => (b & 0xff).toDouble / 255.0).sum
+        MediaFeatures(id, w, h, fn)
+      }
+    }
+  }
+}

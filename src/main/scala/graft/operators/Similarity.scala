@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** A (score, id) candidate for top-k selection. */
+case class ScoredId(score: Double, id: Long)
+
+/** Bounded top-k with map-side partial aggregation: each partition
+  * keeps at most k candidates, so the shuffle moves k rows per
+  * partition per group instead of the full candidate set — the
+  * property that makes brute-force ANN viable at cluster scale.
+  * Order: score desc, id asc (total, reproducible).
+  */
+class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+  private def best(xs: Seq[ScoredId]): Seq[ScoredId] =
+    xs.sortBy(s => (-s.score, s.id)).take(k)
+  override def zero: Seq[ScoredId] = Nil
+  override def reduce(buf: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = best(buf :+ a)
+  override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] = best(b1 ++ b2)
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = best(r)
+  override def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
+}
+
+/** Approximate/exact nearest-neighbor search over embedding columns.
+  *
+  * [[bruteForceTopK]] is the exact baseline: broadcast the query set,
+  * score every (candidate, query) pair with codegen'd double-precision
+  * expressions, reduce with [[TopKAggregator]] (map-side combine).
+  * [[lshTopK]] is the scale path: random-hyperplane buckets cut the
+  * candidate set per query by ~2^planes before exact scoring.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns —
+    * `zip_with` + ordered fold, no UDF.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** L2 norm of a float-array column, double precision. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** C6: exact top-k neighbors (cosine) for each query vector.
+    * Returns (qid, rank, neighbor_id), rank 1-based, ties broken by
+    * neighbor id.
+    */
+  def bruteForceTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val cands = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+    val qs = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm")))
+    val topk = udaf(new TopKAggregator(k))
+    cands
+      .join(qs, col("cid") =!= col("qid"))
+      .select(
+        col("qid"),
+        (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
+        col("cid").as("id")
+      )
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"), col("col.id").as("neighbor_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane j is
+    * derived from a splitmix64-style integer mix of (j, d) — no RNG
+    * state, identical on every executor and every run.
+    */
+  private def planeComponent(j: Int, d: Int): Double = {
+    var z = j.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+  }
+
+  /** Sign-bucket id from `planes` random hyperplanes (random-hyperplane
+    * LSH: collision prob = 1 - angle/pi per plane).
+    */
+  def lshBucket(vecCol: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { j =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(j, d))): _*)
+      when(dot(vecCol, plane) >= 0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bucket ids for `tables` independent hash tables (table t uses
+    * planes [t*planes, (t+1)*planes) of the deterministic family),
+    * paired with the table index for joining.
+    */
+  private def tableBuckets(vecCol: Column, dim: Int, planes: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      val bits = (0 until planes).map { j =>
+        val plane = array((0 until dim).map(d => lit(planeComponent(t * planes + j, d))): _*)
+        when(dot(vecCol, plane) >= 0, lit(1L << j)).otherwise(0L)
+      }
+      struct(lit(t).as("t"), bits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+    }: _*)
+
+  /** C7: ANN top-k with multi-table random-hyperplane LSH. Exact
+    * cosine is only computed against candidates sharing a bucket with
+    * the query in at least one of `tables` hash tables (expected
+    * ~N*tables/2^planes of the corpus). Recall/latency tunes with
+    * (planes, tables); measured in the test suite. Queries in sparse
+    * buckets return fewer than k rows — standard ANN semantics.
+    */
+  def lshTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      planes: Int = 8,
+      tables: Int = 4
+  ): DataFrame = {
+    val cands = candidates
+      .select(
+        col(idCol).as("cid"),
+        col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnrm"),
+        explode(tableBuckets(col(vecCol), dim, planes, tables)).as("tb")
+      )
+    val qs = broadcast(
+      queries
+        .select(
+          col(idCol).as("qid"),
+          col(vecCol).as("qvec"),
+          norm(col(vecCol)).as("qnrm"),
+          explode(tableBuckets(col(vecCol), dim, planes, tables)).as("qtb")
+        )
+    )
+    val topk = udaf(new TopKAggregator(k))
+    cands
+      .join(qs, col("tb") === col("qtb") && col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("cvec"), col("qvec"), col("cnrm"), col("qnrm"))
+      .distinct() // a pair may collide in several tables; score once
+      .select(
+        col("qid"),
+        (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
+        col("cid").as("id")
+      )
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"), col("col.id").as("neighbor_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fingerprint64
+import graft.functions.Fingerprint64.fingerprint64
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Catalog
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Catalog.load(spark, sf, "documents")
+  lazy val embs = Catalog.load(spark, sf, "embeddings")
+
+  test("minhash-LSH finds every exact-Jaccard>=0.8 pair (recall=1 on test corpus)") {
+    val exactPairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup
+      .minhashLshPairs(docs, "doc_id", "text", k = 64, bands = 16, tauPct = 80)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "test corpus should contain near-dups")
+    // LSH verifies on hashed shingles: candidates superset modulo band misses
+    val missed = exactPairs -- lshPairs
+    assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
+  }
+
+  test("simhash: identical docs collide, near-dups are close in Hamming space") {
+    val sig = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+    // deterministic across evaluations
+    val a = sig.orderBy("doc_id").collect().map(_.getLong(1))
+    val b = sig.orderBy("doc_id").collect().map(_.getLong(1))
+    assert(a.sameElements(b))
+    // a doc vs itself → hamming 0 via the pairs pipeline on a dup'd frame
+    val dupped = docs.limit(5).select(col("doc_id"), col("text"))
+      .unionAll(docs.limit(5).select(col("doc_id") + 100000, col("text")))
+    val pairs = Dedup.simhashPairs(dupped, "doc_id", "text", maxHamming = 0)
+    assert(pairs.count() == 5)
+  }
+
+  test("lsh topk is a subset of brute-force candidates with decent recall") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(embs, queries, "vec_id", "embedding", 5, dim = 64, planes = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.nonEmpty)
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.25, s"LSH recall too low: $recall") // 4 tables × 1/16 corpus scanned
+  }
+
+  test("fingerprint64: FNV-1a reference values, codegen and interpreted agree") {
+    // reference FNV-1a 64 test vectors
+    assert(Fingerprint64.hash("".getBytes("UTF-8")) == 0xcbf29ce484222325L)
+    assert(Fingerprint64.hash("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+    val viaExpr = Seq("", "a", "hello graft").toDF("s")
+      .select(fingerprint64(col("s"))).collect().map(_.getLong(0))
+    val direct = Seq("", "a", "hello graft").map(s => Fingerprint64.hash(s.getBytes("UTF-8")))
+    assert(viaExpr.toSeq == direct)
+  }
+
+  test("langid predicts only known languages or und") {
+    val preds = docs.select(TextAnalysis.langId(col("text"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(TextAnalysis.Stopwords.keySet + "und"))
+  }
+
+  test("decodeStub: deterministic features, plumbing intact") {
+    val withBin = docs.limit(20).withColumn("payload", col("text").cast("binary"))
+    val f1 = Multimodal.decodeStub(spark, withBin, "doc_id", "payload").collect().sortBy(_.id)
+    val f2 = Multimodal.decodeStub(spark, withBin, "doc_id", "payload").collect().sortBy(_.id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(m => m.width >= 1 && m.width <= 1024 && m.featureNorm >= 0))
+  }
+
+  test("topk aggregator keeps k best with deterministic tiebreak") {
+    val agg = new operators.TopKAggregator(3)
+    val items = Seq((0.5, 1L), (0.9, 2L), (0.9, 1L), (0.1, 9L), (0.7, 4L))
+      .map { case (s, i) => operators.ScoredId(s, i) }
+    val out = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
+    assert(out.map(_.id) == Seq(1L, 2L, 4L))
+  }
+}
