@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Incremental
+import graft.sinks.Writers
+import graft.sources.Catalog
+import graft.streaming.IncrementalSync
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Normalized events written as N files so the file stream sees
+    * multiple micro-batches.
+    */
+  private def stageEvents(n: Int): String = {
+    val dir = tmpDir("graft_stream_src")
+    Catalog.load(spark, sf, "events").repartition(n).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly counts equal the batch rollup once drained") {
+    val src = stageEvents(3)
+    val stream = IncrementalSync.hourlyCounts(IncrementalSync.readEventStream(spark, src))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete) // complete mode: final state comparable to batch
+      .format("memory")
+      .queryName("hourly_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select(unix_micros(col("window.start")).as("hour_us"), col("event_type"), col("n"), col("sum_value_c"))
+        .orderBy("hour_us", "event_type")
+        .collect()
+      val batch = operators.Analytics.eventsHourly(Catalog.load(spark, sf, "events"))
+        .select(col("hour_us"), col("event_type"), col("n"), col("sum_value_c"))
+        .orderBy("hour_us", "event_type")
+        .collect()
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("stateful latest-per-key stream converges to the batch upsert result") {
+    val src = stageEvents(4)
+    val latest = IncrementalSync.latestPerKeyStream(spark, IncrementalSync.readEventStream(spark, src, 1))
+    val q = latest.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName("latest_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      // last emitted row per key == batch latestPerKey
+      val streamed = spark.table("latest_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"))
+        .orderBy("user_id")
+        .collect()
+      val batch = Incremental
+        .latestPerKey(Catalog.load(spark, sf, "events"), Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id"))
+        .orderBy("user_id")
+        .collect()
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink: target converges to batch merge across micro-batches") {
+    val src = stageEvents(3)
+    val target = tmpDir("graft_stream_target") + "/latest"
+    val q = IncrementalSync
+      .readEventStream(spark, src, 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(IncrementalSync.upsertBatch(spark, target, Seq("user_id"), Seq("ts", "event_id")) _)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.read.parquet(target)
+      .select(col("user_id"), col("event_id")).orderBy("user_id").collect()
+    val want = Incremental
+      .latestPerKey(Catalog.load(spark, sf, "events"), Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id")).orderBy("user_id").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("partitioned writer: layout prunes and reads back identically") {
+    val out = tmpDir("graft_writer") + "/events_by_type"
+    val ev = Catalog.load(spark, sf, "events")
+    Writers.partitionedParquet(ev, out, Seq("event_type"), Seq("ts"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count())
+    val pruned = back.filter(col("event_type") === "click")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || pruned.count() > 0)
+  }
+}
