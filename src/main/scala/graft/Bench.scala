@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times the headline queries at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Each query is fully materialized through the noop sink (forces
+  * complete execution of every operator — `count()` would let Catalyst
+  * prune the projections we want measured). One untimed warm-up query
+  * absorbs one-time session/codegen costs so numbers reflect
+  * steady-state throughput.
+  */
 object Bench {
+
+  /** All operators except the deliberately-quadratic exact-Jaccard
+    * baseline (its job is small-block verification, not full-corpus
+    * scans — MinHash-LSH is the full-corpus path and IS timed).
+    */
+  private val headline: Seq[String] = Seq(
+    "q1_pricing", "q3_topk_join", "q5_join5", "events_hourly", "window_rank", "sessionize",
+    "flatten_json", "stringify_all", "incremental_read", "sync_state", "upsert_latest",
+    "scan_fields", "multi_table_union",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    "sim_topk_brute", "sim_topk_lsh",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "mm_binary_meta", "mm_frame_sample"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    run("q1_pricing") // warm-up, untimed
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name)
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -62,8 +62,8 @@ object SparkEntry {
         .orderBy("table_name", "column_name")
     }),
     "incremental_read" -> ((s, d) =>
-      Incremental
-        .newerThan(t(s, d, "events"), "ts", "2024-01-24 00:00:00")
+      Catalog
+        .loadEventsSince(s, d, "2024-01-24 00:00:00")
         .select(
           col("event_id"),
           unix_micros(col("ts")).as("ts_us"),

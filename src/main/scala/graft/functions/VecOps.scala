@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native vector kernels. Spark's higher-order functions (`zip_with` +
+  * `aggregate`) are interpreted per element with boxing — fine for
+  * occasional use, ~50x too slow for N² similarity search. These
+  * expressions run a tight primitive loop in both interpreted and
+  * generated code, while producing BIT-IDENTICAL results to the HOF
+  * formulation (same index order, same float→double widening), so
+  * correctness oracles are unaffected.
+  */
+object VecOps {
+  /** Ordered dot product over float arrays, double accumulation.
+    * Public static — generated code calls it.
+    */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  /** SimHash from an array of 64-bit word hashes: +1/-1 bit votes per
+    * occurrence, sign → signature bit. Public static for codegen.
+    */
+  def simhash(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** MinHash signature of `k` lanes from an array of 64-bit shingle
+    * hashes. Lane j uses a splitmix64 finalizer over (h ^ mix(j)) — a
+    * cheap high-quality universal family. Public static for codegen.
+    */
+  def minhash(hashes: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        var z = h ^ (j.toLong * 0x9e3779b97f4a7c15L + 0x94d049bb133111ebL)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= (z >>> 31)
+        if (z < sig(j)) sig(j) = z
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhash64(hashes: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashes)))
+
+  def minhash_sig(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k))
+}
+
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def kernel: Option[String] = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => Some("dotFF")
+    case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => Some("dotFD")
+    case (ArrayType(DoubleType, _), ArrayType(FloatType, _)) => Some("dotDF")
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => Some("dotDD")
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (kernel.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs two array<float|double>, got (${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    kernel.get match {
+      case "dotFF" => VecOps.dotFF(x, y)
+      case "dotFD" => VecOps.dotFD(x, y)
+      case "dotDF" => VecOps.dotDF(x, y)
+      case "dotDD" => VecOps.dotDD(x, y)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.${kernel.get}($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot = copy(l, r)
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash64 needs array<long>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.simhash(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<long>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.minhash(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.minhash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}

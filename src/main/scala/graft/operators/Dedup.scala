@@ -65,17 +65,14 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** MinHash signature: k minimums of per-permutation hashes. The j-th
-    * permutation is `xxhash64(shingle_hash, j)` — one native 64-bit
-    * hash per (shingle, permutation), fully codegen'd.
+  /** MinHash signature: k lane-minimums over per-shingle hashes,
+    * computed by the native [[graft.functions.MinHashSig]] kernel (a
+    * HOF formulation interprets k×|shingles| lambda calls per row).
     */
   private def withSignature(df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .withColumn(
-        "sig",
-        transform(sequence(lit(0), lit(k - 1)), j => array_min(transform(col("hs"), h => xxhash64(h, j))))
-      )
+      .withColumn("sig", graft.functions.VecOps.minhash_sig(col("hs"), k))
 
   /** C3: MinHash-LSH near-dup pairs. `bands` bands of `k/bands` rows;
     * candidates = docs sharing any band bucket; candidates are then
@@ -120,23 +117,12 @@ object Dedup {
 
   /** 64-bit SimHash of the (weighted) word multiset: bit j of the
     * signature is the sign of sum over words of ±1 votes, where the
-    * vote is bit j of the word's hash. One pass over the words with a
-    * 64-wide vote accumulator — single codegen'd expression.
+    * vote is bit j of the word's hash. Word hashing stays in codegen'd
+    * built-ins; the 64-lane vote loop runs in the native
+    * [[graft.functions.SimHash64Expr]] kernel.
     */
-  def simhash64(c: Column): Column = {
-    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
-    val words = split(normalize(c), " ")
-    val votes = aggregate(
-      transform(words, w => xxhash64(w)),
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, masks, (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1))
-    )
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
-      lit(0L),
-      (a, x) => a.bitwiseOR(x)
-    )
-  }
+  def simhash64(c: Column): Column =
+    graft.functions.VecOps.simhash64(transform(split(normalize(c), " "), w => xxhash64(w)))
 
   /** C4: SimHash near-dup pairs at Hamming distance <= maxHamming.
     * Pigeonhole banding: with 4 chunks of 16 bits, any pair at

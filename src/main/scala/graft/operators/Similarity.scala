@@ -35,10 +35,16 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[Sco
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns —
-    * `zip_with` + ordered fold, no UDF.
+  /** Double-precision dot product of two float-array columns — native
+    * codegen'd kernel (bit-identical to the `zip_with`+`aggregate`
+    * formulation, ~50x faster; see [[graft.functions.VecOps]]).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.functions.VecOps.vec_dot(a, b)
+
+  /** Reference HOF formulation of [[dot]] — kept for cross-checking
+    * the native kernel in tests.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -46,8 +52,7 @@ object Similarity {
     )
 
   /** L2 norm of a float-array column, double precision. */
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -61,10 +61,33 @@ object Catalog {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    spark.read
-      .parquet(s"$dir/events.parquet")
+    loadEventsRaw(spark, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Events with `ts` as the raw nanosecond Long — the form incremental
+    * readers filter on, because a predicate on the *raw* column reaches
+    * the parquet scan (min/max skipping + partition pruning), while one
+    * on the converted timestamp would not.
+    */
+  def loadEventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Incremental batch of events strictly newer than `watermark`
+    * (micro precision), with the time predicate pushed down to the
+    * parquet scan in raw-nanos space:
+    * µs(ts) > W  ⟺  ts_ns > W*1000 + 999.
+    */
+  def loadEventsSince(spark: SparkSession, dir: String, watermark: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wmInstant = java.time.LocalDateTime
+      .parse(watermark.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC)
+    val wmMicros = wmInstant.getEpochSecond * 1000000L + wmInstant.getNano / 1000L
+    loadEventsRaw(spark, dir)
+      .filter(col("ts") > lit(wmMicros * 1000L + 999L))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

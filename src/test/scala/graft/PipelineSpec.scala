@@ -74,6 +74,16 @@ class PipelineSpec extends SparkSpec {
     assert(f1.forall(m => m.width >= 1 && m.width <= 1024 && m.featureNorm >= 0))
   }
 
+  test("native vec_dot is bit-identical to the HOF formulation") {
+    val pairs = embs.alias("a").crossJoin(embs.limit(3).alias("b"))
+      .select(
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("hof")
+      )
+      .filter(col("native") =!= col("hof"))
+    assert(pairs.count() == 0)
+  }
+
   test("topk aggregator keeps k best with deterministic tiebreak") {
     val agg = new operators.TopKAggregator(3)
     val items = Seq((0.5, 1L), (0.9, 2L), (0.9, 1L), (0.1, 9L), (0.7, 4L))
