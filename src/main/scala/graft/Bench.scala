@@ -19,8 +19,9 @@ object Bench {
     */
   private val headline: Seq[String] = Seq(
     "q1_pricing", "q3_topk_join", "q5_join5", "events_hourly", "window_rank", "sessionize",
-    "flatten_json", "stringify_all", "incremental_read", "sync_state", "upsert_latest",
-    "scan_fields", "multi_table_union",
+    "rollup_pricing", "brand_revenue", "supplier_balance", "distinct_users",
+    "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "sync_state",
+    "upsert_latest", "scan_fields", "multi_table_union",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "sim_topk_brute", "sim_topk_lsh",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",

@@ -10,12 +10,18 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    val explain = sys.env.contains("GRAFT_EXPLAIN")
     args.foreach { name =>
-      time(name) {
-        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      time(name + " (2nd)") {
-        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      if (explain) {
+        println(s"==== $name ====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      } else {
+        time(name) {
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        time(name + " (2nd)") {
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
       }
     }
     spark.stop()

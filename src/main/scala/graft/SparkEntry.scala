@@ -124,6 +124,38 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(t(s, d, "events"))),
     "window_rank" -> ((s, d) => Analytics.windowRank(t(s, d, "orders"))),
     "sessionize" -> ((s, d) => Analytics.sessionize(t(s, d, "events"))),
+    "incremental_by_id" -> ((s, d) =>
+      // MongoDB-variant incremental sync: monotone `_id` watermark
+      // (mongodb_to_bytehouse.py:579-679) — filter + new-state in one agg
+      t(s, d, "events")
+        .filter(col("event_id") > 500)
+        .agg(max(col("event_id")).as("last_id"), count(lit(1)).as("n_rows"))),
+    "distinct_users" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+    "rollup_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(Analytics.cents(col("l_extendedprice"))).as("sum_base_c"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "brand_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_partkey"),
+        Analytics.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c")
+      )
+      li.join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_brand"))), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+    "supplier_balance" -> ((s, d) =>
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(Analytics.cents(col("s_acctbal"))).as("bal_c"), count(lit(1)).as("n_suppliers"))
+        .orderBy(col("n_name"))),
     // ---- C. LLM-data-pipeline ----
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -283,6 +315,29 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "incremental_by_id" ->
+      """SELECT max(event_id) AS last_id, count(*) AS n_rows
+        |FROM events WHERE event_id > 500""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "brand_revenue" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "supplier_balance" ->
+      """SELECT n_name, CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c,
+        | count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS kept_id, count(*) AS n_dups
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM documents) x
