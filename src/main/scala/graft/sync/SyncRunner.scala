@@ -1,0 +1,109 @@
+package graft.sync
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+
+/** Sync orchestration — the reference's full/incremental/auto modes
+  * (es_to_bytehouse.py:1153-1207 `run_full_sync`,
+  * 1053-1102 `run_incremental`, README "auto 模式") over parquet
+  * targets, with the `_sync_state` table persisted as parquet.
+  *
+  * auto mode: no state for the table → full sync, record state;
+  * state present → incremental batch (time > last_sync), upsert-merge
+  * into the target, advance state. Restart-safe: state is re-read from
+  * storage each run, exactly like the reference.
+  */
+object SyncRunner {
+
+  /** One `_sync_state` row (es_to_bytehouse.py:416-426). */
+  case class SyncState(
+      table_name: String,
+      time_field: String,
+      last_sync_us: Long,
+      n_rows: Long,
+      mode: String,
+      updated_us: Long
+  )
+
+  def readState(spark: SparkSession, stateDir: String, table: String): Option[SyncState] = {
+    import spark.implicits._
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      spark.read
+        .parquet(stateDir)
+        .filter(col("table_name") === table)
+        .orderBy(col("updated_us").desc)
+        .limit(1)
+        .as[SyncState]
+        .collect()
+        .headOption
+  }
+
+  def appendState(spark: SparkSession, stateDir: String, state: SyncState): Unit = {
+    import spark.implicits._
+    Seq(state).toDS().write.mode("append").parquet(stateDir)
+  }
+
+  /** Run one auto-mode sync pass for `source` into `targetDir`.
+    * Returns the mode executed ("full" | "incremental") and rows
+    * synced. `orderCols` breaks upsert ties (latest wins).
+    */
+  def autoSync(
+      spark: SparkSession,
+      source: DataFrame,
+      table: String,
+      keyCols: Seq[String],
+      timeCol: String,
+      orderCols: Seq[String],
+      targetDir: String,
+      stateDir: String,
+      nowUs: Long
+  ): (String, Long) = {
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def maxUs(df: DataFrame): Long =
+      df.agg(max(unix_micros(col(timeCol).cast("timestamp")))).collect()(0) match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      }
+
+    readState(spark, stateDir, table) match {
+      case None =>
+        val n = writeSwap(spark, source, targetDir, fs)
+        appendState(spark, stateDir, SyncState(table, timeCol, maxUs(source), n, "full", nowUs))
+        ("full", n)
+      case Some(st) =>
+        val delta = source.filter(unix_micros(col(timeCol).cast("timestamp")) > st.last_sync_us)
+        val n = delta.count()
+        if (n > 0) {
+          val base = spark.read.parquet(targetDir)
+          val merged = Incremental.mergeUpsert(base, delta, keyCols, orderCols)
+          writeSwap(spark, merged, targetDir, fs)
+          appendState(spark, stateDir, SyncState(table, timeCol, maxUs(delta), n, "incremental", nowUs))
+        }
+        ("incremental", n)
+    }
+  }
+
+  /** Atomic-ish replace of a parquet target (write temp, swap). */
+  private def writeSwap(
+      spark: SparkSession,
+      df: DataFrame,
+      targetDir: String,
+      fs: org.apache.hadoop.fs.FileSystem
+  ): Long = {
+    val tmp = targetDir + "__tmp"
+    val cached = df.persist()
+    val n = cached.count()
+    cached.write.mode("overwrite").parquet(tmp)
+    cached.unpersist()
+    fs.delete(new Path(targetDir), true)
+    fs.rename(new Path(tmp), new Path(targetDir))
+    n
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Incremental
+import graft.sinks.BatchedUpsertWriter
+import graft.sources.Catalog
+import graft.sync.SyncRunner
+
+/** Recording fake executor: collects SQL+rows in a JVM-local buffer
+  * (valid under local[n] — one JVM) and fails on demand to exercise
+  * the row-fallback path.
+  */
+object RecordingExecutor {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+  @volatile var failBatchesOver: Int = Int.MaxValue
+  def reset(failOver: Int = Int.MaxValue): Unit = { seen.clear(); failBatchesOver = failOver }
+}
+
+class SyncSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
+
+  test("auto mode: full sync first, then incremental upsert, restart-safe state") {
+    val events = Catalog.load(spark, sf, "events")
+    val cutoffUs = 1705276800000000L // 2024-01-15
+    val firstHalf = events.filter(unix_micros(col("ts")) <= cutoffUs)
+    val stateDir = tmp("graft_state") + "/state"
+    val targetDir = tmp("graft_target") + "/events"
+
+    // pass 1: no state → full
+    val (m1, n1) = SyncRunner.autoSync(
+      spark, firstHalf, "events", Seq("event_id"), "ts", Seq("ts", "event_id"),
+      targetDir, stateDir, nowUs = 1L)
+    assert(m1 == "full" && n1 == firstHalf.count())
+
+    // pass 2: state present → incremental picks up ONLY the delta
+    val (m2, n2) = SyncRunner.autoSync(
+      spark, events, "events", Seq("event_id"), "ts", Seq("ts", "event_id"),
+      targetDir, stateDir, nowUs = 2L)
+    assert(m2 == "incremental")
+    assert(n2 == events.count() - firstHalf.count())
+    assert(spark.read.parquet(targetDir).count() == events.count())
+
+    // pass 3: nothing new → zero-row incremental
+    val (m3, n3) = SyncRunner.autoSync(
+      spark, events, "events", Seq("event_id"), "ts", Seq("ts", "event_id"),
+      targetDir, stateDir, nowUs = 3L)
+    assert(m3 == "incremental" && n3 == 0)
+
+    val st = SyncRunner.readState(spark, stateDir, "events").get
+    assert(st.mode == "incremental" && st.last_sync_us > cutoffUs)
+  }
+
+  test("auto mode upsert: updated rows replace, not duplicate") {
+    import spark.implicits._
+    val stateDir = tmp("graft_state2") + "/state"
+    val targetDir = tmp("graft_target2") + "/t"
+    val v1 = Seq((1L, "2024-01-01 00:00:00", "a"), (2L, "2024-01-02 00:00:00", "b"))
+      .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    SyncRunner.autoSync(spark, v1, "t", Seq("id"), "ts", Seq("ts"), targetDir, stateDir, 1L)
+    // key 1 gets a newer version; key 3 is new
+    val v2 = v1.unionByName(
+      Seq((1L, "2024-01-03 00:00:00", "a2"), (3L, "2024-01-04 00:00:00", "c"))
+        .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp")))
+    SyncRunner.autoSync(spark, v2, "t", Seq("id"), "ts", Seq("ts"), targetDir, stateDir, 2L)
+    val got = spark.read.parquet(targetDir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+
+  test("batched writer: batch sizing and row-level fallback on failure") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2)
+    RecordingExecutor.reset()
+    val stats = BatchedUpsertWriter.write(df, "db", "t", batchSize = 30, () => new BatchedUpsertWriter.BatchExecutor {
+      def execute(sql: String, rows: Seq[Seq[Any]]): Unit = {
+        if (rows.size > RecordingExecutor.failBatchesOver) throw new RuntimeException("too big")
+        RecordingExecutor.seen.add((sql, rows.size))
+      }
+    })
+    assert(stats.rows == 100 && stats.failedRows == 0)
+    val sqls = RecordingExecutor.seen.toArray.map(_.asInstanceOf[(String, Int)])
+    assert(sqls.forall(_._1 == "INSERT INTO `db`.`t` (`id`, `v`) VALUES"))
+
+    // batches over 10 rows fail → per-row fallback keeps all rows
+    RecordingExecutor.reset(failOver = 10)
+    val stats2 = BatchedUpsertWriter.write(df, "db", "t", batchSize = 30, () => new BatchedUpsertWriter.BatchExecutor {
+      def execute(sql: String, rows: Seq[Seq[Any]]): Unit = {
+        if (rows.size > RecordingExecutor.failBatchesOver) throw new RuntimeException("too big")
+        RecordingExecutor.seen.add((sql, rows.size))
+      }
+    })
+    assert(stats2.rows == 100 && stats2.fallbackRows == 100 && stats2.failedRows == 0)
+  }
+
+  test("schema evolution end-to-end: delta with new column merges via allowMissing") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("id", "v")
+    val delta = Seq((2L, "b", "extra")).toDF("id", "v", "w")
+    val merged = Incremental.mergeUpsert(base, delta, Seq("id"), Seq("id"))
+    assert(merged.columns.toSet == Set("id", "v", "w"))
+    val r = merged.orderBy("id").collect()
+    assert(r(0).isNullAt(2) && r(1).getString(2) == "extra")
+  }
+}
