@@ -98,6 +98,22 @@ class MigrationSpec extends SparkSpec {
       "INSERT INTO `db`.`t` (`_id`, `v`) VALUES")
   }
 
+  test("salted aggregation equals direct aggregation (skew path)") {
+    val li = Catalog.load(spark, sf, "lineitem")
+    val direct = operators.Analytics.q1Pricing(li)
+      .select("l_returnflag", "l_linestatus", "sum_qty_c", "n_rows")
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    val salted = operators.Skew.saltedSumCount(
+        li,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(operators.Analytics.cents(col("l_quantity")) -> "sum_qty_c"),
+        "n_rows",
+        saltFactor = 8
+      )
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    assert(direct.toSeq == salted.toSeq)
+  }
+
   test("incremental newerThan pushes filter to parquet scan") {
     val ev = Catalog.load(spark, sf, "events")
     val plan = Incremental
