@@ -23,7 +23,7 @@ object Flatten {
     * columns too).
     */
   def sanitizeName(raw: String): String = {
-    val cleaned = raw.replace(".", "_").replace("-", "_").replace("@", "")
+    val cleaned = raw.replace(".", "_").replace("-", "_").replace("$", "_").replace("@", "")
     if (cleaned.nonEmpty && cleaned.head.isDigit) s"idx_$cleaned" else cleaned
   }
 
@@ -49,6 +49,22 @@ object Flatten {
         case st: StructType => flatCols(st, col(f.name), name).map(_._2)
         case _: ArrayType | _: MapType => Seq(to_json(col(f.name)).as(name))
         case _ => Seq(col(f.name).as(name))
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** Shallow flatten — the MongoDB-variant semantics
+    * (mongodb_to_bytehouse.py:306-333 `flatten_document`): nested
+    * objects and arrays become JSON strings at depth 1 instead of
+    * recursing into `parent_child` columns.
+    */
+  def flattenShallow(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
+      val name = sanitizeName(f.name)
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => to_json(col(f.name)).as(name)
+        case _ => col(f.name).as(name)
       }
     }
     df.select(cols: _*)

@@ -38,6 +38,24 @@ object Incremental {
   def newerThan(df: DataFrame, timeCol: String, watermark: String): DataFrame =
     df.filter(col(timeCol) > lit(watermark).cast("timestamp"))
 
+  /** Insert-or-update incremental batch: rows whose create time OR
+    * update time passed its watermark — the reference's UPDATE-aware
+    * sync (es_to_bytehouse.py:843-853: `range(time) OR range(update)`
+    * with `minimum_should_match: 1`). Both predicates are scan
+    * predicates → pushdown applies to each.
+    */
+  def newerThanEither(
+      df: DataFrame,
+      timeCol: String,
+      watermark: String,
+      updateCol: String,
+      updateWatermark: String
+  ): DataFrame =
+    df.filter(
+      col(timeCol) > lit(watermark).cast("timestamp") ||
+        col(updateCol) > lit(updateWatermark).cast("timestamp")
+    )
+
   /** The new `_sync_state` row after syncing a batch
     * (es_to_bytehouse.py:412-432): max time seen + row count.
     */

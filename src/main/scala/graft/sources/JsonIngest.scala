@@ -38,14 +38,20 @@ object JsonIngest {
     * String columns alongside the passthrough columns — the
     * reference's document pipeline as one codegen'd projection.
     */
+  /** `keepSource = true` is the reference's STORE_SOURCE mode
+    * (es_to_bytehouse.py:161-162, 616-618): the raw document JSON
+    * rides along as a `_source` column next to the flattened fields.
+    */
   def parseAndFlatten(
       spark: SparkSession,
       df: DataFrame,
       jsonCol: String,
-      sample: Int = 5000
+      sample: Int = 5000,
+      keepSource: Boolean = false
   ): DataFrame = {
     val schema = inferSchema(spark, df, jsonCol, sample)
-    val parsed = df.withColumn(jsonCol, from_json(col(jsonCol), schema))
+    val withSource = if (keepSource) df.withColumn("_source", col(jsonCol)) else df
+    val parsed = withSource.withColumn(jsonCol, from_json(col(jsonCol), schema))
     val flat = Flatten.flatten(parsed)
     // all-String value model for the discovered fields (reference
     // stores every ES value as String: es_to_bytehouse.py:166-188)

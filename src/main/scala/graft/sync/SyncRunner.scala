@@ -90,6 +90,43 @@ object SyncRunner {
     }
   }
 
+  /** Sync every table under `srcDir` matching the wildcard pattern —
+    * the reference's multi-index loop (`run_full_sync` /
+    * `run_incremental` over `get_es_indices(pattern)`). Time field is
+    * auto-detected (es_to_bytehouse.py:467-496); tables without one
+    * fall back to full refresh every pass, exactly like the reference
+    * warns-and-skips incremental. Key columns default to the first
+    * column (the `_id` analogue) unless overridden.
+    */
+  def autoSyncAll(
+      spark: SparkSession,
+      srcDir: String,
+      pattern: String,
+      targetRoot: String,
+      stateDir: String,
+      nowUs: Long,
+      keyOverrides: Map[String, Seq[String]] = Map.empty
+  ): Map[String, (String, Long)] = {
+    graft.sources.Catalog
+      .selectTables(spark, srcDir, pattern)
+      .map { table =>
+        val df = graft.sources.Catalog.load(spark, srcDir, table)
+        val keys = keyOverrides.getOrElse(table, Seq(df.columns.head))
+        val target = s"$targetRoot/$table"
+        val result = Incremental.detectTimeField(df.schema) match {
+          case Some(timeCol) =>
+            autoSync(spark, df, table, keys, timeCol, Seq(timeCol) ++ keys, target, stateDir, nowUs)
+          case None =>
+            val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val n = writeSwap(spark, df, target, fs)
+            appendState(spark, stateDir, SyncState(table, "", Long.MinValue, n, "full", nowUs))
+            ("full", n)
+        }
+        table -> result
+      }
+      .toMap
+  }
+
   /** Atomic-ish replace of a parquet target (write temp, swap). */
   private def writeSwap(
       spark: SparkSession,

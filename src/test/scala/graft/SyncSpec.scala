@@ -96,6 +96,54 @@ class SyncSpec extends SparkSpec {
     assert(stats2.rows == 100 && stats2.fallbackRows == 100 && stats2.failedRows == 0)
   }
 
+  test("autoSyncAll: pattern sweep, time-field detection, full fallback for dimensions") {
+    val stateDir = tmp("graft_state3") + "/state"
+    val targetRoot = tmp("graft_target3")
+    val r1 = SyncRunner.autoSyncAll(spark, sf, "events,region", targetRoot, stateDir, nowUs = 1L)
+    assert(r1("events")._1 == "full" && r1("region")._1 == "full")
+    // second sweep: events (has ts) goes incremental, region (no time field) refreshes full
+    val r2 = SyncRunner.autoSyncAll(spark, sf, "events,region", targetRoot, stateDir, nowUs = 2L)
+    assert(r2("events") == ("incremental", 0L))
+    assert(r2("region")._1 == "full")
+    assert(spark.read.parquet(s"$targetRoot/events").count() ==
+      Catalog.load(spark, sf, "events").count())
+  }
+
+  test("flattenShallow: mongo-variant semantics (nested -> JSON at depth 1)") {
+    import spark.implicits._
+    val df = Seq((1L, """{"a":{"b":2},"tags":[1,2],"s":"x"}""")).toDF("id", "doc")
+    val parsed = df.withColumn("doc",
+      from_json(col("doc"), org.apache.spark.sql.types.StructType.fromDDL(
+        "a STRUCT<b: BIGINT>, tags ARRAY<BIGINT>, s STRING")))
+      .select(col("id"), col("doc.a").as("a"), col("doc.tags").as("mongo$tags"), col("doc.s").as("s"))
+    val flat = operators.Flatten.flattenShallow(parsed)
+    assert(flat.columns.toSeq == Seq("id", "a", "mongo_tags", "s"))
+    val r = flat.collect()(0)
+    assert(r.getAs[String]("a") == """{"b":2}""" && r.getAs[String]("mongo_tags") == "[1,2]")
+  }
+
+  test("newerThanEither: insert-or-update incremental (OR watermarks)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:00:00"), // old, never updated
+      (2L, "2024-01-05 00:00:00", "2024-01-05 00:00:00"), // new insert
+      (3L, "2024-01-01 00:00:00", "2024-01-06 00:00:00")  // old insert, fresh update
+    ).toDF("id", "created", "updated")
+      .select(col("id"), col("created").cast("timestamp"), col("updated").cast("timestamp"))
+    val got = Incremental
+      .newerThanEither(df, "created", "2024-01-02 00:00:00", "updated", "2024-01-02 00:00:00")
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 3L))
+  }
+
+  test("STORE_SOURCE mode keeps raw JSON next to flattened fields") {
+    import spark.implicits._
+    val df = Seq((1L, """{"k":7}""")).toDF("id", "doc")
+    val flat = sources.JsonIngest.parseAndFlatten(spark, df, "doc", keepSource = true)
+    assert(flat.columns.contains("_source"))
+    assert(flat.collect()(0).getAs[String]("_source") == """{"k":7}""")
+  }
+
   test("schema evolution end-to-end: delta with new column merges via allowMissing") {
     import spark.implicits._
     val base = Seq((1L, "a")).toDF("id", "v")
