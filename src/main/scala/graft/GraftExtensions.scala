@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{Fingerprint64, MinHashSig, SimHash64Expr, VecDot}
+
+/** SQL-surface registration of graft's native expressions, injected
+  * via SparkSessionExtensions (usable with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` on any cluster,
+  * no code changes):
+  *
+  *   SELECT fingerprint64(text), simhash64(hashes),
+  *          vec_dot(a, b), minhash_sig(hashes, 64) ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (
+        FunctionIdentifier("fingerprint64"),
+        info("fingerprint64", "fingerprint64(str) - FNV-1a 64-bit content fingerprint"),
+        (exprs: Seq[Expression]) => Fingerprint64(exprs.head)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("vec_dot"),
+        info("vec_dot", "vec_dot(a, b) - double-precision dot product of float/double arrays"),
+        (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("simhash64"),
+        info("simhash64", "simhash64(hashes) - 64-bit SimHash from an array of word hashes"),
+        (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("minhash_sig"),
+        info("minhash_sig", "minhash_sig(hashes, k) - k-lane MinHash signature"),
+        (exprs: Seq[Expression]) =>
+          MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
+  }
+}

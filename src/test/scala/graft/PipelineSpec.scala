@@ -60,6 +60,28 @@ class PipelineSpec extends SparkSpec {
     assert(viaExpr.toSeq == direct)
   }
 
+  test("extensions register SQL functions: fingerprint64 / vec_dot / simhash64 / minhash_sig") {
+    val fp = spark.sql("SELECT fingerprint64('a') AS fp").collect()(0).getLong(0)
+    assert(fp == 0xaf63dc4c8601ec8cL)
+    val d = spark.sql("SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(d == 11.0)
+    assert(spark.sql("SELECT simhash64(array(CAST(5 AS BIGINT))) AS s").collect()(0).getLong(0) == 5L)
+    assert(spark.sql("SELECT size(minhash_sig(array(CAST(5 AS BIGINT)), 8)) AS n").collect()(0).getInt(0) == 8)
+  }
+
+  test("approx sketches: HLL distinct and percentile within tolerance of exact") {
+    val ev = Catalog.load(spark, sf, "events")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx"),
+      expr("approx_percentile(value, 0.5, 1000)").as("p50")
+    ).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+    assert(r.getDouble(2) > 0)
+  }
+
   test("langid predicts only known languages or und") {
     val preds = docs.select(TextAnalysis.langId(col("text"))).distinct()
       .collect().map(_.getString(0)).toSet
