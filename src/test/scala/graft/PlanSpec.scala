@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regression tests: the scale properties (broadcast dims,
+  * scan-level pushdown, bounded shuffle counts) are part of the
+  * contract, not accidents of the current optimizer mood.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q5: all four dimension joins broadcast, no shuffled join") {
+    val p = planOf("q5_join5")
+    assert(count(p, "BroadcastHashJoin") == 4, p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q3: segment filter + date filter pushed to parquet scans") {
+    val p = planOf("q3_topk_join")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("GreaterThan(l_shipdate,"))
+  }
+
+  test("incremental_read: watermark reaches the parquet scan in raw-ns space") {
+    val p = planOf("incremental_read")
+    assert(p.contains("GreaterThan(ts,"), p)
+  }
+
+  test("q1: one aggregation shuffle, map-side partial agg, codegen in final plan") {
+    val df = SparkEntry.queries("q1_pricing")(spark, sf)
+    val pre = df.queryExecution.executedPlan.toString
+    assert(count(pre, "+- Exchange") <= 2, pre) // agg hash + ORDER BY range only
+    assert(pre.contains("partial_sum"), pre)
+    df.collect() // finalize the adaptive plan → codegen stages visible
+    val post = df.queryExecution.executedPlan.toString
+    // "*(n) Operator" marks a whole-stage-codegen stage in plan strings
+    assert(post.contains("*(1)") || post.contains("WholeStageCodegen"), post)
+  }
+
+  test("window queries reuse one hash exchange for window + aggregation") {
+    val p = planOf("sessionize")
+    // hashpartitioning(user_id) once; second exchange is only the output ordering
+    assert(count(p, "hashpartitioning") <= 2, p)
+  }
+
+  test("column pruning: q5 lineitem scan reads only 3 columns") {
+    val p = planOf("q5_join5")
+    val read = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
+    assert(read.exists(l => l.contains("l_extendedprice") && !l.contains("l_shipdate")), read)
+  }
+}
