@@ -318,6 +318,32 @@ object SparkEntry {
     "incremental_by_id" ->
       """SELECT max(event_id) AS last_id, count(*) AS n_rows
         |FROM events WHERE event_id > 500""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |   THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS fp
+        |FROM (SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |    [CAST(unicode(c) AS HUGEINT) for c in string_split(text, '')]),
+        |  (acc, b) -> (xor(acc, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        | FROM documents) x ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH w AS (SELECT lang,
+        |  list_distinct(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS ws
+        | FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_intersect(ws, ['the','a','and','of','to','in','is','that','it','for'])) AS s_en,
+        |  len(list_intersect(ws, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS s_de,
+        |  len(list_intersect(ws, ['el','la','de','que','y','en','un','es','no','por'])) AS s_es,
+        |  len(list_intersect(ws, ['le','la','et','les','des','est','un','une','dans','que'])) AS s_fr,
+        |  len(list_intersect(ws, ['的','是','了','在','我','有','和','不','人','这'])) AS s_zh
+        | FROM w)
+        |SELECT lang,
+        | CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_zh) = 0 THEN 'und' ELSE
+        |  list_sort([{'s': -s_de, 'l': 'de'},{'s': -s_en, 'l': 'en'},{'s': -s_es, 'l': 'es'},
+        |             {'s': -s_fr, 'l': 'fr'},{'s': -s_zh, 'l': 'zh'}])[1].l END AS pred_lang,
+        | count(*) AS n
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

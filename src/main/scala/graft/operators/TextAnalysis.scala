@@ -31,10 +31,10 @@ object TextAnalysis {
     */
   def langId(c: Column): Column = {
     val w = array_distinct(words(c))
-    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+    val scored = Stopwords.toSeq.sortBy(_._1).zipWithIndex.map { case ((lang, sw), rank) =>
       struct(
         size(array_intersect(w, array(sw.map(lit): _*))).as("score"),
-        lit(-lang.codePointAt(0)).as("tie"), // alphabetical tiebreak under max
+        lit(-rank).as("tie"), // ties resolve alphabetically-first under max
         lit(lang).as("lang")
       )
     }
