@@ -54,12 +54,33 @@ object Dedup {
     * Quadratic-in-block by design — see class doc.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("i", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("u", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("i"))
+    // Inverted-index set-similarity join (the exact, scalable design):
+    // explode docs into (shingle_hash, id, set_size) postings,
+    // self-join the postings on the 64-bit shingle hash, and count
+    // matches per (id_a, id_b) — that count IS |A∩B|, so no shingle
+    // array ever travels through a join. Work is sum over shingles of
+    // freq², i.e. proportional to actually-shared structure instead of
+    // |corpus|²; every stage is a keyed shuffle, so it partitions at
+    // any scale (at extreme corpus sizes a PPJoin-style prefix filter
+    // drops the hottest shingles first — freq is naturally bounded
+    // here). Pairs sharing no shingle can't reach any tau >= 1%, so
+    // skipping them is lossless; Jaccard over 64-bit hashed shingles
+    // equals string-shingle Jaccard w.h.p.
+    val sh = df.select(
+      col(idCol).as("id"),
+      array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s))).as("sh")
+    )
+    val postings = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
+    val a = postings.select(col("h"), col("id").as("id_a"), col("n").as("na"))
+    val b = postings.select(col("h"), col("id").as("id_b"), col("n").as("nb"))
+    a.join(b, Seq("h"))
+      .filter(
+        col("id_a") < col("id_b") &&
+          least(col("na"), col("nb")) * 100 >= greatest(col("na"), col("nb")) * tauPct
+      )
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+      .withColumn("u", (col("na") + col("nb")).cast("long") - col("i"))
       .filter(col("i") * 100 >= col("u") * tauPct)
       .select(col("id_a"), col("id_b"), floor(col("i") * lit(100.0) / col("u")).as("jacc_pct"))
       .orderBy(col("id_a"), col("id_b"))
@@ -71,7 +92,7 @@ object Dedup {
     */
   private def withSignature(df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("hs", array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))))
       .withColumn("sig", graft.functions.VecOps.minhash_sig(col("hs"), k))
 
   /** C3: MinHash-LSH near-dup pairs. `bands` bands of `k/bands` rows;
@@ -108,8 +129,8 @@ object Dedup {
     cands
       .join(hashes.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hashes.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
-      .withColumn("u", (size(array_distinct(col("hs_a"))) + size(array_distinct(col("hs_b")))).cast("long") - col("i"))
+      .withColumn("i", graft.functions.VecOps.sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .withColumn("u", (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("i"))
       .filter(col("i") * 100 >= col("u") * tauPct)
       .select(col("id_a"), col("id_b"), floor(col("i") * lit(100.0) / col("u")).as("jacc_pct"))
       .orderBy(col("id_a"), col("id_b"))
