@@ -13,11 +13,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** All operators except the deliberately-quadratic exact-Jaccard
-    * baseline (its job is small-block verification, not full-corpus
-    * scans — MinHash-LSH is the full-corpus path and IS timed).
-    */
   private val headline: Seq[String] = Seq(
+    "dedup_ngram_jaccard",
     "q1_pricing", "q3_topk_join", "q5_join5", "events_hourly", "window_rank", "sessionize",
     "rollup_pricing", "brand_revenue", "supplier_balance", "distinct_users",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "sync_state",

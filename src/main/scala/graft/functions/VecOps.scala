@@ -126,6 +126,36 @@ object VecOps {
     c
   }
 
+  /** Hashes of all n-word shingles of a word array: shingle i is the
+    * XXH64 chain over words [i, i+n) (seed-chained per word — same
+    * identity as hashing the joined string w.h.p.). Documents shorter
+    * than n yield one whole-document shingle, mirroring
+    * Dedup.wordShingles. Public static for codegen.
+    */
+  def shingleHashes(words: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val m = words.numElements()
+    val effN = math.min(math.max(n, 1), math.max(m, 1))
+    val cnt = math.max(m - effN + 1, if (m == 0) 0 else 1)
+    val out = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var h = 42L
+      var j = 0
+      while (j < effN) {
+        val w = words.getUTF8String(i + j)
+        h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def shingle_hashes(words: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
+
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -169,6 +199,19 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.${kernel.get}($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot = copy(l, r)
+}
+
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"shingle_hashes needs array<string>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
 }
 
 case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
