@@ -153,7 +153,7 @@ object Dedup {
     * [[graft.functions.SimHash64Expr]] kernel.
     */
   def simhash64(c: Column): Column =
-    graft.functions.VecOps.simhash64(transform(split(normalize(c), " "), w => xxhash64(w)))
+    graft.functions.VecOps.simhash64(shingleHashSet(c, 1))
 
   /** C4: SimHash near-dup pairs at Hamming distance <= maxHamming.
     * Pigeonhole banding: with 4 chunks of 16 bits, any pair at

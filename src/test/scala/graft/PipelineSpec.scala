@@ -96,6 +96,30 @@ class PipelineSpec extends SparkSpec {
     assert(f1.forall(m => m.width >= 1 && m.width <= 1024 && m.featureNorm >= 0))
   }
 
+  test("shingle-hash kernel: window count, short-doc fallback, distinctness") {
+    import graft.operators.Dedup.shingleHashSet
+    val df = Seq(
+      ("a b c d e", 3), // 3 shingles
+      ("a b", 3),       // shorter than n → one whole-doc shingle
+      ("a b c a b c", 3) // repeated trigram → duplicate hashes pre-distinct
+    ).toDF("text", "n")
+    val r = df.select(size(shingleHashSet(col("text"), 3)).as("m"),
+      size(array_distinct(shingleHashSet(col("text"), 3))).as("d")).collect()
+    assert(r(0).getInt(0) == 3 && r(0).getInt(1) == 3)
+    assert(r(1).getInt(0) == 1)
+    assert(r(2).getInt(0) == 4 && r(2).getInt(1) == 3) // "a b c","b c a","c a b","a b c"
+  }
+
+  test("sorted_intersect_count equals array_intersect size") {
+    import graft.functions.VecOps.sorted_intersect_count
+    val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L))).toDF("a", "b")
+    val r = df.select(
+      sorted_intersect_count(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("e")
+    ).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(0) == r.getLong(1))
+  }
+
   test("native vec_dot is bit-identical to the HOF formulation") {
     val pairs = embs.alias("a").crossJoin(embs.limit(3).alias("b"))
       .select(
