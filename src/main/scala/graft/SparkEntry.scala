@@ -124,6 +124,28 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(t(s, d, "events"))),
     "window_rank" -> ((s, d) => Analytics.windowRank(t(s, d, "orders"))),
     "sessionize" -> ((s, d) => Analytics.sessionize(t(s, d, "events"))),
+    "q6_filter_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.02 && col("l_discount") <= 0.04 && col("l_quantity") < 10
+        )
+        .agg(
+          sum(Analytics.cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
+          count(lit(1)).as("n_rows")
+        )),
+    "cust_no_orders" -> ((s, d) =>
+      // anti-join: customers with no small order (every FK is covered in
+      // the synthetic data, so the interesting NOT EXISTS is conditional)
+      t(s, d, "customer")
+        .join(
+          t(s, d, "orders").filter(col("o_totalprice") < 5000),
+          col("c_custkey") === col("o_custkey"),
+          "left_anti"
+        )
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
     "incremental_by_id" -> ((s, d) =>
       // MongoDB-variant incremental sync: monotone `_id` watermark
       // (mongodb_to_bytehouse.py:579-679) — filter + new-state in one agg
@@ -318,6 +340,18 @@ object SparkEntry {
     "incremental_by_id" ->
       """SELECT max(event_id) AS last_id, count(*) AS n_rows
         |FROM events WHERE event_id > 500""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT
+        | CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10""".stripMargin,
+    "cust_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice < 5000)
+        |ORDER BY c_custkey""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
