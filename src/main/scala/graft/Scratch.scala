@@ -28,6 +28,11 @@ object Scratch {
       time("full")(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).write.format("noop").mode("overwrite").save())
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_ENTRY")) {
+      // simulate the driver's smoke test: entry() on a plain session
+      println(s"[scratch] entry rows = ${SparkEntry.entry(spark).count()}")
+      spark.stop(); return
+    }
     val explain = sys.env.contains("GRAFT_EXPLAIN")
     args.foreach { name =>
       if (explain) {
