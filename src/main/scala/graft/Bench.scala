@@ -21,7 +21,7 @@ object Bench {
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "sync_state",
     "upsert_latest", "scan_fields", "multi_table_union",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "sim_topk_brute", "sim_topk_lsh",
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
     "mm_binary_meta", "mm_frame_sample"
   )

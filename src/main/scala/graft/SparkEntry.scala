@@ -196,6 +196,10 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, planes = 8)
     }),
+    "sim_topk_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nClusters = 16, nProbes = 4)
+    }),
     "text_langid" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))

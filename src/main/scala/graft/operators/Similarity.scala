@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -105,6 +107,80 @@ object Similarity {
       when(dot(vecCol, plane) >= 0, lit(1L << j)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** C7b: IVF (inverted-file) ANN — the FAISS-style scale path. A
+    * coarse k-means quantizer (trained once, centroids broadcast as
+    * literals) partitions the corpus into `nClusters` cells; each
+    * query exhaustively scores only its `nProbes` nearest cells, i.e.
+    * ~nProbes/nClusters of the corpus. Index build is one ML fit +
+    * one projection; search is a hash join on cell id + the same
+    * map-side TopKAggregator as brute force.
+    */
+  def ivfTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nClusters: Int = 16,
+      nProbes: Int = 4
+  ): DataFrame = {
+    val train = candidates.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans()
+      .setK(nClusters)
+      .setSeed(42L)
+      .setMaxIter(10)
+      .fit(train)
+    // centroids ride into the plan as literals → assignment is a pure
+    // projection, no model object on the executors
+    val centers = model.clusterCenters.map(_.toArray)
+    def centerCol(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
+    def sqDistTo(v: Column, c: Array[Double]): Column = {
+      val d = dot(v, centerCol(c))
+      val cNorm = c.map(x => x * x).sum
+      dot(v, v) - lit(2.0) * d + lit(cNorm)
+    }
+    // NB: arg-min via array_sort, NOT a when()-reduce — a reduce of
+    // when(a.d<=b.d, a, b) duplicates the whole accumulated expression
+    // at every level (2^k tree growth → OOM at analysis time)
+    def cellsByDistance(v: Column): Column = {
+      val scored = array(centers.zipWithIndex.map { case (c, i) =>
+        struct(sqDistTo(v, c).as("d"), lit(i).as("cell"))
+      }.toIndexedSeq: _*)
+      transform(array_sort(scored), s => s.getField("cell"))
+    }
+    def cellOf(v: Column): Column = element_at(cellsByDistance(v), 1)
+    // query side: explode the nProbes nearest cells
+    def probeCells(v: Column): Column = slice(cellsByDistance(v), 1, nProbes)
+    val cands = candidates.select(
+      col(idCol).as("cid"),
+      col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnrm"),
+      cellOf(col(vecCol)).as("cell")
+    )
+    val qs = broadcast(
+      queries.select(
+        col(idCol).as("qid"),
+        col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qnrm"),
+        explode(probeCells(col(vecCol))).as("cell")
+      )
+    )
+    val topk = udaf(new TopKAggregator(k))
+    cands
+      .join(qs, Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(
+        col("qid"),
+        (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
+        col("cid").as("id")
+      )
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"), col("col.id").as("neighbor_id"))
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** Bucket ids for `tables` independent hash tables (table t uses

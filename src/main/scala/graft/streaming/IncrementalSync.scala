@@ -52,6 +52,16 @@ object IncrementalSync {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(Analytics.cents(col("value"))).as("sum_value_c"))
 
+  /** Gap-based session rollup with Spark's native session_window —
+    * works identically over a stream (with watermark) or a batch
+    * frame; semantics match Analytics.sessionize (same 30-min gap
+    * rule, verified in tests).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Streaming UNIQUE-KEY upsert: per-key latest row maintained with
     * explicit state (flatMapGroupsWithState) — emits a row whenever a
     * key's latest version changes. The streaming form of

@@ -96,6 +96,17 @@ class PipelineSpec extends SparkSpec {
     assert(f1.forall(m => m.width >= 1 && m.width <= 1024 && m.featureNorm >= 0))
   }
 
+  test("ivf topk: probe-limited search with reasonable recall vs brute force") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 5, nClusters = 8, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall") // 4 of 8 cells probed
+  }
+
   test("shingle-hash kernel: window count, short-doc fallback, distinctness") {
     import graft.operators.Dedup.shingleHashSet
     val df = Seq(

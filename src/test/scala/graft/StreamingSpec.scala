@@ -92,6 +92,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("native session_window matches lag-based sessionize (batch)") {
+    val ev = Catalog.load(spark, sf, "events")
+    val native = IncrementalSync.sessionCounts(ev)
+      .select(col("user_id"), col("n_events"))
+      .groupBy("user_id").agg(count(lit(1)).as("sessions"), sum(col("n_events")).as("events"))
+      .orderBy("user_id").collect()
+    val lagBased = operators.Analytics.sessionize(ev)
+      .groupBy("user_id").agg(count(lit(1)).as("sessions"), sum(col("n_events")).as("events"))
+      .orderBy("user_id").collect()
+    assert(native.toSeq == lagBased.toSeq)
+  }
+
+  test("session_window works over a stream with watermark") {
+    val src = stageEvents(2)
+    val stream = IncrementalSync
+      .sessionCounts(IncrementalSync.readEventStream(spark, src).withWatermark("ts", "1 hour"))
+    val q = stream.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sessions_out").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("sessions_out").agg(sum(col("n_events"))).collect()(0).getLong(0)
+      assert(total == Catalog.load(spark, sf, "events").count())
+    } finally q.stop()
+  }
+
   test("partitioned writer: layout prunes and reads back identically") {
     val out = tmpDir("graft_writer") + "/events_by_type"
     val ev = Catalog.load(spark, sf, "events")
