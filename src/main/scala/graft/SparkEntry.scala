@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fingerprint64.fingerprint64
-import graft.operators.{AllString, Analytics, Dedup, Incremental, Multimodal, Similarity, TextAnalysis, TypeMapper}
+import graft.operators.{AllString, Analytics, AsOfJoin, Dedup, Incremental, Multimodal, Similarity, TextAnalysis, TypeMapper}
 import graft.sinks.ClickHouseDdl
 import graft.sources.{Catalog, JsonIngest}
 
@@ -146,6 +146,15 @@ object SparkEntry {
         )
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
+    "asof_last_click" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts_us")
+      AsOfJoin
+        .lastBefore(purchases, clicks, "user_id", "ts_us", "ts_us", "ts_us")
+        .orderBy(col("event_id"))
+    }),
     "incremental_by_id" -> ((s, d) =>
       // MongoDB-variant incremental sync: monotone `_id` watermark
       // (mongodb_to_bytehouse.py:579-679) — filter + new-state in one agg
@@ -344,6 +353,13 @@ object SparkEntry {
     "incremental_by_id" ->
       """SELECT max(event_id) AS last_id, count(*) AS n_rows
         |FROM events WHERE event_id > 500""".stripMargin,
+    "asof_last_click" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts_us, c.ts_us AS asof_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
     "q6_filter_agg" ->
       """SELECT
         | CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,

@@ -29,6 +29,20 @@ object Writers {
       .parquet(path)
   }
 
+  /** Bucketed managed table: rows hash-bucketed and sorted by the join
+    * key. Two tables bucketed the same way join with NO shuffle on
+    * either side — the layout that makes the recurring
+    * orders⋈lineitem-class joins at 100 TB a local merge instead of a
+    * cluster-wide exchange.
+    */
+  def bucketedTable(df: DataFrame, name: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(name)
+
   /** Plain parquet with a bounded file count and in-file ordering. */
   def sortedParquet(df: DataFrame, path: String, sortCols: Seq[String], files: Int = 32): Unit =
     df.repartition(files, sortCols.map(col): _*)

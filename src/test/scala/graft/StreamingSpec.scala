@@ -117,6 +117,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Writers.bucketedTable(
+        Catalog.load(spark, sf, "orders").select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 4)
+      Writers.bucketedTable(
+        Catalog.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 4)
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == Catalog.load(spark, sf, "lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned writer: layout prunes and reads back identically") {
     val out = tmpDir("graft_writer") + "/events_by_type"
     val ev = Catalog.load(spark, sf, "events")
