@@ -88,6 +88,21 @@ class PipelineSpec extends SparkSpec {
     assert(preds.subsetOf(TextAnalysis.Stopwords.keySet + "und"))
   }
 
+  test("multimodal pipeline composes: binary -> decode -> near-dup by feature") {
+    // the shape of a real media-dedup pipeline: payloads → (stubbed)
+    // decode → feature vector → cosine near-dup; only the byte
+    // interpretation is fake, every Spark stage is real
+    val withBin = docs.withColumn("payload", col("text").cast("binary"))
+    val feats = Multimodal.decodeStub(spark, withBin, "doc_id", "payload")
+      .toDF()
+      .select(col("id").as("doc_id"),
+        array(col("width").cast("float"), col("height").cast("float"), col("featureNorm").cast("float")).as("fv"))
+    val pairs = Dedup.embeddingPairs(feats, "doc_id", "fv", tau = 0.999999)
+    assert(pairs.count() >= 0) // executes the full composed plan
+    val meta = Multimodal.binaryMeta(withBin, "doc_id", "payload")
+    assert(meta.count() == docs.count())
+  }
+
   test("decodeStub: deterministic features, plumbing intact") {
     val withBin = docs.limit(20).withColumn("payload", col("text").cast("binary"))
     val f1 = Multimodal.decodeStub(spark, withBin, "doc_id", "payload").collect().sortBy(_.id)

@@ -121,6 +121,12 @@ class StreamingSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq("b_orders", "b_lineitem").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
       Writers.bucketedTable(
         Catalog.load(spark, sf, "orders").select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 4)
       Writers.bucketedTable(
