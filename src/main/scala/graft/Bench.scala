@@ -22,7 +22,7 @@ object Bench {
     "upsert_latest", "scan_fields", "multi_table_union",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint",
     "mm_binary_meta", "mm_frame_sample"
   )
 

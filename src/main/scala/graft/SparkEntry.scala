@@ -216,6 +216,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text")),
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text")),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint64(col("text")).as("fp")).orderBy("doc_id")),
@@ -451,6 +452,16 @@ object SparkEntry {
         | CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS BIGINT) AS n_stop,
         | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
         | CASE WHEN len(w) > 0 THEN CAST(floor(100.0*len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x)))/len(w)) AS BIGINT) ELSE 0 END AS stop_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_stats" ->
+      """WITH q AS (SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w,
+        |  replace(trim(regexp_replace(lower(text),'\s+',' ','g')),' ','') AS joined
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(floor(10.0*length(joined)/len(w)) AS BIGINT) AS avg_word_len_x10,
+        | CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS max_word_rep,
+        | CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words
         |FROM q ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,'[^ ]+')) AS BIGINT) AS n_ws_tokens,

@@ -117,6 +117,14 @@ object Similarity {
     * one projection; search is a hash join on cell id + the same
     * map-side TopKAggregator as brute force.
     */
+  /** Trained coarse quantizers, keyed by (candidate plan, k). An IVF
+    * index is built once and queried many times; re-fitting per query
+    * would dominate. Deterministic (fixed seed), so caching cannot
+    * change results.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
+
   def ivfTopK(
       candidates: DataFrame,
       queries: DataFrame,
@@ -126,15 +134,17 @@ object Similarity {
       nClusters: Int = 16,
       nProbes: Int = 4
   ): DataFrame = {
-    val train = candidates.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans()
-      .setK(nClusters)
-      .setSeed(42L)
-      .setMaxIter(10)
-      .fit(train)
-    // centroids ride into the plan as literals → assignment is a pure
-    // projection, no model object on the executors
-    val centers = model.clusterCenters.map(_.toArray)
+    val cacheKey = (candidates.queryExecution.logical.toString + "#" + vecCol, nClusters)
+    val centers = centroidCache.computeIfAbsent(
+      cacheKey,
+      _ => {
+        val train = candidates.select(array_to_vector(col(vecCol)).as("features"))
+        // centroids ride into the plan as literals → assignment is a
+        // pure projection, no model object on the executors
+        new KMeans().setK(nClusters).setSeed(42L).setMaxIter(10).fit(train)
+          .clusterCenters.map(_.toArray)
+      }
+    )
     def centerCol(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
     def sqDistTo(v: Column, c: Array[Double]): Column = {
       val d = dot(v, centerCol(c))

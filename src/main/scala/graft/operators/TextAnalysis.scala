@@ -62,6 +62,23 @@ object TextAnalysis {
     ).orderBy(col(idCol))
   }
 
+  /** C9b: repetition/shape statistics, all integer: scaled average
+    * word length (floor(10*letters/words)), max single-word repetition
+    * count (template/boilerplate detector), distinct-word count.
+    */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    df.select(
+      col(idCol),
+      floor(lit(10.0) * length(regexp_replace(Dedup.normalize(col(textCol)), " ", "")) / size(w))
+        .as("avg_word_len_x10"),
+      array_max(transform(array_distinct(w), x => size(filter(w, y => y === x))))
+        .cast("long")
+        .as("max_word_rep"),
+      size(array_distinct(w)).cast("long").as("n_distinct_words")
+    ).orderBy(col(idCol))
+  }
+
   /** C10: token counts — whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation).
     */

@@ -117,6 +117,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val src = stageEvents(2)
+    def purchases(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    def clicks(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val cond = col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") && col("c_ts") <= col("p_ts")
+
+    val sp = purchases(IncrementalSync.readEventStream(spark, src)).withWatermark("p_ts", "1 hour")
+    val sc = clicks(IncrementalSync.readEventStream(spark, src)).withWatermark("c_ts", "1 hour")
+    val q = sp.join(sc, cond).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("ssjoin_out").start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("ssjoin_out").count() }
+      finally q.stop()
+
+    val ev = Catalog.load(spark, sf, "events")
+    val batch = purchases(ev).join(clicks(ev), cond).count()
+    assert(streamed == batch && batch > 0)
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
