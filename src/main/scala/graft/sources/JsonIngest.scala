@@ -27,12 +27,25 @@ object JsonIngest {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("field"))
 
+  /** Inferred schemas keyed by (source plan, column): a sync pipeline
+    * discovers a source's shape once per round, then parses millions
+    * of batches with it — re-inferring per query would add two jobs
+    * each time. Deterministic (same sample → same schema), so caching
+    * cannot change results.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   /** Infer a StructType for the JSON column from a bounded sample. */
-  def inferSchema(spark: SparkSession, df: DataFrame, jsonCol: String, sample: Int = 5000): StructType = {
-    import spark.implicits._
-    val ds = df.select(col(jsonCol)).na.drop().limit(sample).as[String]
-    spark.read.json(ds).schema
-  }
+  def inferSchema(spark: SparkSession, df: DataFrame, jsonCol: String, sample: Int = 5000): StructType =
+    schemaCache.computeIfAbsent(
+      df.queryExecution.logical.toString + "#" + jsonCol + "#" + sample,
+      _ => {
+        import spark.implicits._
+        val ds = df.select(col(jsonCol)).na.drop().limit(sample).as[String]
+        spark.read.json(ds).schema
+      }
+    )
 
   /** Parse + flatten the JSON column into sanitized `prefix_key`
     * String columns alongside the passthrough columns — the
