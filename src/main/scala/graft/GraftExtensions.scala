@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fingerprint64, MinHashSig, SimHash64Expr, VecDot}
+import graft.functions.{Fingerprint64, MaxWordRep, MinHashSig, SimHash64Expr, VecDot}
 
 /** SQL-surface registration of graft's native expressions, injected
   * via SparkSessionExtensions (usable with
@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("minhash_sig", "minhash_sig(hashes, k) - k-lane MinHash signature"),
         (exprs: Seq[Expression]) =>
           MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("max_word_rep"),
+        info("max_word_rep", "max_word_rep(words) - max repetition count of any single word"),
+        (exprs: Seq[Expression]) => MaxWordRep(exprs.head)
       )
     )
   }

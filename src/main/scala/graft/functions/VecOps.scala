@@ -153,6 +153,38 @@ object VecOps {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Max repetition count of any single word in a word array
+    * (boilerplate/template detector). Hash each word (XXH64), sort,
+    * take the longest run — O(n log n), zero boxing. Replaces the
+    * interpreted `transform(array_distinct(w), x -> size(filter(...)))`
+    * HOF that was O(words x distinct) per row and ~10x slower. Word
+    * identity is 64-bit-hash identity (collision odds ~2^-64/pair —
+    * immaterial for repetition stats). Empty array yields 0.
+    * Public static for codegen.
+    */
+  def maxRunCount(words: ArrayData): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = words.numElements()
+    if (n == 0) return 0L
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      hs(i) = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (hs(i) == hs(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
+
   def shingle_hashes(words: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
@@ -167,6 +199,9 @@ object VecOps {
 
   def minhash_sig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k))
+
+  def max_word_rep(words: Column): Column =
+    ColumnBridge.column(MaxWordRep(ColumnBridge.expression(words)))
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -238,6 +273,18 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.simhash($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+}
+
+case class MaxWordRep(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"max_word_rep needs array<string>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.maxRunCount(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.maxRunCount($c)")
+  override protected def withNewChildInternal(c: Expression): MaxWordRep = copy(c)
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {

@@ -72,9 +72,7 @@ object TextAnalysis {
       col(idCol),
       floor(lit(10.0) * length(regexp_replace(Dedup.normalize(col(textCol)), " ", "")) / size(w))
         .as("avg_word_len_x10"),
-      array_max(transform(array_distinct(w), x => size(filter(w, y => y === x))))
-        .cast("long")
-        .as("max_word_rep"),
+      graft.functions.VecOps.max_word_rep(w).as("max_word_rep"),
       size(array_distinct(w)).cast("long").as("n_distinct_words")
     ).orderBy(col(idCol))
   }

@@ -146,6 +146,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(0) == 2 && r.getLong(0) == r.getLong(1))
   }
 
+  test("max_word_rep kernel matches the HOF formulation on the corpus") {
+    import graft.functions.VecOps.max_word_rep
+    val w = split(Dedup.normalize(col("text")), " ")
+    val mismatches = docs.select(
+      max_word_rep(w).as("native"),
+      array_max(transform(array_distinct(w), x => size(filter(w, y => y === x))))
+        .cast("long").as("hof")
+    ).filter(col("native") =!= col("hof"))
+    assert(mismatches.count() == 0)
+    // SQL registration + edge cases
+    val sql = spark.sql(
+      "SELECT max_word_rep(array('a','b','a','a')) AS r, max_word_rep(CAST(array() AS array<string>)) AS z, max_word_rep(array('x')) AS o"
+    ).collect()(0)
+    assert(sql.getLong(0) == 3L && sql.getLong(1) == 0L && sql.getLong(2) == 1L)
+  }
+
   test("native vec_dot is bit-identical to the HOF formulation") {
     val pairs = embs.alias("a").crossJoin(embs.limit(3).alias("b"))
       .select(
