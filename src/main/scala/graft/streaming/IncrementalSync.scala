@@ -95,11 +95,12 @@ object IncrementalSync {
       )
   }
 
-  /** foreachBatch upsert into a parquet target: merge the micro-batch
-    * with the existing target by key (latest version wins) and swap
-    * atomically. The micro-batch is tiny relative to the target; at
-    * scale the same merge runs against a partitioned target with
-    * dynamic partition overwrite.
+  /** foreachBatch upsert into an UNPARTITIONED parquet target: merge
+    * the micro-batch with the existing target by key (latest version
+    * wins) and swap with checked renames (a failed swap restores the
+    * previous target and throws, so the streaming query retries the
+    * batch instead of losing the target). Suitable for small targets;
+    * the scale path is [[upsertBatchPartitioned]].
     */
   def upsertBatch(
       spark: SparkSession,
@@ -115,7 +116,24 @@ object IncrementalSync {
       } else batch
     val tmp = s"${target}__tmp_$batchId"
     merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(target), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(target))
+    graft.sinks.PartitionedUpsert.promote(fs, tmp, target)
+  }
+
+  /** foreachBatch upsert into a PARTITIONED parquet target: per
+    * micro-batch, only the partitions present in the batch are read,
+    * merged, and rewritten (dynamic partition overwrite) — IO per
+    * batch stays proportional to the batch's partition footprint, not
+    * the target size. This is the 100 TB deployment shape of the
+    * reference's continuous incremental sync.
+    */
+  def upsertBatchPartitioned(
+      spark: SparkSession,
+      target: String,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      partCol: String
+  )(batch: DataFrame, batchId: Long): Unit = {
+    graft.sinks.PartitionedUpsert.merge(spark, batch, target, keyCols, orderCols, partCol)
+    ()
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Incremental
+import graft.sinks.PartitionedUpsert
 
 /** Sync orchestration — the reference's full/incremental/auto modes
   * (es_to_bytehouse.py:1153-1207 `run_full_sync`,
@@ -52,6 +53,12 @@ object SyncRunner {
   /** Run one auto-mode sync pass for `source` into `targetDir`.
     * Returns the mode executed ("full" | "incremental") and rows
     * synced. `orderCols` breaks upsert ties (latest wins).
+    *
+    * With `partitionCol` set the target is laid out as a partitioned
+    * parquet table and incremental batches merge ONLY the partitions
+    * the delta lands in (graft.sinks.PartitionedUpsert) — the 100 TB
+    * path. Without it the whole target is merged and swapped — fine
+    * for small dimension tables only.
     */
   def autoSync(
       spark: SparkSession,
@@ -62,7 +69,8 @@ object SyncRunner {
       orderCols: Seq[String],
       targetDir: String,
       stateDir: String,
-      nowUs: Long
+      nowUs: Long,
+      partitionCol: Option[String] = None
   ): (String, Long) = {
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -74,16 +82,32 @@ object SyncRunner {
 
     readState(spark, stateDir, table) match {
       case None =>
-        val n = writeSwap(spark, source, targetDir, fs)
+        val n = partitionCol match {
+          case Some(p) =>
+            val cached = source.persist()
+            val c = cached.count()
+            PartitionedUpsert.writeFull(cached, targetDir, p)
+            cached.unpersist()
+            c
+          case None => writeSwap(spark, source, targetDir, fs)
+        }
         appendState(spark, stateDir, SyncState(table, timeCol, maxUs(source), n, "full", nowUs))
         ("full", n)
       case Some(st) =>
         val delta = source.filter(unix_micros(col(timeCol).cast("timestamp")) > st.last_sync_us)
-        val n = delta.count()
+        val n = partitionCol match {
+          case Some(p) =>
+            PartitionedUpsert.merge(spark, delta, targetDir, keyCols, orderCols, p)
+          case None =>
+            val c = delta.count()
+            if (c > 0) {
+              val base = spark.read.parquet(targetDir)
+              val merged = Incremental.mergeUpsert(base, delta, keyCols, orderCols)
+              writeSwap(spark, merged, targetDir, fs)
+            }
+            c
+        }
         if (n > 0) {
-          val base = spark.read.parquet(targetDir)
-          val merged = Incremental.mergeUpsert(base, delta, keyCols, orderCols)
-          writeSwap(spark, merged, targetDir, fs)
           appendState(spark, stateDir, SyncState(table, timeCol, maxUs(delta), n, "incremental", nowUs))
         }
         ("incremental", n)
@@ -127,7 +151,11 @@ object SyncRunner {
       .toMap
   }
 
-  /** Atomic-ish replace of a parquet target (write temp, swap). */
+  /** Atomic-ish replace of a parquet target: write temp, then a
+    * checked swap (PartitionedUpsert.promote) that restores the old
+    * target and throws on rename failure — so a failed swap never
+    * advances sync state.
+    */
   private def writeSwap(
       spark: SparkSession,
       df: DataFrame,
@@ -139,8 +167,7 @@ object SyncRunner {
     val n = cached.count()
     cached.write.mode("overwrite").parquet(tmp)
     cached.unpersist()
-    fs.delete(new Path(targetDir), true)
-    fs.rename(new Path(tmp), new Path(targetDir))
+    PartitionedUpsert.promote(fs, tmp, targetDir)
     n
   }
 }

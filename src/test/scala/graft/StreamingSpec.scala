@@ -92,6 +92,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("foreachBatch partitioned upsert converges (day-partitioned target)") {
+    val src = stageEvents(3)
+    val target = tmpDir("graft_stream_targetp") + "/events"
+    // key = event_id, partition = day(ts): immutable per key, so every
+    // version of a key lands in the same partition (the merge contract)
+    val q = IncrementalSync
+      .readEventStream(spark, src, 1)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(IncrementalSync.upsertBatchPartitioned(
+        spark, target, Seq("event_id"), Seq("ts", "event_id"), "day") _)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val ev = Catalog.load(spark, sf, "events")
+    assert(spark.read.parquet(target).count() == ev.count())
+    val gotIds = spark.read.parquet(target).agg(sum("event_id")).collect()(0).getLong(0)
+    val wantIds = ev.agg(sum("event_id")).collect()(0).getLong(0)
+    assert(gotIds == wantIds)
+  }
+
   test("native session_window matches lag-based sessionize (batch)") {
     val ev = Catalog.load(spark, sf, "events")
     val native = IncrementalSync.sessionCounts(ev)

@@ -109,6 +109,85 @@ class SyncSpec extends SparkSpec {
       Catalog.load(spark, sf, "events").count())
   }
 
+  test("partitioned upsert: only delta partitions rewritten, others byte-identical") {
+    import spark.implicits._
+    import graft.sinks.PartitionedUpsert
+    val stateDir = tmp("graft_statep") + "/state"
+    val targetDir = tmp("graft_targetp") + "/t"
+
+    def mk(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("id", "ts", "day", "v").withColumn("ts", col("ts").cast("timestamp"))
+
+    val v1 = mk(Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01", "a"),
+      (2L, "2024-01-02 10:00:00", "2024-01-02", "b"),
+      (3L, "2024-01-03 10:00:00", "2024-01-03", "c"),
+      (4L, "2024-01-03 11:00:00", "2024-01-03", "d")
+    ))
+    val (m1, n1) = SyncRunner.autoSync(spark, v1, "t", Seq("id"), "ts", Seq("ts", "id"),
+      targetDir, stateDir, 1L, partitionCol = Some("day"))
+    assert(m1 == "full" && n1 == 4)
+
+    // fingerprint every file of the untouched partitions
+    def fileMap(sub: String): Map[String, (Long, String)] = {
+      val dir = java.nio.file.Paths.get(targetDir, sub)
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+        val bytes = Files.readAllBytes(p)
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+        dir.relativize(p).toString -> (bytes.length.toLong, md5)
+      }.toMap
+    }
+    val before1 = fileMap("day=2024-01-01")
+    val before2 = fileMap("day=2024-01-02")
+    assert(before1.nonEmpty && before2.nonEmpty)
+
+    // delta: key 3 updated in place (same day), key 5 lands in a new day
+    val delta = mk(Seq(
+      (3L, "2024-01-04 09:00:00", "2024-01-03", "c2"),
+      (5L, "2024-01-04 10:00:00", "2024-01-04", "e")
+    ))
+    val v2 = v1.unionByName(delta)
+    val (m2, n2) = SyncRunner.autoSync(spark, v2, "t", Seq("id"), "ts", Seq("ts", "id"),
+      targetDir, stateDir, 2L, partitionCol = Some("day"))
+    assert(m2 == "incremental" && n2 == 2)
+
+    // merged target == mergeUpsert of the whole
+    val expected = Incremental.mergeUpsert(v1, delta, Seq("id"), Seq("ts", "id"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = spark.read.parquet(targetDir)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+    assert(got("3" .toLong -> "c2") && got(5L -> "e"))
+
+    // untouched partitions: identical file sets, byte-identical content
+    assert(fileMap("day=2024-01-01") == before1)
+    assert(fileMap("day=2024-01-02") == before2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(targetDir, "day=2024-01-04")))
+
+    // third pass with nothing new: no state row appended, target intact
+    val (m3, n3) = SyncRunner.autoSync(spark, v2, "t", Seq("id"), "ts", Seq("ts", "id"),
+      targetDir, stateDir, 3L, partitionCol = Some("day"))
+    assert(m3 == "incremental" && n3 == 0)
+    assert(spark.read.parquet(targetDir).count() == 5)
+  }
+
+  test("promote: failed rename restores target and throws (state never advanced)") {
+    import graft.sinks.PartitionedUpsert
+    val root = tmp("graft_promote")
+    val target = s"$root/t"
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(target))
+    fs.create(new org.apache.hadoop.fs.Path(s"$target/data.txt")).close()
+    // tmp dir does not exist → rename fails → old target must survive
+    intercept[RuntimeException] {
+      PartitionedUpsert.promote(fs, s"$root/missing__tmp", target)
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$target/data.txt")))
+  }
+
   test("flattenShallow: mongo-variant semantics (nested -> JSON at depth 1)") {
     import spark.implicits._
     val df = Seq((1L, """{"a":{"b":2},"tags":[1,2],"s":"x"}""")).toDF("id", "doc")
