@@ -18,7 +18,7 @@ object Bench {
     "q1_pricing", "q3_topk_join", "q5_join5", "events_hourly", "window_rank", "sessionize",
     "rollup_pricing", "brand_revenue", "supplier_balance", "distinct_users",
     "q6_filter_agg", "cust_no_orders", "asof_last_click",
-    "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "sync_state",
+    "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_or", "sync_state",
     "upsert_latest", "scan_fields", "multi_table_union",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",

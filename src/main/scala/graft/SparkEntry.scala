@@ -161,6 +161,28 @@ object SparkEntry {
       t(s, d, "events")
         .filter(col("event_id") > 500)
         .agg(max(col("event_id")).as("last_id"), count(lit(1)).as("n_rows"))),
+    "incremental_or" -> ((s, d) => {
+      // insert-or-update incremental batch: created OR updated past its
+      // watermark (es_to_bytehouse.py:843-853), plus the two new
+      // watermarks the batch advances — both scan predicates push down.
+      // o_orderdate models create time, l_shipdate the in-place update.
+      val rows = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey")
+        )
+      Incremental
+        .newerThanEither(rows,
+          "o_orderdate", "1998-07-01 00:00:00",
+          "l_shipdate", "1998-10-01 00:00:00")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey").cast("long")).as("sum_orderkey"),
+          max(unix_micros(col("o_orderdate").cast("timestamp"))).as("max_order_us"),
+          max(unix_micros(col("l_shipdate").cast("timestamp"))).as("max_ship_us")
+        )
+    }),
     "distinct_users" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"))
@@ -354,6 +376,14 @@ object SparkEntry {
     "incremental_by_id" ->
       """SELECT max(event_id) AS last_id, count(*) AS n_rows
         |FROM events WHERE event_id > 500""".stripMargin,
+    "incremental_or" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+        | epoch_us(max(o_orderdate)) AS max_order_us,
+        | epoch_us(max(l_shipdate)) AS max_ship_us
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o_orderdate > TIMESTAMP '1998-07-01 00:00:00'
+        |   OR l_shipdate > TIMESTAMP '1998-10-01 00:00:00'""".stripMargin,
     "asof_last_click" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),

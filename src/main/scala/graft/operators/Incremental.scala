@@ -31,6 +31,30 @@ object Incremental {
     TimeFieldCandidates.map(c => Flatten.sanitizeName(c)).find(names.contains)
   }
 
+  /** Update-time candidates, the reference's UPDATE-aware sync list
+    * (es_to_bytehouse.py:500 `detect_update_time_field`).
+    */
+  val UpdateTimeFieldCandidates: Seq[String] = Seq(
+    "updated_at", "updateTime", "update_time", "modifiedAt", "modified_at", "lastModified"
+  )
+
+  /** Detect the update-time field (if any) so orchestration can run
+    * the OR-watermark incremental read and pick up in-place updates,
+    * not just inserts (es_to_bytehouse.py:498-529).
+    */
+  def detectUpdateTimeField(schema: StructType): Option[String] = {
+    val names = schema.fieldNames.toSet
+    UpdateTimeFieldCandidates.map(c => Flatten.sanitizeName(c)).find(names.contains)
+  }
+
+  /** Bounded backfill: the mongo variant's `start_date` lower bound on
+    * a full or first sync (mongodb_to_bytehouse.py:579-599) — scan
+    * only rows at or after the bound. A plain scan predicate →
+    * parquet min/max skipping applies.
+    */
+  def boundedBackfill(df: DataFrame, timeCol: String, startDate: String): DataFrame =
+    df.filter(col(timeCol) >= lit(startDate).cast("timestamp"))
+
   /** One incremental batch: rows strictly newer than the watermark.
     * Comparison happens at microsecond precision (the engine's
     * timestamp grain) so results are reproducible across sources.

@@ -1,7 +1,7 @@
 package graft.sync
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Incremental
@@ -19,14 +19,21 @@ import graft.sinks.PartitionedUpsert
   */
 object SyncRunner {
 
-  /** One `_sync_state` row (es_to_bytehouse.py:416-426). */
+  /** One `_sync_state` row (es_to_bytehouse.py:416-426). Dual
+    * watermark: `last_sync_us` tracks the create-time field,
+    * `last_update_us` the (optional) update-time field — the
+    * reference's `last_sync_time` / `last_update_time` pair that
+    * feeds the OR-filter incremental read.
+    */
   case class SyncState(
       table_name: String,
       time_field: String,
       last_sync_us: Long,
       n_rows: Long,
       mode: String,
-      updated_us: Long
+      updated_us: Long,
+      update_time_field: String = "",
+      last_update_us: Long = Long.MinValue
   )
 
   def readState(spark: SparkSession, stateDir: String, table: String): Option[SyncState] = {
@@ -34,15 +41,39 @@ object SyncRunner {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else
-      spark.read
-        .parquet(stateDir)
+    else {
+      // tolerate state dirs written before the dual-watermark columns
+      // existed (the reference defaults them the same way)
+      val raw = spark.read.parquet(stateDir)
+      val full = Seq(
+        "update_time_field" -> lit(""),
+        "last_update_us" -> lit(Long.MinValue)
+      ).foldLeft(raw) { case (df, (c, d)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, d)
+      }
+      full
         .filter(col("table_name") === table)
         .orderBy(col("updated_us").desc)
         .limit(1)
         .as[SyncState]
         .collect()
         .headOption
+    }
+  }
+
+  /** Latest sync state per table — the reference's reporting sweep
+    * (clickhouse_to_bytehouse.py:205-224 `query_sync_state`). One
+    * window over the (tiny) state table; empty frame if none exists.
+    */
+  def listSyncState(spark: SparkSession, stateDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) spark.emptyDataset[SyncState].toDF()
+    else
+      Incremental.latestPerKey(
+        spark.read.parquet(stateDir), Seq("table_name"), Seq("updated_us"))
+        .orderBy("table_name")
   }
 
   def appendState(spark: SparkSession, stateDir: String, state: SyncState): Unit = {
@@ -70,15 +101,22 @@ object SyncRunner {
       targetDir: String,
       stateDir: String,
       nowUs: Long,
-      partitionCol: Option[String] = None
+      partitionCol: Option[String] = None,
+      updateCol: Option[String] = None
   ): (String, Long) = {
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    def maxUs(df: DataFrame): Long =
-      df.agg(max(unix_micros(col(timeCol).cast("timestamp")))).collect()(0) match {
-        case r if r.isNullAt(0) => Long.MinValue
-        case r => r.getLong(0)
-      }
+    def usCol(c: String): Column = unix_micros(col(c).cast("timestamp"))
+
+    /** (max create-time, max update-time) in one pass over df. */
+    def maxes(df: DataFrame): (Long, Long) = {
+      val aggs = max(usCol(timeCol)) +: updateCol.map(u => max(usCol(u))).toSeq
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val t = if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      val u =
+        if (updateCol.isDefined && !r.isNullAt(1)) r.getLong(1) else Long.MinValue
+      (t, u)
+    }
 
     readState(spark, stateDir, table) match {
       case None =>
@@ -91,10 +129,19 @@ object SyncRunner {
             c
           case None => writeSwap(spark, source, targetDir, fs)
         }
-        appendState(spark, stateDir, SyncState(table, timeCol, maxUs(source), n, "full", nowUs))
+        val (syncUs, updUs) = maxes(source)
+        appendState(spark, stateDir, SyncState(table, timeCol, syncUs, n, "full", nowUs,
+          updateCol.getOrElse(""), updUs))
         ("full", n)
       case Some(st) =>
-        val delta = source.filter(unix_micros(col(timeCol).cast("timestamp")) > st.last_sync_us)
+        // OR-watermark delta: created after the create watermark OR
+        // updated after the update watermark (the reference's
+        // insert-or-update incremental, es_to_bytehouse.py:843-853)
+        val delta = updateCol match {
+          case Some(u) =>
+            source.filter(usCol(timeCol) > st.last_sync_us || usCol(u) > st.last_update_us)
+          case None => source.filter(usCol(timeCol) > st.last_sync_us)
+        }
         val n = partitionCol match {
           case Some(p) =>
             PartitionedUpsert.merge(spark, delta, targetDir, keyCols, orderCols, p)
@@ -108,7 +155,13 @@ object SyncRunner {
             c
         }
         if (n > 0) {
-          appendState(spark, stateDir, SyncState(table, timeCol, maxUs(delta), n, "incremental", nowUs))
+          // watermarks only ever advance: an update-only batch must
+          // not regress last_sync_us below rows already synced
+          val (dSync, dUpd) = maxes(delta)
+          appendState(spark, stateDir, SyncState(
+            table, timeCol, math.max(st.last_sync_us, dSync), n, "incremental", nowUs,
+            updateCol.getOrElse(st.update_time_field),
+            math.max(st.last_update_us, dUpd)))
         }
         ("incremental", n)
     }
@@ -139,7 +192,13 @@ object SyncRunner {
         val target = s"$targetRoot/$table"
         val result = Incremental.detectTimeField(df.schema) match {
           case Some(timeCol) =>
-            autoSync(spark, df, table, keys, timeCol, Seq(timeCol) ++ keys, target, stateDir, nowUs)
+            // update-time field (if distinct from the create-time
+            // field) switches the incremental read to OR-watermark
+            // mode so in-place updates are picked up
+            val updateCol = Incremental.detectUpdateTimeField(df.schema).filter(_ != timeCol)
+            val order = updateCol.toSeq ++ Seq(timeCol) ++ keys
+            autoSync(spark, df, table, keys, timeCol, order, target, stateDir, nowUs,
+              updateCol = updateCol)
           case None =>
             val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
             val n = writeSwap(spark, df, target, fs)
@@ -150,6 +209,35 @@ object SyncRunner {
       }
       .toMap
   }
+
+  /** Continuous poll mode — the reference's
+    * `run_incremental(continuous=True, interval)` loop
+    * (es_to_bytehouse.py:1053-1102): run auto-mode sweeps forever (or
+    * `maxPasses` times), sleeping `intervalMs` between passes. Pass 1
+    * does full loads, later passes are incremental; state advances
+    * monotonically because each pass re-reads it from storage.
+    * `onPassEnd` is the observation hook (logging in production, the
+    * source-growth driver in tests). Returns per-pass results.
+    */
+  def runContinuous(
+      spark: SparkSession,
+      srcDir: String,
+      pattern: String,
+      targetRoot: String,
+      stateDir: String,
+      maxPasses: Int,
+      intervalMs: Long = 0L,
+      nowUsForPass: Int => Long = _.toLong,
+      keyOverrides: Map[String, Seq[String]] = Map.empty,
+      onPassEnd: (Int, Map[String, (String, Long)]) => Unit = (_, _) => ()
+  ): Seq[Map[String, (String, Long)]] =
+    (1 to maxPasses).map { pass =>
+      val r = autoSyncAll(spark, srcDir, pattern, targetRoot, stateDir,
+        nowUsForPass(pass), keyOverrides)
+      onPassEnd(pass, r)
+      if (intervalMs > 0 && pass < maxPasses) Thread.sleep(intervalMs)
+      r
+    }
 
   /** Atomic-ish replace of a parquet target: write temp, then a
     * checked swap (PartitionedUpsert.promote) that restores the old

@@ -109,6 +109,85 @@ class SyncSpec extends SparkSpec {
       Catalog.load(spark, sf, "events").count())
   }
 
+  test("update-aware sync: in-place update (same create ts, newer update ts) is picked up") {
+    import spark.implicits._
+    val stateDir = tmp("graft_stateu") + "/state"
+    val targetDir = tmp("graft_targetu") + "/t"
+    def mk(rows: Seq[(Long, String, String, String)]) =
+      rows.toDF("id", "created", "updated", "v")
+        .withColumn("created", col("created").cast("timestamp"))
+        .withColumn("updated", col("updated").cast("timestamp"))
+
+    val v1 = mk(Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:00:00", "a"),
+      (2L, "2024-01-02 00:00:00", "2024-01-02 00:00:00", "b")
+    ))
+    val (m1, _) = SyncRunner.autoSync(spark, v1, "t", Seq("id"), "created",
+      Seq("updated", "created", "id"), targetDir, stateDir, 1L, updateCol = Some("updated"))
+    assert(m1 == "full")
+
+    // id 1 updated IN PLACE: create ts unchanged (before the create
+    // watermark), update ts fresh — only the OR-filter can see it
+    val v2 = mk(Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-05 00:00:00", "a2"),
+      (2L, "2024-01-02 00:00:00", "2024-01-02 00:00:00", "b")
+    ))
+    val (m2, n2) = SyncRunner.autoSync(spark, v2, "t", Seq("id"), "created",
+      Seq("updated", "created", "id"), targetDir, stateDir, 2L, updateCol = Some("updated"))
+    assert(m2 == "incremental" && n2 == 1)
+    val got = spark.read.parquet(targetDir).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v")))
+    assert(got.toSeq == Seq((1L, "a2"), (2L, "b")))
+
+    // dual watermarks: update watermark advanced; create watermark NOT
+    // regressed by the update-only delta (its max create ts is older)
+    val st = SyncRunner.readState(spark, stateDir, "t").get
+    assert(st.update_time_field == "updated")
+    assert(st.last_update_us == 1704412800000000L) // 2024-01-05
+    assert(st.last_sync_us == 1704153600000000L)   // 2024-01-02, kept
+    // nothing new → zero-row pass (no double pickup)
+    val (_, n3) = SyncRunner.autoSync(spark, v2, "t", Seq("id"), "created",
+      Seq("updated", "created", "id"), targetDir, stateDir, 3L, updateCol = Some("updated"))
+    assert(n3 == 0)
+  }
+
+  test("runContinuous: passes over a growing source stay incremental, state monotone") {
+    import spark.implicits._
+    val srcDir = tmp("graft_contsrc")
+    val stateDir = tmp("graft_contstate") + "/state"
+    val targetRoot = tmp("graft_conttarget")
+    def write(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, s"2024-01-${"%02d".format(i)} 00:00:00", s"v$i"))
+        .toDF("id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("overwrite").parquet(s"$srcDir/tbl.parquet")
+
+    write(3)
+    val results = SyncRunner.runContinuous(
+      spark, srcDir, "tbl", targetRoot, stateDir, maxPasses = 3,
+      nowUsForPass = _.toLong,
+      onPassEnd = (pass, _) => if (pass == 1) write(5) // grow between passes
+    )
+    assert(results(0)("tbl") == ("full", 3L))
+    assert(results(1)("tbl") == ("incremental", 2L)) // only the 2 new rows
+    assert(results(2)("tbl") == ("incremental", 0L))
+    assert(spark.read.parquet(s"$targetRoot/tbl").count() == 5)
+    // reporting sweep shows the latest state per table
+    val listed = SyncRunner.listSyncState(spark, stateDir).collect()
+    assert(listed.length == 1)
+    val row = listed(0)
+    assert(row.getAs[String]("table_name") == "tbl" && row.getAs[String]("mode") == "incremental")
+    assert(row.getAs[Long]("last_sync_us") == 1704412800000000L) // 2024-01-05
+  }
+
+  test("boundedBackfill: start_date lower bound reaches the scan") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-02-01 00:00:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val got = Incremental.boundedBackfill(df, "ts", "2024-02-01 00:00:00")
+      .select("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L))
+  }
+
   test("partitioned upsert: only delta partitions rewritten, others byte-identical") {
     import spark.implicits._
     import graft.sinks.PartitionedUpsert
