@@ -219,6 +219,22 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)),
+    "dedup_embedding_blocked" -> ((s, d) => {
+      // LSH-blocked near-dup dedup — the scale path. The corpus has no
+      // natural high-cosine pairs (max ~0.51), so near-dups are staged
+      // by unioning deterministically perturbed copies (first component
+      // +0.05 → cos ~0.999 with the original, far above tau; all other
+      // pairs stay below ~0.6, far below tau — no boundary sensitivity)
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = e.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")
+      )
+      Dedup.embeddingPairsLsh(
+        e.unionByName(pert), "vec_id", "embedding",
+        tau = 0.99, dim = 64, planes = 8, tables = 8)
+    }),
     "sim_topk_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -468,6 +484,18 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY 1,2""".stripMargin,
+    // oracle = exact all-pairs over the same staged corpus; the LSH
+    // blocking must lose nothing at this tau (misses ~1e-8/pair with
+    // 8 planes x 8 tables at cos ~0.999)
+    "dedup_embedding_blocked" ->
+      """WITH u AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         list_concat([embedding[1] + 0.05], embedding[2:]) FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM u a JOIN u b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY 1,2""".stripMargin,
     "sim_topk_brute" ->
       """SELECT qid, rn AS rank, cid AS neighbor_id FROM (
         | SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -207,4 +207,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** C5 at scale: embedding near-dup pairs blocked by multi-table
+    * random-hyperplane LSH — the 100 TB path ([[embeddingPairs]] with
+    * `blockCol=None` is the exact all-pairs oracle baseline, quadratic
+    * by construction). Candidates are pairs sharing a bucket in ANY of
+    * `tables` hash tables; each candidate is then verified with exact
+    * double-precision cosine. For near-identical vectors (tau ~0.99,
+    * angle ~0.14 rad) per-plane collision is ~0.96, so the miss
+    * probability decays like (1 - 0.96^planes)^tables — recall is
+    * property-tested >= 0.95 vs the exact pairs in PipelineSpec.
+    *
+    * Shuffle profile: explode to `tables` rows/vector, self-join on
+    * (table, bucket), id-keyed joins to fetch vectors for candidates
+    * only — no stage quadratic in corpus size (mirrors
+    * [[minhashLshPairs]]).
+    */
+  def embeddingPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      dim: Int,
+      planes: Int = 8,
+      tables: Int = 4
+  ): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
+      .persist()
+    val bucketed = base.select(
+      col("id"),
+      explode(Similarity.tableBuckets(col("v"), dim, planes, tables)).as("tb")
+    )
+    val cands = bucketed
+      .alias("a")
+      .join(bucketed.alias("b"), col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

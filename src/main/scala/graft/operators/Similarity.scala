@@ -195,9 +195,10 @@ object Similarity {
 
   /** Bucket ids for `tables` independent hash tables (table t uses
     * planes [t*planes, (t+1)*planes) of the deterministic family),
-    * paired with the table index for joining.
+    * paired with the table index for joining. Public: also the
+    * blocking key for Dedup.embeddingPairsLsh.
     */
-  private def tableBuckets(vecCol: Column, dim: Int, planes: Int, tables: Int): Column =
+  def tableBuckets(vecCol: Column, dim: Int, planes: Int, tables: Int): Column =
     array((0 until tables).map { t =>
       val bits = (0 until planes).map { j =>
         val plane = array((0 until dim).map(d => lit(planeComponent(t * planes + j, d))): _*)

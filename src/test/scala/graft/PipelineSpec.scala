@@ -39,6 +39,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.count() == 5)
   }
 
+  test("lsh-blocked embedding dedup: high recall vs exact all-pairs, nothing extra") {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val pert = e.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    val u = e.unionByName(pert)
+    val exact = Dedup.embeddingPairs(u, "vec_id", "embedding", tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup
+      .embeddingPairsLsh(u, "vec_id", "embedding", tau = 0.99, dim = 64, planes = 8, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 400, s"staged corpus should pair every vector with its copy, got ${exact.size}")
+    assert(blocked.subsetOf(exact)) // exact verification admits no false positives
+    val recall = (exact intersect blocked).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH-blocked recall too low: $recall")
+  }
+
   test("lsh topk is a subset of brute-force candidates with decent recall") {
     val queries = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
