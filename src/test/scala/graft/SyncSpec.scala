@@ -96,6 +96,35 @@ class SyncSpec extends SparkSpec {
     assert(stats2.rows == 100 && stats2.fallbackRows == 100 && stats2.failedRows == 0)
   }
 
+  test("JDBC executor on embedded Derby: batch insert, then row fallback on duplicate keys") {
+    import spark.implicits._
+    import graft.sinks.JdbcBatchExecutor
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val setup = java.sql.DriverManager.getConnection(url)
+    setup.createStatement().execute("CREATE SCHEMA \"db\"")
+    setup.createStatement().execute(
+      "CREATE TABLE \"db\".\"t\" (\"id\" BIGINT PRIMARY KEY, \"v\" VARCHAR(50))")
+    setup.close()
+
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(2)
+    val stats = BatchedUpsertWriter.write(df, "db", "t", batchSize = 30,
+      () => new JdbcBatchExecutor(url))
+    assert(stats.rows == 100 && stats.failedRows == 0 && stats.fallbackRows == 0)
+
+    // second write overlaps keys 91..100: batches hit the PK constraint,
+    // the per-row fallback keeps the 10 genuinely-new rows
+    val df2 = (91 to 110).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+    val stats2 = BatchedUpsertWriter.write(df2, "db", "t", batchSize = 30,
+      () => new JdbcBatchExecutor(url))
+    assert(stats2.fallbackRows == 10 && stats2.failedRows == 10)
+
+    val check = java.sql.DriverManager.getConnection(url)
+    val rs = check.createStatement().executeQuery("SELECT COUNT(*), SUM(\"id\") FROM \"db\".\"t\"")
+    rs.next()
+    assert(rs.getLong(1) == 110 && rs.getLong(2) == (1 to 110).map(_.toLong).sum)
+    check.close()
+  }
+
   test("autoSyncAll: pattern sweep, time-field detection, full fallback for dimensions") {
     val stateDir = tmp("graft_state3") + "/state"
     val targetRoot = tmp("graft_target3")
