@@ -419,15 +419,20 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice < 5000)
         |ORDER BY c_custkey""".stripMargin,
+    // folds over UTF-8 BYTES (hex-pair decode), not codepoints, so the
+    // oracle agrees with the engine on non-ASCII text too
     "text_fingerprint" ->
       """SELECT doc_id,
         | CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
         |   THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END AS BIGINT) AS fp
         |FROM (SELECT doc_id, list_reduce(
         |  list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |    [CAST(unicode(c) AS HUGEINT) for c in string_split(text, '')]),
+        |    list_transform(range(1, octet_length(encode(text))+1), i ->
+        |      CAST(16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1])-1)
+        |            + (strpos('0123456789ABCDEF', hx[2*i:2*i])-1) AS HUGEINT))),
         |  (acc, b) -> (xor(acc, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
-        | FROM documents) x ORDER BY doc_id""".stripMargin,
+        | FROM (SELECT doc_id, text, hex(encode(text)) AS hx FROM documents) src) x
+        |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH w AS (SELECT lang,
         |  list_distinct(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS ws
@@ -469,6 +474,52 @@ object SparkEntry {
       """SELECT min(doc_id) AS kept_id, count(*) AS n_dups
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM documents) x
         |GROUP BY norm ORDER BY kept_id""".stripMargin,
+    // exact-pairs oracle is valid for the LSH pipeline because banded
+    // MinHash loses nothing on this corpus (recall=1 property-tested in
+    // PipelineSpec) and candidate verification is the same integer
+    // Jaccard threshold; jacc over 64-bit hashed shingles == string
+    // shingles w.h.p. (no collisions on this corpus)
+    "dedup_minhash_lsh" ->
+      """WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(floor(100.0*len(list_intersect(a.sh,b.sh)) /
+        |   (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))) AS BIGINT) AS jacc_pct
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))
+        |ORDER BY 1,2""".stripMargin,
+    // full pipeline oracle: FNV-1a word hashes (fold over UTF-8 bytes
+    // via hex pairs, HUGEINT mulmod), +/-1 bit votes, sign signature,
+    // all-pairs Hamming <= 3. The engine's pigeonhole banding is exact
+    // (not probabilistic) for Hamming <= 3, so results must be equal.
+    "dedup_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+        |  FROM documents),
+        |wh AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, octet_length(encode(word))+1), i ->
+        |        CAST(16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1])-1)
+        |              + (strpos('0123456789ABCDEF', hx[2*i:2*i])-1) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM (SELECT doc_id, word, hex(encode(word)) AS hx
+        |        FROM (SELECT doc_id, unnest(w) AS word FROM d) u)),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (CAST(h AS UBIGINT) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM wh, range(64) t(j) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sig
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(w)>=3

@@ -153,6 +153,24 @@ object VecOps {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** FNV-1a 64-bit hash of each word in a word array — the word-hash
+    * family SimHash votes on. FNV-1a is trivially reproducible in the
+    * DuckDB oracle (a fold over UTF-8 bytes with HUGEINT mulmod),
+    * which is what makes the whole simhash pipeline oracle-checkable;
+    * an XXH64 chain is not practical in SQL. Public static for
+    * codegen.
+    */
+  def fnvHashes(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = Fingerprint64.hash(words.getUTF8String(i).getBytes)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Max repetition count of any single word in a word array
     * (boilerplate/template detector). Hash each word (XXH64), sort,
     * take the longest run — O(n log n), zero boxing. Replaces the
@@ -202,6 +220,9 @@ object VecOps {
 
   def max_word_rep(words: Column): Column =
     ColumnBridge.column(MaxWordRep(ColumnBridge.expression(words)))
+
+  def fnv_hashes(words: Column): Column =
+    ColumnBridge.column(FnvHashes(ColumnBridge.expression(words)))
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -273,6 +294,18 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.simhash($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+}
+
+case class FnvHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"fnv_hashes needs array<string>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.fnvHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.fnvHashes($c)")
+  override protected def withNewChildInternal(c: Expression): FnvHashes = copy(c)
 }
 
 case class MaxWordRep(child: Expression) extends UnaryExpression {

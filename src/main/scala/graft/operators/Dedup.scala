@@ -148,12 +148,16 @@ object Dedup {
 
   /** 64-bit SimHash of the (weighted) word multiset: bit j of the
     * signature is the sign of sum over words of ±1 votes, where the
-    * vote is bit j of the word's hash. Word hashing stays in codegen'd
-    * built-ins; the 64-lane vote loop runs in the native
-    * [[graft.functions.SimHash64Expr]] kernel.
+    * vote is bit j of the word's FNV-1a hash. Both the per-word hash
+    * loop and the 64-lane vote loop are native codegen'd kernels
+    * ([[graft.functions.FnvHashes]], [[graft.functions.SimHash64Expr]]).
+    * FNV-1a (not XXH64) as the word hash keeps the entire pipeline
+    * reproducible in the DuckDB oracle — see SparkEntry.oracleSql
+    * ("dedup_simhash").
     */
   def simhash64(c: Column): Column =
-    graft.functions.VecOps.simhash64(shingleHashSet(c, 1))
+    graft.functions.VecOps.simhash64(
+      graft.functions.VecOps.fnv_hashes(split(normalize(c), " ")))
 
   /** C4: SimHash near-dup pairs at Hamming distance <= maxHamming.
     * Pigeonhole banding: with 4 chunks of 16 bits, any pair at
