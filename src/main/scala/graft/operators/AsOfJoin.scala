@@ -18,7 +18,16 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param valueCol right-side column carried to the left rows (the
-    *                 as-of value; null when no right row precedes)
+    *                 as-of value; null when no right row precedes).
+    *                 The value rides inside a (never-null-for-right-
+    *                 rows) struct so a matched right row whose value
+    *                 is genuinely NULL still wins over an older
+    *                 non-null row — last(ignoreNulls) skips only
+    *                 "no right row", not "right row with null value".
+    *                 At exactly equal (key, time) the greatest value
+    *                 wins — a documented total tiebreak (DuckDB ASOF
+    *                 picks an unspecified matched row; ours is the
+    *                 deterministic choice of the same candidate set).
     */
   def lastBefore(
       left: DataFrame,
@@ -29,31 +38,34 @@ object AsOfJoin {
       valueCol: String
   ): DataFrame = {
     val leftCols = left.columns
+    val valueType = right.schema(valueCol).dataType
+    val wrapType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", valueType)))
     val l = left
       .withColumn("__t", col(leftTimeCol))
       .withColumn("__side", lit(1))
-      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__rv", lit(null).cast(wrapType))
       .withColumnRenamed(keyCol, "__k")
     val r = right.select(
       col(keyCol).as("__k"),
       col(rightTimeCol).as("__t"),
       lit(0).as("__side"),
-      col(valueCol).as("__v")
+      struct(col(valueCol).as("v")).as("__rv")
     )
     val unioned = l.select(
-      (Seq(col("__k"), col("__t"), col("__side"), col("__v")) ++
+      (Seq(col("__k"), col("__t"), col("__side"), col("__rv")) ++
         leftCols.filterNot(_ == keyCol).map(col)): _*
     ).unionByName(r, allowMissingColumns = true)
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"), col("__v"))
+      .orderBy(col("__t"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
-      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
         (Seq(col("__k").as(keyCol)) ++ leftCols.filterNot(_ == keyCol).map(col) :+
-          col("__asof").as(s"asof_$valueCol")): _*
+          col("__asof").getField("v").as(s"asof_$valueCol")): _*
       )
   }
 }

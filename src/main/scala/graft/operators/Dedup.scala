@@ -165,6 +165,10 @@ object Dedup {
     * on (chunk_idx, chunk_value), then exact `bit_count(xor)` filters.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    // 4 x 16-bit pigeonhole chunks only guarantee candidate coverage
+    // for Hamming <= 3; a larger radius would silently lose pairs
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs supports maxHamming in [0, 3] with 4-chunk banding, got $maxHamming")
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunks = sigs.select(
       col("id"),

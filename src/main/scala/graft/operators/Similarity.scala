@@ -125,17 +125,12 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
 
-  def ivfTopK(
-      candidates: DataFrame,
-      queries: DataFrame,
-      idCol: String,
-      vecCol: String,
-      k: Int,
-      nClusters: Int = 16,
-      nProbes: Int = 4
-  ): DataFrame = {
-    val cacheKey = (candidates.queryExecution.logical.toString + "#" + vecCol, nClusters)
-    val centers = centroidCache.computeIfAbsent(
+  private def fitCentroids(candidates: DataFrame, vecCol: String, nClusters: Int): Array[Array[Double]] = {
+    // key includes a file-level fingerprint: same-path data that has
+    // been rewritten must re-fit, not reuse pre-update centroids
+    val cacheKey = (candidates.queryExecution.logical.toString + "#" + vecCol +
+      "#" + graft.sources.Catalog.dataFingerprint(candidates.sparkSession, candidates), nClusters)
+    centroidCache.computeIfAbsent(
       cacheKey,
       _ => {
         val train = candidates.select(array_to_vector(col(vecCol)).as("features"))
@@ -145,36 +140,48 @@ object Similarity {
           .clusterCenters.map(_.toArray)
       }
     )
-    def centerCol(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
-    def sqDistTo(v: Column, c: Array[Double]): Column = {
-      val d = dot(v, centerCol(c))
-      val cNorm = c.map(x => x * x).sum
-      dot(v, v) - lit(2.0) * d + lit(cNorm)
-    }
-    // NB: arg-min via array_sort, NOT a when()-reduce — a reduce of
-    // when(a.d<=b.d, a, b) duplicates the whole accumulated expression
-    // at every level (2^k tree growth → OOM at analysis time)
-    def cellsByDistance(v: Column): Column = {
-      val scored = array(centers.zipWithIndex.map { case (c, i) =>
-        struct(sqDistTo(v, c).as("d"), lit(i).as("cell"))
-      }.toIndexedSeq: _*)
-      transform(array_sort(scored), s => s.getField("cell"))
-    }
-    def cellOf(v: Column): Column = element_at(cellsByDistance(v), 1)
-    // query side: explode the nProbes nearest cells
-    def probeCells(v: Column): Column = slice(cellsByDistance(v), 1, nProbes)
-    val cands = candidates.select(
-      col(idCol).as("cid"),
-      col(vecCol).as("cvec"),
-      norm(col(vecCol)).as("cnrm"),
-      cellOf(col(vecCol)).as("cell")
-    )
+  }
+
+  private def centerCol(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
+
+  private def sqDistTo(v: Column, c: Array[Double]): Column = {
+    val d = dot(v, centerCol(c))
+    val cNorm = c.map(x => x * x).sum
+    dot(v, v) - lit(2.0) * d + lit(cNorm)
+  }
+
+  // NB: arg-min via array_sort, NOT a when()-reduce — a reduce of
+  // when(a.d<=b.d, a, b) duplicates the whole accumulated expression
+  // at every level (2^k tree growth → OOM at analysis time)
+  private def cellsByDistance(centers: Array[Array[Double]], v: Column): Column = {
+    val scored = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(sqDistTo(v, c).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    transform(array_sort(scored), s => s.getField("cell"))
+  }
+
+  private def cellOf(centers: Array[Array[Double]], v: Column): Column =
+    element_at(cellsByDistance(centers, v), 1)
+
+  /** Probe-side search shared by the in-memory and on-disk index
+    * paths: explode each query's nProbes nearest cells, hash-join on
+    * cell id, exact-score, map-side top-k.
+    */
+  private def probeSearch(
+      cands: DataFrame,
+      queries: DataFrame,
+      centers: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int
+  ): DataFrame = {
     val qs = broadcast(
       queries.select(
         col(idCol).as("qid"),
         col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qnrm"),
-        explode(probeCells(col(vecCol))).as("cell")
+        explode(slice(cellsByDistance(centers, col(vecCol)), 1, nProbes)).as("cell")
       )
     )
     val topk = udaf(new TopKAggregator(k))
@@ -191,6 +198,78 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"), col("col.id").as("neighbor_id"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  def ivfTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nClusters: Int = 16,
+      nProbes: Int = 4
+  ): DataFrame = {
+    val centers = fitCentroids(candidates, vecCol, nClusters)
+    val cands = candidates.select(
+      col(idCol).as("cid"),
+      col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnrm"),
+      cellOf(centers, col(vecCol)).as("cell")
+    )
+    probeSearch(cands, queries, centers, idCol, vecCol, k, nProbes)
+  }
+
+  /** Persist the IVF index: centroids as a tiny parquet table plus the
+    * cell assignment (cell, id, vec, norm) PARTITIONED BY cell. The
+    * expensive parts — k-means fit, cell assignment, norm computation
+    * — happen once at build time and amortize across sessions; a probe
+    * then reads only its cells' directories (partition pruning /
+    * dynamic partition pruning on the broadcast probe join), never the
+    * full corpus.
+    */
+  def buildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      indexDir: String
+  ): Unit = {
+    import spark.implicits._
+    val centers = fitCentroids(candidates, vecCol, nClusters)
+    centers.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    candidates
+      .select(
+        col(idCol).as("cid"),
+        col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnrm"),
+        cellOf(centers, col(vecCol)).as("cell")
+      )
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** Query a persisted IVF index (see [[buildIvfIndex]]) — no k-means
+    * fit, no full-corpus assignment: centroids load from one tiny file
+    * and candidate IO is bounded by the probed cells.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int = 4
+  ): DataFrame = {
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[Seq[Double]]("center").toArray)
+    val cands = spark.read.parquet(s"$indexDir/cells")
+    probeSearch(cands, queries, centers, idCol, vecCol, k, nProbes)
   }
 
   /** Bucket ids for `tables` independent hash tables (table t uses

@@ -75,6 +75,33 @@ object Catalog {
     spark.read.parquet(s"$dir/events.parquet")
   }
 
+  /** Fingerprint of a frame's underlying data files (path, mtime,
+    * length per file, MD5'd) — cache keys built from a logical plan
+    * string alone go stale when files change at the same path (a
+    * long-running sync would silently keep a pre-evolution schema or
+    * pre-update centroids). Driver-side metadata only: one file-status
+    * RPC per input file. Empty for purely in-memory frames (their plan
+    * string already pins the data).
+    */
+  def dataFingerprint(spark: SparkSession, df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) ""
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val listing = files.sorted.map { f =>
+        val p = new Path(f)
+        val st =
+          try {
+            val s = p.getFileSystem(conf).getFileStatus(p)
+            s.getModificationTime.toString + ":" + s.getLen
+          } catch { case _: java.io.IOException => "?" }
+        f + "@" + st
+      }.mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
+
   /** Incremental batch of events strictly newer than `watermark`
     * (micro precision), with the time predicate pushed down to the
     * parquet scan in raw-nanos space:

@@ -36,10 +36,15 @@ object JsonIngest {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
-  /** Infer a StructType for the JSON column from a bounded sample. */
+  /** Infer a StructType for the JSON column from a bounded sample.
+    * Cache key = plan + data fingerprint (file listing/mtimes), so
+    * fields appearing in later batches at the same path re-trigger
+    * inference instead of being silently dropped.
+    */
   def inferSchema(spark: SparkSession, df: DataFrame, jsonCol: String, sample: Int = 5000): StructType =
     schemaCache.computeIfAbsent(
-      df.queryExecution.logical.toString + "#" + jsonCol + "#" + sample,
+      df.queryExecution.logical.toString + "#" + jsonCol + "#" + sample +
+        "#" + Catalog.dataFingerprint(spark, df),
       _ => {
         import spark.implicits._
         val ds = df.select(col(jsonCol)).na.drop().limit(sample).as[String]

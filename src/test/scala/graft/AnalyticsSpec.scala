@@ -17,6 +17,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
   }
 
+  test("as-of join: a matched right row with NULL value wins over an older non-null") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 100L), (1L, 50L), (2L, 10L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 10L, Some("old")),
+      (1L, 90L, None: Option[String]), // latest before t=100 — value is genuinely NULL
+      (2L, 99L, Some("late"))          // after t=10 — no match for left row
+    ).toDF("k", "t", "v")
+    val got = AsOfJoin.lastBefore(left, right, "k", "t", "t", "v")
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(got.toSeq == Seq(
+      (1L, 50L, Some("old")),  // only t=10 precedes
+      (1L, 100L, None),        // t=90 row matched, its NULL carried (not "old")
+      (2L, 10L, None)          // no right row precedes
+    ))
+  }
+
   test("q1 cents sums are exact integers and grouped correctly") {
     val df = SparkEntry.queries("q1_pricing")(spark, sf)
     val rows = df.collect()

@@ -140,6 +140,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall") // 4 of 8 cells probed
   }
 
+  test("persisted IVF index returns the same results as the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(spark, embs, "vec_id", "embedding", nClusters = 8, dir)
+    // on-disk layout: one directory per cell (probe IO bounded by cells)
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length > 1)
+    val queries = embs.filter(col("vec_id") < 10)
+    val fresh = Similarity.ivfTopK(embs, queries, "vec_id", "embedding", 5, nClusters = 8, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, "vec_id", "embedding", 5, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(indexed == fresh)
+  }
+
   test("shingle-hash kernel: window count, short-doc fallback, distinctness") {
     import graft.operators.Dedup.shingleHashSet
     val df = Seq(

@@ -323,6 +323,18 @@ class SyncSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L, 3L))
   }
 
+  test("schema inference cache invalidates when files change at the same path") {
+    import spark.implicits._
+    val dir = tmp("graft_schemacache") + "/src"
+    Seq((1L, """{"a":1}""")).toDF("id", "doc").write.mode("overwrite").parquet(dir)
+    val s1 = sources.JsonIngest.inferSchema(spark, spark.read.parquet(dir), "doc")
+    assert(s1.fieldNames.toSeq == Seq("a"))
+    Thread.sleep(5) // ensure a distinct mtime
+    Seq((2L, """{"a":2,"b":"x"}""")).toDF("id", "doc").write.mode("overwrite").parquet(dir)
+    val s2 = sources.JsonIngest.inferSchema(spark, spark.read.parquet(dir), "doc")
+    assert(s2.fieldNames.toSet == Set("a", "b"), "new field must re-trigger inference")
+  }
+
   test("STORE_SOURCE mode keeps raw JSON next to flattened fields") {
     import spark.implicits._
     val df = Seq((1L, """{"k":7}""")).toDF("id", "doc")
