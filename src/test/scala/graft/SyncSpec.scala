@@ -125,6 +125,50 @@ class SyncSpec extends SparkSpec {
     check.close()
   }
 
+  test("JDBC source: partitioned parallel read, watermark pushdown, full sync loop on Derby") {
+    import graft.sources.{JdbcSource, JdbcSourceConfig}
+    val url = s"jdbc:derby:memory:graftsrc${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE APP.SRC (ID BIGINT PRIMARY KEY, TS TIMESTAMP, V VARCHAR(20))")
+    val ins = conn.prepareStatement("INSERT INTO APP.SRC VALUES (?, ?, ?)")
+    def insert(from: Int, to: Int): Unit = {
+      (from to to).foreach { i =>
+        val month = if (i > 100) "02" else "01" // later inserts are strictly newer
+        ins.setLong(1, i.toLong)
+        ins.setTimestamp(2, java.sql.Timestamp.valueOf(f"2024-$month-${i % 28 + 1}%02d 00:00:00"))
+        ins.setString(3, s"v$i")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    }
+    insert(1, 100)
+
+    val cfg = JdbcSourceConfig(url, "APP.SRC", partitionColumn = Some("ID"), numPartitions = 4)
+    val df = JdbcSource.load(spark, cfg)
+    assert(df.count() == 100)
+    assert(df.rdd.getNumPartitions == 4) // range-partitioned parallel read
+
+    // watermark predicate must reach the database, not Spark
+    val delta = JdbcSource.loadSince(spark, cfg, "TS", "2024-01-20 00:00:00")
+    val scan = delta.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan"),
+      s"watermark not pushed down:\n$scan")
+
+    // the reference's core loop end-to-end: Derby -> autoSync -> parquet
+    val stateDir = tmp("graft_jdbcstate") + "/state"
+    val targetDir = tmp("graft_jdbctarget") + "/src"
+    val (m1, n1) = SyncRunner.autoSync(spark, JdbcSource.load(spark, cfg), "src",
+      Seq("ID"), "TS", Seq("TS", "ID"), targetDir, stateDir, 1L)
+    assert(m1 == "full" && n1 == 100)
+    insert(101, 120) // February rows — strictly past the watermark
+    val (m2, n2) = SyncRunner.autoSync(spark, JdbcSource.load(spark, cfg), "src",
+      Seq("ID"), "TS", Seq("TS", "ID"), targetDir, stateDir, 2L)
+    assert(m2 == "incremental" && n2 == 20)
+    assert(spark.read.parquet(targetDir).count() == 120)
+    conn.close()
+  }
+
   test("autoSyncAll: pattern sweep, time-field detection, full fallback for dimensions") {
     val stateDir = tmp("graft_state3") + "/state"
     val targetRoot = tmp("graft_target3")
