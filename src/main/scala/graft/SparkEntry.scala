@@ -161,6 +161,25 @@ object SparkEntry {
       t(s, d, "events")
         .filter(col("event_id") > 500)
         .agg(max(col("event_id")).as("last_id"), count(lit(1)).as("n_rows"))),
+    "interval_join" -> ((s, d) => {
+      // batch interval join: per purchase, clicks by the same user in
+      // the preceding hour — equi-join on user + range join filter, so
+      // the shuffle is keyed (never a cross join); the streaming twin
+      // is the stream-stream interval join in StreamingSpec
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      p.join(c,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("ts_us") - lit(3600000000L) && col("c_ts") < col("ts_us"),
+          "left")
+        .groupBy(col("event_id"), col("user_id"), col("ts_us"))
+        .agg(count(col("c_user")).as("n_clicks_1h"))
+        .orderBy("event_id")
+    }),
     "incremental_or" -> ((s, d) => {
       // insert-or-update incremental batch: created OR updated past its
       // watermark (es_to_bytehouse.py:843-853), plus the two new
@@ -258,6 +277,15 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint64(col("text")).as("fp")).orderBy("doc_id")),
+    "text_topterms" -> ((s, d) =>
+      // corpus term frequency top-k: explode → one keyed agg shuffle →
+      // total-order top-k (count desc, word asc — deterministic ties)
+      t(s, d, "documents")
+        .select(explode(split(Dedup.normalize(col("text")), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.binaryMeta(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -392,6 +420,19 @@ object SparkEntry {
     "incremental_by_id" ->
       """SELECT max(event_id) AS last_id, count(*) AS n_rows
         |FROM events WHERE event_id > 500""".stripMargin,
+    "interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, ts_us AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us, count(c.c_user) AS n_clicks_1h
+        |FROM p LEFT JOIN c ON p.user_id = c.c_user
+        |  AND c.c_ts >= p.ts_us - 3600000000 AND c.c_ts < p.ts_us
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "text_topterms" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS word
+        |      FROM documents) x
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
     "incremental_or" ->
       """SELECT count(*) AS n_rows,
         | CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,

@@ -52,4 +52,23 @@ class PlanSpec extends SparkSpec {
     val read = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
     assert(read.exists(l => l.contains("l_extendedprice") && !l.contains("l_shipdate")), read)
   }
+
+  test("single-table OR-watermark pushes down to the parquet scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the dual-watermark incremental read (autoSync updateCol path):
+    // an Or of two column predicates is still a scan-level filter —
+    // parquet row-group min/max skipping applies to both branches
+    val dir = java.nio.file.Files.createTempDirectory("graft_orplan").toString + "/t"
+    Seq(("2024-01-01 00:00:00", "2024-01-02 00:00:00"))
+      .toDF("created", "updated")
+      .select(col("created").cast("timestamp"), col("updated").cast("timestamp"))
+      .write.parquet(dir)
+    val p = graft.operators.Incremental
+      .newerThanEither(spark.read.parquet(dir),
+        "created", "2024-06-01 00:00:00", "updated", "2024-06-01 00:00:00")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [Or(GreaterThan(created,") ||
+      (p.contains("Or(GreaterThan(created,") && p.contains("PushedFilters")), p)
+  }
 }
