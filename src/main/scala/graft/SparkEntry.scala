@@ -236,6 +236,14 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", tauPct = 80)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+    "dedup_clusters" -> ((s, d) => {
+      // near-dup pairs → connected components → survivor per cluster:
+      // the step that turns pairwise dedup output into an actual
+      // keep/drop decision for the corpus
+      val docs = t(s, d, "documents")
+      Dedup.clusterAssign(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80))
+    }),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)),
     "dedup_embedding_blocked" -> ((s, d) => {
@@ -572,6 +580,27 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))
         |ORDER BY 1,2""".stripMargin,
+    // transitive closure over the same exact-Jaccard pair set; the
+    // engine's label propagation must produce identical components
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |walk AS (
+        |  SELECT src AS id, dst AS reach FROM e
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN e ON w.reach = e.src),
+        |comp AS (SELECT id, least(id, min(reach)) AS cluster_id FROM walk GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(coalesce(c.cluster_id, d.doc_id) = d.doc_id AS BIGINT) AS is_kept
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
