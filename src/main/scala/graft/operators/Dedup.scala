@@ -231,86 +231,6 @@ object Dedup {
     * only — no stage quadratic in corpus size (mirrors
     * [[minhashLshPairs]]).
     */
-  /** C14: connected components over near-dup pairs — pairs alone don't
-    * dedup a corpus; the survivor set is one doc per component of the
-    * near-dup graph. Returns (id, cluster_id) where cluster_id is the
-    * component's minimum id (the canonical survivor).
-    *
-    * Algorithm: min-label propagation with pointer jumping. Each round
-    * does (a) lbl(v) ← min(lbl(v), min over neighbors lbl(u)) — one
-    * keyed join+agg — and (b) lbl(v) ← lbl(lbl(v)) — one more keyed
-    * join — so convergence is O(log diameter) rounds, each round a
-    * constant number of hash shuffles on the id. Near-dup components
-    * are small/dense in practice (dup clusters), so this terminates in
-    * a handful of rounds; `localCheckpoint` truncates the growing
-    * lineage each round (at cluster scale swap for `checkpoint` on a
-    * reliable store to also get fault tolerance).
-    *
-    * Convergence test: labels are non-increasing per node, so
-    * sum(lbl) strictly decreases until fixpoint — one scalar agg per
-    * round, never a data collect.
-    */
-  def connectedComponents(
-      pairs: DataFrame,
-      idACol: String = "id_a",
-      idBCol: String = "id_b",
-      maxIters: Int = 20
-  ): DataFrame = {
-    val und = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-    val edges = und
-      .union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist()
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
-    var prev: java.math.BigDecimal = null
-    var curr = labelSum(labels)
-    var it = 0
-    while ((prev == null || prev.compareTo(curr) != 0) && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_lbl")).as("nbr_lbl"))
-      val propagated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-      // pointer jump: follow the label's own label one hop
-      labels = propagated
-        .join(
-          propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")),
-          Seq("lbl"),
-          "left"
-        )
-        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      prev = curr
-      curr = labelSum(labels)
-      it += 1
-    }
-    edges.unpersist()
-    labels.select(col("id"), col("lbl").as("cluster_id"))
-  }
-
-  /** Full corpus dedup assignment: every doc gets its component's
-    * cluster_id (itself when it has no near-dup) and a kept flag —
-    * the survivor is the minimum id of each component. One broadcast-
-    * or hash-join against the (tiny relative to corpus) component map.
-    */
-  def clusterAssign(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
-    df.select(col(idCol).cast("long").as("doc_id"))
-      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-        when(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"), 1L).otherwise(0L).as("is_kept")
-      )
-      .orderBy(col("doc_id"))
-  }
-
   def embeddingPairsLsh(
       df: DataFrame,
       idCol: String,
@@ -339,5 +259,96 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** C14: connected components over near-dup pairs — pairs alone don't
+    * dedup a corpus; the survivor set is one doc per component of the
+    * near-dup graph. Returns (id, cluster_id) where cluster_id is the
+    * component's minimum id (the canonical survivor).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * does (a) lbl(v) ← min(lbl(v), min over neighbors lbl(u)) — one
+    * keyed join+agg — and (b) lbl(v) ← lbl(lbl(v)) — one more keyed
+    * join — so convergence is O(log diameter) rounds, each round a
+    * constant number of hash shuffles on the id. Near-dup components
+    * are small/dense in practice (dup clusters), so this terminates in
+    * a handful of rounds; `localCheckpoint` truncates the growing
+    * lineage each round (at cluster scale swap for `checkpoint` on a
+    * reliable store to also get fault tolerance).
+    *
+    * Convergence test: labels are non-increasing per node, so
+    * sum(lbl) strictly decreases until fixpoint — one scalar agg per
+    * round, never a data collect. Exiting via `maxIters` with the sum
+    * still falling would mean silently-wrong components, so that case
+    * THROWS — a correctness tool must fail loudly, never approximate.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val und = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+    val edges = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var curr = labelSum(labels)
+    // curr == null means zero pairs → zero labeled nodes: already done,
+    // don't spin maxIters rounds of empty joins
+    var converged = curr == null
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_lbl")).as("nbr_lbl"))
+      val propagated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // pointer jump: follow the label's own label one hop
+      labels = propagated
+        .join(
+          propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"),
+          "left"
+        )
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val prev = curr
+      curr = labelSum(labels)
+      converged = prev.compareTo(curr) == 0
+      it += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIters iterations " +
+          "(label sum still falling) — results would be wrong; raise maxIters")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Full corpus dedup assignment: every doc gets its component's
+    * cluster_id (itself when it has no near-dup) and a kept flag —
+    * the survivor is the minimum id of each component. One broadcast-
+    * or hash-join against the (tiny relative to corpus) component map.
+    * Output schema: (idCol, cluster_id, is_kept) — all other input
+    * columns are dropped (join the result back by id to keep them).
+    */
+  def clusterAssign(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        when(coalesce(col("cluster_id"), col(idCol)) === col(idCol), 1L).otherwise(0L).as("is_kept")
+      )
+      .orderBy(col(idCol))
   }
 }

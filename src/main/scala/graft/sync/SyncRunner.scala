@@ -120,16 +120,19 @@ object SyncRunner {
 
     readState(spark, stateDir, table) match {
       case None =>
-        val n = partitionCol match {
-          case Some(p) =>
-            val cached = source.persist()
-            val c = cached.count()
-            PartitionedUpsert.writeFull(cached, targetDir, p)
-            cached.unpersist()
-            c
-          case None => writeSwap(spark, source, targetDir, fs)
+        // one persisted pass serves count, write AND watermark maxes —
+        // a full sync must scan the (100 TB) source exactly once
+        val cached = source.persist()
+        val n = cached.count()
+        partitionCol match {
+          case Some(p) => PartitionedUpsert.writeFull(cached, targetDir, p)
+          case None =>
+            val tmp = targetDir + "__tmp"
+            cached.write.mode("overwrite").parquet(tmp)
+            PartitionedUpsert.promote(fs, tmp, targetDir)
         }
-        val (syncUs, updUs) = maxes(source)
+        val (syncUs, updUs) = maxes(cached)
+        cached.unpersist()
         appendState(spark, stateDir, SyncState(table, timeCol, syncUs, n, "full", nowUs,
           updateCol.getOrElse(""), updUs))
         ("full", n)
@@ -137,11 +140,11 @@ object SyncRunner {
         // OR-watermark delta: created after the create watermark OR
         // updated after the update watermark (the reference's
         // insert-or-update incremental, es_to_bytehouse.py:843-853)
-        val delta = updateCol match {
+        val delta = (updateCol match {
           case Some(u) =>
             source.filter(usCol(timeCol) > st.last_sync_us || usCol(u) > st.last_update_us)
           case None => source.filter(usCol(timeCol) > st.last_sync_us)
-        }
+        }).persist()
         val n = partitionCol match {
           case Some(p) =>
             PartitionedUpsert.merge(spark, delta, targetDir, keyCols, orderCols, p)
@@ -163,6 +166,7 @@ object SyncRunner {
             updateCol.getOrElse(st.update_time_field),
             math.max(st.last_update_us, dUpd)))
         }
+        delta.unpersist()
         ("incremental", n)
     }
   }

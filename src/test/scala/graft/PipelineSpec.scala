@@ -211,4 +211,38 @@ class PipelineSpec extends SparkSpec {
     val out = agg.finish(items.foldLeft(agg.zero)(agg.reduce))
     assert(out.map(_.id) == Seq(1L, 2L, 4L))
   }
+
+  test("connectedComponents labels a path graph and honors a custom id column") {
+    // path 1-2-3-4-5 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comps(_) == 1L) && comps(10L) == 10L && comps(11L) == 10L)
+    val docs = (1L to 12L).toDF("vid")
+    val assigned = Dedup.clusterAssign(docs, "vid", pairs)
+    assert(assigned.columns.toSeq == Seq("vid", "cluster_id", "is_kept"))
+    val kept = assigned.filter(col("is_kept") === 1L).select("vid")
+      .collect().map(_.getLong(0)).toSet
+    // survivors: component minima 1 and 10, plus every isolated doc
+    assert(kept == Set(1L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
+  test("connectedComponents throws on non-convergence instead of returning wrong labels") {
+    // a 64-node path needs ~log2(64) pointer-jump rounds plus one
+    // confirmation round; maxIters=1 must fail loudly, never silently
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](Dedup.connectedComponents(chain, maxIters = 1).collect())
+    assert(e.getMessage.contains("did not converge"))
+    // ...and enough iterations converge to a single component
+    val ok = Dedup.connectedComponents(chain, maxIters = 20)
+    assert(ok.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0) == 1L)
+  }
+
+  test("connectedComponents short-circuits on an empty pair set") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val t0 = System.nanoTime()
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+    // empty input must not spin maxIters join rounds (~60 jobs)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+  }
 }
