@@ -110,12 +110,14 @@ object Similarity {
   }
 
   /** C7b: IVF (inverted-file) ANN — the FAISS-style scale path. A
-    * coarse k-means quantizer (trained once, centroids broadcast as
-    * literals) partitions the corpus into `nClusters` cells; each
-    * query exhaustively scores only its `nProbes` nearest cells, i.e.
-    * ~nProbes/nClusters of the corpus. Index build is one ML fit +
-    * one projection; search is a hash join on cell id + the same
-    * map-side TopKAggregator as brute force.
+    * coarse k-means quantizer (trained once) partitions the corpus
+    * into `nClusters` cells; each query exhaustively scores only its
+    * `nProbes` nearest cells, i.e. ~nProbes/nClusters of the corpus.
+    * Cell assignment inlines the centroids as literals up to
+    * [[literalCentroidMax]] clusters (pure codegen projection) and
+    * switches to a broadcast centroid join above it (large-nClusters
+    * corpora). Search is a hash join on cell id + the same map-side
+    * TopKAggregator as brute force.
     */
   /** Trained coarse quantizers, keyed by (candidate plan, k). An IVF
     * index is built once and queried many times; re-fitting per query
@@ -125,7 +127,7 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
 
-  private def fitCentroids(candidates: DataFrame, vecCol: String, nClusters: Int): Array[Array[Double]] = {
+  private[graft] def fitCentroids(candidates: DataFrame, vecCol: String, nClusters: Int): Array[Array[Double]] = {
     // key includes a file-level fingerprint: same-path data that has
     // been rewritten must re-fit, not reuse pre-update centroids
     val cacheKey = (candidates.queryExecution.logical.toString + "#" + vecCol +
@@ -163,30 +165,98 @@ object Similarity {
   private def cellOf(centers: Array[Array[Double]], v: Column): Column =
     element_at(cellsByDistance(centers, v), 1)
 
-  /** Probe-side search shared by the in-memory and on-disk index
-    * paths: explode each query's nProbes nearest cells, hash-join on
-    * cell id, exact-score, map-side top-k.
+  /** Above this many clusters, cell assignment switches from inlined
+    * centroid literals (a pure whole-stage-codegen projection — fastest
+    * at small k) to a broadcast join against a centroids frame: one
+    * expression holding k×dim literals stops analyzing/compiling long
+    * before data is the bottleneck, and a 100 TB corpus wants
+    * thousands of cells.
     */
-  private def probeSearch(
-      cands: DataFrame,
+  private[graft] val literalCentroidMax = 64
+
+  /** Centroids as a tiny broadcastable frame (cell, center, |c|²). */
+  private def centersDf(spark: org.apache.spark.sql.SparkSession, centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    broadcast(
+      centers.zipWithIndex
+        .map { case (c, i) => (i, c, c.map(x => x * x).sum) }
+        .toIndexedSeq
+        .toDF("__cell", "__center", "__cnorm2")
+    )
+  }
+
+  // same expression shape as sqDistTo so both assignment paths agree
+  // bit-for-bit: dot(v,v) - 2·dot(v,c) + |c|²
+  private def sqDistExpr(v: Column): Column =
+    dot(v, v) - lit(2.0) * dot(v, col("__center")) + col("__cnorm2")
+
+  /** Join-path candidate assignment: broadcast-join every vector with
+    * all k centroids, map-side partial min collapses the k rows per
+    * vector before the (single, id-keyed) shuffle. Scales to any
+    * nClusters the fit can produce.
+    */
+  private def candidateCellsJoin(
+      candidates: DataFrame,
+      centers: Array[Array[Double]],
+      idCol: String,
+      vecCol: String
+  ): DataFrame =
+    candidates
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+      .crossJoin(centersDf(candidates.sparkSession, centers))
+      .withColumn("__d", sqDistExpr(col("cvec")))
+      .groupBy(col("cid"))
+      .agg(
+        first(col("cvec")).as("cvec"),
+        first(col("cnrm")).as("cnrm"),
+        min(struct(col("__d"), col("__cell"))).getField("__cell").as("cell")
+      )
+
+  /** Join-path probe cells: nProbes nearest cells per query via one
+    * window over the (tiny) query×centroid frame.
+    */
+  private def probeCellsJoin(
       queries: DataFrame,
       centers: Array[Array[Double]],
       idCol: String,
       vecCol: String,
-      k: Int,
       nProbes: Int
   ): DataFrame = {
-    val qs = broadcast(
-      queries.select(
-        col(idCol).as("qid"),
-        col(vecCol).as("qvec"),
-        norm(col(vecCol)).as("qnrm"),
-        explode(slice(cellsByDistance(centers, col(vecCol)), 1, nProbes)).as("cell")
-      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("__d"), col("__cell"))
+    queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+      .crossJoin(centersDf(queries.sparkSession, centers))
+      .withColumn("__d", sqDistExpr(col("qvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nProbes)
+      .select(col("qid"), col("qvec"), col("qnrm"), col("__cell").as("cell"))
+  }
+
+  private def probeCellsLiteral(
+      queries: DataFrame,
+      centers: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      nProbes: Int
+  ): DataFrame =
+    queries.select(
+      col(idCol).as("qid"),
+      col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnrm"),
+      explode(slice(cellsByDistance(centers, col(vecCol)), 1, nProbes)).as("cell")
     )
+
+  /** Probe-side search shared by the in-memory and on-disk index
+    * paths: hash-join the broadcast (qid, cell) probe frame on cell id,
+    * exact-score, map-side top-k. `qs` must have columns
+    * (qid, qvec, qnrm, cell); `cands` (cid, cvec, cnrm, cell).
+    */
+  private def probeSearch(cands: DataFrame, qs: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
     cands
-      .join(qs, Seq("cell"))
+      .join(broadcast(qs), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .select(
         col("qid"),
@@ -200,6 +270,35 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Core IVF search over fitted centers; `joinAssign` picks the cell
+    * assignment strategy (package-visible so tests can force both
+    * paths and assert identical results).
+    */
+  private[graft] def ivfSearch(
+      candidates: DataFrame,
+      queries: DataFrame,
+      centers: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int,
+      joinAssign: Boolean
+  ): DataFrame = {
+    val cands =
+      if (joinAssign) candidateCellsJoin(candidates, centers, idCol, vecCol)
+      else
+        candidates.select(
+          col(idCol).as("cid"),
+          col(vecCol).as("cvec"),
+          norm(col(vecCol)).as("cnrm"),
+          cellOf(centers, col(vecCol)).as("cell")
+        )
+    val qs =
+      if (joinAssign) probeCellsJoin(queries, centers, idCol, vecCol, nProbes)
+      else probeCellsLiteral(queries, centers, idCol, vecCol, nProbes)
+    probeSearch(cands, qs, k)
+  }
+
   def ivfTopK(
       candidates: DataFrame,
       queries: DataFrame,
@@ -210,13 +309,8 @@ object Similarity {
       nProbes: Int = 4
   ): DataFrame = {
     val centers = fitCentroids(candidates, vecCol, nClusters)
-    val cands = candidates.select(
-      col(idCol).as("cid"),
-      col(vecCol).as("cvec"),
-      norm(col(vecCol)).as("cnrm"),
-      cellOf(centers, col(vecCol)).as("cell")
-    )
-    probeSearch(cands, queries, centers, idCol, vecCol, k, nProbes)
+    ivfSearch(candidates, queries, centers, idCol, vecCol, k, nProbes,
+      joinAssign = nClusters > literalCentroidMax)
   }
 
   /** Persist the IVF index: centroids as a tiny parquet table plus the
@@ -242,14 +336,16 @@ object Similarity {
       .toDF("cell", "center")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    candidates
-      .select(
-        col(idCol).as("cid"),
-        col(vecCol).as("cvec"),
-        norm(col(vecCol)).as("cnrm"),
-        cellOf(centers, col(vecCol)).as("cell")
-      )
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    val assigned =
+      if (nClusters > literalCentroidMax) candidateCellsJoin(candidates, centers, idCol, vecCol)
+      else
+        candidates.select(
+          col(idCol).as("cid"),
+          col(vecCol).as("cvec"),
+          norm(col(vecCol)).as("cnrm"),
+          cellOf(centers, col(vecCol)).as("cell")
+        )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
   /** Query a persisted IVF index (see [[buildIvfIndex]]) — no k-means
@@ -269,7 +365,10 @@ object Similarity {
       .orderBy("cell").collect()
       .map(_.getAs[Seq[Double]]("center").toArray)
     val cands = spark.read.parquet(s"$indexDir/cells")
-    probeSearch(cands, queries, centers, idCol, vecCol, k, nProbes)
+    val qs =
+      if (centers.length > literalCentroidMax) probeCellsJoin(queries, centers, idCol, vecCol, nProbes)
+      else probeCellsLiteral(queries, centers, idCol, vecCol, nProbes)
+    probeSearch(cands, qs, k)
   }
 
   /** Bucket ids for `tables` independent hash tables (table t uses

@@ -140,6 +140,19 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall") // 4 of 8 cells probed
   }
 
+  test("ivf join-path cell assignment is identical to the literal path") {
+    // the two assignment strategies (inlined centroid literals vs
+    // broadcast centroid join) must agree bit-for-bit: same fitted
+    // centers forced through both code paths
+    val queries = embs.filter(col("vec_id") < 10)
+    val centers = Similarity.fitCentroids(embs, "embedding", 8)
+    def run(joinAssign: Boolean) =
+      Similarity.ivfSearch(embs, queries, centers, "vec_id", "embedding", 5, 4, joinAssign)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val literal = run(joinAssign = false)
+    assert(literal.nonEmpty && literal == run(joinAssign = true))
+  }
+
   test("persisted IVF index returns the same results as the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     Similarity.buildIvfIndex(spark, embs, "vec_id", "embedding", nClusters = 8, dir)
