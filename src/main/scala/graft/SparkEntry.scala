@@ -109,6 +109,16 @@ object SparkEntry {
         .toDF("table_name", "ddl")
         .orderBy("table_name")
     }),
+    "ddl_allstring" -> ((s, d) => {
+      // reference-fidelity DDL: _id/_timestamp meta columns + every
+      // data column Nullable(String) (the all-String data model,
+      // es_to_bytehouse.py:166-188, 300-336)
+      import s.implicits._
+      Seq("documents", "events")
+        .map(n => (n, ClickHouseDdl.createTableSqlAllString("es_migration", n, t(s, d, n).schema.fieldNames.toIndexedSeq)))
+        .toDF("table_name", "ddl")
+        .orderBy("table_name")
+    }),
     // ---- B. analytics engine ----
     "q1_pricing" -> ((s, d) => Analytics.q1Pricing(t(s, d, "lineitem"))),
     "q3_topk_join" -> ((s, d) =>
@@ -122,6 +132,20 @@ object SparkEntry {
         t(s, d, "lineitem")
       )),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(t(s, d, "events"))),
+    "events_hourly_skewed" -> ((s, d) => {
+      // same answer as events_hourly, computed through the two-stage
+      // salted aggregation — the plan shape for a corpus whose hottest
+      // hour dwarfs every other: stage 1 splits each (hour, type) group
+      // across saltFactor reducers, stage 2 merges the tiny partials
+      val ev = t(s, d, "events").select(
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"),
+        Analytics.cents(col("value")).as("value_c")
+      )
+      graft.operators.Skew
+        .saltedSumCount(ev, Seq("hour_us", "event_type"), Seq((col("value_c"), "sum_value_c")), "n")
+        .orderBy(col("hour_us"), col("event_type"))
+    }),
     "window_rank" -> ((s, d) => Analytics.windowRank(t(s, d, "orders"))),
     "sessionize" -> ((s, d) => Analytics.sessionize(t(s, d, "events"))),
     "q6_filter_agg" -> ((s, d) =>
@@ -161,6 +185,30 @@ object SparkEntry {
       t(s, d, "events")
         .filter(col("event_id") > 500)
         .agg(max(col("event_id")).as("last_id"), count(lit(1)).as("n_rows"))),
+    "incremental_by_oid" -> ((s, d) => {
+      // the faithful mongo semantics: the watermark is the 24-hex-char
+      // ObjectId STRING (creation seconds in the first 8 chars) —
+      // lexicographic compare, state stays a string, and the embedded
+      // timestamp is decoded back out of the max id (round-trip is what
+      // the oracle checks). Ids are staged deterministically from
+      // (ts, event_id) since the test tables have no native ObjectId.
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("ts"))
+        .withColumn(
+          "oid",
+          concat(
+            lpad(lower(hex(expr("unix_micros(ts) div 1000000"))), 8, "0"),
+            lpad(lower(hex(col("event_id"))), 16, "0")
+          )
+        )
+      Incremental
+        .newerThanOid(ev, "oid", "65b09d80" + "0" * 16)
+        .agg(
+          max(col("oid")).as("last_oid"),
+          max(Incremental.oidTimestampSec(col("oid"))).as("last_oid_sec"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
     "interval_join" -> ((s, d) => {
       // batch interval join: per purchase, clicks by the same user in
       // the preceding hour — equi-join on user + range join filter, so
@@ -376,6 +424,22 @@ object SparkEntry {
         "('nation','CREATE TABLE IF NOT EXISTS `graft`.`nation` (`n_nationkey` Nullable(Int32), `n_name` Nullable(String), `n_regionkey` Nullable(Int32)) ENGINE = MergeTree() ORDER BY tuple()')," +
         "('supplier','CREATE TABLE IF NOT EXISTS `graft`.`supplier` (`s_suppkey` Nullable(Int64), `s_name` Nullable(String), `s_nationkey` Nullable(Int32), `s_acctbal` Nullable(Float64)) ENGINE = MergeTree() ORDER BY tuple()')" +
         ") AS t(table_name, ddl) ORDER BY table_name"),
+    "ddl_allstring" ->
+      ("SELECT * FROM (VALUES " +
+        "('documents','CREATE TABLE IF NOT EXISTS `es_migration`.`documents` (`_id` String, `_timestamp` DateTime64(3) DEFAULT now64(3), `doc_id` Nullable(String), `text` Nullable(String), `lang` Nullable(String), `source` Nullable(String), `n_chars` Nullable(String)) ENGINE = CnchMergeTree() ORDER BY tuple() UNIQUE KEY _id')," +
+        "('events','CREATE TABLE IF NOT EXISTS `es_migration`.`events` (`_id` String, `_timestamp` DateTime64(3) DEFAULT now64(3), `event_id` Nullable(String), `ts` Nullable(String), `user_id` Nullable(String), `event_type` Nullable(String), `value` Nullable(String), `props` Nullable(String)) ENGINE = CnchMergeTree() ORDER BY tuple() UNIQUE KEY _id')" +
+        ") AS t(table_name, ddl) ORDER BY table_name"),
+    "events_hourly_skewed" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "incremental_by_oid" ->
+      """WITH o AS (SELECT lpad(lower(hex(epoch_us(ts) // 1000000)),8,'0') ||
+        |                  lpad(lower(hex(event_id)),16,'0') AS oid,
+        |                  epoch_us(ts) // 1000000 AS sec
+        |           FROM events)
+        |SELECT max(oid) AS last_oid, CAST(max(sec) AS BIGINT) AS last_oid_sec, count(*) AS n_rows
+        |FROM o WHERE oid > '65b09d800000000000000000'""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -80,6 +80,31 @@ object Incremental {
         col(updateCol) > lit(updateWatermark).cast("timestamp")
     )
 
+  /** Mongo ObjectId creation time: the 24-hex-char `_id`'s first 8 hex
+    * chars are big-endian unix SECONDS (the property that makes `_id`
+    * a monotone watermark in the reference,
+    * mongodb_to_bytehouse.py:579-679).
+    */
+  def oidTimestampSec(oid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(oid, 1, 8), 16, 10).cast("long")
+
+  /** One incremental batch by string-ordered ObjectId watermark
+    * (mongodb_to_bytehouse.py:620-626 `{"_id": {"$gt": ObjectId(last_id)}}`).
+    * Fixed-width lowercase hex makes lexicographic order == creation
+    * order, so this is a plain scan predicate — min/max skipping and
+    * pushdown work exactly like a timestamp watermark.
+    */
+  def newerThanOid(df: DataFrame, oidCol: String, lastId: String): DataFrame =
+    df.filter(col(oidCol) > lit(lastId))
+
+  /** ADD_TIMESTAMP mode (mongodb_to_bytehouse.py:133, 372): stamp each
+    * synced row with the sync wall-clock (`_timestamp DateTime64(3)` in
+    * the reference DDL, filled at insert time). A literal per batch —
+    * no per-row clock reads, stays inside whole-stage codegen.
+    */
+  def addSyncTimestamp(df: DataFrame, nowUs: Long): DataFrame =
+    df.withColumn("_timestamp", timestamp_micros(lit(nowUs)))
+
   /** The new `_sync_state` row after syncing a batch
     * (es_to_bytehouse.py:412-432): max time seen + row count.
     */

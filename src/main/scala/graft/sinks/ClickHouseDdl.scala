@@ -38,6 +38,33 @@ object ClickHouseDdl {
       s"ENGINE = ReplacingMergeTree(`$versionCol`) ORDER BY (`$keyCol`)"
   }
 
+  /** Reference-fidelity DDL (es_to_bytehouse.py:300-336): `_id` key
+    * column first, optional `_source` (STORE_SOURCE mode), a
+    * `_timestamp DateTime64(3)` sync-time column with a now() default,
+    * then EVERY data column as Nullable(String) — the reference's
+    * all-String data model (es_to_bytehouse.py:166-188 maps every ES
+    * type to String to sidestep conversion failures). Upsert via
+    * UNIQUE KEY on `_id`, exactly the reference's engine clause.
+    */
+  def createTableSqlAllString(
+      db: String,
+      table: String,
+      fieldNames: Seq[String],
+      storeSource: Boolean = false,
+      addTimestamp: Boolean = true
+  ): String = {
+    val meta = Seq("`_id` String") ++
+      (if (storeSource) Seq("`_source` String") else Nil) ++
+      (if (addTimestamp) Seq("`_timestamp` DateTime64(3) DEFAULT now64(3)") else Nil)
+    val reserved = Set("_id", "_source", "_timestamp")
+    val data = fieldNames.map(Flatten.sanitizeName).distinct
+      .filterNot(reserved.contains)
+      .map(f => s"`$f` Nullable(String)")
+    s"CREATE TABLE IF NOT EXISTS `$db`.`${Flatten.sanitizeName(table)}` " +
+      s"(${(meta ++ data).mkString(", ")}) " +
+      "ENGINE = CnchMergeTree() ORDER BY tuple() UNIQUE KEY _id"
+  }
+
   def insertSql(db: String, table: String, columns: Seq[String]): String = {
     val cols = columns.map(c => s"`${Flatten.sanitizeName(c)}`").mkString(", ")
     s"INSERT INTO `$db`.`${Flatten.sanitizeName(table)}` ($cols) VALUES"

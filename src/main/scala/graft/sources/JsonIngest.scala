@@ -60,12 +60,17 @@ object JsonIngest {
     * (es_to_bytehouse.py:161-162, 616-618): the raw document JSON
     * rides along as a `_source` column next to the flattened fields.
     */
+  /** `addTimestampUs` is the reference's ADD_TIMESTAMP mode
+    * (mongodb_to_bytehouse.py:133, 372): stamp every ingested row with
+    * the sync time as a `_timestamp` column.
+    */
   def parseAndFlatten(
       spark: SparkSession,
       df: DataFrame,
       jsonCol: String,
       sample: Int = 5000,
-      keepSource: Boolean = false
+      keepSource: Boolean = false,
+      addTimestampUs: Option[Long] = None
   ): DataFrame = {
     val schema = inferSchema(spark, df, jsonCol, sample)
     val withSource = if (keepSource) df.withColumn("_source", col(jsonCol)) else df
@@ -74,8 +79,9 @@ object JsonIngest {
     // all-String value model for the discovered fields (reference
     // stores every ES value as String: es_to_bytehouse.py:166-188)
     val discovered = flat.columns.filter(_.startsWith(s"${Flatten.sanitizeName(jsonCol)}_")).toSet
-    flat.select(flat.columns.toIndexedSeq.map { c =>
+    val stringified = flat.select(flat.columns.toIndexedSeq.map { c =>
       if (discovered(c)) col(c).cast("string").as(c) else col(c)
     }: _*)
+    addTimestampUs.fold(stringified)(us => graft.operators.Incremental.addSyncTimestamp(stringified, us))
   }
 }

@@ -81,6 +81,68 @@ object SyncRunner {
     Seq(state).toDS().write.mode("append").parquet(stateDir)
   }
 
+  /** Sync state for the mongo variant's ObjectId watermark
+    * (mongodb_to_bytehouse.py:579-679): `last_id` is the monotone
+    * 24-hex-char `_id` kept as a STRING, exactly like the reference's
+    * state table — never parsed into a number, compared
+    * lexicographically.
+    */
+  case class OidSyncState(table_name: String, last_id: String, n_rows: Long, updated_us: Long)
+
+  def readOidState(spark: SparkSession, stateDir: String, table: String): Option[OidSyncState] = {
+    import spark.implicits._
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else
+      spark.read.parquet(stateDir)
+        .filter(col("table_name") === table)
+        .orderBy(col("updated_us").desc, col("last_id").desc)
+        .limit(1)
+        .as[OidSyncState]
+        .collect()
+        .headOption
+  }
+
+  def appendOidState(spark: SparkSession, stateDir: String, state: OidSyncState): Unit = {
+    import spark.implicits._
+    Seq(state).toDS().write.mode("append").parquet(stateDir)
+  }
+
+  /** ObjectId-watermark auto sync — the mongo variant's `_id`
+    * incremental (mongodb_to_bytehouse.py:579-679). Ids are unique and
+    * monotone, so a strictly-greater watermark never re-reads a row and
+    * the sink is a plain append (the reference's UNIQUE KEY merely
+    * makes re-inserts idempotent; append preserves the same contents).
+    * `addTimestamp` stamps rows with the sync time (ADD_TIMESTAMP mode).
+    */
+  def autoSyncByOid(
+      spark: SparkSession,
+      source: DataFrame,
+      table: String,
+      oidCol: String,
+      targetDir: String,
+      stateDir: String,
+      nowUs: Long,
+      addTimestamp: Boolean = false
+  ): (String, Long) = {
+    val st = readOidState(spark, stateDir, table)
+    val delta = st match {
+      case Some(s) => Incremental.newerThanOid(source, oidCol, s.last_id)
+      case None => source
+    }
+    val stamped =
+      (if (addTimestamp) Incremental.addSyncTimestamp(delta, nowUs) else delta).persist()
+    val n = stamped.count()
+    if (n > 0) {
+      stamped.write.mode("append").parquet(targetDir)
+      val maxId = stamped.agg(max(col(oidCol))).collect()(0).getString(0)
+      appendOidState(spark, stateDir, OidSyncState(table, maxId, n, nowUs))
+    }
+    stamped.unpersist()
+    (if (st.isEmpty) "full" else "incremental", n)
+  }
+
   /** Run one auto-mode sync pass for `source` into `targetDir`.
     * Returns the mode executed ("full" | "incremental") and rows
     * synced. `orderCols` breaks upsert ties (latest wins).
@@ -102,9 +164,13 @@ object SyncRunner {
       stateDir: String,
       nowUs: Long,
       partitionCol: Option[String] = None,
-      updateCol: Option[String] = None
+      updateCol: Option[String] = None,
+      addTimestamp: Boolean = false
   ): (String, Long) = {
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ADD_TIMESTAMP mode: every synced row carries the sync time
+    // (mongodb_to_bytehouse.py:133; `_timestamp` in the reference DDL)
+    val src = if (addTimestamp) Incremental.addSyncTimestamp(source, nowUs) else source
 
     def usCol(c: String): Column = unix_micros(col(c).cast("timestamp"))
 
@@ -122,7 +188,7 @@ object SyncRunner {
       case None =>
         // one persisted pass serves count, write AND watermark maxes —
         // a full sync must scan the (100 TB) source exactly once
-        val cached = source.persist()
+        val cached = src.persist()
         val n = cached.count()
         partitionCol match {
           case Some(p) => PartitionedUpsert.writeFull(cached, targetDir, p)
@@ -142,8 +208,8 @@ object SyncRunner {
         // insert-or-update incremental, es_to_bytehouse.py:843-853)
         val delta = (updateCol match {
           case Some(u) =>
-            source.filter(usCol(timeCol) > st.last_sync_us || usCol(u) > st.last_update_us)
-          case None => source.filter(usCol(timeCol) > st.last_sync_us)
+            src.filter(usCol(timeCol) > st.last_sync_us || usCol(u) > st.last_update_us)
+          case None => src.filter(usCol(timeCol) > st.last_sync_us)
         }).persist()
         val n = partitionCol match {
           case Some(p) =>

@@ -98,6 +98,24 @@ class MigrationSpec extends SparkSpec {
       "INSERT INTO `db`.`t` (`_id`, `v`) VALUES")
   }
 
+  test("all-String DDL matches the reference's shape (_id/_source/_timestamp + Nullable(String))") {
+    val ddl = ClickHouseDdl.createTableSqlAllString(
+      "es_migration", "my-index.v2", Seq("user.name", "@timestamp", "count", "_id"))
+    // meta columns lead, in reference order; table/field names sanitized
+    assert(ddl.startsWith(
+      "CREATE TABLE IF NOT EXISTS `es_migration`.`my_index_v2` (`_id` String, " +
+        "`_timestamp` DateTime64(3) DEFAULT now64(3), "))
+    // every data column is Nullable(String); reserved names not duplicated
+    assert(ddl.contains("`user_name` Nullable(String)"))
+    assert(ddl.contains("`timestamp` Nullable(String)"))
+    assert(ddl.contains("`count` Nullable(String)"))
+    assert(ddl.indexOf("`_id` String") == ddl.lastIndexOf("`_id` String"))
+    assert(ddl.endsWith("ENGINE = CnchMergeTree() ORDER BY tuple() UNIQUE KEY _id"))
+    // STORE_SOURCE mode adds _source between _id and _timestamp
+    val withSource = ClickHouseDdl.createTableSqlAllString("db", "t", Seq("a"), storeSource = true)
+    assert(withSource.contains("`_id` String, `_source` String, `_timestamp` DateTime64(3)"))
+  }
+
   test("salted aggregation equals direct aggregation (skew path)") {
     val li = Catalog.load(spark, sf, "lineitem")
     val direct = operators.Analytics.q1Pricing(li)

@@ -54,6 +54,56 @@ class SyncSpec extends SparkSpec {
     assert(st.mode == "incremental" && st.last_sync_us > cutoffUs)
   }
 
+  test("oid watermark sync: string state round-trips, only greater ids sync, timestamp decodes") {
+    import spark.implicits._
+    def oidOf(sec: Long, n: Long): String =
+      f"$sec%08x" + f"$n%016x"
+    val t0 = 1706054400L // 2024-01-24 00:00:00 UTC
+    val first = Seq(oidOf(t0, 1), oidOf(t0 + 60, 2), oidOf(t0 + 120, 3)).toDF("_id")
+    val stateDir = tmp("graft_oid_state") + "/state"
+    val targetDir = tmp("graft_oid_target") + "/docs"
+
+    val (m1, n1) = SyncRunner.autoSyncByOid(spark, first, "docs", "_id", targetDir, stateDir, nowUs = 1L)
+    assert(m1 == "full" && n1 == 3)
+    // state holds the max id AS A STRING, exactly as the reference stores last_id
+    val st1 = SyncRunner.readOidState(spark, stateDir, "docs").get
+    assert(st1.last_id == oidOf(t0 + 120, 3))
+    // the embedded creation time decodes back out of the watermark
+    val decoded = Seq(st1.last_id).toDF("oid")
+      .select(Incremental.oidTimestampSec(col("oid"))).collect()(0).getLong(0)
+    assert(decoded == t0 + 120)
+
+    // pass 2: one older id (must NOT sync) + two newer (must sync), stamped
+    val second = Seq(oidOf(t0 + 30, 9), oidOf(t0 + 180, 4), oidOf(t0 + 240, 5)).toDF("_id")
+    val (m2, n2) = SyncRunner.autoSyncByOid(spark, second, "docs", "_id", targetDir, stateDir,
+      nowUs = 7777000000L, addTimestamp = true)
+    assert(m2 == "incremental" && n2 == 2)
+    // pass-1 files lack _timestamp (stamping off), pass-2 files have it
+    val target = spark.read.option("mergeSchema", "true").parquet(targetDir)
+    assert(target.count() == 5)
+    assert(!target.select("_id").as[String].collect().contains(oidOf(t0 + 30, 9)))
+    // ADD_TIMESTAMP: the delta rows carry the sync time
+    val stamped = target.filter(col("_id") >= oidOf(t0 + 180, 0))
+    assert(stamped.select(unix_micros(col("_timestamp"))).as[Long].collect().toSet == Set(7777000000L))
+    assert(SyncRunner.readOidState(spark, stateDir, "docs").get.last_id == oidOf(t0 + 240, 5))
+
+    // pass 3: nothing new → state untouched
+    val (m3, n3) = SyncRunner.autoSyncByOid(spark, second, "docs", "_id", targetDir, stateDir, nowUs = 9L)
+    assert(m3 == "incremental" && n3 == 0)
+    assert(SyncRunner.readOidState(spark, stateDir, "docs").get.last_id == oidOf(t0 + 240, 5))
+  }
+
+  test("autoSync ADD_TIMESTAMP stamps full and incremental batches with sync time") {
+    val events = Catalog.load(spark, sf, "events").limit(100)
+    val stateDir = tmp("graft_ts_state") + "/state"
+    val targetDir = tmp("graft_ts_target") + "/events"
+    SyncRunner.autoSync(spark, events, "events", Seq("event_id"), "ts", Seq("ts", "event_id"),
+      targetDir, stateDir, nowUs = 4242000000L, addTimestamp = true)
+    val stamps = spark.read.parquet(targetDir)
+      .select(unix_micros(col("_timestamp"))).distinct().collect().map(_.getLong(0)).toSet
+    assert(stamps == Set(4242000000L))
+  }
+
   test("auto mode upsert: updated rows replace, not duplicate") {
     import spark.implicits._
     val stateDir = tmp("graft_state2") + "/state"
