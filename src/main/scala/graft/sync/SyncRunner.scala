@@ -253,11 +253,32 @@ object SyncRunner {
       stateDir: String,
       nowUs: Long,
       keyOverrides: Map[String, Seq[String]] = Map.empty
+  ): Map[String, (String, Long)] =
+    autoSyncTables(
+      spark,
+      graft.sources.Catalog.selectTables(spark, srcDir, pattern),
+      graft.sources.Catalog.load(spark, srcDir, _),
+      targetRoot, stateDir, nowUs, keyOverrides)
+
+  /** The same sweep over ANY source: `loadTable` is a thunk producing
+    * the DataFrame for a table name, so parquet catalogs
+    * ([[autoSyncAll]]), JDBC sources (`JdbcSource.load` partial
+    * application) and an ES reader (`EsSourceConfig.reader(...).load`)
+    * are interchangeable — the orchestration (time-field detection,
+    * OR-watermark routing, state) never changes.
+    */
+  def autoSyncTables(
+      spark: SparkSession,
+      tables: Seq[String],
+      loadTable: String => DataFrame,
+      targetRoot: String,
+      stateDir: String,
+      nowUs: Long,
+      keyOverrides: Map[String, Seq[String]] = Map.empty
   ): Map[String, (String, Long)] = {
-    graft.sources.Catalog
-      .selectTables(spark, srcDir, pattern)
+    tables
       .map { table =>
-        val df = graft.sources.Catalog.load(spark, srcDir, table)
+        val df = loadTable(table)
         val keys = keyOverrides.getOrElse(table, Seq(df.columns.head))
         val target = s"$targetRoot/$table"
         val result = Incremental.detectTimeField(df.schema) match {
