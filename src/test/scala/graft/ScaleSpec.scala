@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.tagobjects.Slow
+
+import graft.operators.{Dedup, Similarity}
+import graft.tools.SyntheticCorpus
+
+/** Scale-proof suite: the blocked/banded paths must beat their exact
+  * baselines by construction, not by assertion on 500 rows. Corpora
+  * are deterministic synthetics (ground truth known exactly); sizes
+  * are 10-200× the driver testdata. Tagged Slow — these are minutes,
+  * not seconds, and exist to demonstrate the 100 TB shape locally.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private val corpusDir = "target/scale_corpus"
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  test("embedding dedup: LSH-blocked path is sublinear vs exact all-pairs at 20k vectors", Slow) {
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 20000, dim = 32)
+    val vecs = spark.read.parquet(vecsPath)
+    val truth = SyntheticCorpus.stagedPairs(20000)
+
+    val (exactPairs, exactSec) = time {
+      Dedup.embeddingPairs(vecs, "vec_id", "embedding", tau = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // 4 tables suffice here: staged twins sit at cos >= 0.999 (angle
+    // ~0.045 rad), per-table collision ~0.89, miss ~ (1-0.89)^4 ≈ 1e-4
+    val (lshPairs, lshSec) = time {
+      Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", tau = 0.99, dim = 32, planes = 8, tables = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    info(f"exact all-pairs: $exactSec%.1fs, ${exactPairs.size} pairs; LSH-blocked: $lshSec%.1fs, ${lshPairs.size} pairs")
+    assert(exactPairs == truth, "exact all-pairs must find exactly the staged dups")
+    assert(lshPairs.subsetOf(exactPairs), "exact verification admits no false positives")
+    val recall = (truth intersect lshPairs).size.toDouble / truth.size
+    assert(recall >= 0.99, s"LSH-blocked recall too low at scale: $recall")
+    // the scale claim: candidate generation is keyed, not quadratic —
+    // at 20k vectors the blocked path must already be >4x faster
+    assert(lshSec < 0.25 * exactSec, f"LSH-blocked not sublinear: $lshSec%.1fs vs exact $exactSec%.1fs")
+  }
+
+  test("minhash-LSH dedup at 100k docs: exact staged recovery, keyed-join runtime", Slow) {
+    val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val docs = spark.read.parquet(docsPath)
+    val truth = SyntheticCorpus.stagedPairs(100000)
+
+    val (pairs, sec) = time {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 64, bands = 16, tauPct = 80)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    info(f"minhash-LSH over 100k docs: $sec%.1fs, ${pairs.size} pairs (${truth.size} staged)")
+    assert(pairs == truth, s"minhash-LSH must recover exactly the staged dup pairs " +
+      s"(missed ${(truth -- pairs).size}, extra ${(pairs -- truth).size})")
+  }
+
+  test("IVF at nClusters=1024: broadcast-join assignment, persisted index, decent recall", Slow) {
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 100000, dim = 32)
+    val vecs = spark.read.parquet(vecsPath)
+    val queries = vecs.filter(col("vec_id") < 20)
+    val indexDir = s"$corpusDir/ivf_100k_1024"
+
+    val (_, fitSec) = time {
+      Similarity.buildIvfIndex(spark, vecs, "vec_id", "embedding", nClusters = 1024, indexDir)
+    }
+    // the on-disk index really is cell-partitioned at this width
+    val cellDirs = new java.io.File(s"$indexDir/cells").listFiles().count(_.getName.startsWith("cell="))
+    assert(cellDirs > 64, s"expected hundreds of cell dirs, got $cellDirs")
+
+    val (ivf, searchSec) = time {
+      Similarity.ivfTopKIndexed(spark, indexDir, queries, "vec_id", "embedding", k = 10, nProbes = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    val (brute, bruteSec) = time {
+      Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF(1024) fit+build: $fitSec%.1fs, search: $searchSec%.1fs, brute: $bruteSec%.1fs, recall@10: $recall%.2f")
+    // NB: at 100k x 32-dim, brute force is trivially fast — IVF's win
+    // is IO-bounded probing (64/1024 of the index read per query),
+    // which pays off when the corpus doesn't fit an executor. What
+    // this asserts is that the 1024-cell path WORKS: join-based
+    // assignment, hundreds of partition dirs, full k results, recall.
+    assert(ivf.size == brute.size, "every query must fill k results at this probe width")
+    assert(recall >= 0.5, s"IVF recall too low: $recall (nProbes=64/1024)")
+  }
+
+  test("LSH ANN at 100k vectors: staged twin found first, subset of brute candidates", Slow) {
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 100000, dim = 32)
+    val vecs = spark.read.parquet(vecsPath)
+    // staged dup ids: their nearest neighbor is known exactly (the base)
+    val queries = vecs.filter(pmod(col("vec_id"), lit(20L)) === 19L && col("vec_id") < 400L)
+    val (lsh, sec) = time {
+      Similarity.lshTopK(vecs, queries, "vec_id", "embedding", k = 1, dim = 32, planes = 8, tables = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    info(f"LSH ANN over 100k vectors, ${lsh.size} queries: $sec%.1fs")
+    // rank-1 neighbor of a staged dup must be its base vector
+    val hits = lsh.count { case (qid, nid) => nid == qid - 1 }
+    assert(hits >= (lsh.size * 0.95).toInt, s"LSH missed staged twins: $hits/${lsh.size}")
+  }
+}
