@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fingerprint64.fingerprint64
-import graft.operators.{AllString, Analytics, AsOfJoin, Dedup, Incremental, Multimodal, Similarity, TextAnalysis, TypeMapper}
+import graft.operators.{AllString, Analytics, AsOfJoin, Curation, Dedup, Incremental, Multimodal, Similarity, TextAnalysis, TypeMapper}
 import graft.sinks.ClickHouseDdl
 import graft.sources.{Catalog, JsonIngest}
 
@@ -342,6 +342,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    "text_scrub_pii" -> ((s, d) =>
+      // the corpus has no natural PII, so it is staged deterministically
+      // per doc (email/phone/IP derived from doc_id) — the oracle runs
+      // the identical staging + the identical RE2-safe regex chain
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          Curation.scrubPii(concat(
+            col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555-867-5309 at 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7")
+          )).as("scrubbed")
+        )
+        .orderBy("doc_id")),
+    "text_strip_html" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          Curation.stripMarkup(concat(
+            lit("<html><body><p class=\"x\">"), col("text"),
+            lit("</p><a href=\"y\">link</a></body></html>")
+          )).as("clean")
+        )
+        .orderBy("doc_id")),
+    "sample_split" -> ((s, d) =>
+      // deterministic md5-bucket train/val/test assignment — stable
+      // across runs/partitions (never rand()), verified per-split
+      Curation.hashSplit(t(s, d, "documents"), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("split"))),
+    "decontam_overlap" -> ((s, d) => {
+      // benchmark decontamination: corpus docs sharing any word trigram
+      // with the (broadcast) eval set doc_id < 5
+      val docs = t(s, d, "documents")
+      Curation.contaminationHits(
+        docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
+    }),
+    "pack_sequences" -> ((s, d) => {
+      val toks = size(split(Dedup.normalize(col("text")), " ")).cast("long")
+      Curation.packSequences(t(s, d, "documents"), "doc_id", toks, budget = 512L, shards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.binaryMeta(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -710,6 +755,44 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text,'[^ ]+')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_scrub_pii" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact user' || doc_id || '@example.com or +1 555-867-5309 at 10.0.' || (doc_id % 256) || '.7',
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\+?\d[\d\s()-]{6,}\d', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_strip_html" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  '<html><body><p class="x">' || text || '</p><a href="y">link</a></body></html>',
+        |  '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_split" ->
+      """WITH b AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |    (a,x) -> a*16+x) % 100 AS bucket FROM documents)
+        |SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // string-trigram intersect == hashed-shingle intersect w.h.p (the
+    // same equivalence every dedup oracle relies on)
+    "decontam_overlap" ->
+      """WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n),
+        |bench AS (SELECT list_distinct(flatten(list(sh))) AS bs FROM g WHERE doc_id < 5)
+        |SELECT g.doc_id, CAST(len(list_intersect(g.sh, bench.bs)) AS BIGINT) AS n_shared
+        |FROM g, bench WHERE g.doc_id >= 5 AND len(list_intersect(g.sh, bench.bs)) >= 1
+        |ORDER BY g.doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS n_tokens,
+        |                  doc_id % 8 AS shard FROM documents),
+        |c AS (SELECT shard, doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)
+        |SELECT shard, CAST(floor(prev/512) AS BIGINT) AS pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         | lower(hex(CAST(substring(text,1,8) AS BLOB))) AS header_hex,

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data prep — the steps a
+  * 100 TB pipeline runs between raw ingestion (the reference's domain)
+  * and tokenization: PII scrubbing, markup stripping, deterministic
+  * train/val/test splitting, benchmark decontamination, and sequence
+  * packing. All pure `functions._` projections/joins — no UDFs, every
+  * one reproducible bit-for-bit in the DuckDB oracle.
+  */
+object Curation {
+
+  // RE2-safe patterns (no lookaround/backrefs) so the same regex runs
+  // unchanged in Spark (Java regex) and DuckDB (RE2)
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+?\\d[\\d\\s()-]{6,}\\d"
+
+  /** Scrub common PII shapes to typed placeholder tokens. Order
+    * matters and is part of the contract: emails first (their digits
+    * must not look like phones), then IPs (dotted digits must not feed
+    * the phone pattern), then phones.
+    */
+  def scrubPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, IpRe, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  /** Strip HTML/XML markup: tags out, entities spaced, whitespace
+    * collapsed — the boilerplate-removal front of a web-scrape
+    * pipeline (one codegen'd projection, linear scan).
+    */
+  def stripMarkup(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Deterministic corpus split: bucket 0-99 from the first 8 hex
+    * chars of md5(id) — stable across runs, partitions and engines
+    * (never `rand()`: resuming a 100 TB job must not reshuffle the
+    * split). `trainPct`/`valPct` give train/val, remainder is test.
+    */
+  def splitBucket(idCol: Column): Column =
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10).cast("long"), lit(100L))
+
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must leave room for test")
+    val b = splitBucket(col(idCol))
+    df.withColumn(
+      "split",
+      when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+    )
+  }
+
+  /** Benchmark decontamination: corpus docs sharing at least
+    * `minShared` word n-grams with any benchmark/eval document. The
+    * benchmark side is tiny by nature → broadcast its distinct shingle
+    * hashes; the corpus side is one explode + broadcast-hash-join +
+    * keyed count — never a doc×doc comparison. Returns
+    * (idCol, n_shared) for contaminated docs.
+    */
+  def contaminationHits(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Int = 1
+  ): DataFrame = {
+    val bench = broadcast(
+      benchmark
+        .select(explode(array_distinct(Dedup.shingleHashSet(col(textCol), n))).as("h"))
+        .distinct()
+    )
+    corpus
+      .select(col(idCol), explode(array_distinct(Dedup.shingleHashSet(col(textCol), n))).as("h"))
+      .join(bench, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col(idCol))
+  }
+
+  /** Sequence packing: concat-then-chunk assignment of documents to
+    * fixed token-budget packs, sharded so the window never needs a
+    * global sort — shard by pmod(id, shards), order by id within the
+    * shard, pack = floor(preceding-cumsum / budget) (a document starts
+    * in the pack where its first token lands; standard concat packing
+    * semantics). One keyed shuffle per shard window; shards scale out.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      budget: Long,
+      shards: Int = 16
+  ): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), tokensCol.as("n_tokens"), pmod(col(idCol), lit(shards.toLong)).as("shard"))
+      .withColumn("pack_id", floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budget)))
+  }
+}
