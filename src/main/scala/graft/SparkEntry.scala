@@ -293,7 +293,12 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80))
     }),
     "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4)),
+      // exact all-pairs is the ORACLE BASELINE, O(N²) by definition —
+      // its input is bounded to a fixed sample so the benched plan can
+      // never become a corpus-scale cartesian; the corpus-scale path
+      // is dedup_embedding_blocked (LSH blocking + exact verify)
+      Dedup.embeddingPairs(
+        t(s, d, "embeddings").filter(col("vec_id") < 2000), "vec_id", "embedding", tau = 0.4)),
     "dedup_embedding_blocked" -> ((s, d) => {
       // LSH-blocked near-dup dedup — the scale path. The corpus has no
       // natural high-cosine pairs (max ~0.51), so near-dups are staged
@@ -342,6 +347,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    "curate_corpus" -> ((s, d) => {
+      // the end-to-end curation decision, composed from the pipeline's
+      // own operators: keep only near-dup-cluster survivors that also
+      // clear the quality floor, then report the surviving corpus per
+      // language — what a training-data run actually materializes
+      val docs = t(s, d, "documents")
+      val kept = Dedup
+        .clusterAssign(docs, "doc_id", Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80))
+        .filter(col("is_kept") === 1L)
+        .select("doc_id")
+      docs
+        .join(kept, "doc_id")
+        .filter(length(col("text")) >= 50 && size(split(Dedup.normalize(col("text")), " ")) >= 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
     "text_scrub_pii" -> ((s, d) =>
       // the corpus has no natural PII, so it is staged deterministically
       // per doc (email/phone/IP derived from doc_id) — the oracle runs
@@ -713,7 +735,8 @@ object SparkEntry {
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY 1,2""".stripMargin,
+        |WHERE a.vec_id < 2000 AND b.vec_id < 2000
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4 ORDER BY 1,2""".stripMargin,
     // oracle = exact all-pairs over the same staged corpus; the LSH
     // blocking must lose nothing at this tau (misses ~1e-8/pair with
     // 8 planes x 8 tables at cos ~0.999)
@@ -755,6 +778,27 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text,'[^ ]+')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "curate_corpus" ->
+      """WITH RECURSIVE
+        |n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |walk AS (
+        |  SELECT src AS id, dst AS reach FROM e
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN e ON w.reach = e.src),
+        |comp AS (SELECT id, least(id, min(reach)) AS cluster_id FROM walk GROUP BY id)
+        |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+        |  AND length(d.text) >= 50
+        |  AND len(string_split(trim(regexp_replace(lower(d.text),'\s+',' ','g')),' ')) >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_scrub_pii" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  text || ' contact user' || doc_id || '@example.com or +1 555-867-5309 at 10.0.' || (doc_id % 256) || '.7',

@@ -20,7 +20,15 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[Sco
   private def best(xs: Seq[ScoredId]): Seq[ScoredId] =
     xs.sortBy(s => (-s.score, s.id)).take(k)
   override def zero: Seq[ScoredId] = Nil
-  override def reduce(buf: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = best(buf :+ a)
+  // best() keeps the buffer sorted, so once it is full the common case
+  // (candidate ranks below the current worst) is an O(1) rejection —
+  // the map-side hot loop only pays a sort when the top-k changes
+  override def reduce(buf: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+    if (buf.size >= k) {
+      val worst = buf.last
+      if (a.score < worst.score || (a.score == worst.score && a.id >= worst.id)) buf
+      else best(buf :+ a)
+    } else best(buf :+ a)
   override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] = best(b1 ++ b2)
   override def finish(r: Seq[ScoredId]): Seq[ScoredId] = best(r)
   override def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()

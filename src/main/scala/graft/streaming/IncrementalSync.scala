@@ -95,6 +95,26 @@ object IncrementalSync {
       )
   }
 
+  /** Streaming exact dedup: drop content-duplicate documents as they
+    * arrive — the streaming form of Dedup.exact for a continuously
+    * ingested corpus. State is keyed on the 128-bit content hash (the
+    * document body never enters the state store) and expires once the
+    * event-time watermark passes `lateness`, so state size is bounded
+    * by the dedup horizon instead of growing forever — the property
+    * that lets this run for months on a 100 TB/day feed.
+    */
+  def dedupExactStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String,
+      lateness: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withColumn("__h", md5(graft.operators.Dedup.normalize(col(textCol))))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** foreachBatch upsert into an UNPARTITIONED parquet target: merge
     * the micro-batch with the existing target by key (latest version
     * wins) and swap with checked renames (a failed swap restores the

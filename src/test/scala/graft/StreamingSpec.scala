@@ -47,6 +47,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops cross-batch duplicates inside the watermark") {
+    // stage a doc stream with known duplicates: each text appears 3x
+    // under different ids/timestamps, spread across files/micro-batches
+    val dir = tmpDir("graft_stream_docs")
+    val rows = (0L until 30L).map { i =>
+      (i, s"document body number ${i % 10}", new java.sql.Timestamp(1700000000000L + i * 1000))
+    }
+    rows.toDF("doc_id", "text", "ts").repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = IncrementalSync.dedupExactStream(stream, "text", "ts")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("text").as[String].collect()
+      // exactly one survivor per distinct content, regardless of batch boundaries
+      assert(out.length == 10 && out.toSet.size == 10)
+    } finally q.stop()
+  }
+
   test("stateful latest-per-key stream converges to the batch upsert result") {
     val src = stageEvents(4)
     val latest = IncrementalSync.latestPerKeyStream(spark, IncrementalSync.readEventStream(spark, src, 1))
