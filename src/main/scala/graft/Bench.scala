@@ -18,7 +18,8 @@ object Bench {
     "q1_pricing", "q3_topk_join", "q5_join5", "events_hourly", "events_hourly_skewed",
     "window_rank", "sessionize",
     "rollup_pricing", "brand_revenue", "supplier_balance", "distinct_users",
-    "q6_filter_agg", "cust_no_orders", "asof_last_click", "interval_join",
+    "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders",
+    "asof_last_click", "interval_join",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state",
     "upsert_latest", "scan_fields", "multi_table_union",

@@ -250,6 +250,34 @@ object SparkEntry {
           max(unix_micros(col("l_shipdate").cast("timestamp"))).as("max_ship_us")
         )
     }),
+    "q4_semi_join" -> ((s, d) => {
+      // EXISTS semi-join (TPC-H Q4 shape): orders with any lineitem
+      // shipped >90 days after the order date — left_semi keeps the
+      // probe side unduplicated, one keyed shuffle
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), unix_micros(col("l_shipdate").cast("timestamp")).as("l_us"))
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") && col("l_us") > col("o_us") + lit(7776000000000L),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q18_large_orders" -> ((s, d) => {
+      // TPC-H Q18 shape: aggregate lineitem per order, filter on the
+      // aggregate (HAVING), join back to orders, top-k
+      val l = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Analytics.cents(col("l_quantity"))).as("sum_qty_c"))
+        .filter(col("sum_qty_c") > 30000)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), Analytics.cents(col("o_totalprice")).as("price_c"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("price_c"), col("sum_qty_c"))
+        .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
+        .limit(20)
+    }),
     "distinct_users" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"))
@@ -633,6 +661,18 @@ object SparkEntry {
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + 7776000000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_large_orders" ->
+      """WITH lq AS (SELECT l_orderkey, CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |            FROM lineitem GROUP BY 1 HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 30000)
+        |SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c, sum_qty_c
+        |FROM orders JOIN lq ON o_orderkey = l_orderkey
+        |ORDER BY sum_qty_c DESC, o_orderkey LIMIT 20""".stripMargin,
     "rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,

@@ -58,4 +58,18 @@ class AnalyticsSpec extends SparkSpec {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q4 semi-join equals distinct-inner-join formulation") {
+    val semi = SparkEntry.queries("q4_semi_join")(spark, sf).collect().toSeq
+    val o = graft.sources.Catalog.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+    val l = graft.sources.Catalog.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate").cast("timestamp")).as("l_us"))
+    val viaDistinct = o
+      .join(l, col("o_orderkey") === col("l_orderkey") && col("l_us") > col("o_us") + lit(7776000000000L))
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    assert(semi == viaDistinct && semi.nonEmpty)
+  }
 }
