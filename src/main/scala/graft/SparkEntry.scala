@@ -250,6 +250,13 @@ object SparkEntry {
           max(unix_micros(col("l_shipdate").cast("timestamp"))).as("max_ship_us")
         )
     }),
+    "funnel_counts" -> ((s, d) =>
+      // strict-order funnel over the event log: view -> click (after
+      // the first view) -> purchase (after that click)
+      Analytics
+        .funnelCounts(t(s, d, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")),
     "q4_semi_join" -> ((s, d) => {
       // EXISTS semi-join (TPC-H Q4 shape): orders with any lineitem
       // shipped >90 days after the order date — left_semi keeps the
@@ -661,6 +668,18 @@ object SparkEntry {
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "funnel_counts" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type='view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, s0.t0, min(CASE WHEN e.us > s0.t0 THEN e.us END) AS t1
+        |       FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.event_type='click' GROUP BY 1,2),
+        |s2 AS (SELECT s1.user_id, s1.t0, s1.t1, min(CASE WHEN e.us > s1.t1 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type='purchase' GROUP BY 1,2,3)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, CAST(count(t0) AS BIGINT) AS n_users FROM s2
+        |  UNION ALL SELECT 1, 'click', CAST(count(t1) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 2, 'purchase', CAST(count(t2) AS BIGINT) FROM s2
+        |) ORDER BY stage_idx""".stripMargin,
     "q4_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o

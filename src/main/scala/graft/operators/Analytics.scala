@@ -135,4 +135,48 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** B19: ordered funnel analysis — per user, stage i completes at the
+    * EARLIEST event of type stages(i) strictly after the stage i-1
+    * completion time (the standard strict-order funnel). Returns one
+    * row per stage: (stage_idx, stage, n_users completing it).
+    *
+    * Plan shape: one keyed aggregation per stage, each a hash shuffle
+    * on the user key, all reusing the same partitioning; the event
+    * frame is filtered per stage before its aggregate (scan pruning).
+    * No windows over the full event set, no cross joins — at 100 TB
+    * each pass touches only that stage's events.
+    */
+  def funnelCounts(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    // t0 = earliest stage-0 event per user
+    var reached = events
+      .filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(us).as("t0"))
+    for (i <- 1 until stages.length) {
+      val nxt = events
+        .filter(col(typeCol) === stages(i))
+        .select(col(userCol), us.as("__ts"))
+      val carried = (0 until i).map(j => s"t$j")
+      reached = reached
+        .join(nxt, Seq(userCol), "left")
+        .groupBy(col(userCol) +: carried.map(col): _*)
+        .agg(min(when(col("__ts") > col(s"t${i - 1}"), col("__ts"))).as(s"t$i"))
+    }
+    val counts = stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i"))
+    val row = reached.agg(counts.head, counts.tail: _*).collect()(0)
+    stages.indices
+      .map(i => (i.toLong, stages(i), row.getLong(i)))
+      .toDF("stage_idx", "stage", "n_users")
+  }
 }

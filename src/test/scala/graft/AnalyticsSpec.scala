@@ -59,6 +59,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("funnelCounts: strict stage ordering enforced, counts monotone") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L), // completes all 3
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "purchase", 300L), // click BEFORE view: stuck at view
+      (3L, "view", 10L), (3L, "purchase", 20L) // skips click: purchase must not count
+    ).map { case (u, t, ms) => (u, t, new java.sql.Timestamp(ms)) }.toDF("user_id", "event_type", "ts")
+    val f = graft.operators.Analytics
+      .funnelCounts(ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(f == Seq(("view", 3L), ("click", 1L), ("purchase", 1L)))
+  }
+
   test("q4 semi-join equals distinct-inner-join formulation") {
     val semi = SparkEntry.queries("q4_semi_join")(spark, sf).collect().toSeq
     val o = graft.sources.Catalog.load(spark, sf, "orders")
