@@ -71,4 +71,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [Or(GreaterThan(created,") ||
       (p.contains("Or(GreaterThan(created,") && p.contains("PushedFilters")), p)
   }
+
+  test("q4: genuinely a semi join — probe side never duplicated") {
+    val p = planOf("q4_semi_join")
+    assert(p.contains("LeftSemi"), p.linesIterator.take(10).mkString("\n"))
+  }
+
+  test("skewed aggregate runs the two-stage salted plan (two agg exchanges)") {
+    val p = planOf("events_hourly_skewed")
+    // stage-1 shuffle on (keys, salt), stage-2 on keys, plus output range
+    assert(count(p, "hashpartitioning") >= 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("IVF join-path assignment broadcasts the centroids, never shuffles them") {
+    import org.apache.spark.sql.functions.col
+    val embs = graft.sources.Catalog.load(spark, sf, "embeddings")
+    val centers = graft.operators.Similarity.fitCentroids(embs, "embedding", 8)
+    val p = graft.operators.Similarity
+      .ivfSearch(embs, embs.filter(col("vec_id") < 5), centers, "vec_id", "embedding",
+        5, 4, joinAssign = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(1500))
+    // the only hash shuffles are the id-keyed argmin + topk groupings
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }
