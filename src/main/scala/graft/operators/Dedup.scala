@@ -286,13 +286,53 @@ object Dedup {
       pairs: DataFrame,
       idACol: String = "id_a",
       idBCol: String = "id_b",
-      maxIters: Int = 20
+      maxIters: Int = 20,
+      driverMaxEdges: Long = 1L << 20
   ): DataFrame = {
     val und = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
     val edges = und
       .union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    // size-adaptive strategy (same spirit as AQE's join re-planning):
+    // the near-dup graph holds ONLY docs that have a near-dup — tiny
+    // relative to the corpus even at 100 TB — so below the threshold a
+    // driver union-find (one collect of the edge list, O(E α)) beats
+    // 2 keyed shuffles + a scalar collect per iteration. Above it, the
+    // distributed label-propagation loop takes over; the count that
+    // picks the strategy is a metadata-scale aggregate.
+    val nEdges = edges.count()
+    val result =
+      if (nEdges <= driverMaxEdges) driverUnionFind(pairs.sparkSession, edges)
+      else distributedComponents(edges, maxIters)
+    edges.unpersist()
+    result
+  }
+
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("src"), col("dst")).collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min root wins → the final label IS the component minimum
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster_id")
+  }
+
+  private def distributedComponents(edges: DataFrame, maxIters: Int): DataFrame = {
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -325,7 +365,6 @@ object Dedup {
       converged = prev.compareTo(curr) == 0
       it += 1
     }
-    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIters iterations " +

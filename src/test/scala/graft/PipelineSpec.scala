@@ -231,6 +231,11 @@ class PipelineSpec extends SparkSpec {
     val comps = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 5L).forall(comps(_) == 1L) && comps(10L) == 10L && comps(11L) == 10L)
+    // both strategies — driver union-find (default at this size) and
+    // distributed label propagation (forced) — must agree exactly
+    val dist = Dedup.connectedComponents(pairs, driverMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == comps)
     val docs = (1L to 12L).toDF("vid")
     val assigned = Dedup.clusterAssign(docs, "vid", pairs)
     assert(assigned.columns.toSeq == Seq("vid", "cluster_id", "is_kept"))
@@ -244,10 +249,11 @@ class PipelineSpec extends SparkSpec {
     // a 64-node path needs ~log2(64) pointer-jump rounds plus one
     // confirmation round; maxIters=1 must fail loudly, never silently
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException](Dedup.connectedComponents(chain, maxIters = 1).collect())
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIters = 1, driverMaxEdges = 0L).collect())
     assert(e.getMessage.contains("did not converge"))
     // ...and enough iterations converge to a single component
-    val ok = Dedup.connectedComponents(chain, maxIters = 20)
+    val ok = Dedup.connectedComponents(chain, maxIters = 20, driverMaxEdges = 0L)
     assert(ok.select(countDistinct(col("cluster_id"))).collect()(0).getLong(0) == 1L)
   }
 
