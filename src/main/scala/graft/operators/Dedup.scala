@@ -60,36 +60,51 @@ object Dedup {
   /** C2: exact n-gram Jaccard pairs at >= tauPct/100 similarity.
     * Thresholding uses pure integer math (100*|I| >= tau*|U|) so the
     * result is reproducible bit-for-bit on any engine.
-    * Quadratic-in-block by design — see class doc.
+    *
+    * PPJoin-style prefix-filtered set-similarity join (exact, never
+    * probabilistic): two sets with Jaccard >= τ MUST share at least
+    * one element among each set's first (|s| - ⌈τ|s|⌉ + 1) elements
+    * under any global total order — candidates therefore join only on
+    * PREFIX postings (the rarest ~(1-τ) of each doc's shingles, in
+    * global document-frequency order), then every candidate pair is
+    * verified exactly with a sorted-merge intersection on the full
+    * hash sets. Ordering rare-first makes the hottest shingles drop
+    * out of the join entirely: the classic quadratic blowup on a
+    * corpus-wide common trigram cannot happen. Every stage is a keyed
+    * shuffle (df agg on hash, prefix rank on id, candidate join on
+    * hash, verify joins on id) — no stage quadratic in corpus size.
+    * Jaccard over 64-bit hashed shingles equals string-shingle
+    * Jaccard w.h.p.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {
-    // Inverted-index set-similarity join (the exact, scalable design):
-    // explode docs into (shingle_hash, id, set_size) postings,
-    // self-join the postings on the 64-bit shingle hash, and count
-    // matches per (id_a, id_b) — that count IS |A∩B|, so no shingle
-    // array ever travels through a join. Work is sum over shingles of
-    // freq², i.e. proportional to actually-shared structure instead of
-    // |corpus|²; every stage is a keyed shuffle, so it partitions at
-    // any scale (at extreme corpus sizes a PPJoin-style prefix filter
-    // drops the hottest shingles first — freq is naturally bounded
-    // here). Pairs sharing no shingle can't reach any tau >= 1%, so
-    // skipping them is lossless; Jaccard over 64-bit hashed shingles
-    // equals string-shingle Jaccard w.h.p.
-    val sh = df.select(
-      col(idCol).as("id"),
-      array_distinct(shingleHashSet(col(textCol), n)).as("sh")
-    )
-    val postings = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("h"))
-    val a = postings.select(col("h"), col("id").as("id_a"), col("n").as("na"))
-    val b = postings.select(col("h"), col("id").as("id_b"), col("n").as("nb"))
-    a.join(b, Seq("h"))
-      .filter(
-        col("id_a") < col("id_b") &&
-          least(col("na"), col("nb")) * 100 >= greatest(col("na"), col("nb")) * tauPct
-      )
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("i"))
-      .withColumn("u", (col("na") + col("nb")).cast("long") - col("i"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val sh = df
+      .select(col(idCol).as("id"), array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))
+      .withColumn("nsh", size(col("hs")).cast("long"))
+      .persist()
+    val posts = sh.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
+    val freq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // prefix length |s| - ceil(τ|s|) + 1, integer math
+    val prefLen = col("nsh") - floor((col("nsh") * tauPct + 99L) / 100L) + 1L
+    val prefix = posts
+      .join(freq, "h")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefLen)
+      .select(col("h"), col("id"), col("nsh"))
+    val cands = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          // size filter: |A| and |B| within τ of each other or J < τ
+          least(col("a.nsh"), col("b.nsh")) * 100 >= greatest(col("a.nsh"), col("b.nsh")) * tauPct)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val full = sh.select(col("id"), col("hs"), col("nsh"))
+    cands
+      .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"), col("nsh").as("na")), "id_a")
+      .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("i", graft.functions.VecOps.sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .withColumn("u", col("na") + col("nb") - col("i"))
       .filter(col("i") * 100 >= col("u") * tauPct)
       .select(col("id_a"), col("id_b"), floor(col("i") * lit(100.0) / col("u")).as("jacc_pct"))
       .orderBy(col("id_a"), col("id_b"))
