@@ -61,6 +61,21 @@ class ScaleSpec extends SparkSpec {
       s"(missed ${(truth -- pairs).size}, extra ${(pairs -- truth).size})")
   }
 
+  test("prefix-filtered exact n-gram Jaccard at 100k docs: exact staged recovery", Slow) {
+    val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val docs = spark.read.parquet(docsPath)
+    val truth = SyntheticCorpus.stagedPairs(100000)
+    val (pairs, sec) = time {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    info(f"prefix-filtered exact join over 100k docs: $sec%.1fs, ${pairs.size} pairs")
+    // the EXACT algorithm must recover exactly the staged dups — the
+    // prefix filter is lossless by theorem, this is the empirical check
+    assert(pairs == truth, s"prefix filter lost pairs: missed ${(truth -- pairs).size}, " +
+      s"extra ${(pairs -- truth).size}")
+  }
+
   test("IVF at nClusters=1024: broadcast-join assignment, persisted index, decent recall", Slow) {
     val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 100000, dim = 32)
     val vecs = spark.read.parquet(vecsPath)
