@@ -368,9 +368,9 @@ object SparkEntry {
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")),
-    "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text")),
-    "text_stats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text")),
-    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_stats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint64(col("text")).as("fp")).orderBy("doc_id")),
     "text_topterms" -> ((s, d) =>

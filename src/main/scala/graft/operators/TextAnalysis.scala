@@ -59,7 +59,7 @@ object TextAnalysis {
     ).withColumn(
       "stop_score",
       when(col("n_words") > 0, floor(lit(100.0) * col("n_stop") / col("n_words"))).otherwise(0L)
-    ).orderBy(col(idCol))
+    )
   }
 
   /** C9b: repetition/shape statistics, all integer: scaled average
@@ -74,7 +74,7 @@ object TextAnalysis {
         .as("avg_word_len_x10"),
       graft.functions.VecOps.max_word_rep(w).as("max_word_rep"),
       size(array_distinct(w)).cast("long").as("n_distinct_words")
-    ).orderBy(col(idCol))
+    )
   }
 
   /** C10: token counts — whitespace tokens and a BPE-ish regex
@@ -86,6 +86,6 @@ object TextAnalysis {
       col(idCol),
       regexp_count(c, lit("[^ ]+")).cast("long").as("n_ws_tokens"),
       regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_bpe_tokens")
-    ).orderBy(col(idCol))
+    )
   }
 }

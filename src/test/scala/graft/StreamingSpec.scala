@@ -47,6 +47,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless curation operators run unchanged on a stream (quality + PII scrub)") {
+    // the curation layer is pure projections, so the SAME code serves
+    // batch backfill and continuous ingest — no streaming variants
+    val dir = tmpDir("graft_stream_curate")
+    val batch = Catalog.load(spark, sf, "documents")
+      .select(col("doc_id"), concat(col("text"), lit(" mail x@y.io")).as("text"))
+    batch.repartition(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = operators.TextAnalysis.quality(
+        stream.withColumn("text", operators.Curation.scrubPii(col("text"))), "doc_id", "text")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("curate_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream_out").orderBy("doc_id").collect()
+      val expected = operators.TextAnalysis.quality(
+          batch.withColumn("text", operators.Curation.scrubPii(col("text"))), "doc_id", "text")
+        .orderBy("doc_id").collect()
+      assert(streamed.toSeq == expected.toSeq && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops cross-batch duplicates inside the watermark") {
     // stage a doc stream with known duplicates: each text appears 3x
     // under different ids/timestamps, spread across files/micro-batches
