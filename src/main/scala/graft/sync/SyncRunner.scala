@@ -81,6 +81,23 @@ object SyncRunner {
     Seq(state).toDS().write.mode("append").parquet(stateDir)
   }
 
+  /** Per-table sync history, newest first — the reference's
+    * `query_sync_state(table_name)` report
+    * (clickhouse_to_bytehouse.py:205-214, `ORDER BY sync_time DESC
+    * LIMIT 10`). The state table is tiny; this is a metadata read.
+    */
+  def stateHistory(spark: SparkSession, stateDir: String, table: String, limit: Int = 10): DataFrame = {
+    import spark.implicits._
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) spark.emptyDataset[SyncState].toDF()
+    else
+      spark.read.parquet(stateDir)
+        .filter(col("table_name") === table)
+        .orderBy(col("updated_us").desc)
+        .limit(limit)
+  }
+
   /** Sync state for the mongo variant's ObjectId watermark
     * (mongodb_to_bytehouse.py:579-679): `last_id` is the monotone
     * 24-hex-char `_id` kept as a STRING, exactly like the reference's

@@ -104,6 +104,21 @@ class SyncSpec extends SparkSpec {
     assert(stamps == Set(4242000000L))
   }
 
+  test("stateHistory: newest-first bounded report per table (ref query_sync_state)") {
+    val stateDir = tmp("graft_hist_state") + "/state"
+    (1L to 12L).foreach { i =>
+      SyncRunner.appendState(spark, stateDir,
+        SyncRunner.SyncState("t1", "ts", i * 100, i, "incremental", i))
+    }
+    SyncRunner.appendState(spark, stateDir,
+      SyncRunner.SyncState("t2", "ts", 1L, 1L, "full", 99L))
+    val h = SyncRunner.stateHistory(spark, stateDir, "t1").collect()
+    assert(h.length == 10) // bounded like the reference's LIMIT 10
+    assert(h.map(_.getAs[Long]("updated_us")).toSeq == (12L to 3L by -1).toSeq) // newest first
+    assert(SyncRunner.stateHistory(spark, stateDir, "t2").count() == 1)
+    assert(SyncRunner.stateHistory(spark, tmp("graft_hist_none") + "/state", "x").count() == 0)
+  }
+
   test("auto mode upsert: updated rows replace, not duplicate") {
     import spark.implicits._
     val stateDir = tmp("graft_state2") + "/state"
