@@ -36,15 +36,29 @@ object SyncRunner {
       last_update_us: Long = Long.MinValue
   )
 
-  def readState(spark: SparkSession, stateDir: String, table: String): Option[SyncState] = {
-    import spark.implicits._
+  /** The state table as a DataFrame, or None when the dir is missing
+    * OR exists but holds no parquet yet — a sync that crashed between
+    * mkdir and first write must read as "no state", not throw
+    * UNABLE_TO_INFER_SCHEMA on every later pass.
+    */
+  private def readStateTable(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
+      val hasData = fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasData) Some(spark.read.parquet(stateDir)) else None
+    }
+  }
+
+  def readState(spark: SparkSession, stateDir: String, table: String): Option[SyncState] = {
+    import spark.implicits._
+    readStateTable(spark, stateDir).flatMap { raw =>
       // tolerate state dirs written before the dual-watermark columns
       // existed (the reference defaults them the same way)
-      val raw = spark.read.parquet(stateDir)
       val full = Seq(
         "update_time_field" -> lit(""),
         "last_update_us" -> lit(Long.MinValue)
@@ -67,13 +81,12 @@ object SyncRunner {
     */
   def listSyncState(spark: SparkSession, stateDir: String): DataFrame = {
     import spark.implicits._
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) spark.emptyDataset[SyncState].toDF()
-    else
-      Incremental.latestPerKey(
-        spark.read.parquet(stateDir), Seq("table_name"), Seq("updated_us"))
-        .orderBy("table_name")
+    readStateTable(spark, stateDir) match {
+      case None => spark.emptyDataset[SyncState].toDF()
+      case Some(raw) =>
+        Incremental.latestPerKey(raw, Seq("table_name"), Seq("updated_us"))
+          .orderBy("table_name")
+    }
   }
 
   def appendState(spark: SparkSession, stateDir: String, state: SyncState): Unit = {
@@ -88,14 +101,13 @@ object SyncRunner {
     */
   def stateHistory(spark: SparkSession, stateDir: String, table: String, limit: Int = 10): DataFrame = {
     import spark.implicits._
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) spark.emptyDataset[SyncState].toDF()
-    else
-      spark.read.parquet(stateDir)
-        .filter(col("table_name") === table)
-        .orderBy(col("updated_us").desc)
-        .limit(limit)
+    readStateTable(spark, stateDir) match {
+      case None => spark.emptyDataset[SyncState].toDF()
+      case Some(raw) =>
+        raw.filter(col("table_name") === table)
+          .orderBy(col("updated_us").desc)
+          .limit(limit)
+    }
   }
 
   /** Sync state for the mongo variant's ObjectId watermark
@@ -108,17 +120,14 @@ object SyncRunner {
 
   def readOidState(spark: SparkSession, stateDir: String, table: String): Option[OidSyncState] = {
     import spark.implicits._
-    val p = new Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else
-      spark.read.parquet(stateDir)
-        .filter(col("table_name") === table)
+    readStateTable(spark, stateDir).flatMap { raw =>
+      raw.filter(col("table_name") === table)
         .orderBy(col("updated_us").desc, col("last_id").desc)
         .limit(1)
         .as[OidSyncState]
         .collect()
         .headOption
+    }
   }
 
   def appendOidState(spark: SparkSession, stateDir: String, state: OidSyncState): Unit = {

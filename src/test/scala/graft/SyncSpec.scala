@@ -119,6 +119,17 @@ class SyncSpec extends SparkSpec {
     assert(SyncRunner.stateHistory(spark, tmp("graft_hist_none") + "/state", "x").count() == 0)
   }
 
+  test("state readers treat an existing-but-empty state dir as no state (crash between mkdir and write)") {
+    val emptyDir = tmp("graft_empty_state") // exists, holds no parquet
+    assert(SyncRunner.readState(spark, emptyDir, "t").isEmpty)
+    assert(SyncRunner.readOidState(spark, emptyDir, "t").isEmpty)
+    assert(SyncRunner.listSyncState(spark, emptyDir).count() == 0)
+    assert(SyncRunner.stateHistory(spark, emptyDir, "t").count() == 0)
+    // ...and a later pass can still write + read through the same dir
+    SyncRunner.appendState(spark, emptyDir, SyncRunner.SyncState("t", "ts", 1L, 1L, "full", 1L))
+    assert(SyncRunner.readState(spark, emptyDir, "t").nonEmpty)
+  }
+
   test("auto mode upsert: updated rows replace, not duplicate") {
     import spark.implicits._
     val stateDir = tmp("graft_state2") + "/state"
