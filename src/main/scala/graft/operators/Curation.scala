@@ -89,6 +89,8 @@ object Curation {
     * shard, pack = floor(preceding-cumsum / budget) (a document starts
     * in the pack where its first token lands; standard concat packing
     * semantics). One keyed shuffle per shard window; shards scale out.
+    * Output schema is (idCol, n_tokens, shard, pack_id) — join back by
+    * id to carry document payloads into the packs.
     */
   def packSequences(
       df: DataFrame,
@@ -97,6 +99,7 @@ object Curation {
       budget: Long,
       shards: Int = 16
   ): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol), tokensCol.as("n_tokens"), pmod(col(idCol), lit(shards.toLong)).as("shard"))
       .withColumn("pack_id", floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budget)))
