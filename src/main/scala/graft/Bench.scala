@@ -29,7 +29,7 @@ object Bench {
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_scrub_pii", "text_strip_html", "sample_split", "decontam_overlap", "pack_sequences",
     "curate_corpus",
-    "mm_binary_meta", "mm_frame_sample"
+    "mm_binary_meta", "mm_frame_sample", "mm_byte_resize"
   )
 
   def main(args: Array[String]): Unit = {

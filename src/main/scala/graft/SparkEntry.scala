@@ -450,6 +450,10 @@ object SparkEntry {
         "doc_id",
         "payload"
       )),
+    "mm_byte_resize" -> ((s, d) =>
+      Multimodal.byteResize(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", stride = 4, maxBytes = 16)),
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -901,6 +905,12 @@ object SparkEntry {
         | lower(hex(CAST(substring(text,1,8) AS BLOB))) AS header_hex,
         | md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_byte_resize" ->
+      """SELECT doc_id, CAST(octlen AS BIGINT) AS byte_len, array_to_string(
+        |  [substring(hx, i*8+1, 2) for i in range(0, 16) if i*4 < octlen], '') AS resized_hex
+        |FROM (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+        |             octet_length(CAST(text AS BLOB)) AS octlen FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, f AS frame_idx, lower(hex(CAST(substring(text, CAST(1+f*64 AS INT), 16) AS BLOB))) AS frame_hex
         |FROM documents, (SELECT unnest(range(4)) AS f) t

@@ -48,6 +48,33 @@ object Multimodal {
       .orderBy(col(idCol), col("frame_idx"))
   }
 
+  /** C22: strided byte downsampling — the "resize" analog expressed on
+    * the opaque payload: keep every `stride`-th byte, at most
+    * `maxBytes` of them, as lowercase hex. A real image resize swaps
+    * the byte stride for a pixel kernel inside the decoder; the
+    * Spark-side shape — a pure codegen projection over binary, no
+    * shuffle, output bounded per row — is identical.
+    */
+  def byteResize(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int = 4,
+      maxBytes: Int = 16
+  ): DataFrame = {
+    val hx = lower(hex(col(binCol)))
+    val n = length(col(binCol)).cast("long")
+    val sampled = transform(
+      sequence(lit(0), lit(maxBytes - 1)),
+      i => when(i * stride < n, hx.substr(i * lit(2 * stride) + 1, lit(2)))
+    )
+    df.select(
+      col(idCol),
+      n.as("byte_len"),
+      array_join(filter(sampled, x => x.isNotNull), "").as("resized_hex")
+    ).orderBy(col(idCol))
+  }
+
   /** Feature row produced by the (stubbed) decoder. */
   case class MediaFeatures(id: Long, width: Int, height: Int, featureNorm: Double)
 

@@ -65,6 +65,21 @@ object ClickHouseDdl {
       "ENGINE = CnchMergeTree() ORDER BY tuple() UNIQUE KEY _id"
   }
 
+  /** The reference's `_sync_state` table DDL, ES-variant shape
+    * (es_to_bytehouse.py:412-427): per-index sync bookkeeping with
+    * STRING watermarks (times compare lexicographically in ISO form),
+    * dual create/update watermark columns defaulting empty, and an
+    * `updated_at` row version — newest row per index wins on read.
+    * Emitted single-line like the rest of this generator.
+    */
+  def syncStateTableSql(db: String, table: String = "_sync_state"): String =
+    s"CREATE TABLE IF NOT EXISTS `$db`.`${Flatten.sanitizeName(table)}` (" +
+      "`index_name` String, `table_name` String, `time_field` String, " +
+      "`update_time_field` String DEFAULT '', `last_sync_time` String, " +
+      "`last_update_time` String DEFAULT '', `last_sync_count` Int64, " +
+      "`updated_at` DateTime64(3) DEFAULT now64(3)) " +
+      "ENGINE = CnchMergeTree() ORDER BY (index_name)"
+
   def insertSql(db: String, table: String, columns: Seq[String]): String = {
     val cols = columns.map(c => s"`${Flatten.sanitizeName(c)}`").mkString(", ")
     s"INSERT INTO `$db`.`${Flatten.sanitizeName(table)}` ($cols) VALUES"

@@ -116,6 +116,18 @@ class MigrationSpec extends SparkSpec {
     assert(withSource.contains("`_id` String, `_source` String, `_timestamp` DateTime64(3)"))
   }
 
+  test("sync-state table DDL matches the reference's ES-variant shape") {
+    val ddl = ClickHouseDdl.syncStateTableSql("es_migration")
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS `es_migration`.`_sync_state` ("))
+    // all columns in reference order, string watermarks, defaults
+    for (c <- Seq(
+        "`index_name` String", "`table_name` String", "`time_field` String",
+        "`update_time_field` String DEFAULT ''", "`last_sync_time` String",
+        "`last_update_time` String DEFAULT ''", "`last_sync_count` Int64",
+        "`updated_at` DateTime64(3) DEFAULT now64(3)")) assert(ddl.contains(c), c)
+    assert(ddl.endsWith("ENGINE = CnchMergeTree() ORDER BY (index_name)"))
+  }
+
   test("salted aggregation equals direct aggregation (skew path)") {
     val li = Catalog.load(spark, sf, "lineitem")
     val direct = operators.Analytics.q1Pricing(li)
