@@ -155,8 +155,7 @@ object Analytics {
       stages: Seq[String]
   ): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val spark = events.sparkSession
-    import spark.implicits._
+    require(stages.forall(_.matches("[A-Za-z0-9_-]+")), "stage names must be simple identifiers")
     val us = unix_micros(col(tsCol).cast("timestamp"))
     // t0 = earliest stage-0 event per user
     var reached = events
@@ -174,9 +173,11 @@ object Analytics {
         .agg(min(when(col("__ts") > col(s"t${i - 1}"), col("__ts"))).as(s"t$i"))
     }
     val counts = stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i"))
-    val row = reached.agg(counts.head, counts.tail: _*).collect()(0)
-    stages.indices
-      .map(i => (i.toLong, stages(i), row.getLong(i)))
-      .toDF("stage_idx", "stage", "n_users")
+    // unpivot the 1-row count aggregate with stack() — stays a lazy
+    // plan end to end, no driver materialization
+    val stacked = stages.indices.map(i => s"CAST($i AS BIGINT), '${stages(i)}', n$i").mkString(", ")
+    reached
+      .agg(counts.head, counts.tail: _*)
+      .selectExpr(s"stack(${stages.length}, $stacked) AS (stage_idx, stage, n_users)")
   }
 }
