@@ -44,6 +44,16 @@ class CurationSpec extends SparkSpec {
     assert(frac.values.sum == 1.0)
   }
 
+  test("hashSplit edge cases: 100% train, zero val, invalid sums rejected") {
+    val all = Curation.hashSplit(docs, "doc_id", trainPct = 100, valPct = 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(all == Set("train"))
+    val noVal = Curation.hashSplit(docs, "doc_id", trainPct = 90, valPct = 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(noVal == Set("train", "test"))
+    intercept[IllegalArgumentException](Curation.hashSplit(docs, "doc_id", trainPct = 90, valPct = 20))
+  }
+
   test("contaminationHits: verbatim benchmark overlap flagged, disjoint docs clean") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight"),

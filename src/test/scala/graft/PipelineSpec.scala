@@ -225,6 +225,20 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_.id) == Seq(1L, 2L, 4L))
   }
 
+  test("topk aggregator: any insertion order and merge split yields the same sorted top-k") {
+    val rnd = new scala.util.Random(42)
+    val agg = new operators.TopKAggregator(5)
+    val items = Seq.fill(200)(operators.ScoredId(rnd.nextInt(20) / 10.0, rnd.nextInt(50).toLong))
+    val expected = items.sortBy(s => (-s.score, s.id)).take(5)
+    for (trial <- 1 to 10) {
+      val shuffled = rnd.shuffle(items)
+      val (l, r) = shuffled.splitAt(rnd.nextInt(items.length))
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+      assert(merged == expected, s"trial $trial")
+    }
+  }
+
   test("connectedComponents labels a path graph and honors a custom id column") {
     // path 1-2-3-4-5 plus isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id_a", "id_b")
