@@ -250,6 +250,24 @@ object SparkEntry {
           max(unix_micros(col("l_shipdate").cast("timestamp"))).as("max_ship_us")
         )
     }),
+    "median_price" -> ((s, d) => {
+      // exact grouped DISCRETE median (lower median: element at rank
+      // ceil(n/2) under a total order) — integer cents + id tiebreak
+      // make it engine-reproducible where interpolated percentiles are
+      // not. One window sort per group; the approx-sketch alternative
+      // for wide groups is percentile_approx (tested in PipelineSpec).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_c"), col("o_orderkey"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), Analytics.cents(col("o_totalprice")).as("price_c"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === floor((col("n") + 1) / lit(2.0)))
+        .select(col("o_orderpriority"), col("price_c").as("median_price_c"), col("n").as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "funnel_counts" -> ((s, d) =>
       // strict-order funnel over the event log: view -> click (after
       // the first view) -> purchase (after that click)
@@ -672,6 +690,14 @@ object SparkEntry {
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "median_price" ->
+      """WITH r AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM orders)
+        |SELECT o_orderpriority, price_c AS median_price_c, CAST(n AS BIGINT) AS n_orders
+        |FROM r WHERE rn = (n+1)//2 ORDER BY o_orderpriority""".stripMargin,
     "funnel_counts" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type='view' GROUP BY 1),
