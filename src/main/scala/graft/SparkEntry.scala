@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fingerprint64.fingerprint64
-import graft.operators.{AllString, Analytics, AsOfJoin, Curation, Dedup, Incremental, Multimodal, Similarity, TextAnalysis, TypeMapper}
+import graft.operators.{AllString, Analytics, AsOfJoin, Curation, Dedup, Incremental, Multimodal, Similarity, TextAnalysis, TimeSeries, TypeMapper}
 import graft.sinks.ClickHouseDdl
 import graft.sources.{Catalog, JsonIngest}
 
@@ -275,6 +275,19 @@ object SparkEntry {
         .funnelCounts(t(s, d, "events"), "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"))
         .orderBy("stage_idx")),
+    "retention_cohorts" -> ((s, d) =>
+      // B21: weekly signup-cohort retention
+      TimeSeries.retentionCohorts(t(s, d, "events"), "signup")),
+    "resample_gapfill" -> ((s, d) =>
+      // B22: per-user daily grid over the corpus span, zero-filled
+      TimeSeries.gapFillDaily(t(s, d, "events"), "error", maxUserId = 8L)),
+    "moving_7d" -> ((s, d) =>
+      // B23: trailing 7-day RANGE-frame revenue window
+      TimeSeries.movingRevenue7d(t(s, d, "lineitem"))),
+    "pivot_daily_events" -> ((s, d) =>
+      // B24: daily counts pivoted to one column per event type
+      TimeSeries.pivotDailyCounts(t(s, d, "events"),
+        Seq("click", "error", "purchase", "signup", "view"))),
     "q4_semi_join" -> ((s, d) => {
       // EXISTS semi-join (TPC-H Q4 shape): orders with any lineitem
       // shipped >90 days after the order date — left_semi keeps the
@@ -710,6 +723,42 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'click', CAST(count(t1) AS BIGINT) FROM s2
         |  UNION ALL SELECT 2, 'purchase', CAST(count(t2) AS BIGINT) FROM s2
         |) ORDER BY stage_idx""".stripMargin,
+    "retention_cohorts" ->
+      """WITH s AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        |           FROM events WHERE event_type='signup' GROUP BY 1)
+        |SELECT epoch_us(cohort_week) AS cohort_week_us,
+        |       CAST(date_diff('day', cohort_week, date_trunc('week', e.ts)) // 7 AS BIGINT) AS weeks_since,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN s USING (user_id)
+        |WHERE date_trunc('week', e.ts) >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "resample_gapfill" ->
+      """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        |ev AS (SELECT * FROM events WHERE event_type='error' AND user_id < 8),
+        |grid AS (SELECT u.user_id, CAST(unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |         FROM (SELECT DISTINCT user_id FROM ev) u, span s),
+        |c AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n FROM ev GROUP BY 1,2)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.day = c.day
+        |ORDER BY 1, 2""".stripMargin,
+    "moving_7d" ->
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |                  CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS rev_c
+        |           FROM lineitem GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, rev_c,
+        |       CAST(sum(rev_c) OVER w AS BIGINT) AS rev_7d_c,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_days_7d
+        |FROM d
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+    "pivot_daily_events" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |       count(*) FILTER (WHERE event_type='click') AS n_click,
+        |       count(*) FILTER (WHERE event_type='error') AS n_error,
+        |       count(*) FILTER (WHERE event_type='purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type='signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type='view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q4_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over the events/lineitem tables: cohort
+  * retention, gap-filled resampling, trailing-range windows, and
+  * pivoted rollups — the dashboard queries the reference's target
+  * warehouse (ClickHouse) exists to serve, re-expressed as Spark
+  * plans.
+  *
+  * Output stability follows the repo contract (SparkEntry scaladoc):
+  * integer cents, unix_micros / `yyyy-MM-dd` strings, total ordering.
+  */
+object TimeSeries {
+
+  /** B21: weekly cohort retention. Cohort = week of a user's first
+    * `cohortType` event; a user is retained in week k if they have ANY
+    * event in cohort_week + k.
+    *
+    * Plan shape: two keyed aggregations (user → cohort week, then
+    * (cohort, week) → distinct users) plus one join on the user key.
+    * The join is NOT forced broadcast: at 100 TB the per-user cohort
+    * frame is |users|-sized, so it must stay a hash join; AQE may
+    * still broadcast it when small.
+    */
+  def retentionCohorts(events: DataFrame, cohortType: String = "signup"): DataFrame = {
+    val cohorts = events
+      .filter(col("event_type") === cohortType)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+    events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .join(cohorts, Seq("user_id"))
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(
+        unix_micros(col("cohort_week")).as("cohort_week_us"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("weeks_since")
+      )
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week_us"), col("weeks_since"))
+  }
+
+  /** B22: gap-filled daily resample — per-user daily event counts over
+    * the FULL corpus date span, missing days emitted as zero rows (the
+    * "resample to a regular grid" step every downstream time-series
+    * model needs).
+    *
+    * The grid is built lazily: a 1-row global min/max aggregate is
+    * broadcast-cross-joined to the distinct-user frame and exploded
+    * with `sequence` — no driver-side date loop, no collect. The count
+    * frame joins the grid on (user, day): one keyed shuffle each side.
+    */
+  def gapFillDaily(events: DataFrame, eventType: String, maxUserId: Long): DataFrame = {
+    val ev = events.filter(col("event_type") === eventType && col("user_id") < maxUserId)
+    val span = events.agg(
+      to_date(min(col("ts"))).as("d0"),
+      to_date(max(col("ts"))).as("d1")
+    )
+    val grid = ev
+      .select(col("user_id"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val counts = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    grid
+      .join(counts, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events")
+      )
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** B23: trailing 7-day revenue window over daily totals — a RANGE
+    * frame on epoch-day so calendar gaps are handled correctly (a ROWS
+    * frame would silently span gaps). The window runs AFTER the daily
+    * aggregation, so the unpartitioned sort touches only |days| rows —
+    * bounded (~36.5k rows per century) regardless of input scale; the
+    * heavy lifting is the keyed daily aggregation below it.
+    */
+  def movingRevenue7d(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("rev_c"))
+      .withColumn("epoch_day", unix_date(col("day")).cast("long"))
+    val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+    daily
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev_c"),
+        sum(col("rev_c")).over(w).as("rev_7d_c"),
+        count(lit(1)).over(w).as("n_days_7d")
+      )
+      .orderBy(col("day"))
+  }
+
+  /** B24: daily event counts pivoted to one column per event type.
+    * The type list is explicit — `pivot(col)` without values would run
+    * an extra distinct job over the full table to discover them, and a
+    * warehouse rollup has a known dimension vocabulary anyway.
+    */
+  def pivotDailyCounts(events: DataFrame, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty && types.forall(_.matches("[A-Za-z0-9_-]+")), "event types must be simple identifiers")
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*
+      )
+      .orderBy(col("day"))
+  }
+}

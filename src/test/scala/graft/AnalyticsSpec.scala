@@ -55,6 +55,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("retention cohorts: week-0 count is the cohort ceiling for every later week") {
+    import graft.operators.TimeSeries
+    val df = TimeSeries.retentionCohorts(graft.sources.Catalog.load(spark, sf, "events"))
+    val bad = df.alias("w")
+      .join(
+        df.filter(col("weeks_since") === 0)
+          .select(col("cohort_week_us").as("cw"), col("n_users").as("n0")),
+        col("cohort_week_us") === col("cw")
+      )
+      .filter(col("n_users") > col("n0"))
+      .count()
+    assert(bad == 0, "a later week retained more users than the cohort had at week 0")
+  }
+
+  test("gap-fill: grid is dense (users x full day span) and zero rows really have no events") {
+    import graft.operators.TimeSeries
+    val ev = graft.sources.Catalog.load(spark, sf, "events")
+    val df = TimeSeries.gapFillDaily(ev, "error", maxUserId = 8L).cache()
+    val users = df.select("user_id").distinct().count()
+    val days = df.select("day").distinct().count()
+    assert(df.count() == users * days, "grid must be the full cross product")
+    val span = ev.agg(
+      datediff(to_date(max(col("ts"))), to_date(min(col("ts")))).as("d")
+    ).head().getInt(0) + 1
+    assert(days == span, "grid must cover the whole corpus span")
+    val zeros = df.filter(col("n_events") === 0)
+    val real = ev.filter(col("event_type") === "error" && col("user_id") < 8)
+      .select(col("user_id"), date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+    assert(zeros.join(real, Seq("user_id", "day")).count() == 0)
+    df.unpersist()
+  }
+
+  test("moving 7d window: range frame spans at most 7 calendar days and sums its own days") {
+    import graft.operators.TimeSeries
+    val df = TimeSeries.movingRevenue7d(spark.read.parquet(s"$sf/lineitem.parquet")).cache()
+    assert(df.filter(col("n_days_7d") > 7).count() == 0)
+    // first row's window is itself only
+    val first = df.orderBy("day").head()
+    assert(first.getLong(1) == first.getLong(2) && first.getLong(3) == 1L)
+    // every 7-day sum >= that day's own revenue
+    assert(df.filter(col("rev_7d_c") < col("rev_c")).count() == 0)
+    df.unpersist()
+  }
+
+  test("pivot: per-type columns sum back to the raw event count") {
+    import graft.operators.TimeSeries
+    val ev = graft.sources.Catalog.load(spark, sf, "events")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val df = TimeSeries.pivotDailyCounts(ev, types)
+    val total = df
+      .select(types.map(t => sum(col(s"n_$t"))).reduce(_ + _).as("n"))
+      .head().getLong(0)
+    assert(total == ev.count())
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
