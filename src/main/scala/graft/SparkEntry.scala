@@ -413,6 +413,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
+    "text_rep_stats" -> ((s, d) =>
+      // C23: Gopher-style repetition filters (basis-point fractions)
+      TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_tfidf_top" -> ((s, d) =>
+      // C26: integer-exact tf-idf top-3 terms per document
+      TextAnalysis.tfidfTop(t(s, d, "documents"), "doc_id", "text", topK = 3)),
+    "dedup_passages" -> ((s, d) =>
+      // C24: corpus-level exact passage dedup (8-word chunks)
+      Dedup.passageDupStats(t(s, d, "documents"), "doc_id", "text", window = 8)),
+    "sample_stratified" -> ((s, d) =>
+      // C25: per-language deterministic downsampling (en 50%, zh 25%)
+      Curation
+        .stratifiedSample(t(s, d, "documents"), "doc_id", "lang", Map("en" -> 5000, "zh" -> 2500))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
     "curate_corpus" -> ((s, d) => {
       // the end-to-end curation decision, composed from the pipeline's
       // own operators: keep only near-dup-cluster survivors that also
@@ -642,6 +657,47 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS word
         |      FROM documents) x
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "text_rep_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS i FROM w),
+        |wstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |                 CAST(max(c) AS BIGINT) AS top_word_rep,
+        |                 CAST(sum(c) - count(*) AS BIGINT) AS n_dup
+        |          FROM (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1,2) GROUP BY 1),
+        |big AS (SELECT doc_id, word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS bg FROM tok),
+        |bstat AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_rep, CAST(sum(c) AS BIGINT) AS n_bigrams
+        |          FROM (SELECT doc_id, bg, count(*) AS c FROM big WHERE bg IS NOT NULL GROUP BY 1,2) GROUP BY 1)
+        |SELECT w.doc_id, w.n_words, w.top_word_rep,
+        |       CAST(coalesce(b.top_bigram_rep, 0) AS BIGINT) AS top_bigram_rep,
+        |       CASE WHEN w.n_words > 0 THEN CAST(10000 * w.top_word_rep // w.n_words AS BIGINT) ELSE 0 END AS top_word_bp,
+        |       CASE WHEN coalesce(b.n_bigrams,0) > 0 THEN CAST(10000 * b.top_bigram_rep // b.n_bigrams AS BIGINT) ELSE 0 END AS top_bigram_bp,
+        |       CASE WHEN w.n_words > 0 THEN CAST(10000 * w.n_dup // w.n_words AS BIGINT) ELSE 0 END AS dup_word_bp
+        |FROM wstat w LEFT JOIN bstat b USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    "text_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1,2),
+        |d AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
+        |s AS (SELECT *, CAST(tf * 1000000 // df AS BIGINT) AS score,
+        |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * 1000000 // df DESC, term) AS BIGINT) AS rk FROM d)
+        |SELECT doc_id, rk, term, tf, df, score FROM s WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "dedup_passages" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(range(0, CAST(len(ws) // 8 AS INT)),
+        |        i -> md5(array_to_string(ws[i*8+1 : i*8+8], ' ')))) AS ph FROM w),
+        |dup AS (SELECT ph FROM p GROUP BY ph HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |       CAST(sum(CASE WHEN dup.ph IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+        |       CAST(10000 * sum(CASE WHEN dup.ph IS NOT NULL THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS dup_passage_bp
+        |FROM p LEFT JOIN dup ON p.ph = dup.ph
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |      substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |    (a,x) -> a*16+x) % 10000 AS bucket FROM documents)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 10000 END
+        |ORDER BY doc_id""".stripMargin,
     "incremental_or" ->
       """SELECT count(*) AS n_rows,
         | CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,

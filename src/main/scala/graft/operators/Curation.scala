@@ -54,6 +54,32 @@ object Curation {
     )
   }
 
+  /** C25: deterministic stratified sampling — per-stratum keep rates
+    * in basis points (0-10000), e.g. downsample an over-represented
+    * language. The keep decision hashes `stratum:id` (salted so
+    * sampling is independent of [[splitBucket]]'s buckets — a doc's
+    * train/val/test split must not correlate with whether it
+    * survives sampling). Pure projection + filter: stateless,
+    * partition-local, reproducible on resume — never `rand()`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      ratesBp: Map[String, Int],
+      defaultBp: Int = 10000
+  ): DataFrame = {
+    require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000), "rates are basis points 0-10000")
+    val bucket = pmod(
+      conv(substring(md5(concat_ws(":", col(strataCol), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(10000L)
+    )
+    val rate = ratesBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** Benchmark decontamination: corpus docs sharing at least
     * `minShared` word n-grams with any benchmark/eval document. The
     * benchmark side is tiny by nature → broadcast its distinct shingle

@@ -57,6 +57,48 @@ object Dedup {
       .select(col("kept_id"), col("n_dups"))
       .orderBy(col("kept_id"))
 
+  /** C24: corpus-level exact passage dedup — the practical form of
+    * exact-substring deduplication a pre-training pipeline runs: chop
+    * every document into consecutive NON-overlapping `window`-word
+    * passages, find passages occurring in ≥2 distinct documents, and
+    * report per document how much of it is globally duplicated
+    * material. Returns (idCol, n_passages, n_dup_passages,
+    * dup_passage_bp) — basis points of duplicated passages, the usual
+    * drop/trim threshold input.
+    *
+    * Plan shape: a per-row `transform(sequence)` chops passages with
+    * no explode until the corpus-wide aggregation; the duplicate set
+    * is a group-by on a 128-bit passage hash (shuffles 32 hex chars
+    * per passage, never documents); the verdict joins back on the same
+    * hash. Work is Θ(total words / window) rows through two keyed
+    * shuffles — no doc×doc stage, safe at any corpus size.
+    */
+  def passageDupStats(df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame = {
+    require(window >= 2, "passage window must be at least 2 words")
+    val w = split(normalize(col(textCol)), " ")
+    val nPass = floor(size(w) / window).cast("int")
+    val passages = transform(
+      sequence(lit(0), nPass - 1),
+      i => md5(concat_ws(" ", slice(w, i * window + 1, lit(window))))
+    )
+    val exploded = df
+      .select(col(idCol), explode(when(nPass > 0, passages).otherwise(array())).as("ph"))
+    val dupSet = exploded
+      .groupBy(col("ph"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("ph"))
+    exploded
+      .join(dupSet.withColumn("isdup", lit(1L)), Seq("ph"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_passages")
+      )
+      .withColumn("dup_passage_bp", floor(lit(10000L) * col("n_dup_passages") / col("n_passages")))
+      .orderBy(col(idCol))
+  }
+
   /** C2: exact n-gram Jaccard pairs at >= tauPct/100 similarity.
     * Thresholding uses pure integer math (100*|I| >= tau*|U|) so the
     * result is reproducible bit-for-bit on any engine.

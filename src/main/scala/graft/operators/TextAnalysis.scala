@@ -77,6 +77,73 @@ object TextAnalysis {
     )
   }
 
+  /** C23: Gopher/C4-style repetition filters, integer-scaled (basis
+    * points): fraction of tokens belonging to the single most frequent
+    * word / bigram, and fraction of tokens that are repeats of an
+    * earlier word. High values mark boilerplate and template spam —
+    * the standard pre-training quality gates.
+    *
+    * All per-row expressions: the bigram array is built with
+    * `zip_with` over two shifted slices and both "most repeated
+    * element" counts reuse the native sort-run kernel
+    * ([[graft.functions.VecOps.max_word_rep]]) — no explode, no
+    * shuffle, one codegen'd projection over the corpus.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat_ws(" ", a, b)
+    )
+    df.select(
+      col(idCol),
+      size(w).cast("long").as("n_words"),
+      graft.functions.VecOps.max_word_rep(w).as("top_word_rep"),
+      (size(w) - size(array_distinct(w))).cast("long").as("n_dup_words"),
+      when(size(w) >= 2, graft.functions.VecOps.max_word_rep(bigrams)).otherwise(0L).as("top_bigram_rep"),
+      greatest(size(w) - 1, lit(0)).cast("long").as("n_bigrams")
+    ).select(
+      col(idCol),
+      col("n_words"),
+      col("top_word_rep"),
+      col("top_bigram_rep"),
+      when(col("n_words") > 0, floor(lit(10000L) * col("top_word_rep") / col("n_words")))
+        .otherwise(0L).as("top_word_bp"),
+      when(col("n_bigrams") > 0, floor(lit(10000L) * col("top_bigram_rep") / col("n_bigrams")))
+        .otherwise(0L).as("top_bigram_bp"),
+      when(col("n_words") > 0, floor(lit(10000L) * col("n_dup_words") / col("n_words")))
+        .otherwise(0L).as("dup_word_bp")
+    )
+  }
+
+  /** C26: integer-exact tf-idf top terms per document. The score is
+    * `floor(tf * 1e6 / df)` — monotone in tf/df like the classic
+    * `tf·log(N/df)` but bit-reproducible across engines (no
+    * transcendental, no float summation). Ties break on the term
+    * string, so the top-k set is fully deterministic.
+    *
+    * Plan shape: explode → (doc, term) count, then document frequency
+    * as an unordered window count over the term key (ONE pass over the
+    * tf frame — a self-join on the term dictionary would scan it
+    * twice), then a per-doc rank window. Three keyed shuffles total,
+    * each on a natural key.
+    */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("score", floor(col("tf") * lit(1000000L) / col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col(idCol), col("rk"))
+  }
+
   /** C10: token counts — whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation).
     */

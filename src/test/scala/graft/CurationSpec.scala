@@ -84,6 +84,65 @@ class CurationSpec extends SparkSpec {
     assert(sharded((1L, 5L)) == 0L)
   }
 
+  test("repetitionStats: known repetition fractions, bigram window correct") {
+    import graft.operators.TextAnalysis
+    // "a b a b a" -> words=5, top word 'a' x3; bigrams: "a b","b a","a b","b a" -> top rep 2 of 4
+    val df = Seq((1L, "a b a b a"), (2L, "one"), (3L, "x x x x")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got(0) == ((1L, 5L, 3L, 2L, 6000L, 5000L, 6000L))) // dup words: 5-2 distinct = 3 -> 6000bp
+    assert(got(1) == ((2L, 1L, 1L, 0L, 10000L, 0L, 0L)))      // single word: no bigrams, no dups
+    assert(got(2) == ((3L, 4L, 4L, 3L, 10000L, 10000L, 7500L))) // "x x x" bigram 3 of 3
+  }
+
+  test("tfidfTop: rare high-tf terms outrank common ones; ties break on term") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "common rare rare rare common zz"),
+      (2L, "common other other zz"),
+      (3L, "common third zz")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTop(df, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+    // doc 1: rare tf=3 df=1 -> 3e6; common tf=2 df=3 -> 666666
+    assert(top.filter(_._1 == 1L).map(t => (t._3, t._4)).toSeq ==
+      Seq(("rare", 3000000L), ("common", 666666L)))
+    // doc 3: third (1e6) then common/zz tie at 333333 -> 'common' wins alphabetically
+    assert(top.filter(_._1 == 3L).map(_._3).toSeq == Seq("third", "common"))
+  }
+
+  test("passageDupStats: shared 8-word passage detected, short tails ignored") {
+    import graft.operators.Dedup
+    val shared = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta tail-ignored"),
+      (2L, s"$shared completely different second half here now ok yes"),
+      (3L, "entirely unrelated words that appear exactly once each time")
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDupStats(df, "doc_id", "text", window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // docs 1/2: 2 passages each, first one shared; doc 3: 1 passage (9 words -> 1), unshared
+    assert(got == Seq((1L, 2L, 1L, 5000L), (2L, 2L, 1L, 5000L), (3L, 1L, 0L, 0L)))
+  }
+
+  test("stratifiedSample: deterministic, rate-0 drops stratum, rate-10000 keeps it whole") {
+    val s1 = Curation.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0, "de" -> 10000, "fr" -> 3000))
+    val s2 = Curation.stratifiedSample(docs.repartition(5), "doc_id", "lang", Map("en" -> 0, "de" -> 10000, "fr" -> 3000))
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == s2.select("doc_id").as[Long].collect().sorted.toSeq, "must not depend on partitioning")
+    val byLang = s1.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inLang = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("en"))
+    assert(byLang("de") == inLang("de"))
+    assert(byLang("fr") < inLang("fr") && byLang("fr") > 0)
+    // sampling must not correlate with the train/val/test split: the
+    // salted hash keeps roughly trainPct% of the sampled fr docs in train
+    val frTrain = Curation.hashSplit(s1.filter(col("lang") === "fr"), "doc_id")
+      .filter(col("split") === "train").count()
+    assert(frTrain > 0 && frTrain < inLang("fr"))
+  }
+
   test("decontam plan: benchmark side broadcasts (no full-corpus shuffle for the eval set)") {
     val plan = Curation.contaminationHits(
       docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5), "doc_id", "text")
