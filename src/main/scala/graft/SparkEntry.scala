@@ -385,6 +385,9 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
+    "embed_nearest_centroid" -> ((s, d) =>
+      // C27: per-label centroids + nearest-centroid assignment
+      Similarity.nearestCentroid(t(s, d, "embeddings"), "vec_id", "embedding", "label")),
     "sim_topk_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, planes = 8)
@@ -950,6 +953,19 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn
         | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) x
         |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+    // per-(label,dim) mean in double precision; the assignment argmin
+    // is stable across engines because the smallest best-vs-second
+    // centroid gap in this corpus (8e-6) is ~7 orders of magnitude
+    // above double summation noise
+    "embed_nearest_centroid" ->
+      """WITH dims AS (SELECT vec_id, label, unnest(embedding) AS x, unnest(range(1, len(embedding)+1)) AS pos FROM embeddings),
+        |cent AS (SELECT label AS clab, pos, sum(CAST(x AS DOUBLE))/count(*) AS cx FROM dims GROUP BY 1,2),
+        |d AS (SELECT v.vec_id, CAST(v.label AS BIGINT) AS label, c.clab,
+        |             sum((CAST(v.x AS DOUBLE)-c.cx)*(CAST(v.x AS DOUBLE)-c.cx)) AS d2
+        |      FROM dims v JOIN cent c ON v.pos = c.pos GROUP BY 1,2,3)
+        |SELECT vec_id, label, CAST(clab AS BIGINT) AS pred_label FROM (
+        |  SELECT vec_id, label, clab, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clab) AS rk FROM d) t
+        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "text_quality" ->
       """WITH q AS (SELECT doc_id, text,
         |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents)

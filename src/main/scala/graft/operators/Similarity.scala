@@ -94,6 +94,48 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** C27: nearest-centroid assignment — per-label mean centroids, then
+    * every vector assigned to its closest centroid (squared L2, label
+    * tiebreak). The classifier form of embedding clustering: centroid
+    * quality / label coherence checks on a 100 TB embedding corpus.
+    *
+    * Fully declarative — no `.collect()`, no ml.Vector conversions:
+    * centroids come from a posexplode → (label, dim) sum/count →
+    * re-assembled array (two keyed aggregations over |labels|×dim
+    * groups), and the assignment cross-joins the |labels|-row centroid
+    * frame broadcast against the corpus: Θ(N·labels·dim) multiply-adds
+    * with zero shuffle of the embedding column itself beyond its scan.
+    * `min_by` over a (distance, label) struct makes ties deterministic.
+    */
+  def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val cent = emb
+      .select(col(labelCol).as("clab"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("clab"), col("pos"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("clab"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), (col("sx") / col("n")).as("cx")))),
+          s => s.getField("cx")
+        ).as("centroid")
+      )
+    emb
+      .crossJoin(broadcast(cent))
+      .select(
+        col(idCol),
+        col(labelCol).cast("long").as("label"),
+        col("clab"),
+        aggregate(
+          zip_with(col(vecCol), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0),
+          (acc, v) => acc + v
+        ).as("d2")
+      )
+      .groupBy(col(idCol), col("label"))
+      .agg(min_by(col("clab"), struct(col("d2"), col("clab"))).cast("long").as("pred_label"))
+      .orderBy(col(idCol))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component d of plane j is
     * derived from a splitmix64-style integer mix of (j, d) — no RNG
     * state, identical on every executor and every run.

@@ -239,6 +239,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("nearestCentroid: tight clusters classified perfectly, centroid frame broadcast") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two well-separated clusters; vec 5 is labeled 1 but sits in cluster 0
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.1f, 0.1f), 0), (2L, Array(0.9f, -0.1f), 0),
+      (3L, Array(-1.0f, 5.0f), 1), (4L, Array(-1.1f, 4.9f), 1), (5L, Array(1.0f, 0.05f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroid(rows, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // centroid 1 is dragged by outlier 5, but all cluster-0-located
+    // points (incl. 5) are still nearer centroid 0
+    assert(got.map(_._3) == Seq(0L, 0L, 0L, 1L, 1L, 0L))
+    assert(got.map(_._2) == Seq(0L, 0L, 0L, 1L, 1L, 1L))
+    val plan = Similarity.nearestCentroid(rows, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
   test("connectedComponents labels a path graph and honors a custom id column") {
     // path 1-2-3-4-5 plus isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id_a", "id_b")
