@@ -19,17 +19,19 @@ object Bench {
     "window_rank", "sessionize",
     "rollup_pricing", "brand_revenue", "supplier_balance", "distinct_users",
     "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders", "funnel_counts",
-    "median_price",
+    "median_price", "retention_cohorts", "resample_gapfill", "moving_7d", "pivot_daily_events",
     "asof_last_click", "interval_join",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state",
     "upsert_latest", "scan_fields", "multi_table_union",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked",
     "dedup_clusters",
-    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf",
+    "dedup_passages",
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "embed_nearest_centroid",
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
-    "text_scrub_pii", "text_strip_html", "sample_split", "decontam_overlap", "pack_sequences",
-    "curate_corpus",
+    "text_rep_stats", "text_tfidf_top",
+    "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap",
+    "pack_sequences", "curate_corpus",
     "mm_binary_meta", "mm_frame_sample", "mm_byte_resize"
   )
 

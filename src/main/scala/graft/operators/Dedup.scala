@@ -67,11 +67,13 @@ object Dedup {
     * drop/trim threshold input.
     *
     * Plan shape: a per-row `transform(sequence)` chops passages with
-    * no explode until the corpus-wide aggregation; the duplicate set
-    * is a group-by on a 128-bit passage hash (shuffles 32 hex chars
-    * per passage, never documents); the verdict joins back on the same
-    * hash. Work is Θ(total words / window) rows through two keyed
-    * shuffles — no doc×doc stage, safe at any corpus size.
+    * no explode until the corpus-wide stage; "occurs in ≥2 distinct
+    * docs" is `min(id) != max(id)` over an unordered window on the
+    * 128-bit passage hash — ONE pass over the exploded frame, one
+    * shuffle on the hash, one on the doc id. No self-join (which would
+    * re-scan and re-hash the corpus) and no per-passage id collection
+    * (which a hot boilerplate passage would blow up at 100 TB: min/max
+    * stay O(1) per key however many docs share the passage).
     */
   def passageDupStats(df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame = {
     require(window >= 2, "passage window must be at least 2 words")
@@ -81,19 +83,16 @@ object Dedup {
       sequence(lit(0), nPass - 1),
       i => md5(concat_ws(" ", slice(w, i * window + 1, lit(window))))
     )
-    val exploded = df
-      .select(col(idCol), explode(when(nPass > 0, passages).otherwise(array())).as("ph"))
-    val dupSet = exploded
-      .groupBy(col("ph"))
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("ph"))
-    exploded
-      .join(dupSet.withColumn("isdup", lit(1L)), Seq("ph"), "left")
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))
+    df.select(col(idCol), explode(when(nPass > 0, passages).otherwise(array())).as("ph"))
+      .withColumn(
+        "isdup",
+        (min(col(idCol)).over(byHash) =!= max(col(idCol)).over(byHash)).cast("long")
+      )
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_passages"),
-        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_passages")
+        sum(col("isdup")).as("n_dup_passages")
       )
       .withColumn("dup_passage_bp", floor(lit(10000L) * col("n_dup_passages") / col("n_passages")))
       .orderBy(col(idCol))

@@ -96,4 +96,37 @@ class PlanSpec extends SparkSpec {
     // the only hash shuffles are the id-keyed argmin + topk groupings
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("text_rep_stats is a pure projection: zero exchanges before the output sort") {
+    val p = planOf("text_rep_stats")
+    // only the final ORDER BY may range-shuffle; no hash exchange, no join
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("dedup_passages: single pass — window on the hash, no self-join") {
+    val p = planOf("dedup_passages")
+    assert(!p.contains("Join"), p.take(2000))
+    // one hash exchange for the ph window + one for the per-doc agg
+    assert(count(p, "hashpartitioning") <= 2, p.take(2000))
+  }
+
+  test("tfidf: df via window, not a dictionary self-join; explode scanned once") {
+    val p = planOf("text_tfidf_top")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(count(p, "Generate explode") == 1, p.take(2000))
+  }
+
+  test("gap-fill grid: 1-row span aggregate is broadcast, counts join has no sort-merge") {
+    val p = planOf("resample_gapfill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("moving_7d: the unpartitioned range window sits above the daily aggregation") {
+    val p = planOf("moving_7d")
+    // Window must consume the aggregated frame: exactly one partial/final agg pair
+    assert(p.contains("RangeFrame"), p.take(2000))
+    assert(count(p, "partial_sum") >= 1, p.take(2000))
+  }
 }
