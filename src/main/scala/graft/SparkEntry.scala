@@ -268,6 +268,29 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("price_c").as("median_price_c"), col("n").as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
+    "quartiles_price" -> ((s, d) => {
+      // B25: exact grouped discrete quartiles — same total-order rank
+      // trick as median_price, all three cut points from ONE window
+      // pass (rank ceil(q*n)); conditional aggregation instead of a
+      // bucket column so coinciding ranks in tiny groups still fill
+      // every quartile
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("price_c"), col("o_orderkey"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), Analytics.cents(col("o_totalprice")).as("price_c"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min(when(col("rn") === ceil(col("n") / lit(4.0)), col("price_c"))).as("p25_c"),
+          min(when(col("rn") === ceil(col("n") / lit(2.0)), col("price_c"))).as("p50_c"),
+          min(when(col("rn") === ceil(col("n") * lit(3) / lit(4.0)), col("price_c"))).as("p75_c"),
+          max(col("n")).as("n_orders")
+        )
+        .orderBy(col("o_orderpriority"))
+    }),
     "funnel_counts" -> ((s, d) =>
       // strict-order funnel over the event log: view -> click (after
       // the first view) -> purchase (after that click)
@@ -770,6 +793,18 @@ object SparkEntry {
         | FROM orders)
         |SELECT o_orderpriority, price_c AS median_price_c, CAST(n AS BIGINT) AS n_orders
         |FROM r WHERE rn = (n+1)//2 ORDER BY o_orderpriority""".stripMargin,
+    "quartiles_price" ->
+      """WITH r AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey) AS BIGINT) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM orders)
+        |SELECT o_orderpriority,
+        |  min(CASE WHEN rn = ceil(n/4.0) THEN price_c END) AS p25_c,
+        |  min(CASE WHEN rn = ceil(n/2.0) THEN price_c END) AS p50_c,
+        |  min(CASE WHEN rn = ceil(n*3/4.0) THEN price_c END) AS p75_c,
+        |  CAST(max(n) AS BIGINT) AS n_orders
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "funnel_counts" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type='view' GROUP BY 1),
