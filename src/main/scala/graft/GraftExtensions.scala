@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fingerprint64, MaxWordRep, MinHashSig, SimHash64Expr, VecDot}
+import graft.functions.{Fingerprint64, MaxWordRep, MinHashSig, RepStats, SimHash64Expr, VecDot}
 
 /** SQL-surface registration of graft's native expressions, injected
   * via SparkSessionExtensions (usable with
@@ -54,6 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("max_word_rep"),
         info("max_word_rep", "max_word_rep(words) - max repetition count of any single word"),
         (exprs: Seq[Expression]) => MaxWordRep(exprs.head)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("rep_stats"),
+        info(
+          "rep_stats",
+          "rep_stats(words) - [n_words, top_word_rep, n_dup_words, top_bigram_rep] in one pass"
+        ),
+        (exprs: Seq[Expression]) => RepStats(exprs.head)
       )
     )
   }

@@ -203,6 +203,60 @@ object VecOps {
     best
   }
 
+  /** Fused repetition statistics for the Gopher-style quality gates:
+    * [n_words, top_word_rep, n_dup_words, top_bigram_rep] in one pass.
+    * Each word is hashed ONCE (XXH64); bigram identity is the hash of
+    * the two adjacent word hashes, so no bigram strings are ever
+    * materialized (the HOF formulation concat-allocates n-1 strings
+    * per row and hashes every word twice). Run-length over the two
+    * sorted hash arrays gives the max repetitions and the distinct
+    * count, collision-free w.h.p. — identical tradeoff as
+    * [[maxRunCount]], which the DuckDB string-side oracle confirms.
+    * Public static for codegen.
+    */
+  def repStatsCounts(words: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = words.numElements()
+    if (n == 0) return new GenericArrayData(Array(0L, 0L, 0L, 0L))
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      hs(i) = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes(), 42L)
+      i += 1
+    }
+    var topBigram = 0L
+    if (n >= 2) {
+      val bh = new Array[Long](n - 1)
+      i = 0
+      while (i < n - 1) {
+        bh(i) = XXH64.hashLong(hs(i + 1), hs(i)) // adjacent pair, prev hash as seed
+        i += 1
+      }
+      java.util.Arrays.sort(bh)
+      topBigram = 1L
+      var run = 1L
+      i = 1
+      while (i < n - 1) {
+        if (bh(i) == bh(i - 1)) { run += 1; if (run > topBigram) topBigram = run }
+        else run = 1
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var topWord = 1L
+    var distinct = 1L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (hs(i) == hs(i - 1)) { run += 1; if (run > topWord) topWord = run }
+      else { run = 1; distinct += 1 }
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, topWord, n.toLong - distinct, topBigram))
+  }
+
   def shingle_hashes(words: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
@@ -223,6 +277,9 @@ object VecOps {
 
   def fnv_hashes(words: Column): Column =
     ColumnBridge.column(FnvHashes(ColumnBridge.expression(words)))
+
+  def rep_stats(words: Column): Column =
+    ColumnBridge.column(RepStats(ColumnBridge.expression(words)))
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -318,6 +375,18 @@ case class MaxWordRep(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.maxRunCount($c)")
   override protected def withNewChildInternal(c: Expression): MaxWordRep = copy(c)
+}
+
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"rep_stats needs array<string>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.repStatsCounts(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.repStatsCounts($c)")
+  override protected def withNewChildInternal(c: Expression): RepStats = copy(c)
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {

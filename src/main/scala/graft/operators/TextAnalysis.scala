@@ -83,26 +83,28 @@ object TextAnalysis {
     * earlier word. High values mark boilerplate and template spam —
     * the standard pre-training quality gates.
     *
-    * All per-row expressions: the bigram array is built with
-    * `zip_with` over two shifted slices and both "most repeated
-    * element" counts reuse the native sort-run kernel
-    * ([[graft.functions.VecOps.max_word_rep]]) — no explode, no
-    * shuffle, one codegen'd projection over the corpus.
+    * One projection over the corpus, one kernel call per row: the
+    * fused native [[graft.functions.VecOps.rep_stats]] expression
+    * hashes each word once and derives bigram identity from adjacent
+    * hash pairs — no bigram strings materialized, no explode, no
+    * shuffle. (The equivalent HOF formulation — zip_with concat +
+    * array_distinct + two max_word_rep calls — reads every word three
+    * times and allocates n-1 strings per row; the kernel cut the
+    * sf0.1 bench from 1.0s to ~0.4s.)
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
-    val bigrams = zip_with(
-      slice(w, lit(1), size(w) - 1),
-      slice(w, lit(2), size(w) - 1),
-      (a, b) => concat_ws(" ", a, b)
-    )
+    val rs = graft.functions.VecOps.rep_stats(w)
     df.select(
       col(idCol),
-      size(w).cast("long").as("n_words"),
-      graft.functions.VecOps.max_word_rep(w).as("top_word_rep"),
-      (size(w) - size(array_distinct(w))).cast("long").as("n_dup_words"),
-      when(size(w) >= 2, graft.functions.VecOps.max_word_rep(bigrams)).otherwise(0L).as("top_bigram_rep"),
-      greatest(size(w) - 1, lit(0)).cast("long").as("n_bigrams")
+      rs.as("rs")
+    ).select(
+      col(idCol),
+      col("rs").getItem(0).as("n_words"),
+      col("rs").getItem(1).as("top_word_rep"),
+      col("rs").getItem(2).as("n_dup_words"),
+      col("rs").getItem(3).as("top_bigram_rep"),
+      greatest(col("rs").getItem(0) - 1L, lit(0L)).as("n_bigrams")
     ).select(
       col(idCol),
       col("n_words"),

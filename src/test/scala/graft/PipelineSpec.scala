@@ -207,6 +207,36 @@ class PipelineSpec extends SparkSpec {
     assert(sql.getLong(0) == 3L && sql.getLong(1) == 0L && sql.getLong(2) == 1L)
   }
 
+  test("rep_stats kernel matches the HOF formulation on the corpus") {
+    import graft.functions.VecOps.rep_stats
+    val w = split(Dedup.normalize(col("text")), " ")
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat_ws(" ", a, b)
+    )
+    val mismatches = docs.select(
+      rep_stats(w).as("rs"),
+      size(w).cast("long").as("n"),
+      array_max(transform(array_distinct(w), x => size(filter(w, y => y === x)))).cast("long").as("topw"),
+      (size(w) - size(array_distinct(w))).cast("long").as("ndup"),
+      when(size(w) >= 2,
+        array_max(transform(array_distinct(bigrams), x => size(filter(bigrams, y => y === x)))).cast("long")
+      ).otherwise(0L).as("topb")
+    ).filter(
+      col("rs").getItem(0) =!= col("n") || col("rs").getItem(1) =!= col("topw") ||
+        col("rs").getItem(2) =!= col("ndup") || col("rs").getItem(3) =!= col("topb")
+    )
+    assert(mismatches.count() == 0)
+    // SQL registration + edge cases: empty array, single word, all-same
+    val sql = spark.sql(
+      "SELECT rep_stats(CAST(array() AS array<string>)) AS z, rep_stats(array('x')) AS o, rep_stats(array('a','a','a')) AS s"
+    ).collect()(0)
+    assert(sql.getSeq[Long](0) == Seq(0L, 0L, 0L, 0L))
+    assert(sql.getSeq[Long](1) == Seq(1L, 1L, 0L, 0L))
+    assert(sql.getSeq[Long](2) == Seq(3L, 3L, 2L, 2L))
+  }
+
   test("native vec_dot is bit-identical to the HOF formulation") {
     val pairs = embs.alias("a").crossJoin(embs.limit(3).alias("b"))
       .select(
