@@ -19,7 +19,7 @@ object Bench {
     "window_rank", "sessionize",
     "rollup_pricing", "brand_revenue", "supplier_balance", "distinct_users",
     "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders", "funnel_counts",
-    "median_price", "quartiles_price", "retention_cohorts", "resample_gapfill", "moving_7d", "pivot_daily_events",
+    "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "pivot_daily_events",
     "asof_last_click", "interval_join",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state",

@@ -268,6 +268,48 @@ object SparkEntry {
         .select(col("o_orderpriority"), col("price_c").as("median_price_c"), col("n").as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
+    "anomaly_days" -> ((s, d) => {
+      // B26: spike/dip detection over the daily event series — each
+      // day flagged against 110%/90% of the corpus mean rate. The
+      // comparisons are cross-multiplied integers (10*n*n_days vs
+      // 11*total) so no float mean ever exists; the 1-row global
+      // aggregate broadcasts into the projection.
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val totals = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+      daily
+        .crossJoin(broadcast(totals))
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"),
+          when(col("n") * col("n_days") * 10 > col("total") * 11, 1L)
+            .when(col("n") * col("n_days") * 10 < col("total") * 9, -1L)
+            .otherwise(0L)
+            .as("anomaly")
+        )
+        .orderBy("day")
+    }),
+    "recon_counts" -> ((s, d) => {
+      // B27: post-sync reconciliation — the validation a migration tool
+      // runs after a sync pass (the reference eyeballs row counts;
+      // es_to_bytehouse.py:963-1018 compares source/target totals).
+      // Full outer join on the key, presence classified per side, one
+      // keyed shuffle each side + one count aggregate.
+      val src = t(s, d, "orders").select(col("o_orderkey").as("k")).distinct()
+      val tgt = t(s, d, "lineitem").select(col("l_orderkey").as("k2")).distinct()
+      src
+        .join(tgt, col("k") === col("k2"), "full_outer")
+        .select(
+          when(col("k").isNotNull && col("k2").isNotNull, "both")
+            .when(col("k").isNotNull, "source_only")
+            .otherwise("target_only")
+            .as("presence")
+        )
+        .groupBy(col("presence"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("presence"))
+    }),
     "quartiles_price" -> ((s, d) => {
       // B25: exact grouped discrete quartiles — same total-order rank
       // trick as median_price, all three cut points from ONE window
@@ -793,6 +835,21 @@ object SparkEntry {
         | FROM orders)
         |SELECT o_orderpriority, price_c AS median_price_c, CAST(n AS BIGINT) AS n_orders
         |FROM r WHERE rn = (n+1)//2 ORDER BY o_orderpriority""".stripMargin,
+    "anomaly_days" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_days FROM d)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+        |       CAST(CASE WHEN n * n_days * 10 > total * 11 THEN 1
+        |            WHEN n * n_days * 10 < total * 9 THEN -1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM d, t ORDER BY day""".stripMargin,
+    "recon_counts" ->
+      """WITH s AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |g AS (SELECT DISTINCT l_orderkey AS k2 FROM lineitem)
+        |SELECT CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 'both'
+        |            WHEN k IS NOT NULL THEN 'source_only' ELSE 'target_only' END AS presence,
+        |       count(*) AS n_keys
+        |FROM s FULL OUTER JOIN g ON k = k2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "quartiles_price" ->
       """WITH r AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
         |  CAST(row_number() OVER (PARTITION BY o_orderpriority

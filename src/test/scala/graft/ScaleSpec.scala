@@ -65,6 +65,24 @@ class ScaleSpec extends SparkSpec {
       s"(missed ${(truth -- pairs).size}, extra ${(pairs -- truth).size})")
   }
 
+  test("passage dedup at 100k docs: exactly the staged dup docs flagged", Slow) {
+    val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val docs = spark.read.parquet(docsPath)
+    // every staged dup doc shares all of its base's full 8-word
+    // passages (the appended uniq token only perturbs the tail block),
+    // and unrelated docs share no 8-gram (vocab^8 space): the flagged
+    // set must be exactly the union of staged pairs
+    val dupDocs = SyntheticCorpus.stagedPairs(100000).flatMap(p => Seq(p._1, p._2))
+    val (flagged, sec) = time {
+      Dedup.passageDupStats(docs, "doc_id", "text", window = 8)
+        .filter(col("n_dup_passages") > 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    info(f"passage dedup over 100k docs: $sec%.1fs, ${flagged.size} docs flagged")
+    assert(flagged == dupDocs,
+      s"missed ${(dupDocs -- flagged).size}, extra ${(flagged -- dupDocs).size}")
+  }
+
   test("prefix-filtered exact n-gram Jaccard at 100k docs: exact staged recovery", Slow) {
     val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
     val docs = spark.read.parquet(docsPath)
