@@ -52,6 +52,23 @@ object IncrementalSync {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(Analytics.cents(col("value"))).as("sum_value_c"))
 
+  /** Sliding-window rate monitor: overlapping windows (each event
+    * lands in length/slide buckets) — the smoothed-rate view behind
+    * spike alerting, completing the window triad (tumbling
+    * [[hourlyCounts]], session [[sessionCounts]], sliding here).
+    * Identical expression works on a batch frame.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      length: String = "1 hour",
+      slide: String = "15 minutes",
+      lateness: String = "30 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** Gap-based session rollup with Spark's native session_window —
     * works identically over a stream (with watermark) or a batch
     * frame; semantics match Analytics.sessionize (same 30-min gap

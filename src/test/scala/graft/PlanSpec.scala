@@ -97,6 +97,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // a 100 TB fact table always has a hot key somewhere; the session
+    // keeps AQE on so the runtime re-plan handles what static salting
+    // shouldn't have to. Thresholds are lowered to make a local-scale
+    // skew visible to the optimizer; the mechanism is identical on a
+    // cluster with defaults.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    )
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val pad = lit("x" * 64)
+      // 90% of fact rows share key 0 -> one shuffle partition dwarfs the median
+      val fact = spark.range(200000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"), pad.as("p"))
+      val dim = spark.range(2000).select(col("id").as("k"), pad.as("q"))
+      val joined = fact.join(dim, "k").agg(sum(col("k")))
+      joined.collect() // finalize THIS query execution's adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(3000))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
+
   test("text_rep_stats is a pure projection: zero exchanges before the output sort") {
     val p = planOf("text_rep_stats")
     // only the final ORDER BY may range-shuffle; no hash exchange, no join

@@ -47,6 +47,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding-window counts over a stream equal the same expression in batch") {
+    val src = stageEvents(3)
+    val stream = IncrementalSync.slidingCounts(IncrementalSync.readEventStream(spark, src))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName("sliding_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .select(unix_micros(col("window.start")).as("w_us"), col("event_type"), col("n"))
+        .orderBy("w_us", "event_type")
+        .collect().toSeq
+      val streamed = shape(spark.table("sliding_out"))
+      val batch = shape(IncrementalSync.slidingCounts(Catalog.load(spark, sf, "events")))
+      assert(streamed == batch && streamed.nonEmpty)
+      // overlap sanity: four 15-min slides cover each hour -> total
+      // weighted count is 4x the event count (edge windows included)
+      val total = spark.table("sliding_out").agg(sum(col("n"))).head().getLong(0)
+      assert(total == 4L * Catalog.load(spark, sf, "events").count())
+    } finally q.stop()
+  }
+
   test("stateless curation operators run unchanged on a stream (quality + PII scrub)") {
     // the curation layer is pure projections, so the SAME code serves
     // batch backfill and continuous ingest — no streaming variants
