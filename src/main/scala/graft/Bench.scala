@@ -18,13 +18,15 @@ object Bench {
     "q1_pricing", "q3_topk_join", "q5_join5", "events_hourly", "events_hourly_skewed",
     "window_rank", "sessionize",
     "rollup_pricing", "brand_revenue", "supplier_balance", "distinct_users",
-    "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders", "funnel_counts",
+    "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders",
+    "q13_cust_dist", "q17_small_qty", "q22_idle_rich", "funnel_counts",
     "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "pivot_daily_events",
     "asof_last_click", "interval_join",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state",
     "upsert_latest", "scan_fields", "multi_table_union",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_incr_exact", "dedup_incr_minhash",
+    "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked",
     "dedup_clusters",
     "dedup_passages",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "embed_nearest_centroid",

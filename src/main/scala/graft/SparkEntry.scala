@@ -381,6 +381,57 @@ object SparkEntry {
         .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
         .limit(20)
     }),
+    "q13_cust_dist" -> ((s, d) => {
+      // TPC-H Q13 shape: order-count distribution. LEFT join keeps
+      // zero-order customers; the filter rides the orders scan so the
+      // outer join sees only the urgent slice; two keyed aggregations
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_custs").desc, col("n_orders").desc)
+    }),
+    "q17_small_qty" -> ((s, d) => {
+      // TPC-H Q17 shape: correlated per-part average, decorrelated to
+      // a per-key aggregate joined back on the same key (no subquery
+      // re-scan); qty < 0.2*avg as pure integers: 5*qty*n < sum
+      val li = t(s, d, "lineitem").select(
+        col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        Analytics.cents(col("l_extendedprice")).as("price_c"))
+      val lp = li.join(
+        broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#23").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      val avgq = lp.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_q"), count(lit(1)).as("n_q"))
+        .select(col("l_partkey").as("pk"), col("sum_q"), col("n_q"))
+      lp.join(avgq, col("l_partkey") === col("pk"))
+        .filter(col("qty") * lit(5L) * col("n_q") < col("sum_q"))
+        .agg(coalesce(sum(col("price_c")), lit(0L)).as("small_rev_c"), count(lit(1)).as("n_small"))
+    }),
+    "q22_idle_rich" -> ((s, d) => {
+      // TPC-H Q22 shape: global scalar subquery (avg positive balance)
+      // broadcast into the filter — cross-multiplied (bal*n > sum) so
+      // no float average exists — then an anti-join against urgent
+      // orders picks the inactive rich accounts
+      val cust = t(s, d, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), Analytics.cents(col("c_acctbal")).as("bal_c"))
+      val g = cust.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n"))
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      cust.crossJoin(broadcast(g))
+        .filter(col("bal_c") * col("n") > col("s"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("bal_sum_c"))
+        .orderBy(col("c_mktsegment"))
+    }),
     "distinct_users" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"))
@@ -422,6 +473,42 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Dedup.clusterAssign(docs, "doc_id",
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80))
+    }),
+    "dedup_incr_exact" -> ((s, d) => {
+      // C28: incremental exact dedup — a new batch probed against the
+      // persisted corpus hash index, never against corpus text. The
+      // batch is the decile-0 docs plus staged exact copies of corpus
+      // docs (re-idded +1e6) so both the dup and the new path are
+      // exercised on real data
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 17 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactAgainstIndex(batch, "doc_id", "text",
+        Dedup.buildHashIndex(corpus, "doc_id", "text"))
+    }),
+    "dedup_incr_minhash" -> ((s, d) => {
+      // C29: incremental near-dup — decile-0 batch vs the MinHash
+      // signature index of the rest; per-batch-doc match count + best
+      // match (highest Jaccard, ties to the smallest corpus id)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.nearDupsAgainstIndex(batch, "doc_id", "text",
+        Dedup.buildMinhashIndex(corpus, "doc_id", "text")).persist()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a")).orderBy(col("jacc_pct").desc, col("id_b").asc)
+      val best = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("id_a").as("doc_id"), col("id_b").as("best_id"), col("jacc_pct").as("best_jacc_pct"))
+      val cnt = pairs.groupBy(col("id_a")).agg(count(lit(1)).as("n_near_dups"))
+        .withColumnRenamed("id_a", "doc_id")
+      batch.select(col("doc_id"))
+        .join(cnt, Seq("doc_id"), "left")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          col("best_id"), col("best_jacc_pct"))
+        .orderBy(col("doc_id"))
     }),
     "dedup_embedding" -> ((s, d) =>
       // exact all-pairs is the ORACLE BASELINE, O(N²) by definition —
@@ -922,6 +1009,28 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c, sum_qty_c
         |FROM orders JOIN lq ON o_orderkey = l_orderkey
         |ORDER BY sum_qty_c DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q13_cust_dist" ->
+      """WITH cnt AS (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority='1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_custs FROM cnt GROUP BY 1 ORDER BY n_custs DESC, n_orders DESC""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |              CAST(round(l_extendedprice*100) AS BIGINT) AS price_c FROM lineitem),
+        |lp AS (SELECT li.* FROM li JOIN (SELECT p_partkey FROM part WHERE p_brand='Brand#23') p ON l_partkey = p_partkey),
+        |a AS (SELECT l_partkey AS pk, sum(qty) AS sum_q, count(*) AS n_q FROM lp GROUP BY 1)
+        |SELECT CAST(coalesce(sum(price_c), 0) AS BIGINT) AS small_rev_c, count(*) AS n_small
+        |FROM lp JOIN a ON l_partkey = pk WHERE qty*5*n_q < sum_q""".stripMargin,
+    "q22_idle_rich" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment, CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),
+        |g AS (SELECT sum(bal_c) AS s, count(*) AS n FROM cust WHERE bal_c > 0)
+        |SELECT c_mktsegment, count(*) AS n_cust, CAST(sum(bal_c) AS BIGINT) AS bal_sum_c
+        |FROM cust, g
+        |WHERE bal_c*n > s AND NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = cust.c_custkey AND o_orderpriority='1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
@@ -1000,6 +1109,45 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))
         |ORDER BY 1,2""".stripMargin,
+    // the index probe must answer exactly like a text-level left join:
+    // md5-of-normalized-text equality == normalized-text equality
+    // (collision-free on any real corpus)
+    "dedup_incr_exact" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 17 = 3),
+        |idx AS (SELECT trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm, min(doc_id) AS kept_id
+        |        FROM corpus GROUP BY 1)
+        |SELECT b.doc_id AS doc_id,
+        |  CAST(CASE WHEN kept_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |  kept_id AS dup_of
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM batch) b
+        |LEFT JOIN idx USING (norm) ORDER BY doc_id""".stripMargin,
+    // exact-pairs batch-vs-corpus oracle is valid for the banded index
+    // probe for the same reason as dedup_minhash_lsh (recall=1 on this
+    // corpus, verification identical integer Jaccard)
+    "dedup_incr_minhash" ->
+      """WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(floor(100.0*len(list_intersect(a.sh,b.sh)) /
+        |          (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))) AS BIGINT) AS jacc_pct
+        |      FROM g a JOIN g b ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+        |      WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))),
+        |cnt AS (SELECT id_a, count(*) AS n_near_dups FROM p GROUP BY 1),
+        |best AS (SELECT id_a, id_b AS best_id, jacc_pct AS best_jacc_pct
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY jacc_pct DESC, id_b) AS rk FROM p)
+        |         WHERE rk = 1)
+        |SELECT d.doc_id AS doc_id, CAST(coalesce(n_near_dups, 0) AS BIGINT) AS n_near_dups,
+        |  best_id, best_jacc_pct
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN cnt ON d.doc_id = cnt.id_a
+        |LEFT JOIN best ON d.doc_id = best.id_a
+        |ORDER BY doc_id""".stripMargin,
     // transitive closure over the same exact-Jaccard pair set; the
     // engine's label propagation must produce identical components
     "dedup_clusters" ->

@@ -428,6 +428,114 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Incremental dedup against a PERSISTED corpus index — the
+  // continuous-ingest form of C1/C3. At 100 TB you never re-scan or
+  // re-shingle the historical corpus per arriving batch; you maintain
+  // a compact index (content hashes / MinHash signatures, ~1e-3..1e-6
+  // of corpus bytes) and join each new batch against THAT. Mirrors the
+  // reference's incremental sync (watermark + state), applied to the
+  // dedup decision instead of the row transport.
+
+  /** C28 index build: one row per distinct normalized-content hash in
+    * the corpus with its canonical (minimum) id. 16 bytes + id per
+    * DISTINCT document — the only state exact dedup ever needs. Write
+    * it bucketed by `h` (Writers.bucketed) and the per-batch probe
+    * join needs no index-side shuffle at any corpus size.
+    */
+  def buildHashIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .select(md5(normalize(col(textCol))).as("h"), col(idCol).cast("long").as("kept_id"))
+      .groupBy(col("h"))
+      .agg(min(col("kept_id")).as("kept_id"))
+
+  /** C28 probe: flag every batch doc as dup-of-corpus or new. One
+    * hash-keyed left join — the batch side shuffles 16-byte hashes,
+    * never documents; AQE broadcasts the batch when it is small.
+    * Within-batch duplicates are [[exact]]'s job (run it on the batch
+    * first); this operator answers "seen before in the corpus?".
+    * Output: (idCol, is_dup, dup_of) for every batch row.
+    */
+  def exactAgainstIndex(batch: DataFrame, idCol: String, textCol: String, index: DataFrame): DataFrame =
+    batch
+      .select(col(idCol).cast("long").as("__bid"), md5(normalize(col(textCol))).as("h"))
+      .join(index.select(col("h"), col("kept_id")), Seq("h"), "left")
+      .select(
+        col("__bid").as(idCol),
+        when(col("kept_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("kept_id").as("dup_of")
+      )
+      .orderBy(col(idCol))
+
+  /** C28 state advance: fold a processed batch into the hash index.
+    * Union + min-regroup keyed on the hash — existing entries win the
+    * min, so canonical ids never churn. The returned frame REPLACES
+    * the old index (write-new-then-promote, like PartitionedUpsert).
+    */
+  def updateHashIndex(index: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    index
+      .unionByName(buildHashIndex(batch, idCol, textCol))
+      .groupBy(col("h"))
+      .agg(min(col("kept_id")).as("kept_id"))
+
+  /** C29 index build: (id, hs, sig) per corpus doc — the MinHash
+    * signature (k longs) plus the sorted shingle-hash set `hs` that
+    * exact verification walks. Storing `hs` (~8 bytes/word, smaller
+    * than the text it summarizes) is what makes probes corpus-scan-
+    * free: candidates fetch ONLY their own `hs` rows by id.
+    */
+  def buildMinhashIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      shingleN: Int = 3
+  ): DataFrame =
+    withSignature(corpus, idCol, textCol, k, shingleN)
+
+  /** C29 probe: near-dup pairs (batch_id, corpus_id, jacc_pct) of a
+    * new batch against a persisted [[buildMinhashIndex]] frame —
+    * [[minhashLshPairs]] semantics without ever touching corpus TEXT.
+    * Both sides band their signatures; candidates join on
+    * (band, bucket-hash) — batch bands vs index bands, so candidate
+    * count scales with the batch, not the corpus. Verification is the
+    * same integer exact-Jaccard threshold, id-keyed against each
+    * side's stored hash sets. Batch and corpus id spaces must be
+    * disjoint (enforce upstream; ids collide → pair is dropped as a
+    * self-pair).
+    */
+  def nearDupsAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      tauPct: Int = 80
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def banded(sigs: DataFrame): DataFrame = sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)))))
+    ).toDF("id", "band", "bh")
+    val bSigs = withSignature(batch, idCol, textCol, k, shingleN).persist()
+    val cands = banded(bSigs).alias("a")
+      .join(banded(index).alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(bSigs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(index.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("i", graft.functions.VecOps.sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .withColumn("u", (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("i"))
+      .filter(col("i") * 100 >= col("u") * tauPct)
+      .select(col("id_a"), col("id_b"), floor(col("i") * lit(100.0) / col("u")).as("jacc_pct"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Full corpus dedup assignment: every doc gets its component's
     * cluster_id (itself when it has no near-dup) and a kept flag —
     * the survivor is the minimum id of each component. One broadcast-

@@ -327,4 +327,41 @@ class PipelineSpec extends SparkSpec {
     // empty input must not spin maxIters join rounds (~60 jobs)
     assert((System.nanoTime() - t0) / 1e9 < 30.0)
   }
+
+  test("hash index: probe flags exact copies, update folds the batch in") {
+    val corpus = docs.filter(col("doc_id") < 40)
+    val idx = Dedup.buildHashIndex(corpus, "doc_id", "text")
+    // batch: 2 exact copies of corpus docs (re-idded) + 2 fresh docs
+    val batch = corpus.filter(col("doc_id").isin(3L, 7L))
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id").isin(45L, 46L)).select(col("doc_id"), col("text")))
+    val probed = Dedup.exactAgainstIndex(batch, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(probed == Seq((45L, 0L, -1L), (46L, 0L, -1L), (1003L, 1L, 3L), (1007L, 1L, 7L)))
+    // after folding the batch in, the same probe is all-dup, and the
+    // ORIGINAL corpus ids stay canonical (min never churns)
+    val idx2 = Dedup.updateHashIndex(idx, batch, "doc_id", "text")
+    val again = Dedup.exactAgainstIndex(batch, "doc_id", "text", idx2)
+    assert(again.filter(col("is_dup") === 0L).count() == 0L)
+    assert(again.filter(col("doc_id") === 1003L).select("dup_of").collect()(0).getLong(0) == 3L)
+    // index growth == number of distinct new texts
+    assert(idx2.count() == idx.count() + 2)
+  }
+
+  test("minhash index probe == cross-subset of the full-corpus LSH pairs") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    val probed = Dedup.nearDupsAgainstIndex(batch, "doc_id", "text", idx)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full-corpus LSH pairs restricted to batch x corpus
+    // (full run emits id_a < id_b; the probe emits batch-side first)
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", tauPct = 80)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter { case (a, b) => a % 10 == 0 && b % 10 != 0 }
+      .toSet
+    assert(probed == full)
+    assert(probed.nonEmpty, "cross-split near-dups should exist in the test corpus")
+  }
 }
