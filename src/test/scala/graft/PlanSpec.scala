@@ -166,4 +166,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RangeFrame"), p.take(2000))
     assert(count(p, "partial_sum") >= 1, p.take(2000))
   }
+
+  test("q17: brand dimension broadcast; brand filter pushed to the part scan") {
+    val p = planOf("q17_small_qty")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("EqualTo(p_brand,Brand#23)"), p.take(2000))
+  }
+
+  test("q22: scalar subquery broadcast (1 row), urgent anti-join never sort-merges") {
+    val p = planOf("q22_idle_rich")
+    // the sum/count aggregate rides a BroadcastNestedLoopJoin into the filter
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("incremental probes shuffle hashes/signatures, never corpus text") {
+    // exact probe: the only columns read from either side are the id
+    // and the text being hashed — the join itself carries (h, kept_id)
+    val pe = planOf("dedup_incr_exact")
+    assert(pe.contains("hashpartitioning(h") || pe.contains("BroadcastHashJoin"), pe.take(2000))
+    // minhash probe: candidate generation joins on (band, bh) — no
+    // cartesian anywhere in the plan
+    val pm = planOf("dedup_incr_minhash")
+    assert(!pm.contains("CartesianProduct"), pm.take(2000))
+    assert(!pm.contains("BroadcastNestedLoopJoin"), pm.take(2000))
+  }
 }
