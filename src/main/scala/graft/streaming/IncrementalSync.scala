@@ -132,6 +132,25 @@ object IncrementalSync {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Streaming form of Dedup.exactAgainstIndex: as documents arrive,
+    * flag the ones the PERSISTED corpus hash index has already seen —
+    * continuous ingest never re-reads corpus text, only the 16-byte
+    * hash table. A stream-static left join on the content hash; the
+    * static index snapshot is captured when the query starts, so
+    * folding processed batches back in (Dedup.updateHashIndex +
+    * checked promote) takes effect on the next query (re)start — docs
+    * that duplicate each other WITHIN the stream's run are
+    * [[dedupExactStream]]'s job, and the two compose by chaining.
+    * Output: input rows + (is_dup, dup_of).
+    */
+  def dedupAgainstIndexStream(docs: DataFrame, textCol: String, index: DataFrame): DataFrame =
+    docs
+      .withColumn("__h", md5(graft.operators.Dedup.normalize(col(textCol))))
+      .join(index.select(col("h").as("__h"), col("kept_id")), Seq("__h"), "left")
+      .withColumn("is_dup", when(col("kept_id").isNotNull, 1L).otherwise(0L))
+      .withColumnRenamed("kept_id", "dup_of")
+      .drop("__h")
+
   /** foreachBatch upsert into an UNPARTITIONED parquet target: merge
     * the micro-batch with the existing target by key (latest version
     * wins) and swap with checked renames (a failed swap restores the

@@ -264,4 +264,33 @@ class StreamingSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") || pruned.count() > 0)
   }
+
+  test("stream-static index probe flags corpus duplicates as docs arrive") {
+    val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 30)
+    val idxDir = tmpDir("graft_stream_idx")
+    graft.operators.Dedup.buildHashIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    // arriving docs: two exact copies of corpus docs (re-idded) + two fresh
+    val srcDir = tmpDir("graft_stream_probe_src")
+    corpus.filter(col("doc_id").isin(3L, 7L))
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id").isin(45L, 46L)))
+      .repartition(2).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IncrementalSync.dedupAgainstIndexStream(stream, "text", idx)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("idx_probe_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("idx_probe_out")
+        .select("doc_id", "is_dup", "dup_of").orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSeq
+      assert(got == Seq((45L, 0L, -1L), (46L, 0L, -1L), (1003L, 1L, 3L), (1007L, 1L, 7L)))
+    } finally q.stop()
+  }
 }

@@ -472,4 +472,37 @@ class SyncSpec extends SparkSpec {
     val r = merged.orderBy("id").collect()
     assert(r(0).isNullAt(2) && r(1).getString(2) == "extra")
   }
+
+  test("compact: shrinks a many-file dir losslessly, then no-ops when already compact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(16).write.mode("overwrite").parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 16)
+    val (before, after) = sinks.Writers.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(before == 16 && after == 1 && nFiles == 1)
+    // lossless: same rows after the rewrite
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // second sweep is a no-op (idempotent maintenance job)
+    assert(sinks.Writers.compact(spark, dir, targetFileBytes = 1L << 30) == (1, 1))
+    // and a dir under minFiles is never churned even if oversized
+    assert(sinks.Writers.compact(spark, dir, targetFileBytes = 1L, minFiles = 4) == (1, 1))
+  }
+
+  test("compactPartitioned: only drifted partitions are rewritten") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    val df = (0L until 400L).map(i => (i, i % 2, s"v$i")).toDF("id", "day", "v")
+    df.repartition(8).write.mode("overwrite").partitionBy("day").parquet(dir)
+    // day=0 and day=1 both hold 8 small files now; pre-compact day=1
+    sinks.Writers.compact(spark, s"$dir/day=1", targetFileBytes = 1L << 30)
+    val report = sinks.Writers.compactPartitioned(spark, dir, targetFileBytes = 1L << 30).sortBy(_._1)
+    assert(report == Seq(("day=0", 8, 1), ("day=1", 1, 1)))
+    // partition layout intact and lossless after the selective rewrite
+    val got = spark.read.parquet(dir).orderBy("id")
+      .select("id", "day", "v").collect().toSeq
+    assert(got == df.orderBy("id").select("id", "day", "v").collect().toSeq)
+  }
 }
