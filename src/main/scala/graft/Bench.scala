@@ -31,7 +31,7 @@ object Bench {
     "dedup_passages",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "embed_nearest_centroid",
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
-    "text_rep_stats", "text_tfidf_top",
+    "text_rep_stats", "text_tfidf_top", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap",
     "pack_sequences", "curate_corpus",
     "mm_binary_meta", "mm_frame_sample", "mm_byte_resize"

@@ -474,6 +474,25 @@ object SparkEntry {
       Dedup.clusterAssign(docs, "doc_id",
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80))
     }),
+    "text_model_score" -> ((s, d) =>
+      // C30: hashed-linear model scoring (fastText-filter shape),
+      // integer-exact end to end
+      TextAnalysis.modelScore(t(s, d, "documents"), "doc_id", "text")),
+    "corpus_stats" -> ((s, d) => {
+      // C31: corpus composition card per (source, lang) — the report a
+      // curation run starts and ends with; one keyed agg shuffle
+      val docs = t(s, d, "documents")
+      docs.select(col("source"), col("lang"), col("n_chars"),
+          size(split(Dedup.normalize(col("text")), " ")).cast("long").as("n_words"))
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_words")).as("sum_words"),
+          min(col("n_words")).as("min_words"),
+          max(col("n_words")).as("max_words"))
+        .orderBy(col("source"), col("lang"))
+    }),
     "dedup_incr_exact" -> ((s, d) => {
       // C28: incremental exact dedup — a new batch probed against the
       // persisted corpus hash index, never against corpus text. The
@@ -1109,6 +1128,31 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))
         |ORDER BY 1,2""".stripMargin,
+    // same HUGEINT FNV-1a fold as the simhash oracle; buckets=4096
+    // divides 2^64 so unsigned-mod here == signed-pmod in the engine
+    "text_model_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w
+        |  FROM documents),
+        |wh AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, octet_length(encode(word))+1), i ->
+        |        CAST(16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1])-1)
+        |              + (strpos('0123456789ABCDEF', hx[2*i:2*i])-1) AS HUGEINT))),
+        |    (acc, b) -> (xor(acc, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM (SELECT doc_id, word, hex(encode(word)) AS hx
+        |        FROM (SELECT doc_id, unnest(w) AS word FROM d) u))
+        |SELECT doc_id, CAST(sum(CAST(h % 4096 AS BIGINT) % 2001 - 1000) AS BIGINT) AS score,
+        |  CAST(CASE WHEN sum(CAST(h % 4096 AS BIGINT) % 2001 - 1000) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM wh GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '))) AS BIGINT) AS sum_words,
+        |  CAST(min(len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '))) AS BIGINT) AS min_words,
+        |  CAST(max(len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' '))) AS BIGINT) AS max_words
+        |FROM documents GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // the index probe must answer exactly like a text-level left join:
     // md5-of-normalized-text equality == normalized-text equality
     // (collision-free on any real corpus)

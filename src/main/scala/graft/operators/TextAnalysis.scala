@@ -62,6 +62,34 @@ object TextAnalysis {
     )
   }
 
+  /** C30: hashed-linear quality score — the shape of fastText-style
+    * model filtering (CCNet/Gopher pipelines score every doc with a
+    * linear model over hashed bag-of-words and keep by threshold).
+    * score(doc) = Σ_words weight[h(word) mod B], one codegen'd word-
+    * hash kernel + one HOF fold per row, no shuffle. The weight table
+    * here is a deterministic stand-in (weight[b] = b mod 2001 − 1000)
+    * so the whole pipeline stays engine-reproducible — swap
+    * `weightOf` for a broadcast learned-weights array lookup and
+    * nothing else changes. B is a power of two ON PURPOSE: 2^64 is
+    * divisible by it, so signed/unsigned mod agree and the Spark
+    * signed-long FNV hash scores identically to the oracle's unsigned
+    * arithmetic.
+    */
+  def modelScore(df: DataFrame, idCol: String, textCol: String, buckets: Int = 4096, threshold: Long = 0L): DataFrame = {
+    require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    val weightOf: Column => Column = b => b % 2001L - 1000L
+    df.select(
+        col(idCol),
+        aggregate(
+          graft.functions.VecOps.fnv_hashes(words(col(textCol))),
+          lit(0L),
+          (acc, h) => acc + weightOf(pmod(h, lit(buckets.toLong)))
+        ).as("score")
+      )
+      .withColumn("keep", when(col("score") > threshold, 1L).otherwise(0L))
+      .orderBy(col(idCol))
+  }
+
   /** C9b: repetition/shape statistics, all integer: scaled average
     * word length (floor(10*letters/words)), max single-word repetition
     * count (template/boilerplate detector), distinct-word count.

@@ -181,6 +181,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("model score is one projection: no hash exchange before the output sort") {
+    val p = planOf("text_model_score")
+    assert(count(p, "hashpartitioning") == 0, p.take(2000))
+  }
+
   test("incremental probes shuffle hashes/signatures, never corpus text") {
     // exact probe: the only columns read from either side are the id
     // and the text being hashed — the join itself carries (h, kept_id)
