@@ -26,7 +26,7 @@ object Bench {
     "incremental_or", "sync_state",
     "upsert_latest", "scan_fields", "multi_table_union",
     "dedup_exact", "dedup_minhash_lsh", "dedup_incr_exact", "dedup_incr_minhash",
-    "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked",
+    "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked", "dedup_incr_embedding",
     "dedup_clusters",
     "dedup_passages",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "embed_nearest_centroid",

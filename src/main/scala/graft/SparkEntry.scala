@@ -529,6 +529,23 @@ object SparkEntry {
           col("best_id"), col("best_jacc_pct"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_incr_embedding" -> ((s, d) => {
+      // C32: incremental embedding near-dup — a staged batch (near
+      // copies of decile-0 vectors at cos~0.999, far copies of
+      // decile-5 at cos<<tau) probed against the persisted
+      // bucket-precomputed corpus index; margins are ~7 orders above
+      // float/double drift so the pair set is engine-exact
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      def shifted(modVal: Int, idOff: Long, d0: Float) =
+        e.filter(col("vec_id") % 10 === modVal).select(
+          (col("vec_id") + idOff).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(d0)).otherwise(x)).as("embedding"))
+      val batch = shifted(0, 200000L, 0.05f).unionByName(shifted(5, 300000L, 10.0f))
+      Dedup.embeddingNearDupsAgainstIndex(batch, "vec_id", "embedding",
+        Dedup.buildEmbeddingIndex(e, "vec_id", "embedding", dim = 64),
+        tau = 0.99, dim = 64)
+    }),
     "dedup_embedding" -> ((s, d) =>
       // exact all-pairs is the ORACLE BASELINE, O(N²) by definition —
       // its input is bounded to a fixed sample so the benched plan can
@@ -1221,6 +1238,16 @@ object SparkEntry {
     // oracle = exact all-pairs over the same staged corpus; the LSH
     // blocking must lose nothing at this tau (misses ~1e-8/pair with
     // 8 planes x 8 tables at cos ~0.999)
+    "dedup_incr_embedding" ->
+      """WITH batch AS (
+        |  SELECT vec_id + 200000 AS id, list_concat([embedding[1] + 0.05], embedding[2:]) AS v
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 300000, list_concat([embedding[1] + 10.0], embedding[2:])
+        |  FROM embeddings WHERE vec_id % 10 = 5)
+        |SELECT b.id AS id_a, c.vec_id AS id_b
+        |FROM batch b JOIN embeddings c ON list_cosine_similarity(b.v, c.embedding) >= 0.99
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_embedding_blocked" ->
       """WITH u AS (
         |  SELECT vec_id AS id, embedding AS v FROM embeddings

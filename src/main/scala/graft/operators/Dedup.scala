@@ -536,6 +536,59 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** C32 index build: (id, v, nrm, tbs) per corpus vector — the
+    * embedding-side pendant of [[buildMinhashIndex]]: multi-table
+    * hyperplane bucket ids are precomputed once and persisted, so a
+    * batch probe never re-hashes (or even re-reads, under bucket
+    * pruning) the corpus vectors. planes/tables are baked into the
+    * stored buckets — probe with the SAME values.
+    */
+  def buildEmbeddingIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 8,
+      tables: Int = 8
+  ): DataFrame =
+    corpus.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"),
+      Similarity.tableBuckets(col(vecCol), dim, planes, tables).as("tbs"))
+
+  /** C32 probe: near-dup pairs (batch_id, corpus_id) of a new batch
+    * against a persisted [[buildEmbeddingIndex]] frame —
+    * [[embeddingPairsLsh]] semantics with the corpus side read from
+    * the index. Candidates join on (table, bucket); verification is
+    * exact double-precision cosine, id-keyed. Batch and corpus id
+    * spaces must be disjoint.
+    */
+  def embeddingNearDupsAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: DataFrame,
+      tau: Double,
+      dim: Int,
+      planes: Int = 8,
+      tables: Int = 8
+  ): DataFrame = {
+    val b = buildEmbeddingIndex(batch, idCol, vecCol, dim, planes, tables).persist()
+    val cands = b.select(col("id"), explode(col("tbs")).as("tb")).alias("a")
+      .join(index.select(col("id"), explode(col("tbs")).as("tb")).alias("b"),
+        col("a.tb") === col("b.tb") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(b.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(index.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Full corpus dedup assignment: every doc gets its component's
     * cluster_id (itself when it has no near-dup) and a kept flag —
     * the survivor is the minimum id of each component. One broadcast-

@@ -191,8 +191,17 @@ object SyncRunner {
       nowUs: Long,
       partitionCol: Option[String] = None,
       updateCol: Option[String] = None,
-      addTimestamp: Boolean = false
+      addTimestamp: Boolean = false,
+      compactTargetBytes: Option[Long] = None
   ): (String, Long) = {
+    // opt-in post-sync maintenance: every incremental merge leaves
+    // batch-sized files behind; the sweep lists every partition dir
+    // but rewrites ONLY the drifted ones, so steady-state cost is
+    // metadata-only (Writers.compactPartitioned no-ops when compact)
+    def maybeCompact(): Unit = for {
+      b <- compactTargetBytes
+      if partitionCol.isDefined
+    } graft.sinks.Writers.compactPartitioned(spark, targetDir, b)
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ADD_TIMESTAMP mode: every synced row carries the sync time
     // (mongodb_to_bytehouse.py:133; `_timestamp` in the reference DDL)
@@ -227,6 +236,7 @@ object SyncRunner {
         cached.unpersist()
         appendState(spark, stateDir, SyncState(table, timeCol, syncUs, n, "full", nowUs,
           updateCol.getOrElse(""), updUs))
+        maybeCompact()
         ("full", n)
       case Some(st) =>
         // OR-watermark delta: created after the create watermark OR
@@ -259,6 +269,7 @@ object SyncRunner {
             math.max(st.last_update_us, dUpd)))
         }
         delta.unpersist()
+        if (n > 0) maybeCompact()
         ("incremental", n)
     }
   }

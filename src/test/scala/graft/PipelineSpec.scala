@@ -348,6 +348,24 @@ class PipelineSpec extends SparkSpec {
     assert(idx2.count() == idx.count() + 2)
   }
 
+  test("embedding index probe: persisted index round-trips to identical pairs") {
+    val e = embs.select(col("vec_id"), col("embedding"))
+    val live = Dedup.buildEmbeddingIndex(e, "vec_id", "embedding", dim = 64)
+    val dir = java.nio.file.Files.createTempDirectory("graft_embidx").toString + "/idx"
+    live.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val batch = e.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    def pairs(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.embeddingNearDupsAgainstIndex(batch, "vec_id", "embedding", idx, tau = 0.99, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = pairs(live)
+    assert(a == pairs(stored), "parquet round-trip must not change the probe result")
+    // every staged near copy finds exactly its base
+    assert(a == (0L until 20L).map(i => (i + 100000L, i)))
+  }
+
   test("minhash index probe == cross-subset of the full-corpus LSH pairs") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)

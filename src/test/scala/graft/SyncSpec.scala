@@ -401,6 +401,32 @@ class SyncSpec extends SparkSpec {
     assert(spark.read.parquet(targetDir).count() == 5)
   }
 
+  test("autoSync with compactTargetBytes: batch-sized small files swept after each merge") {
+    import spark.implicits._
+    val stateDir = tmp("graft_statec") + "/state"
+    val targetDir = tmp("graft_targetc") + "/t"
+    def mk(day: String, ids: Range) =
+      ids.map(i => (i.toLong, f"$day 10:00:${i % 60}%02d", day, s"v$i"))
+        .toDF("id", "ts", "day", "v").withColumn("ts", col("ts").cast("timestamp"))
+    def nFiles(sub: String) =
+      new java.io.File(s"$targetDir/$sub").listFiles().count(_.getName.endsWith(".parquet"))
+
+    // a wide cluster write: 8 tasks → 8 small files in the partition
+    val v1 = mk("2024-01-01", 1 to 64).repartition(8)
+    val (m1, n1) = SyncRunner.autoSync(spark, v1, "t", Seq("id"), "ts", Seq("ts", "id"),
+      targetDir, stateDir, 1L, partitionCol = Some("day"), compactTargetBytes = Some(1L << 30))
+    assert(m1 == "full" && n1 == 64)
+    assert(nFiles("day=2024-01-01") == 1, "full-load files must be swept")
+
+    val v2 = v1.unionByName(mk("2024-01-02", 101 to 164).repartition(8))
+    val (m2, n2) = SyncRunner.autoSync(spark, v2, "t", Seq("id"), "ts", Seq("ts", "id"),
+      targetDir, stateDir, 2L, partitionCol = Some("day"), compactTargetBytes = Some(1L << 30))
+    assert(m2 == "incremental" && n2 == 64)
+    assert(nFiles("day=2024-01-02") == 1, "delta partition must be swept after the merge")
+    assert(nFiles("day=2024-01-01") == 1)
+    assert(spark.read.parquet(targetDir).count() == 128)
+  }
+
   test("promote: failed rename restores target and throws (state never advanced)") {
     import graft.sinks.PartitionedUpsert
     val root = tmp("graft_promote")
