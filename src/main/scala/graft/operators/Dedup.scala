@@ -468,15 +468,18 @@ object Dedup {
       .orderBy(col(idCol))
 
   /** C28 state advance: fold a processed batch into the hash index.
-    * Union + min-regroup keyed on the hash — existing entries win the
-    * min, so canonical ids never churn. The returned frame REPLACES
-    * the old index (write-new-then-promote, like PartitionedUpsert).
+    * FIRST-SEEN-WINS: hashes already indexed keep their existing
+    * canonical id unconditionally (an anti-join drops them from the
+    * batch side), so canonical ids never churn — even when a late
+    * batch carries a numerically smaller id. Also cheaper than a
+    * min-regroup: the existing index is never re-aggregated, only
+    * probed. The returned frame REPLACES the old index
+    * (write-new-then-promote, like PartitionedUpsert).
     */
   def updateHashIndex(index: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame =
-    index
-      .unionByName(buildHashIndex(batch, idCol, textCol))
-      .groupBy(col("h"))
-      .agg(min(col("kept_id")).as("kept_id"))
+    index.unionByName(
+      buildHashIndex(batch, idCol, textCol)
+        .join(index.select(col("h")), Seq("h"), "left_anti"))
 
   /** C29 index build: (id, hs, sig) per corpus doc — the MinHash
     * signature (k longs) plus the sorted shingle-hash set `hs` that

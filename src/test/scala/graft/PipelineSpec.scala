@@ -348,6 +348,26 @@ class PipelineSpec extends SparkSpec {
     assert(idx2.count() == idx.count() + 2)
   }
 
+  test("hash index algebra: update is idempotent, first-seen canonical id never churns") {
+    val corpus = Seq((10L, "a a"), (11L, "b"), (12L, "a  a")).toDF("doc_id", "text")
+    val idx0 = Dedup.buildHashIndex(corpus, "doc_id", "text")
+    // 10 and 12 normalize to the same content -> 2 index entries, min id kept
+    assert(idx0.orderBy("kept_id").collect().map(_.getLong(1)).toSeq == Seq(10L, 11L))
+    // late batch with a SMALLER id for known content + one new text:
+    // the known hash keeps canonical id 10 (first seen), never 5
+    val batch = Seq((5L, "A  a"), (20L, "c")).toDF("doc_id", "text")
+    val idx1 = Dedup.updateHashIndex(idx0, batch, "doc_id", "text")
+    val m1 = idx1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m1.values.toSet == Set(10L, 11L, 20L), s"canonical churned: $m1")
+    // idempotent: folding the same batch again changes nothing
+    val idx2 = Dedup.updateHashIndex(idx1, batch, "doc_id", "text")
+    assert(idx2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == m1)
+    // and the probe agrees with the updated state
+    val probe = Dedup.exactAgainstIndex(batch, "doc_id", "text", idx1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(probe == Seq((5L, 1L, 10L), (20L, 1L, 20L)))
+  }
+
   test("embedding index probe: persisted index round-trips to identical pairs") {
     val e = embs.select(col("vec_id"), col("embedding"))
     val live = Dedup.buildEmbeddingIndex(e, "vec_id", "embedding", dim = 64)
