@@ -27,6 +27,13 @@ object Dedup {
     */
   def normalize(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** The 16-byte (binary, not hex-string) content identity every
+    * exact-dedup surface keys on — ONE implementation on purpose:
+    * batch probes, index builds, and streaming state must agree
+    * byte-for-byte or dedup silently finds nothing.
+    */
+  def contentHash(c: Column): Column = unhex(md5(normalize(c)))
+
   /** 64-bit hashes of the word n-gram shingles of normalized text —
     * the native kernel form every dedup tier consumes (HOF string
     * shingling costs ~18µs/shingle interpreted; this is ~50x cheaper
@@ -51,7 +58,7 @@ object Dedup {
     * hash, not the document), keep the smallest id per group.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), md5(normalize(col(textCol))).as("__h"))
+    df.select(col(idCol), contentHash(col(textCol)).as("__h"))
       .groupBy(col("__h"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_dups"))
       .select(col("kept_id"), col("n_dups"))
@@ -161,6 +168,18 @@ object Dedup {
       .drop("sh0")
       .withColumn("sig", graft.functions.VecOps.minhash_sig(col("hs"), k))
 
+  /** Banded signature rows (id, band, bh): `bands` band-hashes per
+    * signature. ONE implementation on purpose — band hashing is the
+    * compatibility contract between signatures persisted by
+    * [[buildMinhashIndex]] and later [[nearDupsAgainstIndex]] probes;
+    * two copies drifting apart would silently lose candidates.
+    */
+  private def bandedSignatures(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)))))
+    ).toDF("id", "band", "bh")
+
   /** C3: MinHash-LSH near-dup pairs. `bands` bands of `k/bands` rows;
     * candidates = docs sharing any band bucket; candidates are then
     * verified with exact Jaccard over shingle-hash sets (integer
@@ -182,10 +201,7 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = withSignature(df, idCol, textCol, k, shingleN).persist()
-    val banded = sigs.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)))))
-    ).toDF("id", "band", "bh")
+    val banded = bandedSignatures(sigs, bands, r)
     val cands = banded
       .alias("a")
       .join(banded.alias("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
@@ -438,14 +454,16 @@ object Dedup {
   // dedup decision instead of the row transport.
 
   /** C28 index build: one row per distinct normalized-content hash in
-    * the corpus with its canonical (minimum) id. 16 bytes + id per
-    * DISTINCT document — the only state exact dedup ever needs. Write
-    * it bucketed by `h` (Writers.bucketed) and the per-batch probe
-    * join needs no index-side shuffle at any corpus size.
+    * the corpus with its canonical (minimum) id. The key is stored as
+    * 16 RAW BYTES (`unhex` of the md5 hex), not the 32-char hex
+    * string — truly 16 bytes + id per DISTINCT document, and half the
+    * probe-join shuffle width. Write it bucketed by `h`
+    * (Writers.bucketed) and the per-batch probe join needs no
+    * index-side shuffle at any corpus size.
     */
   def buildHashIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
-      .select(md5(normalize(col(textCol))).as("h"), col(idCol).cast("long").as("kept_id"))
+      .select(contentHash(col(textCol)).as("h"), col(idCol).cast("long").as("kept_id"))
       .groupBy(col("h"))
       .agg(min(col("kept_id")).as("kept_id"))
 
@@ -458,7 +476,7 @@ object Dedup {
     */
   def exactAgainstIndex(batch: DataFrame, idCol: String, textCol: String, index: DataFrame): DataFrame =
     batch
-      .select(col(idCol).cast("long").as("__bid"), md5(normalize(col(textCol))).as("h"))
+      .select(col(idCol).cast("long").as("__bid"), contentHash(col(textCol)).as("h"))
       .join(index.select(col("h"), col("kept_id")), Seq("h"), "left")
       .select(
         col("__bid").as(idCol),
@@ -519,13 +537,15 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    def banded(sigs: DataFrame): DataFrame = sigs.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)))))
-    ).toDF("id", "band", "bh")
-    val bSigs = withSignature(batch, idCol, textCol, k, shingleN).persist()
-    val cands = banded(bSigs).alias("a")
-      .join(banded(index).alias("b"),
+    // NOT persisted: this is the per-arriving-batch API of a
+    // continuous loop — a persist per call would pin one cached copy
+    // per batch for the session lifetime. Recomputing the (small)
+    // batch signatures for the verify join is the cheaper side of
+    // that trade; callers probing one batch many times can persist
+    // the batch themselves.
+    val bSigs = withSignature(batch, idCol, textCol, k, shingleN)
+    val cands = bandedSignatures(bSigs, bands, r).alias("a")
+      .join(bandedSignatures(index, bands, r).alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -577,7 +597,8 @@ object Dedup {
       planes: Int = 8,
       tables: Int = 8
   ): DataFrame = {
-    val b = buildEmbeddingIndex(batch, idCol, vecCol, dim, planes, tables).persist()
+    // not persisted — per-batch API, see nearDupsAgainstIndex
+    val b = buildEmbeddingIndex(batch, idCol, vecCol, dim, planes, tables)
     val cands = b.select(col("id"), explode(col("tbs")).as("tb")).alias("a")
       .join(index.select(col("id"), explode(col("tbs")).as("tb")).alias("b"),
         col("a.tb") === col("b.tb") && col("a.id") =!= col("b.id"))

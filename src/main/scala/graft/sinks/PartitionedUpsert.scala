@@ -96,7 +96,14 @@ object PartitionedUpsert {
   def promote(fs: FileSystem, tmpDir: String, targetDir: String): Unit = {
     val tmpP = new Path(tmpDir)
     val tgtP = new Path(targetDir)
-    val oldP = new Path(targetDir + "__old")
+    // the aside copy is DOT-PREFIXED: when targetDir is a partition dir
+    // inside a table root (Writers.compact), a visible `day=X__old`
+    // sibling would be discovered as a bogus partition VALUE by any
+    // concurrent reader — and permanently, if a crash lands between
+    // the two renames. Hidden dirs are skipped by partition discovery,
+    // so the worst crash outcome is a missing partition to restore by
+    // hand, never silently-wrong rows.
+    val oldP = new Path(tgtP.getParent, s".${tgtP.getName}__old")
     // some FileSystems return false on failure, others throw
     def tryRename(src: Path, dst: Path): Boolean =
       try fs.rename(src, dst)

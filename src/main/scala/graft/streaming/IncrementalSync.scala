@@ -127,7 +127,7 @@ object IncrementalSync {
       lateness: String = "1 hour"
   ): DataFrame =
     docs
-      .withColumn("__h", md5(graft.operators.Dedup.normalize(col(textCol))))
+      .withColumn("__h", graft.operators.Dedup.contentHash(col(textCol)))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
@@ -136,16 +136,19 @@ object IncrementalSync {
     * flag the ones the PERSISTED corpus hash index has already seen —
     * continuous ingest never re-reads corpus text, only the 16-byte
     * hash table. A stream-static left join on the content hash; the
-    * static index snapshot is captured when the query starts, so
-    * folding processed batches back in (Dedup.updateHashIndex +
-    * checked promote) takes effect on the next query (re)start — docs
+    * static side's FILE LISTING is captured when the query starts, so
+    * the index must not be rewritten in place while the query runs —
+    * an in-place promote deletes files the stream will try to re-read
+    * and kills it with FileNotFoundException. Fold processed batches
+    * in by writing `Dedup.updateHashIndex` output to a NEW versioned
+    * dir (`index_v{n+1}`) and restarting the query against it. Docs
     * that duplicate each other WITHIN the stream's run are
     * [[dedupExactStream]]'s job, and the two compose by chaining.
     * Output: input rows + (is_dup, dup_of).
     */
   def dedupAgainstIndexStream(docs: DataFrame, textCol: String, index: DataFrame): DataFrame =
     docs
-      .withColumn("__h", md5(graft.operators.Dedup.normalize(col(textCol))))
+      .withColumn("__h", graft.operators.Dedup.contentHash(col(textCol)))
       .join(index.select(col("h").as("__h"), col("kept_id")), Seq("__h"), "left")
       .withColumn("is_dup", when(col("kept_id").isNotNull, 1L).otherwise(0L))
       .withColumnRenamed("kept_id", "dup_of")

@@ -194,14 +194,16 @@ object SyncRunner {
       addTimestamp: Boolean = false,
       compactTargetBytes: Option[Long] = None
   ): (String, Long) = {
-    // opt-in post-sync maintenance: every incremental merge leaves
-    // batch-sized files behind; the sweep lists every partition dir
-    // but rewrites ONLY the drifted ones, so steady-state cost is
-    // metadata-only (Writers.compactPartitioned no-ops when compact)
-    def maybeCompact(): Unit = for {
-      b <- compactTargetBytes
-      if partitionCol.isDefined
-    } graft.sinks.Writers.compactPartitioned(spark, targetDir, b)
+    // opt-in post-sync maintenance: every merge leaves batch-sized
+    // (or shuffle-partition-count) files behind; the sweep rewrites
+    // ONLY drifted dirs, so steady-state cost is metadata-only
+    // (Writers.compact no-ops when already compact)
+    def maybeCompact(): Unit = compactTargetBytes.foreach { b =>
+      partitionCol match {
+        case Some(_) => graft.sinks.Writers.compactPartitioned(spark, targetDir, b)
+        case None => graft.sinks.Writers.compact(spark, targetDir, b)
+      }
+    }
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // ADD_TIMESTAMP mode: every synced row carries the sync time
     // (mongodb_to_bytehouse.py:133; `_timestamp` in the reference DDL)

@@ -357,11 +357,12 @@ class PipelineSpec extends SparkSpec {
     // the known hash keeps canonical id 10 (first seen), never 5
     val batch = Seq((5L, "A  a"), (20L, "c")).toDF("doc_id", "text")
     val idx1 = Dedup.updateHashIndex(idx0, batch, "doc_id", "text")
-    val m1 = idx1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
+    val m1 = asMap(idx1)
     assert(m1.values.toSet == Set(10L, 11L, 20L), s"canonical churned: $m1")
     // idempotent: folding the same batch again changes nothing
-    val idx2 = Dedup.updateHashIndex(idx1, batch, "doc_id", "text")
-    assert(idx2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == m1)
+    assert(asMap(Dedup.updateHashIndex(idx1, batch, "doc_id", "text")) == m1)
     // and the probe agrees with the updated state
     val probe = Dedup.exactAgainstIndex(batch, "doc_id", "text", idx1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
