@@ -427,6 +427,49 @@ class SyncSpec extends SparkSpec {
     assert(spark.read.parquet(targetDir).count() == 128)
   }
 
+  test("alerts: severity filter, 60s per-message rate limit, payload shape, guard rethrows") {
+    import graft.sync.Alerts
+    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    var now = 1000L
+    val a = new Alerts.Alerter(sent += _, minIntervalMs = 60000L, clock = () => now)
+    assert(!a.emit(Alerts.Info, "ignored") && sent.isEmpty)
+    assert(a.warn("disk almost full"))
+    assert(!a.warn("disk almost full"), "same message inside the window must be suppressed")
+    assert(a.error("disk almost full"), "same text at a DIFFERENT level is a different key")
+    now += 60000L
+    assert(a.warn("disk almost full"), "window elapsed -> sends again")
+    assert(sent.head == """{"level":"WARNING","message":"disk almost full","time_ms":1000}""")
+    // escaping: quotes and newlines survive as valid JSON
+    a.error("bad \"json\"\nhere")
+    assert(sent.last.contains("""bad \"json\"\nhere"""))
+    // guard: alerts and rethrows
+    val e = intercept[RuntimeException](
+      Alerts.guarded(a, "sync t")(sys.error("boom")))
+    assert(e.getMessage == "boom" && sent.last.contains("sync t failed: boom"))
+  }
+
+  test("alerts: a dying streaming query pages through the listener") {
+    import graft.sync.Alerts
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = Alerts.queryListener(new Alerts.Alerter(sent += _))
+    spark.streams.addListener(listener)
+    try {
+      val dir = tmp("graft_alert_src")
+      Catalog.load(spark, sf, "events").limit(10).write.mode("overwrite").parquet(dir)
+      val q = spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+        .parquet(dir)
+        .writeStream
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => sys.error("sink exploded"))
+        .start()
+      intercept[StreamingQueryException](q.processAllAvailable())
+      // listener fires asynchronously after termination
+      val deadline = System.currentTimeMillis() + 30000
+      while (sent.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(sent.exists(s => s.contains("\"ERROR\"") && s.contains("died")), sent.mkString("; "))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("promote: failed rename restores target and throws (state never advanced)") {
     import graft.sinks.PartitionedUpsert
     val root = tmp("graft_promote")
