@@ -20,7 +20,7 @@ object Bench {
     "rollup_pricing", "brand_revenue", "supplier_balance", "distinct_users",
     "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders",
     "q13_cust_dist", "q17_small_qty", "q22_idle_rich", "funnel_counts",
-    "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "pivot_daily_events",
+    "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
     "asof_last_click", "interval_join",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state",

@@ -381,6 +381,21 @@ object SparkEntry {
         .orderBy(col("sum_qty_c").desc, col("o_orderkey"))
         .limit(20)
     }),
+    "cumulative_revenue" -> ((s, d) => {
+      // B31: running total per day. The unpartitioned UNBOUNDED
+      // PRECEDING window is fine at 100 TB because it consumes the
+      // day-level AGGREGATE (a few thousand rows), never the fact
+      // table — same shape discipline as moving_7d
+      val daily = t(s, d, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate").cast("timestamp")).as("day"))
+        .agg(sum(Analytics.cents(col("l_extendedprice"))).as("rev_c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      daily.select(unix_micros(col("day")).as("day_us"), col("rev_c"),
+          sum(col("rev_c")).over(w).as("cum_rev_c"))
+        .orderBy(col("day_us"))
+    }),
     "q13_cust_dist" -> ((s, d) => {
       // TPC-H Q13 shape: order-count distribution. LEFT join keeps
       // zero-order customers; the filter rides the orders scan so the
@@ -1045,6 +1060,13 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c, sum_qty_c
         |FROM orders JOIN lq ON o_orderkey = l_orderkey
         |ORDER BY sum_qty_c DESC, o_orderkey LIMIT 20""".stripMargin,
+    "cumulative_revenue" ->
+      """WITH daily AS (SELECT date_trunc('day', l_shipdate) AS day,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT epoch_us(day) AS day_us, rev_c,
+        |  CAST(sum(rev_c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+        |FROM daily ORDER BY day_us""".stripMargin,
     "q13_cust_dist" ->
       """WITH cnt AS (
         |  SELECT c_custkey, count(o_orderkey) AS n_orders

@@ -359,11 +359,20 @@ object SyncRunner {
       intervalMs: Long = 0L,
       nowUsForPass: Int => Long = _.toLong,
       keyOverrides: Map[String, Seq[String]] = Map.empty,
-      onPassEnd: (Int, Map[String, (String, Long)]) => Unit = (_, _) => ()
+      onPassEnd: (Int, Map[String, (String, Long)]) => Unit = (_, _) => (),
+      alerter: Option[Alerts.Alerter] = None
   ): Seq[Map[String, (String, Long)]] =
     (1 to maxPasses).map { pass =>
-      val r = autoSyncAll(spark, srcDir, pattern, targetRoot, stateDir,
-        nowUsForPass(pass), keyOverrides)
+      // a failed pass alerts (rate-limited) and aborts the loop —
+      // sync state has not advanced, so the next start resumes cleanly
+      val r = alerter match {
+        case Some(a) => Alerts.guarded(a, s"$pattern pass $pass")(
+          autoSyncAll(spark, srcDir, pattern, targetRoot, stateDir,
+            nowUsForPass(pass), keyOverrides))
+        case None =>
+          autoSyncAll(spark, srcDir, pattern, targetRoot, stateDir,
+            nowUsForPass(pass), keyOverrides)
+      }
       onPassEnd(pass, r)
       if (intervalMs > 0 && pass < maxPasses) Thread.sleep(intervalMs)
       r
