@@ -254,6 +254,40 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed hash index: the batch probe join has no index-side exchange") {
+    // the C28 scaladoc's scale claim, pinned as a plan: with the index
+    // stored bucketed by h, a probe shuffles ONLY the (small) batch —
+    // the 100 TB index is read in place, bucket by bucket
+    def count(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS b_hashidx")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/b_hashidx")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+      val docs = Catalog.load(spark, sf, "documents")
+      Writers.bucketedTable(
+        graft.operators.Dedup.buildHashIndex(docs.filter(col("doc_id") < 40), "doc_id", "text"),
+        "b_hashidx", "h", 4)
+      val batch = docs.filter(col("doc_id") >= 40).select("doc_id", "text")
+      val probed = graft.operators.Dedup.exactAgainstIndex(
+        batch, "doc_id", "text", spark.table("b_hashidx"))
+      val plan = probed.queryExecution.executedPlan.toString
+      // exactly the batch-side exchange (plus the output sort); the
+      // index scan feeds the join directly from its buckets
+      val scanToJoin = plan.linesIterator.dropWhile(!_.contains("SortMergeJoin")).toSeq
+      assert(plan.contains("SortMergeJoin"), plan)
+      val idxSide = scanToJoin.filter(_.contains("b_hashidx"))
+      assert(idxSide.nonEmpty, plan)
+      // no Exchange between the index relation and the join: the only
+      // exchanges in the whole plan are batch hash + output range
+      assert(count(plan, "Exchange") <= 2, plan)
+      assert(probed.count() == batch.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned writer: layout prunes and reads back identically") {
     val out = tmpDir("graft_writer") + "/events_by_type"
     val ev = Catalog.load(spark, sf, "events")
