@@ -167,6 +167,19 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "partial_sum") >= 1, p.take(2000))
   }
 
+  test("q13: urgent filter pushed to the orders scan under the outer join") {
+    val p = planOf("q13_cust_dist")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"), p.take(2000))
+  }
+
+  test("cumulative window consumes the day aggregate, not the fact table") {
+    val p = planOf("cumulative_revenue")
+    // partial+final agg below the window; lineitem scan reads 2 cols
+    assert(p.contains("partial_sum"), p.take(2000))
+    val read = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("l_shipdate"))
+    assert(read.exists(l => l.contains("l_extendedprice") && !l.contains("l_orderkey")), read)
+  }
+
   test("q17: brand dimension broadcast; brand filter pushed to the part scan") {
     val p = planOf("q17_small_qty")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
