@@ -398,6 +398,39 @@ object Similarity {
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
   }
 
+  /** Append a new batch into a persisted IVF index WITHOUT refitting:
+    * the stored centroids are read back and FROZEN (cell geometry
+    * stays comparable across batches), the batch is assigned exactly
+    * like [[buildIvfIndex]] assigns the corpus, and only the touched
+    * cell partitions gain files (parquet append under `cell=`). After
+    * the append, [[ivfTopKIndexed]] answers as if the index had been
+    * built over the union with these centroids — the k-means refit
+    * (and rebuild) is a scheduled maintenance job, not a per-batch
+    * cost. Pair with Writers.compactPartitioned on `cells/` when
+    * batch-sized files accumulate.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String
+  ): Unit = {
+    val centers = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[Seq[Double]]("center").toArray)
+    val assigned =
+      if (centers.length > literalCentroidMax) candidateCellsJoin(batch, centers, idCol, vecCol)
+      else
+        batch.select(
+          col(idCol).as("cid"),
+          col(vecCol).as("cvec"),
+          norm(col(vecCol)).as("cnrm"),
+          cellOf(centers, col(vecCol)).as("cell")
+        )
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
   /** Query a persisted IVF index (see [[buildIvfIndex]]) — no k-means
     * fit, no full-corpus assignment: centroids load from one tiny file
     * and candidate IO is bounded by the probed cells.

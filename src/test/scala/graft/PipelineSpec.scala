@@ -387,6 +387,38 @@ class PipelineSpec extends SparkSpec {
     assert(a == (0L until 20L).map(i => (i + 100000L, i)))
   }
 
+  test("index probes degrade cleanly: empty batch and empty index") {
+    val empty = docs.filter(lit(false)).select(col("doc_id"), col("text"))
+    val idx = Dedup.buildHashIndex(docs.limit(10), "doc_id", "text")
+    assert(Dedup.exactAgainstIndex(empty, "doc_id", "text", idx).count() == 0L)
+    val emptyIdx = Dedup.buildHashIndex(empty, "doc_id", "text")
+    val allNew = Dedup.exactAgainstIndex(docs.limit(5), "doc_id", "text", emptyIdx)
+    assert(allNew.count() == 5L && allNew.filter(col("is_dup") =!= 0L).count() == 0L)
+    assert(Dedup.nearDupsAgainstIndex(empty, "doc_id", "text",
+      Dedup.buildMinhashIndex(docs.limit(10), "doc_id", "text")).count() == 0L)
+  }
+
+  test("IVF index append: frozen centroids, new vectors searchable without rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/idx"
+    val base = embs.filter(col("vec_id") < 40).select(col("vec_id"), col("embedding"))
+    val late = embs.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(spark, base, "vec_id", "embedding", nClusters = 4, dir)
+    // probe: a near-copy of a LATE vector (not yet indexed)
+    val probe = late.limit(1).select(
+      (col("vec_id") + 900000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val targetId = late.limit(1).collect()(0).getLong(0)
+    def top1(): Long =
+      Similarity.ivfTopKIndexed(spark, dir, probe, "vec_id", "embedding", k = 1, nProbes = 4)
+        .collect()(0).getLong(2)
+    assert(top1() != targetId, "target must not be findable before the append")
+    Similarity.appendToIvfIndex(spark, late, "vec_id", "embedding", dir)
+    assert(top1() == targetId, "after the append the probe's twin is rank-1")
+    // centroid file untouched: geometry frozen across the append
+    assert(spark.read.parquet(s"$dir/centroids").count() == 4)
+  }
+
   test("minhash index probe == cross-subset of the full-corpus LSH pairs") {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)
