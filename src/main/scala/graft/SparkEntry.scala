@@ -457,6 +457,13 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(Analytics.cents(col("l_extendedprice"))).as("sum_base_c"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "cube_pricing" -> ((s, d) =>
+      // B32: full CUBE grouping sets (completes ROLLUP in B7) — one
+      // expand + one agg shuffle, Catalyst's native grouping-sets path
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(Analytics.cents(col("l_extendedprice"))).as("sum_base_c"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
     "brand_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(
         col("l_partkey"),
@@ -1094,6 +1101,12 @@ object SparkEntry {
         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        | count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "brand_revenue" ->
       """SELECT p_brand,

@@ -504,6 +504,11 @@ object Dedup {
     * exact verification walks. Storing `hs` (~8 bytes/word, smaller
     * than the text it summarizes) is what makes probes corpus-scan-
     * free: candidates fetch ONLY their own `hs` rows by id.
+    * Rows are per-doc independent, so appending a processed batch is
+    * just `buildMinhashIndex(batch, ...).write.mode("append")` — no
+    * merge step (unlike the hash index, whose keys dedup via
+    * [[updateHashIndex]]); [[buildEmbeddingIndex]] appends the same
+    * way.
     */
   def buildMinhashIndex(
       corpus: DataFrame,

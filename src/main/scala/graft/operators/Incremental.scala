@@ -145,6 +145,21 @@ object Incremental {
     * the target — the ALTER TABLE plan (es_to_bytehouse.py:1043-1051
     * `detect_new_fields_from_batch` + 1020-1041 `add_new_columns`).
     */
+  /** Project a batch onto the TARGET table's column set before the
+    * insert — the reference loads the target's DESCRIBE and writes
+    * only shared columns, in target order, so a source-side extra
+    * column can't break the INSERT and a target-side extra column
+    * lands NULL (clickhouse_to_bytehouse.py:264-272 + per-row filter
+    * in sync_table_full). Source extras are dropped (pair with
+    * [[newFields]]/[[alterStatements]] to evolve the target first
+    * when they should be kept).
+    */
+  def conformToTarget(df: DataFrame, targetCols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(targetCols.map(c =>
+      if (have(c)) col(c) else lit(null).as(c)): _*)
+  }
+
   def newFields(target: StructType, incoming: StructType): Seq[(String, String)] = {
     val have = target.fieldNames.map(Flatten.sanitizeName).toSet
     incoming.fields.toIndexedSeq

@@ -427,6 +427,15 @@ class SyncSpec extends SparkSpec {
     assert(spark.read.parquet(targetDir).count() == 128)
   }
 
+  test("conformToTarget: target order, source extras dropped, target extras NULL") {
+    import spark.implicits._
+    val batch = Seq((1L, "x", 9L)).toDF("id", "v", "src_only")
+    val out = Incremental.conformToTarget(batch, Seq("v", "id", "tgt_only"))
+    assert(out.columns.toSeq == Seq("v", "id", "tgt_only"))
+    val r = out.collect()(0)
+    assert(r.getString(0) == "x" && r.getLong(1) == 1L && r.isNullAt(2))
+  }
+
   test("alerts: severity filter, 60s per-message rate limit, payload shape, guard rethrows") {
     import graft.sync.Alerts
     val sent = scala.collection.mutable.ArrayBuffer.empty[String]
