@@ -145,6 +145,29 @@ object Incremental {
     * the target — the ALTER TABLE plan (es_to_bytehouse.py:1043-1051
     * `detect_new_fields_from_batch` + 1020-1041 `add_new_columns`).
     */
+  /** Incremental distinct-count state: one DataSketches HLL sketch
+    * per synced batch, stored beside the sync state. At 100 TB,
+    * "distinct users all-time" must never rescan history — each batch
+    * contributes a few-KB binary sketch, and [[estimateDistinct]]
+    * unions the sketches (HLL union is lossless for set-union: merging
+    * per-batch sketches equals sketching the union, tested). The
+    * reference reports per-pass row counts; this is the cardinality
+    * pendant those reports imply.
+    */
+  def distinctSketch(df: DataFrame, keyCol: String, table: String, batchUs: Long): DataFrame =
+    df.agg(hll_sketch_agg(col(keyCol)).as("sketch"))
+      .select(lit(table).as("table_name"), lit(batchUs).as("batch_us"), col("sketch"))
+
+  /** All-time distinct estimate per table from accumulated batch
+    * sketches — a metadata-sized aggregation, never a data scan.
+    */
+  def estimateDistinct(sketches: DataFrame): DataFrame =
+    sketches
+      .groupBy(col("table_name"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_estimate"),
+        count(lit(1)).as("n_batches"))
+      .orderBy(col("table_name"))
+
   /** Project a batch onto the TARGET table's column set before the
     * insert — the reference loads the target's DESCRIBE and writes
     * only shared columns, in target order, so a source-side extra

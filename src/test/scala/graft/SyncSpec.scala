@@ -427,6 +427,24 @@ class SyncSpec extends SparkSpec {
     assert(spark.read.parquet(targetDir).count() == 128)
   }
 
+  test("distinct sketches: per-batch state unions to the all-time estimate") {
+    val ev = Catalog.load(spark, sf, "events")
+    val (b1, b2) = (ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 =!= 0))
+    val sketches = Incremental.distinctSketch(b1, "user_id", "events", 1L)
+      .unionByName(Incremental.distinctSketch(b2, "user_id", "events", 2L))
+    val est = Incremental.estimateDistinct(sketches).collect()(0)
+    assert(est.getString(0) == "events" && est.getLong(2) == 2L)
+    val exact = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    // HLL union of batch sketches == sketch of the union: the merged
+    // estimate must equal sketching the whole table in one pass...
+    val oneShot = Incremental.estimateDistinct(
+      Incremental.distinctSketch(ev, "user_id", "events", 9L)).collect()(0).getLong(1)
+    assert(est.getLong(1) == oneShot, "sketch union must be lossless for set union")
+    // ...and land within HLL error bounds of the exact count
+    assert(math.abs(est.getLong(1) - exact).toDouble / exact < 0.05,
+      s"estimate ${est.getLong(1)} vs exact $exact")
+  }
+
   test("conformToTarget: target order, source extras dropped, target extras NULL") {
     import spark.implicits._
     val batch = Seq((1L, "x", 9L)).toDF("id", "v", "src_only")
