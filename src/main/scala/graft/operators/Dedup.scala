@@ -453,6 +453,28 @@ object Dedup {
   // reference's incremental sync (watermark + state), applied to the
   // dedup decision instead of the row transport.
 
+  /** C14 incrementally: fold NEW near-dup pairs (a batch probe's
+    * output) into an existing cluster assignment WITHOUT the original
+    * pair set — the assignment already encodes its components as a
+    * star forest ((id, cluster_id) edges), so union those edges with
+    * the new pairs and re-label. Cost scales with the assignment plus
+    * the batch, and the original corpus pairs never need to be kept or
+    * recomputed. Proven equal to a full recompute over the combined
+    * pair set (PipelineSpec).
+    */
+  def mergeClusters(assignment: DataFrame, idCol: String, newPairs: DataFrame): DataFrame = {
+    val forest = assignment
+      .filter(col(idCol) =!= col("cluster_id")) // singleton self-edges are no-ops
+      .select(col(idCol).cast("long").as("id_a"), col("cluster_id").cast("long").as("id_b"))
+    val pairs = forest.unionByName(
+      newPairs.select(col("id_a").cast("long"), col("id_b").cast("long")))
+    val ids = assignment.select(col(idCol).cast("long").as(idCol))
+      .unionByName(newPairs.select(col("id_a").cast("long").as(idCol)))
+      .unionByName(newPairs.select(col("id_b").cast("long").as(idCol)))
+      .distinct()
+    clusterAssign(ids, idCol, pairs)
+  }
+
   /** C28 index build: one row per distinct normalized-content hash in
     * the corpus with its canonical (minimum) id. The key is stored as
     * 16 RAW BYTES (`unhex` of the md5 hex), not the 32-char hex

@@ -387,6 +387,24 @@ class PipelineSpec extends SparkSpec {
     assert(a == (0L until 20L).map(i => (i + 100000L, i)))
   }
 
+  test("mergeClusters == full recompute over the combined pair set") {
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val baseIds = (1L to 12L).toDF("vid")
+    val assignment = Dedup.clusterAssign(baseIds, "vid", basePairs)
+    // batch: bridges two existing components AND introduces doc 100
+    val newPairs = Seq((3L, 10L), (5L, 100L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(assignment, "vid", newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Dedup.clusterAssign(
+      baseIds.unionByName(Seq(100L).toDF("vid")), "vid",
+      basePairs.unionByName(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == full, s"merged=$merged full=$full")
+    // the bridge really merged: 1-2-3-10-11 is one component rooted at 1
+    assert(merged.find(_._1 == 11L).get._2 == 1L)
+    assert(merged.find(_._1 == 100L).get._2 == 5L && merged.find(_._1 == 100L).get._3 == 0L)
+  }
+
   test("index probes degrade cleanly: empty batch and empty index") {
     val empty = docs.filter(lit(false)).select(col("doc_id"), col("text"))
     val idx = Dedup.buildHashIndex(docs.limit(10), "doc_id", "text")
