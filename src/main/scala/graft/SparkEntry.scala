@@ -556,8 +556,12 @@ object SparkEntry {
       // copies of decile-0 vectors at cos~0.999, far copies of
       // decile-5 at cos<<tau) probed against the persisted
       // bucket-precomputed corpus index; margins are ~7 orders above
-      // float/double drift so the pair set is engine-exact
-      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      // float/double drift so the pair set is engine-exact. Corpus is
+      // capped below the staging offsets (mirrored in the oracle) so
+      // batch/corpus id spaces stay disjoint at ANY scale factor —
+      // the probe's contract
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 100000)
+        .select(col("vec_id"), col("embedding"))
       def shifted(modVal: Int, idOff: Long, d0: Float) =
         e.filter(col("vec_id") % 10 === modVal).select(
           (col("vec_id") + idOff).as("vec_id"),
@@ -1274,14 +1278,15 @@ object SparkEntry {
     // blocking must lose nothing at this tau (misses ~1e-8/pair with
     // 8 planes x 8 tables at cos ~0.999)
     "dedup_incr_embedding" ->
-      """WITH batch AS (
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100000),
+        |batch AS (
         |  SELECT vec_id + 200000 AS id, list_concat([embedding[1] + 0.05], embedding[2:]) AS v
-        |  FROM embeddings WHERE vec_id % 10 = 0
+        |  FROM e WHERE vec_id % 10 = 0
         |  UNION ALL
         |  SELECT vec_id + 300000, list_concat([embedding[1] + 10.0], embedding[2:])
-        |  FROM embeddings WHERE vec_id % 10 = 5)
+        |  FROM e WHERE vec_id % 10 = 5)
         |SELECT b.id AS id_a, c.vec_id AS id_b
-        |FROM batch b JOIN embeddings c ON list_cosine_similarity(b.v, c.embedding) >= 0.99
+        |FROM batch b JOIN e c ON list_cosine_similarity(b.v, c.embedding) >= 0.99
         |ORDER BY 1, 2""".stripMargin,
     "dedup_embedding_blocked" ->
       """WITH u AS (

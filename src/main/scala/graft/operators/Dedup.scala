@@ -34,6 +34,18 @@ object Dedup {
     */
   def contentHash(c: Column): Column = unhex(md5(normalize(c)))
 
+  /** Guard every hash-index consumer: a legacy index whose `h` is the
+    * old 32-char hex STRING would implicitly cast against binary
+    * probe hashes and match NOTHING — every duplicate silently
+    * admitted. Fail loudly instead and name the migration.
+    */
+  private[graft] def requireBinaryHashIndex(index: DataFrame): Unit = {
+    val t = index.schema.apply("h").dataType
+    require(t == org.apache.spark.sql.types.BinaryType,
+      s"hash index column 'h' is $t, expected BINARY — this looks like a legacy " +
+        "hex-string index; rebuild it with buildHashIndex (contentHash is now 16 raw bytes)")
+  }
+
   /** 64-bit hashes of the word n-gram shingles of normalized text —
     * the native kernel form every dedup tier consumes (HOF string
     * shingling costs ~18µs/shingle interpreted; this is ~50x cheaper
@@ -496,7 +508,8 @@ object Dedup {
     * first); this operator answers "seen before in the corpus?".
     * Output: (idCol, is_dup, dup_of) for every batch row.
     */
-  def exactAgainstIndex(batch: DataFrame, idCol: String, textCol: String, index: DataFrame): DataFrame =
+  def exactAgainstIndex(batch: DataFrame, idCol: String, textCol: String, index: DataFrame): DataFrame = {
+    requireBinaryHashIndex(index)
     batch
       .select(col(idCol).cast("long").as("__bid"), contentHash(col(textCol)).as("h"))
       .join(index.select(col("h"), col("kept_id")), Seq("h"), "left")
@@ -506,6 +519,7 @@ object Dedup {
         col("kept_id").as("dup_of")
       )
       .orderBy(col(idCol))
+  }
 
   /** C28 state advance: fold a processed batch into the hash index.
     * FIRST-SEEN-WINS: hashes already indexed keep their existing

@@ -168,19 +168,27 @@ object Incremental {
         count(lit(1)).as("n_batches"))
       .orderBy(col("table_name"))
 
-  /** Project a batch onto the TARGET table's column set before the
+  /** Project a batch onto the TARGET table's schema before the
     * insert — the reference loads the target's DESCRIBE and writes
     * only shared columns, in target order, so a source-side extra
     * column can't break the INSERT and a target-side extra column
     * lands NULL (clickhouse_to_bytehouse.py:264-272 + per-row filter
-    * in sync_table_full). Source extras are dropped (pair with
-    * [[newFields]]/[[alterStatements]] to evolve the target first
-    * when they should be kept).
+    * in sync_table_full). Takes the full target SCHEMA, not names:
+    * a missing column must be a TYPED null (an untyped NullType
+    * column is rejected by every sink at write time), and matching is
+    * case-insensitive like Spark's own resolver (a case-differing
+    * source column must conform, not silently null out). Source
+    * extras are dropped (pair with [[newFields]]/[[alterStatements]]
+    * to evolve the target first when they should be kept).
     */
-  def conformToTarget(df: DataFrame, targetCols: Seq[String]): DataFrame = {
-    val have = df.columns.toSet
-    df.select(targetCols.map(c =>
-      if (have(c)) col(c) else lit(null).as(c)): _*)
+  def conformToTarget(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    df.select(target.fields.toIndexedSeq.map { f =>
+      have.get(f.name.toLowerCase) match {
+        case Some(src) => col(src).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
   }
 
   def newFields(target: StructType, incoming: StructType): Seq[(String, String)] = {

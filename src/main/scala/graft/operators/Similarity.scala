@@ -386,17 +386,32 @@ object Similarity {
       .toDF("cell", "center")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val assigned =
-      if (nClusters > literalCentroidMax) candidateCellsJoin(candidates, centers, idCol, vecCol)
-      else
-        candidates.select(
-          col(idCol).as("cid"),
-          col(vecCol).as("cvec"),
-          norm(col(vecCol)).as("cnrm"),
-          cellOf(centers, col(vecCol)).as("cell")
-        )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    assignCells(candidates, centers, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
   }
+
+  /** ONE cell-assignment implementation for build, append and any
+    * future re-cluster: two code paths drifting apart would silently
+    * mix cell geometries inside one index (appended vectors assigned
+    * by a different rule become unfindable at probe time).
+    */
+  private def assignCells(df: DataFrame, centers: Array[Array[Double]], idCol: String, vecCol: String): DataFrame =
+    if (centers.length > literalCentroidMax) candidateCellsJoin(df, centers, idCol, vecCol)
+    else
+      df.select(
+        col(idCol).as("cid"),
+        col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnrm"),
+        cellOf(centers, col(vecCol)).as("cell")
+      )
+
+  /** The stored coarse quantizer, in cell order — shared by the
+    * append and probe paths.
+    */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession, indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[Seq[Double]]("center").toArray)
 
   /** Append a new batch into a persisted IVF index WITHOUT refitting:
     * the stored centroids are read back and FROZEN (cell geometry
@@ -415,21 +430,9 @@ object Similarity {
       idCol: String,
       vecCol: String,
       indexDir: String
-  ): Unit = {
-    val centers = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy("cell").collect()
-      .map(_.getAs[Seq[Double]]("center").toArray)
-    val assigned =
-      if (centers.length > literalCentroidMax) candidateCellsJoin(batch, centers, idCol, vecCol)
-      else
-        batch.select(
-          col(idCol).as("cid"),
-          col(vecCol).as("cvec"),
-          norm(col(vecCol)).as("cnrm"),
-          cellOf(centers, col(vecCol)).as("cell")
-        )
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
-  }
+  ): Unit =
+    assignCells(batch, loadCentroids(spark, indexDir), idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
 
   /** Query a persisted IVF index (see [[buildIvfIndex]]) — no k-means
     * fit, no full-corpus assignment: centroids load from one tiny file
@@ -444,9 +447,7 @@ object Similarity {
       k: Int,
       nProbes: Int = 4
   ): DataFrame = {
-    val centers = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy("cell").collect()
-      .map(_.getAs[Seq[Double]]("center").toArray)
+    val centers = loadCentroids(spark, indexDir)
     val cands = spark.read.parquet(s"$indexDir/cells")
     val qs =
       if (centers.length > literalCentroidMax) probeCellsJoin(queries, centers, idCol, vecCol, nProbes)

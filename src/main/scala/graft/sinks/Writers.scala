@@ -101,7 +101,13 @@ object Writers {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      // hidden/meta dirs (.day=X__old crash leftovers, _temporary)
+      // are NOT live partitions — sweeping a stale aside every pass
+      // would rewrite it forever instead of leaving it for restore
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") && !n.startsWith(".") && !n.startsWith("_")
+      }
       .toSeq
       .map { part =>
         val (before, after) = compact(spark, part.getPath.toString, targetFileBytes, minFiles)

@@ -146,13 +146,15 @@ object IncrementalSync {
     * [[dedupExactStream]]'s job, and the two compose by chaining.
     * Output: input rows + (is_dup, dup_of).
     */
-  def dedupAgainstIndexStream(docs: DataFrame, textCol: String, index: DataFrame): DataFrame =
+  def dedupAgainstIndexStream(docs: DataFrame, textCol: String, index: DataFrame): DataFrame = {
+    graft.operators.Dedup.requireBinaryHashIndex(index)
     docs
       .withColumn("__h", graft.operators.Dedup.contentHash(col(textCol)))
       .join(index.select(col("h").as("__h"), col("kept_id")), Seq("__h"), "left")
       .withColumn("is_dup", when(col("kept_id").isNotNull, 1L).otherwise(0L))
       .withColumnRenamed("kept_id", "dup_of")
       .drop("__h")
+  }
 
   /** foreachBatch upsert into an UNPARTITIONED parquet target: merge
     * the micro-batch with the existing target by key (latest version

@@ -37,16 +37,29 @@ object Alerts {
 
     /** Returns true when the alert was actually sent (not filtered or
       * rate-limited) — callers log the suppression either way.
+      *
+      * The transport runs OUTSIDE the lock: in production `send` is a
+      * blocking HTTP POST, and one of the callers is Spark's shared
+      * streaming listener-bus thread — a hung webhook must not stall
+      * other threads' warn/error (or the bus) behind the monitor.
       */
-    def emit(level: Level, msg: String): Boolean = synchronized {
+    def emit(level: Level, msg: String): Boolean = {
       if (level.rank < Warning.rank) return false
       val key = s"${level.label}:${msg.take(100)}"
       val now = clock()
-      val due = lastSent.get(key).forall(t => now - t >= minIntervalMs)
-      if (due) {
-        lastSent(key) = now
-        send(payload(level, msg, now))
+      val due = synchronized {
+        val d = lastSent.get(key).forall(t => now - t >= minIntervalMs)
+        if (d) {
+          lastSent(key) = now
+          // keys embedding unique ids (query UUIDs, pass numbers)
+          // never repeat — evict expired entries so a long-running
+          // loop's rate-limit map stays bounded
+          if (lastSent.size > 1024)
+            lastSent.filterInPlace((_, t) => now - t < minIntervalMs)
+        }
+        d
       }
+      if (due) send(payload(level, msg, now))
       due
     }
   }

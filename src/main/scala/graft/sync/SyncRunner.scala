@@ -291,13 +291,14 @@ object SyncRunner {
       targetRoot: String,
       stateDir: String,
       nowUs: Long,
-      keyOverrides: Map[String, Seq[String]] = Map.empty
+      keyOverrides: Map[String, Seq[String]] = Map.empty,
+      compactTargetBytes: Option[Long] = None
   ): Map[String, (String, Long)] =
     autoSyncTables(
       spark,
       graft.sources.Catalog.selectTables(spark, srcDir, pattern),
       graft.sources.Catalog.load(spark, srcDir, _),
-      targetRoot, stateDir, nowUs, keyOverrides)
+      targetRoot, stateDir, nowUs, keyOverrides, compactTargetBytes)
 
   /** The same sweep over ANY source: `loadTable` is a thunk producing
     * the DataFrame for a table name, so parquet catalogs
@@ -313,7 +314,8 @@ object SyncRunner {
       targetRoot: String,
       stateDir: String,
       nowUs: Long,
-      keyOverrides: Map[String, Seq[String]] = Map.empty
+      keyOverrides: Map[String, Seq[String]] = Map.empty,
+      compactTargetBytes: Option[Long] = None
   ): Map[String, (String, Long)] = {
     tables
       .map { table =>
@@ -328,11 +330,12 @@ object SyncRunner {
             val updateCol = Incremental.detectUpdateTimeField(df.schema).filter(_ != timeCol)
             val order = updateCol.toSeq ++ Seq(timeCol) ++ keys
             autoSync(spark, df, table, keys, timeCol, order, target, stateDir, nowUs,
-              updateCol = updateCol)
+              updateCol = updateCol, compactTargetBytes = compactTargetBytes)
           case None =>
             val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
             val n = writeSwap(spark, df, target, fs)
             appendState(spark, stateDir, SyncState(table, "", Long.MinValue, n, "full", nowUs))
+            compactTargetBytes.foreach(b => graft.sinks.Writers.compact(spark, target, b))
             ("full", n)
         }
         table -> result
@@ -360,7 +363,8 @@ object SyncRunner {
       nowUsForPass: Int => Long = _.toLong,
       keyOverrides: Map[String, Seq[String]] = Map.empty,
       onPassEnd: (Int, Map[String, (String, Long)]) => Unit = (_, _) => (),
-      alerter: Option[Alerts.Alerter] = None
+      alerter: Option[Alerts.Alerter] = None,
+      compactTargetBytes: Option[Long] = None
   ): Seq[Map[String, (String, Long)]] =
     (1 to maxPasses).map { pass =>
       // a failed pass alerts (rate-limited) and aborts the loop —
@@ -368,10 +372,10 @@ object SyncRunner {
       val r = alerter match {
         case Some(a) => Alerts.guarded(a, s"$pattern pass $pass")(
           autoSyncAll(spark, srcDir, pattern, targetRoot, stateDir,
-            nowUsForPass(pass), keyOverrides))
+            nowUsForPass(pass), keyOverrides, compactTargetBytes))
         case None =>
           autoSyncAll(spark, srcDir, pattern, targetRoot, stateDir,
-            nowUsForPass(pass), keyOverrides)
+            nowUsForPass(pass), keyOverrides, compactTargetBytes)
       }
       onPassEnd(pass, r)
       if (intervalMs > 0 && pass < maxPasses) Thread.sleep(intervalMs)

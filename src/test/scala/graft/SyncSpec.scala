@@ -445,13 +445,21 @@ class SyncSpec extends SparkSpec {
       s"estimate ${est.getLong(1)} vs exact $exact")
   }
 
-  test("conformToTarget: target order, source extras dropped, target extras NULL") {
+  test("conformToTarget: target order/types, case-insensitive match, WRITABLE nulls") {
     import spark.implicits._
-    val batch = Seq((1L, "x", 9L)).toDF("id", "v", "src_only")
-    val out = Incremental.conformToTarget(batch, Seq("v", "id", "tgt_only"))
+    import org.apache.spark.sql.types.StructType
+    val batch = Seq((1L, "x", 9L)).toDF("ID", "v", "src_only")
+    val target = StructType.fromDDL("v STRING, id BIGINT, tgt_only STRING")
+    val out = Incremental.conformToTarget(batch, target)
     assert(out.columns.toSeq == Seq("v", "id", "tgt_only"))
     val r = out.collect()(0)
+    // case-differing ID conformed (not nulled); missing col is typed null
     assert(r.getString(0) == "x" && r.getLong(1) == 1L && r.isNullAt(2))
+    // the whole point: the conformed batch must be WRITABLE (an
+    // untyped NullType column would throw here)
+    val dir = tmp("graft_conform") + "/t"
+    out.write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).schema == target)
   }
 
   test("alerts: severity filter, 60s per-message rate limit, payload shape, guard rethrows") {
@@ -594,6 +602,8 @@ class SyncSpec extends SparkSpec {
     df.repartition(8).write.mode("overwrite").partitionBy("day").parquet(dir)
     // day=0 and day=1 both hold 8 small files now; pre-compact day=1
     sinks.Writers.compact(spark, s"$dir/day=1", targetFileBytes = 1L << 30)
+    // a crash-leftover hidden aside dir must be skipped, not swept
+    new java.io.File(s"$dir/.day=9__old").mkdirs()
     val report = sinks.Writers.compactPartitioned(spark, dir, targetFileBytes = 1L << 30).sortBy(_._1)
     assert(report == Seq(("day=0", 8, 1), ("day=1", 1, 1)))
     // partition layout intact and lossless after the selective rewrite
