@@ -577,6 +577,34 @@ class SyncSpec extends SparkSpec {
     assert(r(0).isNullAt(2) && r(1).getString(2) == "extra")
   }
 
+  test("z-order layout: every file covers a narrow range of BOTH columns") {
+    import spark.implicits._
+    // two independent uniform dims — the adversarial case for any
+    // single-column sort
+    val df = spark.range(100000).select(
+      (pmod(xxhash64(col("id"), lit(1)), lit(10000L))).as("x"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(10000L))).as("y"))
+    def perFileSpread(dir: String, c: String): Double = {
+      val spreads = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).as("spread"))
+        .collect().map(_.getLong(1).toDouble)
+      spreads.sum / spreads.length / 10000.0
+    }
+    val zDir = tmp("graft_zorder") + "/z"
+    sinks.Writers.zorderedParquet(df, zDir, "x", "y", files = 16)
+    val plain = tmp("graft_zorder") + "/plain"
+    sinks.Writers.sortedParquet(df, plain, Seq("x"), files = 16)
+    // single-col sort: x clusters, y is uniform garbage per file
+    assert(perFileSpread(plain, "y") > 0.8)
+    // z-order: BOTH columns cluster — each file sees a fraction of
+    // each dim's range, so min/max stats prune filters on either
+    val (zx, zy) = (perFileSpread(zDir, "x"), perFileSpread(zDir, "y"))
+    assert(zx < 0.5 && zy < 0.5, f"x=$zx%.2f y=$zy%.2f")
+    // and the rewrite is lossless
+    assert(spark.read.parquet(zDir).count() == 100000L)
+  }
+
   test("compact: shrinks a many-file dir losslessly, then no-ops when already compact") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
