@@ -17,7 +17,7 @@ object Bench {
     "dedup_ngram_jaccard",
     "q1_pricing", "q3_topk_join", "q5_join5", "events_hourly", "events_hourly_skewed",
     "window_rank", "sessionize",
-    "rollup_pricing", "cube_pricing", "brand_revenue", "supplier_balance", "distinct_users",
+    "rollup_pricing", "cube_pricing", "decile_spend", "brand_revenue", "supplier_balance", "distinct_users",
     "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders",
     "q13_cust_dist", "q17_small_qty", "q22_idle_rich", "funnel_counts",
     "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",

@@ -457,6 +457,22 @@ object SparkEntry {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(Analytics.cents(col("l_extendedprice"))).as("sum_base_c"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "decile_spend" -> ((s, d) => {
+      // B33: customer spend deciles via ntile — deterministic because
+      // the tile order carries a unique tiebreak (spend desc, custkey)
+      val spend = t(s, d, "customer").select(col("c_custkey"))
+        .join(t(s, d, "orders").select(col("o_custkey"), Analytics.cents(col("o_totalprice")).as("p_c")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(coalesce(sum(col("p_c")), lit(0L)).as("spend_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("spend_c").desc, col("c_custkey"))
+      spend.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("spend_c")).as("decile_spend_c"),
+          min(col("spend_c")).as("min_spend_c"))
+        .orderBy(col("decile"))
+    }),
     "cube_pricing" -> ((s, d) =>
       // B32: full CUBE grouping sets (completes ROLLUP in B7) — one
       // expand + one agg shuffle, Catalyst's native grouping-sets path
@@ -1106,6 +1122,15 @@ object SparkEntry {
         | count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "decile_spend" ->
+      """WITH spend AS (
+        |  SELECT c_custkey, CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS spend_c
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1),
+        |dec AS (SELECT c_custkey, spend_c, ntile(10) OVER (ORDER BY spend_c DESC, c_custkey) AS decile FROM spend)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_cust,
+        |  CAST(sum(spend_c) AS BIGINT) AS decile_spend_c,
+        |  CAST(min(spend_c) AS BIGINT) AS min_spend_c
+        |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
     "cube_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
