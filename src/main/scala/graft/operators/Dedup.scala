@@ -530,10 +530,12 @@ object Dedup {
     * probed. The returned frame REPLACES the old index
     * (write-new-then-promote, like PartitionedUpsert).
     */
-  def updateHashIndex(index: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame =
+  def updateHashIndex(index: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    requireBinaryHashIndex(index)
     index.unionByName(
       buildHashIndex(batch, idCol, textCol)
         .join(index.select(col("h")), Seq("h"), "left_anti"))
+  }
 
   /** C29 index build: (id, hs, sig) per corpus doc — the MinHash
     * signature (k longs) plus the sorted shingle-hash set `hs` that

@@ -77,11 +77,20 @@ object Writers {
       bits: Int = 8
   ): Unit = {
     import org.apache.spark.sql.functions._
-    require(bits >= 2 && bits <= 16, "bits per dimension must be in [2, 16]")
+    // 12 bits = 4095 boundary comparisons per row per column — already
+    // the practical ceiling for the literal-array bucket expression;
+    // file-level clustering saturates far below that (default 8)
+    require(bits >= 2 && bits <= 12, "bits per dimension must be in [2, 12]")
+    val reserved = Set("__r1", "__r2", "__z")
+    require(!df.columns.exists(reserved),
+      s"input already has a ${reserved.mkString("/")} column — it would be silently dropped")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    // quantile error must resolve adjacent bucket boundaries or the
+    // extra bits buy nothing
+    val relErr = math.min(0.001, 0.25 / (1 << bits))
     val quantiles = df
       .select(col(c1).cast("double").as("q1"), col(c2).cast("double").as("q2"))
-      .stat.approxQuantile(Array("q1", "q2"), probs, 0.001)
+      .stat.approxQuantile(Array("q1", "q2"), probs, relErr)
     // bucket = how many boundaries the value clears: a codegen'd
     // filter/size over a literal array, no shuffle, no window
     def bucket(c: String, bounds: Array[Double]) =

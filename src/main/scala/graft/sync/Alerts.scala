@@ -24,6 +24,12 @@ object Alerts {
     * `clock` is injectable so the 60s window is deterministic in tests
     * (same contract as the reference: one send per distinct
     * (level, first-100-chars) key per interval; INFO never sent).
+    *
+    * `send` MUST be thread-safe: different-key alerts from different
+    * threads (the streaming listener bus, a sync loop) invoke it
+    * CONCURRENTLY — deliberately, so one hung delivery can't stall the
+    * others. An HTTP client per call (or a concurrent queue) is fine;
+    * a shared unsynchronized buffer or connection is not.
     */
   final class Alerter(
       send: String => Unit,

@@ -464,30 +464,31 @@ class SyncSpec extends SparkSpec {
 
   test("alerts: severity filter, 60s per-message rate limit, payload shape, guard rethrows") {
     import graft.sync.Alerts
-    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     var now = 1000L
-    val a = new Alerts.Alerter(sent += _, minIntervalMs = 60000L, clock = () => now)
-    assert(!a.emit(Alerts.Info, "ignored") && sent.isEmpty)
+    val a = new Alerts.Alerter(sent.add(_), minIntervalMs = 60000L, clock = () => now)
+    def sentSeq = { import scala.jdk.CollectionConverters._; sent.asScala.toSeq }
+    assert(!a.emit(Alerts.Info, "ignored") && sentSeq.isEmpty)
     assert(a.warn("disk almost full"))
     assert(!a.warn("disk almost full"), "same message inside the window must be suppressed")
     assert(a.error("disk almost full"), "same text at a DIFFERENT level is a different key")
     now += 60000L
     assert(a.warn("disk almost full"), "window elapsed -> sends again")
-    assert(sent.head == """{"level":"WARNING","message":"disk almost full","time_ms":1000}""")
+    assert(sentSeq.head == """{"level":"WARNING","message":"disk almost full","time_ms":1000}""")
     // escaping: quotes and newlines survive as valid JSON
     a.error("bad \"json\"\nhere")
-    assert(sent.last.contains("""bad \"json\"\nhere"""))
+    assert(sentSeq.last.contains("""bad \"json\"\nhere"""))
     // guard: alerts and rethrows
     val e = intercept[RuntimeException](
       Alerts.guarded(a, "sync t")(sys.error("boom")))
-    assert(e.getMessage == "boom" && sent.last.contains("sync t failed: boom"))
+    assert(e.getMessage == "boom" && sentSeq.last.contains("sync t failed: boom"))
   }
 
   test("alerts: a dying streaming query pages through the listener") {
     import graft.sync.Alerts
     import org.apache.spark.sql.streaming.StreamingQueryException
-    val sent = scala.collection.mutable.ArrayBuffer.empty[String]
-    val listener = Alerts.queryListener(new Alerts.Alerter(sent += _))
+    val sent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = Alerts.queryListener(new Alerts.Alerter(sent.add(_)))
     spark.streams.addListener(listener)
     try {
       val dir = tmp("graft_alert_src")
@@ -501,7 +502,8 @@ class SyncSpec extends SparkSpec {
       // listener fires asynchronously after termination
       val deadline = System.currentTimeMillis() + 30000
       while (sent.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
-      assert(sent.exists(s => s.contains("\"ERROR\"") && s.contains("died")), sent.mkString("; "))
+      import scala.jdk.CollectionConverters._
+      assert(sent.asScala.exists(s => s.contains("\"ERROR\"") && s.contains("died")), sent.asScala.mkString("; "))
     } finally spark.streams.removeListener(listener)
   }
 
