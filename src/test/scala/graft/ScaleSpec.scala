@@ -145,6 +145,33 @@ class ScaleSpec extends SparkSpec {
     assert(hits >= (lsh.size * 0.95).toInt, s"LSH missed staged twins: $hits/${lsh.size}")
   }
 
+  test("IVF append at 100k vectors: late batch searchable, fit paid once", Slow) {
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 100000, dim = 32)
+    val vecs = spark.read.parquet(vecsPath)
+    val (initial, late) = (vecs.filter(col("vec_id") < 99000), vecs.filter(col("vec_id") >= 99000))
+    val indexDir = s"$corpusDir/ivf_append_99k_256"
+    val (_, fitSec) = time {
+      Similarity.buildIvfIndex(spark, initial, "vec_id", "embedding", nClusters = 256, indexDir)
+    }
+    val (_, appendSec) = time {
+      Similarity.appendToIvfIndex(spark, late, "vec_id", "embedding", indexDir)
+    }
+    // probes: perturbed twins of 20 LATE vectors — findable only via
+    // the appended cells
+    val probes = late.filter(col("vec_id") < 99020).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val (hits, searchSec) = time {
+      Similarity.ivfTopKIndexed(spark, indexDir, probes, "vec_id", "embedding", k = 1, nProbes = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    val found = hits.count { case (pid, nid) => nid == pid - 1000000L }
+    info(f"fit+build(99k,256): $fitSec%.1fs, append(1k): $appendSec%.1fs, search: $searchSec%.1fs, twin hits: $found/${hits.size}")
+    // append must be a small fraction of the fit+build it avoids
+    assert(appendSec < 0.5 * fitSec, f"append $appendSec%.1fs vs build $fitSec%.1fs")
+    assert(found >= (hits.size * 0.9).toInt, s"appended vectors not findable: $found/${hits.size}")
+  }
+
   test("incremental minhash probe vs 100k-doc index: exact recovery, batch-scaled cost", Slow) {
     val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
     val docs = spark.read.parquet(docsPath)
