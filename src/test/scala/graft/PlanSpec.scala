@@ -194,6 +194,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("PlanDigest: q5's contract as data; lint throws on a violated bound") {
+    import graft.tools.PlanDigest
+    val q5 = SparkEntry.queries("q5_join5")(spark, sf)
+    val d = PlanDigest.digest(q5)
+    assert(d.broadcastJoins == 4 && d.sortMergeJoins == 0 && !d.cartesian, d.toString)
+    assert(d.scansWithPushedFilters >= 1, d.toString)
+    // lint passes under the real contract...
+    PlanDigest.lint(q5, maxSortMergeJoins = 0, minBroadcastJoins = 4)
+    // ...and fails loudly when a bound is violated
+    val e = intercept[IllegalStateException](PlanDigest.lint(q5, maxExchanges = 0))
+    assert(e.getMessage.contains("exchanges"))
+    // cartesian detection: the capped exact-pairs baseline trips it
+    val cart = SparkEntry.queries("dedup_embedding")(spark, sf)
+    assert(PlanDigest.digest(cart).cartesian || PlanDigest.digest(cart).nestedLoopJoins > 0)
+  }
+
   test("model score is one projection: no hash exchange before the output sort") {
     val p = planOf("text_model_score")
     assert(count(p, "hashpartitioning") == 0, p.take(2000))
