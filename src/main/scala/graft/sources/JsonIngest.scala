@@ -84,4 +84,36 @@ object JsonIngest {
     }: _*)
     addTimestampUs.fold(stringified)(us => graft.operators.Incremental.addSyncTimestamp(stringified, us))
   }
+
+  /** Corrupt-row quarantine — the parse-side pendant of the sink's
+    * row-level fallback (the reference logs-and-skips malformed docs
+    * per batch; a pipeline at scale must also KEEP them for triage,
+    * not just drop). Returns (good, quarantined): malformed JSON is
+    * detected via the parser's own corrupt-record column (PERMISSIVE
+    * mode fills every schema field with null on corruption, so a
+    * null-struct test can't see it), and quarantined rows carry the
+    * raw payload for replay after a schema fix. One shared parse
+    * expression — the split is two filters over the same plan, so a
+    * caller writing both sides scans the source once per side with no
+    * extra shuffle.
+    */
+  def parseWithQuarantine(
+      spark: SparkSession,
+      df: DataFrame,
+      jsonCol: String,
+      sample: Int = 5000
+  ): (DataFrame, DataFrame) = {
+    val schema = inferSchema(spark, df, jsonCol, sample)
+      .add("__corrupt", org.apache.spark.sql.types.StringType)
+    val parsed = df.withColumn("__parsed",
+      from_json(col(jsonCol), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt")))
+    val corrupt = col("__parsed.__corrupt").isNotNull
+    val good = Flatten.flatten(
+      parsed.filter(!corrupt)
+        .withColumn("__parsed", col("__parsed").dropFields("__corrupt"))
+        .drop(jsonCol).withColumnRenamed("__parsed", jsonCol))
+    val quarantined = parsed.filter(corrupt).drop("__parsed")
+    (good, quarantined)
+  }
 }

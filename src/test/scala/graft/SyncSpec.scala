@@ -561,6 +561,22 @@ class SyncSpec extends SparkSpec {
     assert(s2.fieldNames.toSet == Set("a", "b"), "new field must re-trigger inference")
   }
 
+  test("corrupt-JSON quarantine: bad rows kept with raw payload, good rows flattened") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"a": 1, "b": {"c": "x"}}"""),
+      (2L, """{"a": 2, "b""""),       // truncated — unparsable
+      (3L, """not json at all"""),
+      (4L, """{"a": 4, "b": {"c": "y"}}""")
+    ).toDF("id", "doc")
+    val (good, bad) = sources.JsonIngest.parseWithQuarantine(spark, df, "doc")
+    assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(good.columns.exists(_.startsWith("doc_")), good.columns.mkString(","))
+    // quarantined rows carry the ORIGINAL payload for replay
+    val q = bad.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(q.toSeq == Seq((2L, """{"a": 2, "b""""), (3L, "not json at all")))
+  }
+
   test("STORE_SOURCE mode keeps raw JSON next to flattened fields") {
     import spark.implicits._
     val df = Seq((1L, """{"k":7}""")).toDF("id", "doc")
