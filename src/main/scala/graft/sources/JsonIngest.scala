@@ -103,8 +103,16 @@ object JsonIngest {
       jsonCol: String,
       sample: Int = 5000
   ): (DataFrame, DataFrame) = {
-    val schema = inferSchema(spark, df, jsonCol, sample)
-      .add("__corrupt", org.apache.spark.sql.types.StringType)
+    val inferred = inferSchema(spark, df, jsonCol, sample)
+    // the inference sample may itself contain malformed docs, which
+    // makes spark.read.json add a "_corrupt_record" field — drop it,
+    // or the good side's schema would grow a phantom always-null
+    // column that appears and disappears per batch with the sample
+    val cleaned = org.apache.spark.sql.types.StructType(
+      inferred.fields.filterNot(_.name == "_corrupt_record"))
+    require(!cleaned.fieldNames.contains("__corrupt"),
+      "input documents carry a top-level __corrupt field — rename it before quarantine parsing")
+    val schema = cleaned.add("__corrupt", org.apache.spark.sql.types.StringType)
     val parsed = df.withColumn("__parsed",
       from_json(col(jsonCol), schema,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt")))

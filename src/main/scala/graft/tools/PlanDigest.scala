@@ -24,22 +24,38 @@ object PlanDigest {
       cartesian: Boolean
   )
 
-  private def count(hay: String, needle: String): Int =
-    hay.sliding(needle.length).count(_ == needle)
+  private def count(hay: String, needle: String): Int = {
+    var (n, i) = (0, hay.indexOf(needle))
+    while (i >= 0) { n += 1; i = hay.indexOf(needle, i + needle.length) }
+    n
+  }
 
-  /** Digest of the (pre-execution) physical plan. AQE may still improve
-    * it at runtime — this is the static floor the optimizer committed
-    * to, the right thing to lint before launching.
+  /** Digest of the physical plan as currently committed. Under AQE a
+    * plan printed AFTER execution shows both "Final Plan" and
+    * "Initial Plan" sections — only the final one is counted, so
+    * pre-launch lint and post-run inspection read the same way.
+    * `exchanges` counts SHUFFLE exchanges only (hash/range/single
+    * partitioning) — BroadcastExchange is the cheap kind and is
+    * visible through `broadcastJoins` instead.
     */
   def digest(df: DataFrame): Digest = {
-    val p = df.queryExecution.executedPlan.toString
+    val full = df.queryExecution.executedPlan.toString
+    val p = {
+      val fin = full.indexOf("== Final Plan ==")
+      val ini = full.indexOf("== Initial Plan ==")
+      if (fin >= 0 && ini > fin) full.substring(fin, ini) else full
+    }
     val scanLines = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    // a whole-stage-codegen stage renders as a "*(n)" operator prefix,
+    // never as a literal node name — count distinct stage ids
+    val codegenIds = "\\*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet
     Digest(
-      exchanges = count(p, "Exchange"),
+      exchanges = count(p, "Exchange hashpartitioning") +
+        count(p, "Exchange rangepartitioning") + count(p, "Exchange SinglePartition"),
       broadcastJoins = count(p, "BroadcastHashJoin"),
       sortMergeJoins = count(p, "SortMergeJoin"),
       nestedLoopJoins = count(p, "BroadcastNestedLoopJoin"),
-      codegenStages = count(p, "WholeStageCodegen"),
+      codegenStages = codegenIds.size,
       scans = scanLines.size,
       scansWithPushedFilters =
         scanLines.count(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")),

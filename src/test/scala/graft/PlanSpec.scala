@@ -206,8 +206,12 @@ class PlanSpec extends SparkSpec {
     val e = intercept[IllegalStateException](PlanDigest.lint(q5, maxExchanges = 0))
     assert(e.getMessage.contains("exchanges"))
     // cartesian detection: the capped exact-pairs baseline trips it
-    val cart = SparkEntry.queries("dedup_embedding")(spark, sf)
-    assert(PlanDigest.digest(cart).cartesian || PlanDigest.digest(cart).nestedLoopJoins > 0)
+    val cd = PlanDigest.digest(SparkEntry.queries("dedup_embedding")(spark, sf))
+    assert(cd.cartesian || cd.nestedLoopJoins > 0, cd.toString)
+    // post-execution digest must not double-count the AQE initial plan
+    q5.collect()
+    val post = PlanDigest.digest(q5)
+    assert(post.broadcastJoins == 4 && post.codegenStages >= 1, post.toString)
   }
 
   test("model score is one projection: no hash exchange before the output sort") {

@@ -167,9 +167,12 @@ class ScaleSpec extends SparkSpec {
     }
     val found = hits.count { case (pid, nid) => nid == pid - 1000000L }
     info(f"fit+build(99k,256): $fitSec%.1fs, append(1k): $appendSec%.1fs, search: $searchSec%.1fs, twin hits: $found/${hits.size}")
+    // every probe must return a result — an empty result set would
+    // otherwise make the recall ratio below vacuously true
+    assert(hits.size == 20, s"expected 20 probe results, got ${hits.size}")
     // append must be a small fraction of the fit+build it avoids
     assert(appendSec < 0.5 * fitSec, f"append $appendSec%.1fs vs build $fitSec%.1fs")
-    assert(found >= (hits.size * 0.9).toInt, s"appended vectors not findable: $found/${hits.size}")
+    assert(found >= 18, s"appended vectors not findable: $found/20")
   }
 
   test("incremental minhash probe vs 100k-doc index: exact recovery, batch-scaled cost", Slow) {
