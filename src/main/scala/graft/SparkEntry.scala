@@ -146,6 +146,22 @@ object SparkEntry {
         .saltedSumCount(ev, Seq("hour_us", "event_type"), Seq((col("value_c"), "sum_value_c")), "n")
         .orderBy(col("hour_us"), col("event_type"))
     }),
+    "events_props_agg" -> ((s, d) =>
+      // B34: semi-structured payload analytics — extract a typed field
+      // from the JSON props column at scan time (one codegen'd
+      // get_json_object projection, no UDF, no full from_json parse of
+      // a schema we don't need), then aggregate by value decade. The
+      // shape of every "group by a field buried in the payload" query
+      // a log warehouse runs
+      t(s, d, "events")
+        .select(
+          floor(get_json_object(col("props"), "$.k").cast("long") / lit(10L)).as("k_decade"),
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")
+        )
+        .groupBy(col("k_decade"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_decade"), col("event_type"))),
     "window_rank" -> ((s, d) => Analytics.windowRank(t(s, d, "orders"))),
     "sessionize" -> ((s, d) => Analytics.sessionize(t(s, d, "events"))),
     "q6_filter_agg" -> ((s, d) =>
@@ -655,6 +671,19 @@ object SparkEntry {
     "dedup_passages" -> ((s, d) =>
       // C24: corpus-level exact passage dedup (8-word chunks)
       Dedup.passageDupStats(t(s, d, "documents"), "doc_id", "text", window = 8)),
+    "text_bigrams_top" -> ((s, d) =>
+      // C35: corpus top-20 bigram collocations (TakeOrdered top-k)
+      TextAnalysis.topBigrams(t(s, d, "documents"), "text", topK = 20)),
+    "quality_gate_pctl" -> ((s, d) =>
+      // C33: per-source 20th-percentile length gate, integer rank math
+      Curation
+        .percentileGate(t(s, d, "documents"), "doc_id", "source", "n_chars", keepBp = 2000)
+        .orderBy("doc_id")),
+    "length_histogram" -> ((s, d) =>
+      // C34: (lang, 200-char bin) corpus length profile
+      Curation
+        .lengthHistogram(t(s, d, "documents"), "lang", "n_chars", binWidth = 200L)
+        .orderBy("lang", "bin")),
     "sample_stratified" -> ((s, d) =>
       // C25: per-language deterministic downsampling (en 50%, zh 25%)
       Curation
@@ -818,6 +847,10 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "events_props_agg" ->
+      """WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type FROM events)
+        |SELECT k // 10 AS k_decade, event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "incremental_by_oid" ->
       """WITH o AS (SELECT lpad(lower(hex(epoch_us(ts) // 1000000)),8,'0') ||
         |                  lpad(lower(hex(event_id)),16,'0') AS oid,
@@ -923,6 +956,23 @@ object SparkEntry {
         |       CAST(10000 * sum(CASE WHEN dup.ph IS NOT NULL THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS dup_passage_bp
         |FROM p LEFT JOIN dup ON p.ph = dup.ph
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bigrams_top" ->
+      """WITH w AS (SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents)
+        |SELECT bigram, count(*) AS n
+        |FROM (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram FROM w)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "quality_gate_pctl" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_stratum
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rnk, n_stratum,
+        |  CAST(CASE WHEN 10000 * (rnk - 1) >= 2000 * (n_stratum - 1) THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "length_histogram" ->
+      """SELECT lang, n_chars // 200 AS bin, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_value
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',

@@ -109,6 +109,54 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** C33: per-stratum percentile quality gate — keep documents at or
+    * above the `keepBp` (basis-points) percentile of `valueCol`
+    * WITHIN their stratum (per-source / per-language thresholds are
+    * the standard curation shape: one global cutoff over-prunes clean
+    * sources and under-prunes noisy ones). The rank test is pure
+    * integer arithmetic — `10000·(rank−1) ≥ keepBp·(n−1)` is
+    * percent_rank ≥ keepBp/10000 without ever materializing a float —
+    * and ties break on the id, so the kept set is bit-deterministic.
+    * Plan: two windows over the SAME partition key (stratum) — one
+    * sort-rank, one unordered count — Catalyst shares the single
+    * keyed shuffle between them.
+    */
+  def percentileGate(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      valueCol: String,
+      keepBp: Int = 2000
+  ): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000, "keepBp is basis points 0-10000")
+    val byStratum = Window.partitionBy(col(strataCol))
+    df.select(col(idCol), col(strataCol), col(valueCol))
+      .withColumn("rnk", row_number().over(byStratum.orderBy(col(valueCol), col(idCol))).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(byStratum).cast("long"))
+      .withColumn(
+        "keep",
+        when(lit(10000L) * (col("rnk") - 1L) >= lit(keepBp.toLong) * (col("n_stratum") - 1L), 1L)
+          .otherwise(0L)
+      )
+  }
+
+  /** C34: corpus length histogram per stratum — fixed-width bins over
+    * a numeric column, with doc counts and total mass per bin. The
+    * one-pass profile a curation run consults before choosing length
+    * cutoffs. Single map-side-combined aggregation on (stratum, bin);
+    * bin ids are floor-division so the histogram is engine-exact.
+    */
+  def lengthHistogram(
+      df: DataFrame,
+      strataCol: String,
+      valueCol: String,
+      binWidth: Long = 200L
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    df.groupBy(col(strataCol), floor(col(valueCol) / lit(binWidth)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(valueCol)).as("sum_value"))
+  }
+
   /** Sequence packing: concat-then-chunk assignment of documents to
     * fixed token-budget packs, sharded so the window never needs a
     * global sort — shard by pmod(id, shards), order by id within the

@@ -174,6 +174,29 @@ object TextAnalysis {
       .orderBy(col(idCol), col("rk"))
   }
 
+  /** C35: corpus-wide top-k bigram collocations. Bigrams come from
+    * zipping the word array with its own tail — a per-row HOF
+    * projection, no join, no position-explode. The global top-k is an
+    * `ORDER BY ... LIMIT k`, which Spark plans as
+    * TakeOrderedAndProject: each partition keeps only its local k
+    * candidates and the driver merges k·partitions rows — no global
+    * sort at any scale. Count-desc with a bigram-string tiebreak makes
+    * the result set fully deterministic.
+    */
+  def topBigrams(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    val w = words(col(textCol))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b)
+    )
+    df.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** C10: token counts — whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation).
     */

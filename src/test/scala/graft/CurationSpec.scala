@@ -143,6 +143,56 @@ class CurationSpec extends SparkSpec {
     assert(frTrain > 0 && frTrain < inLang("fr"))
   }
 
+  test("percentileGate: integer rank math matches percent_rank semantics, ties on id") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L), (5L, "a", 50L),
+      (6L, "b", 7L), (7L, "b", 7L) // tie -> id order decides ranks 1,2
+    ).toDF("doc_id", "source", "n_chars")
+    val got = Curation.percentileGate(df, "doc_id", "source", "n_chars", keepBp = 2500)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // stratum a (n=5): percent_rank = (rnk-1)/4 -> keep iff rnk-1 >= 1 (0.25*4)
+    assert(got.take(5).map(_._4).toSeq == Seq(0L, 1L, 1L, 1L, 1L))
+    // stratum b (n=2): threshold 0.25*1 -> rnk 1 (pr 0) drops, rnk 2 (pr 1) keeps
+    assert(got(5) == ((6L, 1L, 2L, 0L)) && got(6) == ((7L, 2L, 2L, 1L)))
+    // keepBp=0 keeps everything; invalid bp rejected
+    assert(Curation.percentileGate(df, "doc_id", "source", "n_chars", keepBp = 0)
+      .agg(min(col("keep"))).collect()(0).getLong(0) == 1L)
+    intercept[IllegalArgumentException](
+      Curation.percentileGate(df, "doc_id", "source", "n_chars", keepBp = 10001))
+  }
+
+  test("percentileGate plan: one exchange serves both windows (shared stratum key)") {
+    val plan = Curation.percentileGate(docs, "doc_id", "source", "n_chars")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single shared shuffle, got $exchanges:\n${plan.take(2000)}")
+  }
+
+  test("lengthHistogram: floor bins, counts and mass exact") {
+    val df = Seq(("en", 0L), ("en", 199L), ("en", 200L), ("de", 450L)).toDF("lang", "n_chars")
+    val got = Curation.lengthHistogram(df, "lang", "n_chars", binWidth = 200L)
+      .orderBy("lang", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("de", 2L, 1L, 450L), ("en", 0L, 2L, 199L), ("en", 1L, 1L, 200L)))
+    intercept[IllegalArgumentException](Curation.lengthHistogram(df, "lang", "n_chars", binWidth = 0L))
+  }
+
+  test("topBigrams: zip-with-tail bigrams, deterministic tiebreak, single-word docs contribute none") {
+    import graft.operators.TextAnalysis
+    val df = Seq("b a b a", "b a", "solo", "a b").toDF("text")
+    val got = TextAnalysis.topBigrams(df, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "b a": docs 1 (x2) + 2 -> 3; "a b": docs 1 + 4 -> 2; "solo" contributes nothing
+    assert(got == Seq(("b a", 3L), ("a b", 2L)))
+  }
+
+  test("topBigrams plan: global top-k is TakeOrdered, not a full sort") {
+    import graft.operators.TextAnalysis
+    val plan = TextAnalysis.topBigrams(docs, "text").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("decontam plan: benchmark side broadcasts (no full-corpus shuffle for the eval set)") {
     val plan = Curation.contaminationHits(
       docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5), "doc_id", "text")
