@@ -20,6 +20,9 @@ object Bench {
     "rollup_pricing", "cube_pricing", "decile_spend", "brand_revenue", "supplier_balance", "distinct_users",
     "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders",
     "q13_cust_dist", "q17_small_qty", "q22_idle_rich", "funnel_counts",
+    "q2_min_cost", "q7_nation_volume", "q8_market_share", "q9_product_profit", "q10_returned",
+    "q11_stock_value", "q12_late_lines", "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
+    "q19_disjunctive", "q20_part_promo", "q21_waiting",
     "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
     "asof_last_click", "interval_join",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
@@ -29,7 +32,8 @@ object Bench {
     "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked", "dedup_incr_embedding",
     "dedup_clusters",
     "dedup_passages",
-    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "embed_nearest_centroid",
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_quant", "embed_nearest_centroid",
+    "embed_quantize", "embed_project", "dedup_incr_bloom", "domain_cap",
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_rep_stats", "text_tfidf_top", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Fingerprint64, MaxWordRep, MinHashSig, RepStats, SimHash64Expr, VecDot}
+import graft.functions.{BloomMightContain, Fingerprint64, MaxWordRep, MinHashSig, QuantizeI8, RandProject, RepStats, SimHash64Expr, VecDot, VecDotInt}
 
 /** SQL-surface registration of graft's native expressions, injected
   * via SparkSessionExtensions (usable with
@@ -64,6 +64,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rep_stats(words) - [n_words, top_word_rep, n_dup_words, top_bigram_rep] in one pass"
         ),
         (exprs: Seq[Expression]) => RepStats(exprs.head)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("vec_dot_int"),
+        info("vec_dot_int", "vec_dot_int(a, b) - exact Long dot product of int arrays"),
+        (exprs: Seq[Expression]) => VecDotInt(exprs(0), exprs(1))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("quantize_i8"),
+        info("quantize_i8", "quantize_i8(vec) - symmetric per-vector int8 quantization"),
+        (exprs: Seq[Expression]) => QuantizeI8(exprs.head)
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("rand_project"),
+        info("rand_project", "rand_project(vec, outDims) - fixed-point +-1 random projection"),
+        (exprs: Seq[Expression]) =>
+          RandProject(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("bloom_might_contain"),
+        info("bloom_might_contain", "bloom_might_contain(bloom, key) - probe a serialized bloom filter"),
+        (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))
       )
     )
   }

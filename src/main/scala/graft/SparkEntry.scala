@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fingerprint64.fingerprint64
-import graft.operators.{AllString, Analytics, AsOfJoin, Curation, Dedup, Incremental, Multimodal, Similarity, TextAnalysis, TimeSeries, TypeMapper}
+import graft.operators.{AllString, Analytics, AsOfJoin, Curation, Dedup, EmbedOps, Incremental, Multimodal, Similarity, TextAnalysis, TimeSeries, TpchShapes, TypeMapper}
 import graft.sinks.ClickHouseDdl
 import graft.sources.{Catalog, JsonIngest}
 
@@ -463,6 +463,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"), sum(col("bal_c")).as("bal_sum_c"))
         .orderBy(col("c_mktsegment"))
     }),
+    // ---- B: remaining TPC-H shapes (Q2,Q7-Q12,Q14-Q16,Q19-Q21) ----
+    "q2_min_cost" -> ((s, d) =>
+      TpchShapes.q2MinCost(t(s, d, "part"), t(s, d, "supplier"), t(s, d, "nation"), t(s, d, "lineitem"))),
+    "q7_nation_volume" -> ((s, d) =>
+      TpchShapes.q7NationVolume(t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "customer"),
+        t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q8_market_share" -> ((s, d) =>
+      TpchShapes.q8MarketShare(t(s, d, "region"), t(s, d, "nation"), t(s, d, "supplier"),
+        t(s, d, "customer"), t(s, d, "part"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q9_product_profit" -> ((s, d) =>
+      TpchShapes.q9ProductProfit(t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "part"),
+        t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q10_returned" -> ((s, d) =>
+      TpchShapes.q10Returned(t(s, d, "nation"), t(s, d, "customer"), t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q11_stock_value" -> ((s, d) =>
+      TpchShapes.q11StockValue(t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "lineitem"))),
+    "q12_late_lines" -> ((s, d) =>
+      TpchShapes.q12LateLines(t(s, d, "orders"), t(s, d, "lineitem"))),
+    "q14_promo_share" -> ((s, d) =>
+      TpchShapes.q14PromoShare(t(s, d, "part"), t(s, d, "lineitem"))),
+    "q15_top_supplier" -> ((s, d) =>
+      TpchShapes.q15TopSupplier(t(s, d, "supplier"), t(s, d, "lineitem"))),
+    "q16_supplier_cnt" -> ((s, d) =>
+      TpchShapes.q16SupplierCnt(t(s, d, "supplier"), t(s, d, "part"), t(s, d, "lineitem"))),
+    "q19_disjunctive" -> ((s, d) =>
+      TpchShapes.q19Disjunctive(t(s, d, "part"), t(s, d, "lineitem"))),
+    "q20_part_promo" -> ((s, d) =>
+      TpchShapes.q20PartPromo(t(s, d, "nation"), t(s, d, "supplier"), t(s, d, "part"), t(s, d, "lineitem"))),
+    "q21_waiting" -> ((s, d) =>
+      TpchShapes.q21Waiting(t(s, d, "supplier"), t(s, d, "orders"), t(s, d, "lineitem"))),
     "distinct_users" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(col("event_type"))
@@ -634,6 +664,32 @@ object SparkEntry {
     "embed_nearest_centroid" -> ((s, d) =>
       // C27: per-label centroids + nearest-centroid assignment
       Similarity.nearestCentroid(t(s, d, "embeddings"), "vec_id", "embedding", "label")),
+    "embed_quantize" -> ((s, d) =>
+      // C36: int8 symmetric quantization, long-format output
+      EmbedOps.quantizeLong(t(s, d, "embeddings"), "vec_id", "embedding")),
+    "embed_project" -> ((s, d) =>
+      // C37: fixed-point random projection 64 -> 16 dims
+      EmbedOps.projectLong(t(s, d, "embeddings"), "vec_id", "embedding", outDims = 16)),
+    "sim_topk_quant" -> ((s, d) => {
+      // C38: int8-quantized exact-integer top-k scoring
+      val e = t(s, d, "embeddings")
+      EmbedOps.quantizedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }),
+    "dedup_incr_bloom" -> ((s, d) => {
+      // C39: bloom-pruned incremental exact dedup — same batch
+      // composition as dedup_incr_exact, same answer, but only
+      // bloom-accepted candidates reach the verification join
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 17 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactAgainstIndexBloom(batch, "doc_id", "text",
+        Dedup.buildHashIndex(corpus, "doc_id", "text"), expectedKeys = 10000L)
+    }),
+    "domain_cap" -> ((s, d) =>
+      // C40: per-source doc cap by length priority, keep decision out
+      Curation.domainCap(t(s, d, "documents"), "doc_id", "source", col("n_chars"), cap = 40)),
     "sim_topk_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, planes = 8)
@@ -1166,6 +1222,194 @@ object SparkEntry {
         |WHERE bal_c*n > s AND NOT EXISTS
         |  (SELECT 1 FROM orders WHERE o_custkey = cust.c_custkey AND o_orderpriority='1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q2_min_cost" ->
+      """WITH parts AS (SELECT p_partkey FROM part WHERE p_type='STANDARD' AND p_size<=10),
+        |cost AS (SELECT l_partkey, l_suppkey,
+        |           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cost_c
+        |         FROM lineitem JOIN parts ON l_partkey=p_partkey GROUP BY 1,2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY l_partkey ORDER BY cost_c, l_suppkey) AS rk FROM cost)
+        |SELECT l_partkey AS p_partkey, s_name, n_name, cost_c
+        |FROM rk JOIN supplier ON l_suppkey=s_suppkey JOIN nation ON s_nationkey=n_nationkey
+        |WHERE rk=1 ORDER BY p_partkey""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey=s_suppkey JOIN nation sn ON s_nationkey=sn.n_nationkey
+        |JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
+        |JOIN nation cn ON c_nationkey=cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_18','NATION_19') AND cn.n_name IN ('NATION_18','NATION_19')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q8_market_share" ->
+      """WITH rn AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey=r_regionkey WHERE r_name='ASIA'),
+        |base AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, sn.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey=p_partkey
+        |  JOIN orders ON l_orderkey=o_orderkey
+        |  JOIN customer ON o_custkey=c_custkey
+        |  JOIN rn ON c_nationkey=rn.n_nationkey
+        |  JOIN supplier ON l_suppkey=s_suppkey
+        |  JOIN nation sn ON s_nationkey=sn.n_nationkey
+        |  WHERE p_type='PROMO')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation='NATION_5' THEN rev_c ELSE 0 END) AS BIGINT) AS nation_rev_c,
+        |  CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+        |  CAST(sum(CASE WHEN supp_nation='NATION_5' THEN rev_c ELSE 0 END)*10000//sum(rev_c) AS BIGINT) AS share_bp
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS profit_c
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |JOIN supplier ON l_suppkey=s_suppkey JOIN nation ON s_nationkey=n_nationkey
+        |JOIN orders ON l_orderkey=o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q10_returned" ->
+      """WITH perc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |  WHERE l_returnflag='R' AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, CAST(round(c_acctbal*100) AS BIGINT) AS bal_c, revenue_c
+        |FROM perc JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+        |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_stock_value" ->
+      """WITH supp AS (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey=n_nationkey
+        |              WHERE n_name='NATION_3'),
+        |pp AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_c
+        |       FROM lineitem JOIN supp ON l_suppkey=s_suppkey GROUP BY 1),
+        |tot AS (SELECT sum(value_c) AS total_c, count(*) AS n_parts FROM pp)
+        |SELECT l_partkey AS p_partkey, value_c FROM pp, tot
+        |WHERE value_c*n_parts > total_c ORDER BY value_c DESC, p_partkey""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS n_low
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |WHERE epoch_us(l_shipdate) >= epoch_us(o_orderdate) + 7776000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """WITH base AS (
+        |  SELECT p_type, CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey=p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01')
+        |SELECT CAST(sum(CASE WHEN p_type='PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_rev_c,
+        |  CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+        |  CAST(sum(CASE WHEN p_type='PROMO' THEN rev_c ELSE 0 END)*10000//sum(rev_c) AS BIGINT) AS share_bp
+        |FROM base""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(revenue_c) AS m FROM rev)
+        |SELECT s_suppkey, s_name, revenue_c
+        |FROM rev CROSS JOIN mx JOIN supplier ON l_suppkey=s_suppkey
+        |WHERE revenue_c = m ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(coalesce(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)),0) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE l_quantity BETWEEN 1 AND 30 AND (
+        |  (p_brand='Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR
+        |  (p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR
+        |  (p_brand='Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q20_part_promo" ->
+      """WITH movers AS (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey=p_partkey
+        |  WHERE p_name LIKE 'red%' AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT s_suppkey, s_name, n_name FROM supplier
+        |JOIN nation ON s_nationkey=n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM movers)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey, epoch_us(l_shipdate) AS l_us
+        |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey WHERE o_orderstatus='F'),
+        |po AS (SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp, max(l_us) AS max_us
+        |  FROM li GROUP BY 1 HAVING count(DISTINCT l_suppkey) > 1)
+        |SELECT s_suppkey, s_name, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_waits
+        |FROM li JOIN po ON l_orderkey=ok AND l_us=max_us
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |GROUP BY 1,2 ORDER BY n_waits DESC, s_suppkey LIMIT 20""".stripMargin,
+    "embed_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_aggregate(list_transform(embedding, e -> abs(CAST(e AS DOUBLE))), 'max') AS amax
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT e.vec_id, unnest(range(0, len(e.embedding))) AS dim,
+        |         unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS x, b.amax
+        |  FROM embeddings e JOIN base b ON e.vec_id = b.vec_id)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CAST(CASE WHEN amax = 0 THEN 0 ELSE round(x*127/amax) END AS BIGINT) AS q
+        |FROM ex ORDER BY vec_id, dim""".stripMargin,
+    "embed_project" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest(list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)*1000000) AS BIGINT))) AS mv,
+        |    unnest(range(0, len(embedding))) AS d
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |  CAST(sum(CASE WHEN ((1103515245*(d*16+j)+12345) % 2147483648) >= 1073741824
+        |           THEN mv ELSE -mv END) AS BIGINT) AS proj_fp
+        |FROM ex CROSS JOIN range(16) t(j)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "sim_topk_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, e -> abs(CAST(e AS DOUBLE))), 'max') AS amax
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |    unnest(list_transform(embedding, x ->
+        |      CASE WHEN amax = 0 THEN 0 ELSE CAST(round(CAST(x AS DOUBLE)*127/amax) AS BIGINT) END)) AS qe,
+        |    unnest(range(0, len(embedding))) AS i
+        |  FROM q),
+        |dots AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(sum(a.qe*b.qe) AS BIGINT) AS dot
+        |  FROM (SELECT * FROM qv WHERE vec_id < 10) a
+        |  JOIN qv b ON a.i = b.i AND b.vec_id <> a.vec_id
+        |  GROUP BY 1,2),
+        |rk AS (SELECT qid, cid, dot,
+        |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rn FROM dots)
+        |SELECT qid, CAST(rn AS BIGINT) AS rank, cid AS neighbor_id, dot AS dot_q
+        |FROM rk WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+    "dedup_incr_bloom" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 17 = 3),
+        |idx AS (SELECT trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm, min(doc_id) AS kept_id
+        |        FROM corpus GROUP BY 1)
+        |SELECT b.doc_id AS doc_id,
+        |  CAST(CASE WHEN kept_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |  kept_id AS dup_of
+        |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM batch) b
+        |LEFT JOIN idx ON b.norm = idx.norm
+        |ORDER BY doc_id""".stripMargin,
+    "domain_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+        |  CAST(CASE WHEN src_rank <= 40 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        |FROM r ORDER BY source, src_rank""".stripMargin,
     "rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,

@@ -257,6 +257,89 @@ object VecOps {
     new GenericArrayData(Array(n.toLong, topWord, n.toLong - distinct, topBigram))
   }
 
+  /** Spark-round (HALF_UP over BigDecimal.valueOf) — the exact rounding
+    * `functions.round` applies to doubles, which DuckDB's
+    * half-away-from-zero `round` reproduces; kernels must use THIS, not
+    * `Math.round` (whose floor(x+.5) misrounds 0.49999999999999994).
+    */
+  private def roundHalfUp(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Ordered integer dot product over int arrays, Long accumulation
+    * (exact — no float drift, oracle-reproducible in SQL). Public
+    * static for codegen.
+    */
+  def dotII(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  /** Symmetric per-vector int8 quantization of a float vector:
+    * q_i = round(x_i * 127 / max|x|), in [-127, 127] by construction
+    * (no clamp needed since |x_i| <= max|x|); an all-zero vector
+    * quantizes to zeros. Float→double widening and rounding exactly
+    * mirror the SQL formulation (`round(CAST(e AS DOUBLE)*127/amax)`),
+    * so the DuckDB oracle matches bit-for-bit. Public static for
+    * codegen.
+    */
+  def quantizeI8(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Int](n)
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > amax) amax = a
+      i += 1
+    }
+    if (amax > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = roundHalfUp(vec.getFloat(i).toDouble * 127.0 / amax).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Fixed-point random projection to `outDims` dimensions. Each input
+    * component is first snapped to exact integer micro-units
+    * (round(x*1e6) — order-free integer math from here on), then
+    * accumulated with a deterministic ±1 sign per (d, j) cell drawn
+    * from an LCG bit: sign = +1 iff ((1103515245*(d*outDims+j)+12345)
+    * mod 2^31) >= 2^30. Pure integer arithmetic end to end, so the
+    * DuckDB oracle reproduces it exactly — unlike a float Gaussian
+    * projection, where summation order would diverge across engines.
+    * Public static for codegen.
+    */
+  def randProject(vec: ArrayData, outDims: Int): ArrayData = {
+    val n = vec.numElements()
+    val m = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      m(d) = roundHalfUp(vec.getFloat(d).toDouble * 1000000.0)
+      d += 1
+    }
+    val acc = new Array[Long](outDims)
+    d = 0
+    while (d < n) {
+      var j = 0
+      while (j < outDims) {
+        val lcg = (1103515245L * (d.toLong * outDims + j) + 12345L) % 2147483648L
+        if (lcg >= 1073741824L) acc(j) += m(d) else acc(j) -= m(d)
+        j += 1
+      }
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+
   def shingle_hashes(words: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
@@ -280,6 +363,15 @@ object VecOps {
 
   def rep_stats(words: Column): Column =
     ColumnBridge.column(RepStats(ColumnBridge.expression(words)))
+
+  def vec_dot_int(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDotInt(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantize_i8(vec: Column): Column =
+    ColumnBridge.column(QuantizeI8(ColumnBridge.expression(vec)))
+
+  def rand_project(vec: Column, outDims: Int): Column =
+    ColumnBridge.column(RandProject(ColumnBridge.expression(vec), outDims))
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -387,6 +479,43 @@ case class RepStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.repStatsCounts($c)")
   override protected def withNewChildInternal(c: Expression): RepStats = copy(c)
+}
+
+case class VecDotInt(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"vec_dot_int needs two array<int>, got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotII(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotII($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotInt = copy(l, r)
+}
+
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"quantize_i8 needs array<float>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.quantizeI8(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.quantizeI8($c)")
+  override protected def withNewChildInternal(c: Expression): QuantizeI8 = copy(c)
+}
+
+case class RandProject(child: Expression, outDims: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if outDims > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"rand_project needs array<float> and outDims>0, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.randProject(v.asInstanceOf[ArrayData], outDims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.randProject($c, $outDims)")
+  override protected def withNewChildInternal(c: Expression): RandProject = copy(child = c)
 }
 
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {

@@ -178,4 +178,29 @@ object Curation {
     df.select(col(idCol), tokensCol.as("n_tokens"), pmod(col(idCol), lit(shards.toLong)).as("shard"))
       .withColumn("pack_id", floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budget)))
   }
+
+  /** C40: per-source document cap — the web-corpus "domain cap" that
+    * stops one crawl source from dominating the training mix. Keeps
+    * the top `cap` docs per source by a priority column (quality score,
+    * here length) with an id tiebreak; every doc comes back with its
+    * rank and keep decision so the drop set is auditable. One hash
+    * shuffle on the source key; hot sources are bounded by the cap
+    * itself (the window only ranks, never collects a source to one
+    * row).
+    */
+  def domainCap(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      priorityCol: Column,
+      cap: Int
+  ): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__prio").desc, col(idCol))
+    df.select(col(idCol), col(sourceCol), priorityCol.as("__prio"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col(sourceCol), col("src_rank"),
+        when(col("src_rank") <= cap, 1L).otherwise(0L).as("is_kept"))
+      .orderBy(col(sourceCol), col("src_rank"))
+  }
 }

@@ -521,6 +521,46 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** C39: bloom-accelerated incremental exact dedup. Builds a Bloom
+    * filter over the index's 16-byte hashes (one scan of the index —
+    * ids+hashes only, never text) and drops every batch row the bitmap
+    * rejects BEFORE the join: rejected rows are DEFINITELY new (no
+    * false negatives), so only bitmap-accepted candidates shuffle into
+    * the exact verification join. End-to-end output is byte-identical
+    * to [[exactAgainstIndex]] — bloom false positives are killed by
+    * the verify join — but at a realistic corpus:batch ratio the join
+    * input shrinks from |batch| to ~|dups| + fpp*|batch| rows, and the
+    * non-candidate majority never shuffles at all.
+    *
+    * `expectedKeys` sizes the bitmap (see [[graft.functions.Bloom]]
+    * for the sharding story above ~1e8 keys).
+    */
+  def exactAgainstIndexBloom(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      expectedKeys: Long,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import graft.functions.Bloom
+    requireBinaryHashIndex(index)
+    val bloom = Bloom.build(index.select(xxhash64(col("h")).as("k")), "k", expectedKeys, fpp)
+    val keyed = batch.select(col(idCol).cast("long").as("__bid"), contentHash(col(textCol)).as("h"))
+    val probed = keyed.withColumn("__cand", Bloom.bloom_might_contain(lit(bloom), xxhash64(col("h"))))
+    val hits = probed
+      .filter(col("__cand"))
+      .join(index.select(col("h"), col("kept_id")), Seq("h"), "left")
+      .select(col("__bid"), when(col("kept_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("kept_id").as("dup_of"))
+    val misses = probed
+      .filter(!col("__cand"))
+      .select(col("__bid"), lit(0L).as("is_dup"), lit(null).cast("long").as("dup_of"))
+    hits.unionByName(misses)
+      .select(col("__bid").as(idCol), col("is_dup"), col("dup_of"))
+      .orderBy(col(idCol))
+  }
+
   /** C28 state advance: fold a processed batch into the hash index.
     * FIRST-SEEN-WINS: hashes already indexed keep their existing
     * canonical id unconditionally (an anti-join drops them from the

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+
+/** Embedding-column storage transforms for the 100 TB corpus: int8
+  * quantization (4x smaller vectors, integer-exact scoring) and
+  * fixed-point random projection (dimensionality reduction with
+  * engine-exact arithmetic). Both are pure per-row projections —
+  * no shuffle, fully codegen'd via the [[graft.functions.VecOps]]
+  * kernels — and both emit LONG-format (id, dim, value) rows so
+  * results hash bit-for-bit against SQL oracles.
+  *
+  * Why quantize: at 100 TB the embedding column dominates storage and
+  * scan IO; int8 cuts both 4x and turns similarity scoring into exact
+  * Long math (no float summation drift). Recall loss vs float cosine
+  * is property-tested in EmbedOpsSpec, the standard tradeoff every
+  * large ANN deployment makes.
+  */
+object EmbedOps {
+
+  /** C36: per-vector symmetric int8 quantization, long format:
+    * (idCol, dim, q) with q = round(x*127/max|x|) in [-127,127].
+    */
+  def quantizeLong(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings
+      .select(col(idCol), posexplode(VecOps.quantize_i8(col(vecCol))))
+      .select(col(idCol), col("pos").cast("long").as("dim"), col("col").cast("long").as("q"))
+      .orderBy(col(idCol), col("dim"))
+
+  /** C37: fixed-point random projection to `outDims` dims, long
+    * format: (idCol, dim, proj_fp) where proj_fp is the signed sum of
+    * micro-unit components (exact integer math; see
+    * [[graft.functions.VecOps.randProject]]).
+    */
+  def projectLong(embeddings: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame =
+    embeddings
+      .select(col(idCol), posexplode(VecOps.rand_project(col(vecCol), outDims)))
+      .select(col(idCol), col("pos").cast("long").as("dim"), col("col").as("proj_fp"))
+      .orderBy(col(idCol), col("dim"))
+
+  /** C38: top-k neighbors by QUANTIZED dot product — the int8 scoring
+    * path. Corpus and queries quantize per-row (codegen projection),
+    * queries broadcast, scores are exact Long dots via the native
+    * [[graft.functions.VecOps.dotII]] kernel, and per-query top-k
+    * reduces map-side through [[TopKAggregator]] (k rows per partition
+    * per query cross the shuffle — the same property that makes
+    * [[Similarity.bruteForceTopK]] viable at cluster scale). Integer
+    * scores make this FULLY oracle-checkable, unlike float-cosine ANN.
+    * Dot magnitudes are bounded by 127*127*dim << 2^53, so the Double
+    * ride through ScoredId is exact.
+    */
+  def quantizedTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val cands = candidates.select(col(idCol).as("cid"), VecOps.quantize_i8(col(vecCol)).as("cq"))
+    val qs = broadcast(queries.select(col(idCol).as("qid"), VecOps.quantize_i8(col(vecCol)).as("qq")))
+    val topk = udaf(new TopKAggregator(k))
+    cands
+      .join(qs, col("cid") =!= col("qid"))
+      .select(col("qid"), VecOps.vec_dot_int(col("cq"), col("qq")).cast("double").as("score"), col("cid").as("id"))
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").cast("long").as("dot_q")
+      )
+      .orderBy(col("qid"), col("rank"))
+  }
+}

@@ -1,0 +1,351 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The remaining TPC-H query *shapes* (Q2, Q7-Q12, Q14-Q16, Q19-Q21)
+  * adapted to the synthetic star schema (no `partsupp`, no
+  * shipmode/commitdate columns — each query keeps the original's plan
+  * shape and decorrelation challenge on the columns that exist).
+  *
+  * Together with Q1/Q3/Q4/Q5/Q6/Q13/Q17/Q18/Q22 elsewhere this
+  * completes all 22 TPC-H shapes, which is the capability bar for "an
+  * analytics engine a warehouse user could switch to" (the reference's
+  * target is a ClickHouse-family warehouse; these are the queries such
+  * warehouses exist to serve).
+  *
+  * Money stays exact integer cents ([[Analytics.cents]]); ratios leave
+  * the engine as basis points via Long division — bit-stable across
+  * engines and summation orders.
+  *
+  * Scale notes (100 TB): `nation`/`region` and 1-row aggregates are
+  * broadcast explicitly. `part`/`supplier`/`customer` slices are left
+  * to AQE — at SF100k even a 1/25 brand slice of `part` is hundreds of
+  * millions of rows, so hand-forcing a broadcast would be wrong; AQE
+  * promotes them when the runtime size allows. Every correlated
+  * subquery is decorrelated to a keyed aggregate + same-key join (one
+  * shuffle, no per-row re-scan).
+  */
+object TpchShapes {
+  import Analytics.cents
+
+  private def revC = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+
+  /** Q2 shape: cheapest supplier per part — correlated MIN decorrelated
+    * to a per-part window rank over the (part, supplier) aggregate.
+    * One shuffle on (partkey, suppkey) for the agg, one on partkey for
+    * the rank; supplier/nation ride in as broadcasts at the end.
+    */
+  def q2MinCost(part: DataFrame, supplier: DataFrame, nation: DataFrame, lineitem: DataFrame): DataFrame = {
+    val parts = part
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select(col("p_partkey"))
+    val cost = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("cost_c"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("cost_c"), col("l_suppkey"))
+    val cheapest = cost
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    cheapest
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"), col("cost_c"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Q7 shape: bilateral trade volume — revenue between two nations
+    * (supplier side x customer side, both directions) by ship year.
+    * lineitem⋈orders is the large shuffle; both nation lookups reduce
+    * to small filtered key-sets.
+    */
+  def q7NationVolume(
+      nation: DataFrame, supplier: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      nationA: String = "NATION_18", nationB: String = "NATION_19"
+  ): DataFrame = {
+    val n = nation.filter(col("n_name").isin(nationA, nationB)).select(col("n_nationkey"), col("n_name"))
+    val supp = supplier.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).cast("long").as("l_year"), revC.as("rev_c"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8 shape: market share — of all PROMO-part revenue sold to one
+    * region's customers, the fraction supplied by one nation, per
+    * order year. The share is num*10000/denom in Long math (basis
+    * points, truncated) — no float division anywhere.
+    */
+  def q8MarketShare(
+      region: DataFrame, nation: DataFrame, supplier: DataFrame, customer: DataFrame,
+      part: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      targetRegion: String = "ASIA", targetNation: String = "NATION_5"
+  ): DataFrame = {
+    val regNations = nation
+      .join(broadcast(region.filter(col("r_name") === targetRegion)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = customer.join(broadcast(regNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = orders
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_year"))
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revC.as("rev_c"))
+      .join(part.filter(col("p_type") === "PROMO").select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("n_name") === targetNation, col("rev_c")).otherwise(0L)).as("nation_rev_c"),
+        sum(col("rev_c")).as("total_rev_c")
+      )
+      .withColumn("share_bp", expr("nation_rev_c * 10000 div total_rev_c"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q9 shape: product-line profit by supplier nation and order year
+    * for one part-name family. Part/supplier/nation conform the
+    * lineitem stream; orders joins in the year — the two fact-fact
+    * joins are the only large shuffles.
+    */
+  def q9ProductProfit(
+      nation: DataFrame, supplier: DataFrame, part: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, nameContains: String = "widget"
+  ): DataFrame = {
+    val parts = part.filter(col("p_name").contains(nameContains)).select(col("p_partkey"))
+    val suppNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revC.as("rev_c"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("rev_c")).as("profit_c"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** Q10 shape: top returned-revenue customers for one quarter.
+    * Aggregate lineitem per order first, then per customer — the
+    * customer attribute join happens AFTER the aggregation, so the
+    * wide customer row never rides the fact shuffle.
+    */
+  def q10Returned(
+      nation: DataFrame, customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      qStart: String = "1997-10-01", qEnd: String = "1998-01-01"
+  ): DataFrame = {
+    val ord = orders
+      .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+        col("o_orderdate") < lit(qEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perCust = lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revC.as("rev_c"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+    perCust
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey"), cents(col("c_acctbal")).as("bal_c")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("bal_c"), col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q11 shape: parts whose inventory value exceeds the global average
+    * — a global scalar subquery broadcast into a HAVING, compared by
+    * cross-multiplication (value*nParts > total) so no float ever
+    * exists. Value comes from lineitem restricted to one nation's
+    * suppliers (Q11's nation filter).
+    */
+  def q11StockValue(
+      nation: DataFrame, supplier: DataFrame, lineitem: DataFrame, targetNation: String = "NATION_3"
+  ): DataFrame = {
+    val supp = supplier
+      .join(broadcast(nation.filter(col("n_name") === targetNation)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitem
+      .select(col("l_partkey"), col("l_suppkey"), cents(col("l_extendedprice")).as("val_c"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("val_c")).as("value_c"))
+    val tot = perPart.agg(sum(col("value_c")).as("total_c"), count(lit(1)).as("n_parts"))
+    perPart
+      .crossJoin(broadcast(tot))
+      .filter(col("value_c") * col("n_parts") > col("total_c"))
+      .select(col("l_partkey").as("p_partkey"), col("value_c"))
+      .orderBy(col("value_c").desc, col("p_partkey"))
+  }
+
+  /** Q12 shape: late-shipment priority split — lines shipped >= 90
+    * days after order date, counted as high- vs low-priority per line
+    * status (conditional aggregation after the fact-fact join).
+    */
+  def q12LateLines(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+    val l = lineitem.select(col("l_orderkey"), col("l_linestatus"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("l_us"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_us") >= col("o_us") + lit(7776000000000L))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L)).as("n_low")
+      )
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Q14 shape: promo revenue share for one ship-year — two conditional
+    * sums over a single part-conformed scan, share in basis points by
+    * Long division. One row out.
+    */
+  def q14PromoShare(part: DataFrame, lineitem: DataFrame, year0: String = "1997"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year0-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year0.toInt + 1}-01-01").cast("timestamp"))
+      .select(col("l_partkey"), revC.as("rev_c"))
+      .join(part.select(col("p_partkey"), col("p_type")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L)).as("promo_rev_c"),
+        sum(col("rev_c")).as("total_rev_c")
+      )
+      .withColumn("share_bp", expr("promo_rev_c * 10000 div total_rev_c"))
+
+  /** Q15 shape: top supplier(s) by quarterly revenue — the MAX scalar
+    * is a 1-row broadcast crossed back into the filter; integer
+    * equality keeps ties exact (all tied suppliers returned, as in the
+    * original).
+    */
+  def q15TopSupplier(
+      supplier: DataFrame, lineitem: DataFrame,
+      qStart: String = "1997-01-01", qEnd: String = "1997-04-01"
+  ): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revC).as("revenue_c"))
+    val mx = rev.agg(max(col("revenue_c")).as("max_rev_c"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("revenue_c") === col("max_rev_c"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_c"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q16 shape: supplier diversity per part bucket — distinct supplier
+    * count per (brand, type, size), excluding a supplier denylist
+    * (negative balance) via anti-join, excluding one part type. The
+    * NOT IN of the original is the anti-join; distinct-count shuffles
+    * once on the group key.
+    */
+  def q16SupplierCnt(supplier: DataFrame, part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bad = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_suppkey"))
+    val parts = part.filter(col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q19 shape: disjunctive brand/size/quantity predicate — an
+    * OR-of-ANDs spanning both join sides. The per-side conjuncts
+    * (brand, size on part; quantity bounds on lineitem) are arranged
+    * so Catalyst can push the common bounds below the join while the
+    * residual OR evaluates post-join in one codegen stage.
+    */
+  def q19Disjunctive(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val li = lineitem
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"), revC.as("rev_c"))
+    val p = part.select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(coalesce(sum(col("rev_c")), lit(0L)).as("revenue_c"), count(lit(1)).as("n_lines"))
+  }
+
+  /** Q20 shape: suppliers who moved real volume of one part family in
+    * one year — nested semi-join chain: (lineitem⋈part-family) →
+    * per-supplier HAVING → semi-join back against supplier, nation
+    * name attached for the report.
+    */
+  def q20PartPromo(
+      nation: DataFrame, supplier: DataFrame, part: DataFrame, lineitem: DataFrame,
+      nameStarts: String = "red", year0: String = "1997", minQty: Long = 300L
+  ): DataFrame = {
+    val parts = part.filter(col("p_name").startsWith(nameStarts)).select(col("p_partkey"))
+    val movers = lineitem
+      .filter(col("l_shipdate") >= lit(s"$year0-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year0.toInt + 1}-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("qty")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+      .select(col("l_suppkey"))
+    supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+      .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q21 shape: suppliers who held up multi-supplier finished orders —
+    * the original's EXISTS/NOT-EXISTS pair decorrelated to per-order
+    * aggregates (distinct-supplier count, max ship date) joined back:
+    * a supplier "waits" an order when its line ships at the order max
+    * and at least one other supplier is on the order.
+    */
+  def q21Waiting(supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("l_us"))
+    val fOrders = orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val scoped = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_us"))
+    val perOrder = scoped
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"), max(col("l_us")).as("max_us"))
+      .filter(col("n_supp") > 1)
+      .select(col("l_orderkey").as("agg_ok"), col("max_us"))
+    scoped
+      .join(perOrder, col("l_orderkey") === col("agg_ok"))
+      .filter(col("l_us") === col("max_us"))
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_waits"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waits"))
+      .orderBy(col("n_waits").desc, col("s_suppkey"))
+      .limit(20)
+  }
+}

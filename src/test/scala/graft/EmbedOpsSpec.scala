@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bloom, VecOps}
+import graft.operators.{Curation, Dedup, EmbedOps}
+import graft.sources.Catalog
+
+class EmbedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Catalog.load(spark, sf, "documents")
+  lazy val embs = Catalog.load(spark, sf, "embeddings")
+
+  // ---- bloom filter ----
+
+  test("bloom: zero false negatives, bounded false positives") {
+    val keys = (1L to 2000L).toDF("k")
+    val bloom = Bloom.build(keys, "k", expectedKeys = 2000L, fpp = 0.01)
+    val present = keys.select(Bloom.bloom_might_contain(lit(bloom), col("k")).as("hit"))
+      .filter(!col("hit")).count()
+    assert(present == 0, "bloom reported a present key absent (false negative)")
+    val absentHits = (100001L to 110000L).toDF("k")
+      .select(Bloom.bloom_might_contain(lit(bloom), col("k")).as("hit"))
+      .filter(col("hit")).count()
+    assert(absentHits < 500, s"fp rate way above configured 1%: $absentHits/10000")
+  }
+
+  test("bloom-pruned incremental dedup: identical answer, fewer join candidates") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val index = Dedup.buildHashIndex(corpus, "doc_id", "text")
+    val plain = Dedup.exactAgainstIndex(batch, "doc_id", "text", index).collect().toSeq
+    val bloomed = Dedup.exactAgainstIndexBloom(batch, "doc_id", "text", index, expectedKeys = 1000L)
+      .collect().toSeq
+    assert(plain == bloomed, "bloom path must be byte-identical to the exact path")
+    assert(plain.exists(_.getLong(1) == 1L), "staged corpus copies should be flagged dup")
+    // pruning: only true dups (+fp slack) pass the bitmap
+    val bloom = Bloom.build(index.select(xxhash64(col("h")).as("k")), "k", 1000L, 0.01)
+    val cand = batch.select(Bloom.bloom_might_contain(
+      lit(bloom), xxhash64(Dedup.contentHash(col("text")))).as("c")).filter(col("c")).count()
+    val dups = plain.count(_.getLong(1) == 1L)
+    val total = batch.count()
+    assert(cand < total, s"bloom should prune some of the $total batch rows, kept $cand")
+    assert(cand >= dups, "candidates must cover every true dup")
+  }
+
+  // ---- int8 quantization ----
+
+  test("quantize_i8: |q| <= 127, max component hits 127, zero vector -> zeros") {
+    val q = EmbedOps.quantizeLong(embs, "vec_id", "embedding")
+    val bad = q.filter(abs(col("q")) > 127).count()
+    assert(bad == 0)
+    // per-vector max |q| is exactly 127 for any non-zero vector
+    val offPeak = q.groupBy("vec_id").agg(max(abs(col("q"))).as("m")).filter(col("m") =!= 127).count()
+    assert(offPeak == 0, "symmetric quantization must saturate the top component")
+    val zeroVec = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zq = EmbedOps.quantizeLong(zeroVec, "vec_id", "embedding").select("q")
+      .collect().map(_.getLong(0)).toSeq
+    assert(zq == Seq(0L, 0L, 0L))
+  }
+
+  test("quantized top-k matches a driver-side integer recomputation exactly") {
+    val data = embs.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def quant(v: Array[Float]): Array[Int] = {
+      val amax = v.map(x => math.abs(x.toDouble)).max
+      if (amax == 0.0) new Array[Int](v.length)
+      else v.map(x => java.math.BigDecimal.valueOf(x.toDouble * 127.0 / amax)
+        .setScale(0, java.math.RoundingMode.HALF_UP).intValue())
+    }
+    val qd = data.map { case (id, v) => (id, quant(v)) }
+    val expected = qd.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      qd.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, qv.zip(cv).map { case (a, b) => a.toLong * b }.sum) }
+        .sortBy { case (cid, dot) => (-dot, cid) }
+        .take(5).zipWithIndex
+        .map { case ((cid, dot), i) => (qid, i + 1L, cid, dot) }
+    }.toSeq
+    val got = EmbedOps.quantizedTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  // ---- fixed-point random projection ----
+
+  test("rand_project matches a driver-side recomputation; deterministic across runs") {
+    val got = EmbedOps.projectLong(embs.limit(20), "vec_id", "embedding", outDims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val data = embs.limit(20).collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = data.flatMap { case (id, v) =>
+      val m = v.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      val acc = new Array[Long](16)
+      for (d <- v.indices; j <- 0 until 16) {
+        val lcg = (1103515245L * (d.toLong * 16 + j) + 12345L) % 2147483648L
+        if (lcg >= 1073741824L) acc(j) += m(d) else acc(j) -= m(d)
+      }
+      acc.zipWithIndex.map { case (p, j) => (id, j.toLong, p) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expected)
+    val again = EmbedOps.projectLong(embs.limit(20), "vec_id", "embedding", outDims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == again)
+  }
+
+  test("sql surface: quantize_i8 / vec_dot_int / rand_project / bloom_might_contain registered") {
+    val q = spark.sql(
+      "SELECT quantize_i8(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT))) AS q"
+    ).collect()(0).getSeq[Int](0)
+    assert(q == Seq(64, -127))
+    val dot = spark.sql("SELECT vec_dot_int(array(1, 2), array(3, 4)) AS d").collect()(0).getLong(0)
+    assert(dot == 11L)
+    assert(spark.sql("SELECT size(rand_project(array(CAST(1.0 AS FLOAT)), 4)) AS n")
+      .collect()(0).getInt(0) == 4)
+    val bloom = Bloom.build(Seq(7L).toDF("k"), "k", 10L, 0.01)
+    val hit = spark.sql(
+      s"SELECT bloom_might_contain(X'${bloom.map("%02x".format(_)).mkString}', CAST(7 AS BIGINT)) AS h")
+      .collect()(0).getBoolean(0)
+    assert(hit)
+  }
+
+  // ---- domain cap ----
+
+  test("domainCap keeps exactly min(cap, per-source size) docs, ranks are dense") {
+    val capped = Curation.domainCap(docs, "doc_id", "source", col("n_chars"), cap = 10)
+    val perSource = capped.groupBy("source").agg(
+      sum(col("is_kept")).as("kept"),
+      count(lit(1)).as("n"),
+      max(col("src_rank")).as("max_rk")
+    ).collect()
+    perSource.foreach { r =>
+      val (kept, n, maxRk) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept == math.min(10L, n), s"source ${r.getString(0)}: kept $kept of $n")
+      assert(maxRk == n, "ranks must be dense 1..n")
+    }
+    assert(perSource.nonEmpty)
+  }
+}

@@ -219,6 +219,57 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning") == 0, p.take(2000))
   }
 
+  test("q19: static brand/size/quantity conjuncts push to both parquet scans") {
+    val p = planOf("q19_disjunctive")
+    // the common quantity bounds prune the lineitem scan...
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p)
+    // ...and the OR-of-brands collapses to a pushable In/Or on part
+    assert(p.contains("p_brand") && p.contains("PushedFilters"), p)
+  }
+
+  test("q15/q11: global scalar aggregates broadcast back, never sort-merge") {
+    for (name <- Seq("q15_top_supplier", "q11_stock_value")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name must not sort-merge a 1-row aggregate")
+    }
+  }
+
+  test("q2: one agg shuffle + one rank shuffle on the same key family") {
+    val p = planOf("q2_min_cost")
+    // (l_partkey,l_suppkey) agg then l_partkey window — both hash
+    // exchanges are key-compatible; dims ride in broadcast
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("quantized top-k: queries broadcast, scoring in one codegen projection") {
+    val df = SparkEntry.queries("sim_topk_quant")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // cid =!= qid theta join on broadcast queries
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bloom probe is a scan-side filter: non-candidates never reach the join") {
+    val df = SparkEntry.queries("dedup_incr_bloom")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the bloommightcontain predicate sits in a Filter below the join,
+    // not in join condition or post-join projection
+    val filterLines = p.linesIterator.filter(_.contains("bloommightcontain")).toSeq
+    assert(filterLines.nonEmpty, p)
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("bloommightcontain")), p)
+  }
+
+  test("embed_quantize/project are pure projections: no exchange before output sort") {
+    for (name <- Seq("embed_quantize", "embed_project")) {
+      val p = planOf(name)
+      // generate (posexplode) over a project over the scan; the only
+      // exchange is the final rangepartitioning for ORDER BY
+      assert(count(p, "+- Exchange") <= 1, s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("hashpartitioning"), s"$name:\n$p")
+    }
+  }
+
   test("incremental probes shuffle hashes/signatures, never corpus text") {
     // exact probe: the only columns read from either side are the id
     // and the text being hashed — the join itself carries (h, kept_id)

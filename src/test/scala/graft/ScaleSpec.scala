@@ -219,4 +219,38 @@ class ScaleSpec extends SparkSpec {
     assert(probeSec < 0.65 * fullSec,
       f"probe not batch-scaled: $probeSec%.1fs vs full recompute $fullSec%.1fs")
   }
+
+  test("bloom probe vs 100k-doc index: identical answer, candidate set near the dup set", Slow) {
+    val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val docs = spark.read.parquet(docsPath)
+    // batch: 500 docs copied verbatim from the corpus (known dups) +
+    // 500 fresh ids whose text is unique — expected candidate set is
+    // exactly the 500 copies plus ~1% bloom false positives
+    val isCopy = pmod(col("doc_id"), lit(200L)) === 7L
+    val isFresh = pmod(col("doc_id"), lit(200L)) === 8L
+    val corpus = docs.filter(!isFresh)
+    val batch = corpus.filter(isCopy)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(isFresh).select(col("doc_id"), col("text")))
+    val index = Dedup.buildHashIndex(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    val plain = Dedup.exactAgainstIndex(batch, "doc_id", "text", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = Dedup.exactAgainstIndexBloom(batch, "doc_id", "text", index,
+      expectedKeys = 100000L, fpp = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == bloomed, "bloom path must be byte-identical to the plain index probe")
+    val nDups = plain.count(_._2 == 1L)
+    assert(nDups >= 490, s"staged copies should be dups, got $nDups") // dup copies may themselves collide
+    // pruning factor: candidates = true dups + fp-rate slack of the batch
+    val bloom = graft.functions.Bloom.build(
+      index.select(xxhash64(col("h")).as("k")), "k", 100000L, 0.01)
+    val cand = batch.select(graft.functions.Bloom.bloom_might_contain(
+      lit(bloom), xxhash64(Dedup.contentHash(col("text")))).as("c")).filter(col("c")).count()
+    val total = batch.count()
+    assert(cand <= nDups + total / 20,
+      s"bloom candidates $cand should be close to the $nDups true dups (batch $total)")
+    index.unpersist()
+  }
 }
