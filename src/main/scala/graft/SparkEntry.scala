@@ -690,6 +690,9 @@ object SparkEntry {
     "domain_cap" -> ((s, d) =>
       // C40: per-source doc cap by length priority, keep decision out
       Curation.domainCap(t(s, d, "documents"), "doc_id", "source", col("n_chars"), cap = 40)),
+    "heavy_hitters" -> ((s, d) =>
+      // C41: exact term counts >= threshold via Count-Min prefilter
+      TextAnalysis.heavyHitters(t(s, d, "documents"), "text", minCount = 30L)),
     "sim_topk_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, planes = 8)
@@ -1403,6 +1406,11 @@ object SparkEntry {
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM batch) b
         |LEFT JOIN idx ON b.norm = idx.norm
         |ORDER BY doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term
+        |          FROM documents)
+        |SELECT term, count(*) AS n FROM t WHERE term <> ''
+        |GROUP BY 1 HAVING count(*) >= 30 ORDER BY n DESC, term""".stripMargin,
     "domain_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS src_rank

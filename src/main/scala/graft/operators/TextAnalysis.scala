@@ -208,4 +208,35 @@ object TextAnalysis {
       regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_bpe_tokens")
     )
   }
+
+  /** C41: every term with corpus frequency >= minCount, EXACT counts,
+    * via a Count-Min prefilter (see [[graft.functions.CountMin]]).
+    * Pass 1 folds the exploded term stream into a 2 MB mergeable
+    * sketch; pass 2 exact-counts ONLY terms the sketch admits (CMS
+    * never underestimates → no heavy term is lost; its few
+    * overestimates are killed by the exact HAVING). The difference
+    * from [[topBigrams]]/`text_topterms` (top-k) is the threshold
+    * form: at 100 TB a full-vocabulary groupBy shuffles billions of
+    * distinct light terms — here the aggregation input is pruned to
+    * sketch-candidates BEFORE the shuffle, the same
+    * sketch-then-verify discipline as bloom-pruned dedup (C39).
+    */
+  def heavyHitters(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      depth: Int = 4,
+      width: Int = 65536
+  ): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    import graft.functions.CountMin
+    val terms = df.select(explode(words(col(textCol))).as("term")).filter(col("term") =!= "")
+    val cms = CountMin.build(terms.select(xxhash64(col("term")).as("k")), "k", depth, width)
+    terms
+      .filter(CountMin.cms_estimate(lit(cms), xxhash64(col("term"))) >= minCount)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("term"))
+  }
 }

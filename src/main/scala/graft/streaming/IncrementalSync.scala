@@ -197,4 +197,77 @@ object IncrementalSync {
     graft.sinks.PartitionedUpsert.merge(spark, batch, target, keyCols, orderCols, partCol)
     ()
   }
+
+  /** A session in progress or closed. `closed` sessions are emitted
+    * exactly once (the moment a later event proves the gap); the
+    * currently-open session is re-emitted each micro-batch it grows.
+    */
+  case class SessionOut(
+      user_id: Long,
+      session_id: Long,
+      n_events: Long,
+      start_us: Long,
+      end_us: Long,
+      closed: Boolean
+  )
+
+  case class SessState(sessionId: Long, startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** A12b: custom-state sessionization via flatMapGroupsWithState —
+    * what [[sessionCounts]]'s native `session_window` cannot express:
+    * STABLE per-user session ids (1, 2, 3... in arrival order, so a
+    * downstream join key exists while the session is still open) and
+    * an exactly-once `closed` event per session the moment the gap is
+    * proven. State per user is one open session (4 longs), not the
+    * event list — bounded regardless of session length.
+    *
+    * Events are sorted within each micro-batch; ACROSS batches the
+    * operator assumes per-user event-time order (an event older than
+    * the open session's last timestamp folds into it rather than
+    * splitting history — the deliberate tradeoff for O(1) state; feed
+    * it watermark-ordered input when late data matters, e.g. from a
+    * sorted file stream).
+    */
+  def sessionizeStateful(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30
+  ): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessState]) => {
+          // exact micros (Timestamp.getTime is ms-truncated; the
+          // sub-ms part lives in getNanos — Spark timestamps are µs)
+          def micros(t: Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            val us = micros(e.ts)
+            if (cur == null) {
+              cur = SessState(1L, us, us, 1L)
+            } else if (us - cur.lastUs > gapUs) {
+              out += SessionOut(userId, cur.sessionId, cur.nEvents, cur.startUs, cur.lastUs, closed = true)
+              cur = SessState(cur.sessionId + 1L, us, us, 1L)
+            } else {
+              cur = cur.copy(
+                lastUs = math.max(cur.lastUs, us),
+                startUs = math.min(cur.startUs, us),
+                nEvents = cur.nEvents + 1L
+              )
+            }
+          }
+          if (cur != null) {
+            state.update(cur)
+            out += SessionOut(userId, cur.sessionId, cur.nEvents, cur.startUs, cur.lastUs, closed = false)
+          }
+          out.iterator
+        }
+      )
+  }
 }

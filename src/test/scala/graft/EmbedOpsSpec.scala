@@ -123,6 +123,29 @@ class EmbedOpsSpec extends SparkSpec {
     assert(hit)
   }
 
+  // ---- count-min heavy hitters ----
+
+  test("CMS never underestimates; heavyHitters equals the plain groupBy-HAVING") {
+    import graft.functions.CountMin
+    import graft.operators.TextAnalysis
+    // skewed key stream: key k appears k times, k in 1..100
+    val keys = (1L to 100L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("k")
+    val cms = CountMin.build(keys, "k", depth = 4, width = 1024)
+    val under = keys.distinct()
+      .select(col("k"), CountMin.cms_estimate(lit(cms), col("k")).as("est"))
+      .filter(col("est") < col("k")).count()
+    assert(under == 0, "CMS must never underestimate a frequency")
+    val hh = TextAnalysis.heavyHitters(docs, "text", minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val plain = docs
+      .select(explode(split(graft.operators.Dedup.normalize(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n")).filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("term"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh == plain && hh.nonEmpty)
+  }
+
   // ---- domain cap ----
 
   test("domainCap keeps exactly min(cap, per-source size) docs, ranks are dense") {

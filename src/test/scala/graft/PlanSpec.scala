@@ -270,6 +270,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("heavy_hitters: the CMS filter prunes the term stream BELOW the agg shuffle") {
+    val p = planOf("heavy_hitters")
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("cmsestimate"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(term"))
+    assert(filterIdx >= 0, p)
+    assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
+      "sketch filter must sit below (deeper than) the aggregation exchange in the plan tree")
+  }
+
   test("incremental probes shuffle hashes/signatures, never corpus text") {
     // exact probe: the only columns read from either side are the id
     // and the text being hashed — the join itself carries (h, kept_id)

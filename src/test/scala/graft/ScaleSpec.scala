@@ -253,4 +253,49 @@ class ScaleSpec extends SparkSpec {
       s"bloom candidates $cand should be close to the $nDups true dups (batch $total)")
     index.unpersist()
   }
+
+  test("quantized top-k at 20k vectors: staged twin found first, int8 ranking holds up", Slow) {
+    import graft.operators.EmbedOps
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val vecs = spark.read.parquet(vecsPath)
+    // staged dups: vec_id % 20 == 19 duplicates vec_id - 1 exactly —
+    // the twin quantizes identically, its integer dot with the query
+    // is the query's own self-energy, which near-uniform competitors
+    // almost never reach
+    val queries = vecs.filter(pmod(col("vec_id"), lit(20L)) === 19L).limit(20)
+    val (got, sec) = time {
+      EmbedOps.quantizedTopK(vecs, queries, "vec_id", "embedding", k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    val hits = got.count { case (qid, neighbor) => neighbor == qid - 1 }
+    info(f"20 queries over 20k int8 vectors in $sec%.1fs, twin@rank1 $hits/20")
+    assert(hits >= 18, s"int8 ranking should put the exact twin first: $hits/20")
+  }
+
+  test("CMS heavy hitters at 100k docs: exact vocab recovery, light tail pruned pre-shuffle", Slow) {
+    import graft.operators.TextAnalysis
+    val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val docs = spark.read.parquet(docsPath)
+    // the 500 vocab words each appear ~9k times; every `uniq<id>` tail
+    // word appears exactly once — threshold 1000 must recover exactly
+    // the vocabulary
+    val hh = TextAnalysis.heavyHitters(docs, "text", minCount = 1000L)
+      .collect().map(_.getString(0)).toSet
+    assert(hh == (0 until SyntheticCorpus.VocabSize).map(i => s"w$i").toSet,
+      s"expected exactly the ${SyntheticCorpus.VocabSize}-word vocab, got ${hh.size}")
+    // pruning: the sketch filter must drop (almost all of) the uniq___
+    // tail before the exact aggregation — candidate instances ~= heavy
+    // instances, far below the total term stream
+    val cms = graft.functions.CountMin.build(
+      docs.select(explode(split(graft.operators.Dedup.normalize(col("text")), " ")).as("t"))
+        .select(xxhash64(col("t")).as("k")), "k")
+    val terms = docs.select(explode(split(graft.operators.Dedup.normalize(col("text")), " ")).as("t"))
+    val totalTerms = terms.count()
+    val candTerms = terms
+      .filter(graft.functions.CountMin.cms_estimate(lit(cms), xxhash64(col("t"))) >= 1000L).count()
+    val tailTerms = totalTerms - candTerms
+    info(f"term stream $totalTerms%d, sketch-admitted $candTerms%d, pruned $tailTerms%d")
+    // ~5k uniq singletons exist; sketch fp can admit a few, not most
+    assert(tailTerms > 3000, s"light tail should be pruned pre-shuffle, only $tailTerms dropped")
+  }
 }

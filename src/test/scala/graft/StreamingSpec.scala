@@ -142,6 +142,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: session state carries across micro-batches, closes exactly once") {
+    // stage the event log as TWO time-ordered slices written one at a
+    // time, so every session straddling the midpoint must survive a
+    // batch boundary in the state store
+    val ev = Catalog.load(spark, sf, "events")
+      .filter(col("user_id") < 5)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val mid = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5, 10000)")).collect()(0).getLong(0)
+    val srcDir = tmpDir("graft_sess_src")
+    ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.mode("append").parquet(srcDir)
+    val sessions = IncrementalSync.sessionizeStateful(
+      spark, IncrementalSync.readEventStream(spark, srcDir), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(unix_micros(col("ts")) > mid).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      // final fact per (user, session) = the last (largest) emission
+      val streamed = spark.table("sess_out")
+        .groupBy("user_id", "session_id")
+        .agg(max(struct(col("end_us"), col("n_events"), col("start_us"))).as("m"))
+        .select(col("user_id"), col("session_id"),
+          col("m.n_events").as("n_events"), col("m.start_us").as("start_us"), col("m.end_us").as("end_us"))
+        .orderBy("user_id", "session_id")
+        .collect().toSeq
+      val batch = graft.operators.Analytics.sessionize(ev, gapMinutes = 30)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "session_id")
+        .collect().toSeq
+      assert(streamed == batch, "stateful stream sessions must equal the batch sessionization")
+      // each session closed at most once, and closed+open partitions the set
+      val closed = spark.table("sess_out").filter(col("closed"))
+        .groupBy("user_id", "session_id").count().filter(col("count") > 1).count()
+      assert(closed == 0, "a session must close exactly once")
+      val nOpen = spark.table("sess_out").select("user_id").distinct().count()
+      val nClosed = spark.table("sess_out").filter(col("closed"))
+        .select("user_id", "session_id").distinct().count()
+      assert(nClosed == batch.size - nOpen, "every non-final session emits one closed event")
+      assert(batch.size > nOpen, "test data should have multiple sessions per user")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: target converges to batch merge across micro-batches") {
     val src = stageEvents(3)
     val target = tmpDir("graft_stream_target") + "/latest"
