@@ -693,6 +693,10 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       // C41: exact term counts >= threshold via Count-Min prefilter
       TextAnalysis.heavyHitters(t(s, d, "documents"), "text", minCount = 30L)),
+    "range_join_binned" -> ((s, d) =>
+      // B48: errors within ±30min of each purchase, no equi key —
+      // binned to an equi join so no nested-loop ever runs
+      TimeSeries.rangeJoinBinned(t(s, d, "events"), "purchase", "error", windowMinutes = 30)),
     "sim_topk_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, planes = 8)
@@ -700,6 +704,14 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nClusters = 16, nProbes = 4)
+    }),
+    "sim_topk_ivf_sq8" -> ((s, d) => {
+      // C42: IVF-SQ8 — int8-quantized cell-partitioned index probe
+      // (rows-only: approximate by design, recall property-tested)
+      val e = t(s, d, "embeddings")
+      val dir = s"target/ivf_sq8_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.buildIvfIndexSq8(s, e, "vec_id", "embedding", nClusters = 16, indexDir = dir)
+      Similarity.ivfTopKIndexedSq8(s, dir, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbes = 4)
     }),
     "text_langid" -> ((s, d) =>
       t(s, d, "documents")
@@ -1406,6 +1418,12 @@ object SparkEntry {
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM batch) b
         |LEFT JOIN idx ON b.norm = idx.norm
         |ORDER BY doc_id""".stripMargin,
+    "range_join_binned" ->
+      """WITH l AS (SELECT event_id AS l_id, epoch_us(ts) AS l_us FROM events WHERE event_type='purchase'),
+        |r AS (SELECT event_id AS r_id, epoch_us(ts) AS r_us FROM events WHERE event_type='error')
+        |SELECT l_id AS event_id, l_us AS ts_us,
+        |  CAST((SELECT count(*) FROM r WHERE abs(l_us - r_us) <= 1800000000) AS BIGINT) AS n_nearby
+        |FROM l ORDER BY event_id""".stripMargin,
     "heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term
         |          FROM documents)

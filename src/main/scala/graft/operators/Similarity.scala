@@ -455,6 +455,76 @@ object Similarity {
     probeSearch(cands, qs, k)
   }
 
+  /** C42: IVF-SQ8 build — the FAISS IVF+scalar-quantizer shape: cell
+    * geometry identical to [[buildIvfIndex]] (same fit, same
+    * [[assignCells]] rule), but the stored vectors are int8-quantized
+    * ([[graft.functions.VecOps.quantizeI8]]) — 4x smaller in memory,
+    * measured ~2.3x smaller on disk after parquet int-packing
+    * (ScaleSpec), which at 100 TB is the difference between an index
+    * that fits hot storage and one that does not. Probing scores with
+    * exact integer dots; the recall tradeoff is property-tested.
+    */
+  def buildIvfIndexSq8(
+      spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      indexDir: String
+  ): Unit = {
+    import spark.implicits._
+    val centers = fitCentroids(candidates, vecCol, nClusters)
+    centers.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(candidates, centers, idCol, vecCol)
+      .select(col("cid"), graft.functions.VecOps.quantize_i8(col("cvec")).as("cq"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** C42 probe: query a persisted SQ8 index — cell selection uses the
+    * float centroids exactly like [[ivfTopKIndexed]] (the coarse
+    * quantizer stays full-precision; only the residual scoring is
+    * int8), candidates are ranked by exact Long dot of quantized
+    * vectors. Output carries the integer score (`dot_q`).
+    */
+  def ivfTopKIndexedSq8(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int = 4
+  ): DataFrame = {
+    val centers = loadCentroids(spark, indexDir)
+    val cands = spark.read.parquet(s"$indexDir/cells")
+    val qs =
+      if (centers.length > literalCentroidMax) probeCellsJoin(queries, centers, idCol, vecCol, nProbes)
+      else probeCellsLiteral(queries, centers, idCol, vecCol, nProbes)
+    val topk = udaf(new TopKAggregator(k))
+    cands
+      .join(broadcast(qs.withColumn("qq", graft.functions.VecOps.quantize_i8(col("qvec")))), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(
+        col("qid"),
+        graft.functions.VecOps.vec_dot_int(col("cq"), col("qq")).cast("double").as("score"),
+        col("cid").as("id")
+      )
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(
+        col("qid"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").cast("long").as("dot_q")
+      )
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Bucket ids for `tables` independent hash tables (table t uses
     * planes [t*planes, (t+1)*planes) of the deterministic family),
     * paired with the table index for joining. Public: also the

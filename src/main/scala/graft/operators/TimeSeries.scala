@@ -116,4 +116,41 @@ object TimeSeries {
       )
       .orderBy(col("day"))
   }
+
+  /** B48: binned range join — "right events within ±window of each
+    * left event", with NO equi key. A naive `|l.ts - r.ts| <= w` join
+    * is a nested-loop cartesian on any engine; binning turns it into
+    * an EQUI join: each right row lands in one width-w time bin, each
+    * left row probes its bin and both neighbors (3 rows via explode —
+    * any |Δt| <= w pair shares or neighbors a bin, and since the right
+    * row has exactly ONE bin no pair can match twice), then the exact
+    * |Δt| predicate filters residuals. One keyed shuffle on the bin;
+    * candidate volume is bounded by temporal density, never |L|x|R|.
+    * Hot bins (event storms) are AQE-split like any skewed equi key.
+    * Zero-match left rows are kept (count 0) via the final left join.
+    */
+  def rangeJoinBinned(
+      events: DataFrame,
+      leftType: String,
+      rightType: String,
+      windowMinutes: Int = 30
+  ): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), unix_micros(col("ts")).as("l_us"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), unix_micros(col("ts")).as("r_us"))
+      .withColumn("bin", floor(col("r_us") / winUs))
+    val lbin = floor(col("l_us") / winUs)
+    val probes = l.withColumn("bin", explode(array(lbin - 1, lbin, lbin + 1)))
+    val counts = probes
+      .join(r, "bin")
+      .filter(abs(col("l_us") - col("r_us")) <= winUs)
+      .groupBy(col("l_id"))
+      .agg(count(lit(1)).as("n_nearby"))
+    l.join(counts, Seq("l_id"), "left")
+      .select(col("l_id").as("event_id"), col("l_us").as("ts_us"),
+        coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+      .orderBy(col("event_id"))
+  }
 }

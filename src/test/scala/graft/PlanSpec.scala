@@ -270,6 +270,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range_join_binned: the non-equi time join runs as an equi join, never nested-loop") {
+    val p = planOf("range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.take(15).mkString("\n"))
+    assert(p.contains("bin"), p)
+  }
+
   test("heavy_hitters: the CMS filter prunes the term stream BELOW the agg shuffle") {
     val p = planOf("heavy_hitters")
     val lines = p.linesIterator.toSeq

@@ -272,6 +272,32 @@ class ScaleSpec extends SparkSpec {
     assert(hits >= 18, s"int8 ranking should put the exact twin first: $hits/20")
   }
 
+  test("IVF-SQ8 at 20k vectors: twin recall through the persisted index, ~4x smaller on disk", Slow) {
+    import graft.operators.Similarity
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val vecs = spark.read.parquet(vecsPath)
+    val floatDir = s"$corpusDir/ivf_float_20k"
+    val sq8Dir = s"$corpusDir/ivf_sq8_20k"
+    Similarity.buildIvfIndex(spark, vecs, "vec_id", "embedding", nClusters = 64, indexDir = floatDir)
+    Similarity.buildIvfIndexSq8(spark, vecs, "vec_id", "embedding", nClusters = 64, indexDir = sq8Dir)
+    def dirBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(path).getLength
+    }
+    val (fb, qb) = (dirBytes(s"$floatDir/cells"), dirBytes(s"$sq8Dir/cells"))
+    info(f"cells on disk: float $fb%d bytes, sq8 $qb%d bytes (${fb.toDouble / qb}%.1fx)")
+    assert(qb * 2 < fb, s"sq8 cells should be well under half the float cells: $qb vs $fb")
+    // staged twins must surface at rank 1 through the quantized probe
+    val queries = vecs.filter(pmod(col("vec_id"), lit(20L)) === 19L).limit(20)
+    val got = Similarity.ivfTopKIndexedSq8(spark, sq8Dir, queries, "vec_id", "embedding",
+      k = 1, nProbes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = got.count { case (qid, n) => n == qid - 1 }
+    info(s"twin@rank1 through SQ8 index: $hits/${got.size}")
+    assert(hits >= 17, s"SQ8 probe should find the exact twin first: $hits/${got.size}")
+  }
+
   test("CMS heavy hitters at 100k docs: exact vocab recovery, light tail pruned pre-shuffle", Slow) {
     import graft.operators.TextAnalysis
     val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
