@@ -48,6 +48,19 @@ class EmbedOpsSpec extends SparkSpec {
     assert(cand >= dups, "candidates must cover every true dup")
   }
 
+  test("bloom/CMS on an EMPTY corpus: everything is new, every estimate is zero") {
+    val empty = spark.range(0).select(col("id").as("k"))
+    val bloom = Bloom.build(empty, "k", expectedKeys = 10L)
+    val hits = (1L to 100L).toDF("k")
+      .select(Bloom.bloom_might_contain(lit(bloom), col("k")).as("h")).filter(col("h")).count()
+    assert(hits == 0, "empty-corpus bloom must reject every probe")
+    val cms = graft.functions.CountMin.build(empty, "k", depth = 4, width = 64)
+    val est = (1L to 10L).toDF("k")
+      .select(graft.functions.CountMin.cms_estimate(lit(cms), col("k")).as("e"))
+      .agg(max(col("e"))).collect()(0).getLong(0)
+    assert(est == 0L, "empty-corpus CMS must estimate zero everywhere")
+  }
+
   // ---- int8 quantization ----
 
   test("quantize_i8: |q| <= 127, max component hits 127, zero vector -> zeros") {
