@@ -37,31 +37,22 @@ object Bloom {
   def numBitsFor(expectedKeys: Long, fpp: Double): Long = {
     require(expectedKeys > 0 && fpp > 0 && fpp < 1, s"bad bloom params ($expectedKeys, $fpp)")
     val m = math.ceil(-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    ((m + 63) / 64) * 64
+    val bits = ((m + 63) / 64) * 64
+    // one JVM array holds the bitmap: beyond ~1e9 keys the caller must
+    // shard (see scaladoc) — fail loudly instead of wrapping the Int
+    // word count into a negative (or silently wrong) array size
+    require(bits / 64 <= Int.MaxValue - 8,
+      s"bloom for $expectedKeys keys @ $fpp needs $bits bits — exceeds one bitmap, shard by key range")
+    bits
   }
 
   /** Optimal hash count for the m/n ratio. */
   def numHashesFor(expectedKeys: Long, numBits: Long): Int =
     math.max(1, math.round(numBits.toDouble / expectedKeys * math.log(2)).toInt)
 
-  private def mix1(key: Long): Long = {
-    var z = key + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  private def mix2(key: Long): Long = {
-    // second independent finalizer round over the first
-    var z = mix1(key) + 0x94d049bb133111ebL
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   private[functions] def setBits(words: Array[Long], numBits: Long, numHashes: Int, key: Long): Unit = {
-    val h1 = mix1(key)
-    val h2 = mix2(key)
+    val h1 = SketchHash.mix1(key)
+    val h2 = SketchHash.mix2(key)
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, numBits)
@@ -77,8 +68,8 @@ object Bloom {
     val bb = java.nio.ByteBuffer.wrap(bloom)
     val numHashes = bb.getInt(0)
     val numBits = bb.getLong(4)
-    val h1 = mix1(key)
-    val h2 = mix2(key)
+    val h1 = SketchHash.mix1(key)
+    val h2 = SketchHash.mix2(key)
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, numBits)

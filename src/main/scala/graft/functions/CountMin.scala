@@ -28,23 +28,9 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object CountMin {
 
-  private def mix1(key: Long): Long = {
-    var z = key + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  private def mix2(key: Long): Long = {
-    var z = mix1(key) + 0x94d049bb133111ebL
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   private[functions] def addOne(grid: Array[Long], depth: Int, width: Int, key: Long): Unit = {
-    val h1 = mix1(key)
-    val h2 = mix2(key)
+    val h1 = SketchHash.mix1(key)
+    val h2 = SketchHash.mix2(key)
     var i = 0
     while (i < depth) {
       val cell = java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, width.toLong)
@@ -60,8 +46,8 @@ object CountMin {
     val bb = java.nio.ByteBuffer.wrap(cms)
     val depth = bb.getInt(0)
     val width = bb.getInt(4)
-    val h1 = mix1(key)
-    val h2 = mix2(key)
+    val h1 = SketchHash.mix1(key)
+    val h2 = SketchHash.mix2(key)
     var best = Long.MaxValue
     var i = 0
     while (i < depth) {
@@ -78,6 +64,8 @@ object CountMin {
     */
   class CmsAgg(depth: Int, width: Int) extends Aggregator[Long, Array[Long], Array[Byte]] {
     require(depth > 0 && width > 0, s"bad CMS dims ($depth, $width)")
+    require(depth.toLong * width <= Int.MaxValue - 8,
+      s"CMS grid $depth x $width exceeds a single array — widen depth instead, or shard")
     override def zero: Array[Long] = new Array[Long](depth * width)
     override def reduce(g: Array[Long], key: Long): Array[Long] = { addOne(g, depth, width, key); g }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

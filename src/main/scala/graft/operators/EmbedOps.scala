@@ -61,19 +61,12 @@ object EmbedOps {
   ): DataFrame = {
     val cands = candidates.select(col(idCol).as("cid"), VecOps.quantize_i8(col(vecCol)).as("cq"))
     val qs = broadcast(queries.select(col(idCol).as("qid"), VecOps.quantize_i8(col(vecCol)).as("qq")))
-    val topk = udaf(new TopKAggregator(k))
-    cands
-      .join(qs, col("cid") =!= col("qid"))
-      .select(col("qid"), VecOps.vec_dot_int(col("cq"), col("qq")).cast("double").as("score"), col("cid").as("id"))
-      .groupBy(col("qid"))
-      .agg(topk(col("score"), col("id")).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(
-        col("qid"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("neighbor_id"),
-        col("col.score").cast("long").as("dot_q")
-      )
-      .orderBy(col("qid"), col("rank"))
+    Similarity.topKReduce(
+      cands
+        .join(qs, col("cid") =!= col("qid"))
+        .select(col("qid"), VecOps.vec_dot_int(col("cq"), col("qq")).cast("double").as("score"), col("cid").as("id")),
+      k,
+      scoreOut = Some("dot_q")
+    )
   }
 }

@@ -79,19 +79,16 @@ object Similarity {
   ): DataFrame = {
     val cands = candidates.select(col(idCol).as("cid"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
     val qs = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm")))
-    val topk = udaf(new TopKAggregator(k))
-    cands
-      .join(qs, col("cid") =!= col("qid"))
-      .select(
-        col("qid"),
-        (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
-        col("cid").as("id")
-      )
-      .groupBy(col("qid"))
-      .agg(topk(col("score"), col("id")).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"), col("col.id").as("neighbor_id"))
-      .orderBy(col("qid"), col("rank"))
+    topKReduce(
+      cands
+        .join(qs, col("cid") =!= col("qid"))
+        .select(
+          col("qid"),
+          (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
+          col("cid").as("id")
+        ),
+      k
+    )
   }
 
   /** C27: nearest-centroid assignment — per-label mean centroids, then
@@ -303,20 +300,36 @@ object Similarity {
     * exact-score, map-side top-k. `qs` must have columns
     * (qid, qvec, qnrm, cell); `cands` (cid, cvec, cnrm, cell).
     */
-  private def probeSearch(cands: DataFrame, qs: DataFrame, k: Int): DataFrame = {
+  private def probeSearch(cands: DataFrame, qs: DataFrame, k: Int): DataFrame =
+    topKReduce(
+      cands
+        .join(broadcast(qs), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(
+          col("qid"),
+          (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
+          col("cid").as("id")
+        ),
+      k
+    )
+
+  /** ONE top-k assembly for every search surface (float cosine, int8
+    * dot, LSH, IVF): scored (qid, score, id) → per-query map-side
+    * TopKAggregator reduce → (qid, rank, neighbor_id[, scoreOut]).
+    * Rank order and tie-breaking (score desc, id asc) live HERE only —
+    * three drifting copies of this pipeline is how an ANN surface
+    * grows inconsistent ranking semantics.
+    */
+  private[operators] def topKReduce(scored: DataFrame, k: Int, scoreOut: Option[String] = None): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    cands
-      .join(broadcast(qs), Seq("cell"))
-      .filter(col("cid") =!= col("qid"))
-      .select(
-        col("qid"),
-        (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
-        col("cid").as("id")
-      )
+    val cols =
+      Seq(col("qid"), (col("pos") + 1).cast("long").as("rank"), col("col.id").as("neighbor_id")) ++
+        scoreOut.map(n => col("col.score").cast("long").as(n))
+    scored
       .groupBy(col("qid"))
       .agg(topk(col("score"), col("id")).as("top"))
       .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"), col("col.id").as("neighbor_id"))
+      .select(cols: _*)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -504,25 +517,18 @@ object Similarity {
     val qs =
       if (centers.length > literalCentroidMax) probeCellsJoin(queries, centers, idCol, vecCol, nProbes)
       else probeCellsLiteral(queries, centers, idCol, vecCol, nProbes)
-    val topk = udaf(new TopKAggregator(k))
-    cands
-      .join(broadcast(qs.withColumn("qq", graft.functions.VecOps.quantize_i8(col("qvec")))), Seq("cell"))
-      .filter(col("cid") =!= col("qid"))
-      .select(
-        col("qid"),
-        graft.functions.VecOps.vec_dot_int(col("cq"), col("qq")).cast("double").as("score"),
-        col("cid").as("id")
-      )
-      .groupBy(col("qid"))
-      .agg(topk(col("score"), col("id")).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(
-        col("qid"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("neighbor_id"),
-        col("col.score").cast("long").as("dot_q")
-      )
-      .orderBy(col("qid"), col("rank"))
+    topKReduce(
+      cands
+        .join(broadcast(qs.withColumn("qq", graft.functions.VecOps.quantize_i8(col("qvec")))), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(
+          col("qid"),
+          graft.functions.VecOps.vec_dot_int(col("cq"), col("qq")).cast("double").as("score"),
+          col("cid").as("id")
+        ),
+      k,
+      scoreOut = Some("dot_q")
+    )
   }
 
   /** Bucket ids for `tables` independent hash tables (table t uses
@@ -572,20 +578,17 @@ object Similarity {
           explode(tableBuckets(col(vecCol), dim, planes, tables)).as("qtb")
         )
     )
-    val topk = udaf(new TopKAggregator(k))
-    cands
-      .join(qs, col("tb") === col("qtb") && col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"), col("cvec"), col("qvec"), col("cnrm"), col("qnrm"))
-      .distinct() // a pair may collide in several tables; score once
-      .select(
-        col("qid"),
-        (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
-        col("cid").as("id")
-      )
-      .groupBy(col("qid"))
-      .agg(topk(col("score"), col("id")).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"), col("col.id").as("neighbor_id"))
-      .orderBy(col("qid"), col("rank"))
+    topKReduce(
+      cands
+        .join(qs, col("tb") === col("qtb") && col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), col("cvec"), col("qvec"), col("cnrm"), col("qnrm"))
+        .distinct() // a pair may collide in several tables; score once
+        .select(
+          col("qid"),
+          (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
+          col("cid").as("id")
+        ),
+      k
+    )
   }
 }

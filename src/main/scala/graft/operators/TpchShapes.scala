@@ -34,23 +34,27 @@ object TpchShapes {
 
   /** Q2 shape: cheapest supplier per part — correlated MIN decorrelated
     * to a per-part window rank over the (part, supplier) aggregate.
-    * One shuffle on (partkey, suppkey) for the agg, one on partkey for
-    * the rank; supplier/nation ride in as broadcasts at the end.
+    * The part filter joins BELOW the aggregation (Catalyst cannot push
+    * a join under a groupBy itself), so the agg shuffle carries only
+    * the filtered part slice, then one shuffle on partkey for the
+    * rank. Supplier is NOT hand-broadcast (it scales with SF — AQE
+    * promotes it when the runtime size allows); nation is a fixed
+    * 25-row dimension, safe to force.
     */
   def q2MinCost(part: DataFrame, supplier: DataFrame, nation: DataFrame, lineitem: DataFrame): DataFrame = {
     val parts = part
       .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
       .select(col("p_partkey"))
     val cost = lineitem
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(cents(col("l_extendedprice"))).as("cost_c"))
-      .join(parts, col("l_partkey") === col("p_partkey"))
     val w = Window.partitionBy(col("l_partkey")).orderBy(col("cost_c"), col("l_suppkey"))
     val cheapest = cost
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
     cheapest
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+      .join(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
@@ -249,9 +253,10 @@ object TpchShapes {
       .groupBy(col("l_suppkey"))
       .agg(sum(revC).as("revenue_c"))
     val mx = rev.agg(max(col("revenue_c")).as("max_rev_c"))
+    // only the 1-row max is hand-broadcast; supplier scales with SF
     rev.crossJoin(broadcast(mx))
       .filter(col("revenue_c") === col("max_rev_c"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue_c"))
       .orderBy(col("s_suppkey"))
   }
@@ -343,7 +348,7 @@ object TpchShapes {
       .filter(col("l_us") === col("max_us"))
       .groupBy(col("l_suppkey"))
       .agg(countDistinct(col("l_orderkey")).as("n_waits"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_waits"))
       .orderBy(col("n_waits").desc, col("s_suppkey"))
       .limit(20)
