@@ -38,7 +38,7 @@ object Bench {
     "text_rep_stats", "text_tfidf_top", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters",
     "pack_sequences", "curate_corpus",
-    "mm_binary_meta", "mm_frame_sample", "mm_byte_resize"
+    "mm_binary_meta", "mm_frame_sample", "mm_byte_resize", "mm_png_meta"
   )
 
   def main(args: Array[String]): Unit = {

@@ -841,7 +841,17 @@ object SparkEntry {
         frameLen = 16,
         stride = 64,
         maxFrames = 4
-      ))
+      )),
+    "mm_png_meta" -> ((s, d) => {
+      // C43: REAL PNG signature + IHDR parsing (byte-faithful headers
+      // staged for 2/3 of docs; the rest are non-PNG text bytes)
+      val payloads = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 =!= 0,
+          Multimodal.pngHeaderBytes(lit(16L) + col("doc_id") % 1920L, lit(16L) + col("doc_id") % 1080L))
+          .otherwise(col("text").cast("binary")).as("payload"))
+      Multimodal.parsePngMeta(payloads, "doc_id", "payload")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
@@ -1748,6 +1758,26 @@ object SparkEntry {
         | lower(hex(CAST(substring(text,1,8) AS BLOB))) AS header_hex,
         | md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_png_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 <> 0 THEN
+        |      concat('89504E470D0A1A0A', '0000000D', '49484452',
+        |             lpad(hex(16 + doc_id % 1920), 8, '0'),
+        |             lpad(hex(16 + doc_id % 1080), 8, '0'),
+        |             '08', '06', '000000')
+        |    ELSE hex(CAST(text AS BLOB)) END AS hx
+        |  FROM documents),
+        |f AS (SELECT doc_id, hx,
+        |        (substring(hx,1,16) = '89504E470D0A1A0A' AND substring(hx,25,8) = '49484452') AS ok
+        |      FROM p)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS is_png,
+        |  CASE WHEN ok THEN CAST(concat('0x', substring(hx,33,8)) AS BIGINT) END AS width,
+        |  CASE WHEN ok THEN CAST(concat('0x', substring(hx,41,8)) AS BIGINT) END AS height,
+        |  CASE WHEN ok THEN CAST(concat('0x', substring(hx,49,2)) AS BIGINT) END AS bit_depth,
+        |  CASE WHEN ok THEN CAST(concat('0x', substring(hx,51,2)) AS BIGINT) END AS color_type
+        |FROM f ORDER BY doc_id""".stripMargin,
     "mm_byte_resize" ->
       """SELECT doc_id, CAST(octlen AS BIGINT) AS byte_len, array_to_string(
         |  [substring(hx, i*8+1, 2) for i in range(0, 16) if i*4 < octlen], '') AS resized_hex

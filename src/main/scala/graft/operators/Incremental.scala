@@ -26,9 +26,14 @@ object Incremental {
     "created_at", "updated_at", "_timestamp"
   )
 
+  /** Case-insensitive: JDBC catalogs routinely fold identifiers to
+    * upper case (Derby, Oracle), so `CREATED_AT` must still be
+    * recognized as `created_at`. Returns the schema's actual spelling.
+    */
   def detectTimeField(schema: StructType): Option[String] = {
-    val names = schema.fieldNames.toSet
-    TimeFieldCandidates.map(c => Flatten.sanitizeName(c)).find(names.contains)
+    val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    TimeFieldCandidates.map(c => Flatten.sanitizeName(c).toLowerCase)
+      .collectFirst { case c if byLower.contains(c) => byLower(c) }
   }
 
   /** Update-time candidates, the reference's UPDATE-aware sync list
@@ -43,8 +48,9 @@ object Incremental {
     * not just inserts (es_to_bytehouse.py:498-529).
     */
   def detectUpdateTimeField(schema: StructType): Option[String] = {
-    val names = schema.fieldNames.toSet
-    UpdateTimeFieldCandidates.map(c => Flatten.sanitizeName(c)).find(names.contains)
+    val byLower = schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+    UpdateTimeFieldCandidates.map(c => Flatten.sanitizeName(c).toLowerCase)
+      .collectFirst { case c if byLower.contains(c) => byLower(c) }
   }
 
   /** Bounded backfill: the mongo variant's `start_date` lower bound on

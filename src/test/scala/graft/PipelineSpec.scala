@@ -121,6 +121,35 @@ class PipelineSpec extends SparkSpec {
     assert(meta.count() == docs.count())
   }
 
+  test("parsePngMeta reads a REAL JDK-encoded PNG's IHDR, rejects non-PNG") {
+    // encode genuine PNGs with javax.imageio (JDK built-in, no codec
+    // dep) — proves the column-expression parser handles real files,
+    // not just our own synthetic headers
+    def realPng(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, realPng(640, 480)),
+      (2L, realPng(3, 1077)),
+      (3L, "not a png at all".getBytes("UTF-8"))
+    )
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val out = Multimodal.parsePngMeta(df, "doc_id", "payload").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 640L && out(0).getLong(3) == 480L)
+    assert(out(0).getLong(4) == 8L) // ImageIO writes 8-bit depth
+    assert(out(1).getLong(2) == 3L && out(1).getLong(3) == 1077L)
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2) && out(2).isNullAt(3))
+    // synthetic header generator is byte-faithful: parses identically
+    val syn = spark.range(1).select(lit(9L).as("doc_id"),
+      Multimodal.pngHeaderBytes(lit(123L), lit(456L)).as("payload"))
+    val sr = Multimodal.parsePngMeta(syn, "doc_id", "payload").collect()(0)
+    assert(sr.getLong(1) == 1L && sr.getLong(2) == 123L && sr.getLong(3) == 456L &&
+      sr.getLong(4) == 8L && sr.getLong(5) == 6L)
+  }
+
   test("decodeStub: deterministic features, plumbing intact") {
     val withBin = docs.limit(20).withColumn("payload", col("text").cast("binary"))
     val f1 = Multimodal.decodeStub(spark, withBin, "doc_id", "payload").collect().sortBy(_.id)
