@@ -24,6 +24,7 @@ object Bench {
     "q11_stock_value", "q12_late_lines", "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
     "q19_disjunctive", "q20_part_promo", "q21_waiting",
     "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
+    "events_hourly_incr", "profile_table", "dq_violations",
     "asof_last_click", "interval_join", "range_join_binned",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state",
@@ -31,7 +32,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_incr_exact", "dedup_incr_minhash",
     "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked", "dedup_incr_embedding",
     "dedup_clusters",
-    "dedup_passages",
+    "dedup_passages", "dedup_semantic",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_sq8", "sim_topk_quant", "embed_nearest_centroid",
     "embed_quantize", "embed_project", "dedup_incr_bloom", "domain_cap",
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",

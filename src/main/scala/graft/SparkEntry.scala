@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fingerprint64.fingerprint64
-import graft.operators.{AllString, Analytics, AsOfJoin, Curation, Dedup, EmbedOps, Incremental, Multimodal, Similarity, TextAnalysis, TimeSeries, TpchShapes, TypeMapper}
+import graft.operators.{AllString, Analytics, AsOfJoin, Curation, DataQuality, Dedup, EmbedOps, Incremental, Multimodal, Similarity, TextAnalysis, TimeSeries, TpchShapes, TypeMapper}
 import graft.sinks.ClickHouseDdl
 import graft.sources.{Catalog, JsonIngest}
 
@@ -132,6 +132,23 @@ object SparkEntry {
         t(s, d, "lineitem")
       )),
     "events_hourly" -> ((s, d) => Analytics.eventsHourly(t(s, d, "events"))),
+    "events_hourly_incr" -> ((s, d) => {
+      // B51: incremental aggregate maintenance — persisted hourly
+      // partials (the "history" side, 90% of events) absorb the new
+      // batch's partials without rescanning history; the merged
+      // answer must equal the full recompute (which IS the oracle)
+      val ev = t(s, d, "events")
+      def partials(df: DataFrame): DataFrame = df
+        .groupBy(
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+          col("event_type"))
+        .agg(sum(Analytics.cents(col("value"))).as("sum_value_c"),
+          count(lit(1)).as("n"))
+      val state = partials(ev.filter(col("event_id") % 10 =!= 0))
+      val batch = partials(ev.filter(col("event_id") % 10 === 0))
+      Incremental.mergeRollup(state, batch, Seq("hour_us", "event_type"), Seq("sum_value_c", "n"))
+        .orderBy(col("hour_us"), col("event_type"))
+    }),
     "events_hourly_skewed" -> ((s, d) => {
       // same answer as events_hourly, computed through the two-stage
       // salted aggregation — the plan shape for a corpus whose hottest
@@ -305,6 +322,30 @@ object SparkEntry {
             .as("anomaly")
         )
         .orderBy("day")
+    }),
+    "profile_table" -> ((s, d) =>
+      // B49: ANALYZE-style per-column profile of lineitem in ONE scan
+      // (single multi-distinct aggregate + 1-row unpivot)
+      Analytics.profileTable(t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "l_shipdate"))),
+    "dq_violations" -> ((s, d) => {
+      // B50: declarative constraint report — row-predicate rules fuse
+      // into one scan per table, FK is a broadcast anti join, PK
+      // uniqueness one keyed agg
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val c = t(s, d, "customer")
+      DataQuality.report(Seq(
+        DataQuality.predicateViolations(l, Seq(
+          "lineitem_qty_null" -> col("l_quantity").isNull,
+          "lineitem_qty_range" -> !col("l_quantity").between(1, 50),
+          "lineitem_discount_range" -> !col("l_discount").between(0, 0.1))),
+        DataQuality.predicateViolations(o, Seq(
+          "orders_price_positive" -> (col("o_totalprice") <= 0),
+          "orders_status_domain" -> !col("o_orderstatus").isin("O", "F", "P"))),
+        DataQuality.fkViolations("orders_fk_customer", o, "o_custkey", c, "c_custkey"),
+        DataQuality.dupKeyViolations("orders_pk_unique", o, Seq("o_orderkey"))))
     }),
     "recon_counts" -> ((s, d) => {
       // B27: post-sync reconciliation — the validation a migration tool
@@ -657,6 +698,21 @@ object SparkEntry {
         e.unionByName(pert), "vec_id", "embedding",
         tau = 0.99, dim = 64, planes = 8, tables = 8)
     }),
+    "dedup_semantic" -> ((s, d) => {
+      // C44: SemDeDup — cluster-then-prune semantic dedup. Same staged
+      // twins as dedup_embedding_blocked (cos ~0.999 vs tau 0.99, no
+      // boundary sensitivity); clusters are the deterministic
+      // label-mean centroids so the DuckDB oracle can reproduce the
+      // assignment bit-for-bit
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+      val pert = e.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"),
+        col("label"))
+      Dedup.semanticDedup(e.unionByName(pert), "vec_id", "embedding", "label",
+        tau = 0.99, dim = 64, planes = 8, tables = 8)
+    }),
     "sim_topk_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -969,6 +1025,12 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the merged (state + batch partials) rollup must equal the full
+    // recompute — so the full recompute IS the oracle
+    "events_hourly_incr" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c, rk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1146,6 +1208,39 @@ object SparkEntry {
         |       count(*) AS n_keys
         |FROM s FULL OUTER JOIN g ON k = k2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_table" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(*) - count(l_orderkey) AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct, CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM lineitem
+        |UNION ALL SELECT 'l_partkey', count(*), count(*) - count(l_partkey), count(DISTINCT l_partkey),
+        |  CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey), count(DISTINCT l_suppkey),
+        |  CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber), count(DISTINCT l_linenumber),
+        |  CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus), count(DISTINCT l_linestatus),
+        |  CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate), count(DISTINCT l_shipdate),
+        |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'), strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
+        |ORDER BY col_name""".stripMargin,
+    "dq_violations" ->
+      """SELECT 'lineitem_qty_null' AS rule,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM lineitem
+        |UNION ALL SELECT 'lineitem_qty_range',
+        |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem_discount_range',
+        |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'orders_price_positive',
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders_status_domain',
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders_fk_customer', CAST(count(*) AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL
+        |UNION ALL SELECT 'orders_pk_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1) g
+        |ORDER BY rule""".stripMargin,
     "quartiles_price" ->
       """WITH r AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
         |  CAST(row_number() OVER (PARTITION BY o_orderpriority
@@ -1652,6 +1747,30 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM u a JOIN u b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY 1,2""".stripMargin,
+    // exact within-cluster all-pairs oracle; the engine's LSH candidate
+    // stage must lose nothing at tau 0.99 (staged twins sit at ~0.999,
+    // miss ~2e-8/pair with 8 planes x 8 tables)
+    "dedup_semantic" ->
+      """WITH u AS (
+        |  SELECT vec_id AS id, embedding AS v, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         list_concat([embedding[1] + 0.05], embedding[2:]), label FROM embeddings),
+        |dims AS (SELECT id, label, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM u),
+        |cent AS (SELECT label AS clab, pos, sum(CAST(x AS DOUBLE))/count(*) AS cx FROM dims GROUP BY 1,2),
+        |dd AS (SELECT m.id, c.clab, sum((CAST(m.x AS DOUBLE)-c.cx)*(CAST(m.x AS DOUBLE)-c.cx)) AS d2
+        |       FROM dims m JOIN cent c ON m.pos = c.pos GROUP BY 1,2),
+        |asg AS (SELECT id, CAST(clab AS BIGINT) AS cluster FROM (
+        |          SELECT id, clab, row_number() OVER (PARTITION BY id ORDER BY d2, clab) AS rk FROM dd) t2
+        |        WHERE rk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.id
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+        |  JOIN u ua ON ua.id = a.id JOIN u ub ON ub.id = b.id
+        |  WHERE list_cosine_similarity(ua.v, ub.v) >= 0.99)
+        |SELECT asg.id AS vec_id, cluster,
+        |  CAST(CASE WHEN dropped.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        |FROM asg LEFT JOIN dropped ON asg.id = dropped.id ORDER BY vec_id""".stripMargin,
     "sim_topk_brute" ->
       """SELECT qid, rn AS rank, cid AS neighbor_id FROM (
         | SELECT q.vec_id AS qid, c.vec_id AS cid,

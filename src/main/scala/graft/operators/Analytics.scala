@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -179,5 +179,59 @@ object Analytics {
     reached
       .agg(counts.head, counts.tail: _*)
       .selectExpr(s"stack(${stages.length}, $stacked) AS (stage_idx, stage, n_users)")
+  }
+
+  /** B49: per-column statistics profile — the ANALYZE TABLE surface a
+    * warehouse runs after every load to feed its optimizer and data
+    * validation (row count, null count, EXACT distinct count, min/max
+    * per column). TWO linear passes for the whole profile, never a
+    * pass per column and never a collect:
+    *   1. count/nulls/min/max for every column in one KEYLESS
+    *      aggregate (keyless means no Sort even though string min/max
+    *      buffers are sort-based), unpivoted to a row per column;
+    *   2. exact ndv for every column in one scan: explode to
+    *      (col, value) pairs and hash-aggregate twice — count buffers
+    *      only, so it stays HashAggregate end to end. (The naive
+    *      alternative — N countDistincts in one agg — plans an Expand
+    *      whose string min/max buffers force a full SORT of |rows|×N:
+    *      measured 12x slower.)
+    * The final join is |cols| rows vs |cols| rows — broadcast. min/max
+    * are stringified so one schema fits every column type; timestamps
+    * format explicitly (cast-to-string fraction-trimming differs
+    * across engines); ndv dedups on the default full-precision cast,
+    * which is injective for int/string/timestamp columns.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def asStr(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case org.apache.spark.sql.types.TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case _ => c.cast("string")
+    }
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        asStr(min(col(c)), types(c)).as(s"${c}__min"),
+        asStr(max(col(c)), types(c)).as(s"${c}__max"))
+    }
+    val basic = df.agg(count(lit(1)).as("__n"), aggs: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"${c}__nn")).as("n_nulls"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.*"))
+    val ndv = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    basic.join(broadcast(ndv), Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
   }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** B50: declarative data-quality constraint checking — the validation
+  * pass a warehouse runs after every sync before promoting a batch
+  * (the reference trusts its row counts; production pipelines assert
+  * constraints). Output is one row per rule: (rule, n_violations).
+  *
+  * Plan shapes, chosen per rule class so the whole report is a
+  * constant number of linear passes at any scale:
+  *   - row predicates: ALL rules against one table fuse into a SINGLE
+  *     scan of conditional sums ([[predicateViolations]]) — N rules
+  *     cost one pass, map-side-combined, fully codegen'd;
+  *   - referential integrity: a LEFT ANTI join, broadcast when the
+  *     parent is a dim table ([[fkViolations]]);
+  *   - key uniqueness: one keyed agg counting surplus rows per key
+  *     ([[dupKeyViolations]]) — shuffles only the key column.
+  */
+object DataQuality {
+
+  /** All row-predicate rules for one table in ONE scan: each rule is a
+    * conditional sum over the violation predicate.
+    */
+  def predicateViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = rules.map { case (name, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(name)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (name, _) =>
+        struct(lit(name).as("rule"), col(name).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Orphaned children: rows of `child` whose `childKey` has no match
+    * in `parent.parentKey`. LEFT ANTI join — Catalyst broadcasts the
+    * parent when it is dim-sized, and null child keys are counted as
+    * violations too (an FK must be present AND resolvable).
+    */
+  def fkViolations(
+      rule: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String
+  ): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(rule).as("rule"), col("n_violations"))
+
+  /** Surplus rows under a uniqueness constraint: sum over keys of
+    * (multiplicity - 1). 0 = the key is unique.
+    */
+  def dupKeyViolations(rule: String, df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+      .select(lit(rule).as("rule"), col("n_violations"))
+
+  /** A full report: union the per-rule frames, ordered by rule name. */
+  def report(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_.unionByName(_)).orderBy(col("rule"))
+}

@@ -345,6 +345,83 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** C44: semantic dedup — the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into clusters,
+    * then prune near-duplicates only WITHIN each cluster, so the
+    * quadratic never sees the corpus — only a cluster. Two nested
+    * blocking levels keep even big clusters safe: candidates must
+    * share BOTH the cluster AND a multi-table hyperplane-LSH bucket
+    * (the [[embeddingPairsLsh]] family), then exact double-precision
+    * cosine verifies each candidate. Keep rule is deterministic:
+    * smallest id among same-cluster near-dups survives.
+    *
+    * Clustering here is nearest deterministic per-label-mean centroid
+    * (the oracle-reproducible stand-in for k-means — same shape as
+    * Similarity.nearestCentroid); swap the centroid frame for trained
+    * k-means centers at production scale, the plan is unchanged:
+    * centroid build is two keyed aggs over |labels|x|dim| groups,
+    * assignment is a broadcast of the tiny centroid frame, candidate
+    * generation is a keyed self-join on (cluster, table, bucket) —
+    * no stage is ever quadratic in corpus size.
+    *
+    * Returns one row PER INPUT DOC: (idCol, cluster, is_kept 1|0).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      tau: Double,
+      dim: Int,
+      planes: Int = 8,
+      tables: Int = 8
+  ): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"), col(labelCol).as("lab"))
+    val cent = base
+      .select(col("lab").as("clab"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("clab"), col("pos"))
+      .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("clab"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), (col("sx") / col("n")).as("cx")))),
+        s => s.getField("cx")).as("centroid"))
+    // min_by over (d2, clab) makes ties deterministic; first(v) is safe
+    // because v is constant per id across the broadcast fan-out
+    val assigned = base
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("v"), col("nrm"), col("clab"),
+        aggregate(
+          zip_with(col("v"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .groupBy(col("id"))
+      .agg(
+        min_by(col("clab"), struct(col("d2"), col("clab"))).cast("long").as("cluster"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .persist()
+    val bucketed = assigned.select(
+      col("id"), col("cluster"),
+      explode(Similarity.tableBuckets(col("v"), dim, planes, tables)).as("tb"))
+    val cands = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.cluster") === col("b.cluster") && col("a.tb") === col("b.tb") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val dropped = cands
+      .join(assigned.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(assigned.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), "id_b")
+      .filter(Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) >= tau)
+      .select(col("id_b").as("id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("is_dup", lit(1L)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        when(col("is_dup").isNotNull, 0L).otherwise(1L).as("is_kept"))
+      .orderBy(col(idCol))
+  }
+
   /** C14: connected components over near-dup pairs — pairs alone don't
     * dedup a corpus; the survivor set is one doc per component of the
     * near-dup graph. Returns (id, cluster_id) where cluster_id is the

@@ -151,6 +151,28 @@ object Incremental {
     * the target — the ALTER TABLE plan (es_to_bytehouse.py:1043-1051
     * `detect_new_fields_from_batch` + 1020-1041 `add_new_columns`).
     */
+  /** Incremental additive-rollup maintenance: a persisted keyed
+    * partial-aggregate table (sums/counts per group) absorbs a new
+    * batch by unioning the batch's OWN partials and re-aggregating on
+    * the same keys — history is summarized by its partials and NEVER
+    * rescanned. Sound for any commutative-monoid measure (sum, count,
+    * min, max; pair with [[distinctSketch]] for distincts). At 100 TB
+    * this is the difference between an O(|batch|) nightly rollup
+    * refresh and an O(|corpus|) one; the merge shuffles only
+    * |groups| + |batch-groups| rows, not data.
+    */
+  def mergeRollup(
+      state: DataFrame,
+      batchPartials: DataFrame,
+      keyCols: Seq[String],
+      addCols: Seq[String]
+  ): DataFrame = {
+    val sums = addCols.map(c => sum(col(c)).as(c))
+    state.unionByName(batchPartials)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+  }
+
   /** Incremental distinct-count state: one DataSketches HLL sketch
     * per synced batch, stored beside the sync state. At 100 TB,
     * "distinct users all-time" must never rescan history — each batch

@@ -36,6 +36,54 @@ class AnalyticsSpec extends SparkSpec {
     ))
   }
 
+  test("mergeRollup: state + batch partials equal the full recompute, any split") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val rows = (1L to 300L).map(i => (i, s"g${i % 7}", i * 3))
+    val df = rows.toDF("id", "grp", "v")
+    val full = df.groupBy("grp").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    for (mod <- Seq(2L, 5L, 299L)) { // batch = tiny, mid, nearly-everything
+      def partials(part: org.apache.spark.sql.DataFrame) =
+        part.groupBy("grp").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      val merged = Incremental.mergeRollup(
+        partials(df.filter(col("id") % mod =!= 0)),
+        partials(df.filter(col("id") % mod === 0)),
+        Seq("grp"), Seq("sv", "n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(merged == full, s"split mod=$mod diverged")
+    }
+  }
+
+  test("profileTable: nulls, exact ndv, stringified min/max, one row per column") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None), (None, Some("a")), (Some(3L), Some("c"))
+    ).toDF("k", "s")
+    val p = Analytics.profileTable(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(p("k") == ((4L, 1L, 2L, "1", "3")))
+    assert(p("s") == ((4L, 1L, 3L, "a", "c")))
+  }
+
+  test("dq checks: predicate fusion, fk anti join, duplicate keys — counts are exact") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 99L), (3L, 12L)).toDF("id", "fk")
+    val parent = Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("pk", "name")
+    val rep = DataQuality.report(Seq(
+      DataQuality.predicateViolations(child, Seq(
+        "id_positive" -> (col("id") <= 0),
+        "fk_below_50" -> (col("fk") >= 50))),
+      DataQuality.fkViolations("fk_resolvable", child, "fk", parent, "pk"),
+      DataQuality.dupKeyViolations("id_unique", child, Seq("id"))
+    )).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map(
+      "id_positive" -> 0L, "fk_below_50" -> 1L,
+      "fk_resolvable" -> 1L, "id_unique" -> 1L))
+  }
+
   test("q1 cents sums are exact integers and grouped correctly") {
     val df = SparkEntry.queries("q1_pricing")(spark, sf)
     val rows = df.collect()

@@ -57,6 +57,41 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH-blocked recall too low: $recall")
   }
 
+  test("semanticDedup: every doc classified, twins dropped within their cluster, keep-min-id") {
+    val e = embs.select(col("vec_id"), col("embedding"), col("label"))
+    val pert = e.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"),
+      col("label"))
+    val u = e.unionByName(pert)
+    val res = Dedup.semanticDedup(u, "vec_id", "embedding", "label",
+      tau = 0.99, dim = 64, planes = 8, tables = 8)
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = u.count()
+    assert(rows.length == n, "one decision per input doc")
+    val byId = rows.map(r => r._1 -> r).toMap
+    // originals always survive (smallest id of each twin pair)
+    val origs = rows.filter(_._1 < 100000L)
+    assert(origs.forall(_._3 == 1L), "an original must never lose to its higher-id twin")
+    // a twin assigned to the same cluster as its original must be dropped
+    val sameClusterTwins = rows.filter { case (id, cl, _) =>
+      id >= 100000L && byId.get(id - 100000L).exists(_._2 == cl)
+    }
+    assert(sameClusterTwins.nonEmpty, "staged twins should mostly co-cluster with originals")
+    val dropRate = sameClusterTwins.count(_._3 == 0L).toDouble / sameClusterTwins.size
+    assert(dropRate >= 0.99, s"same-cluster twins must be pruned, drop rate $dropRate")
+    // decisions match the exact within-cluster definition (no LSH loss)
+    val clusters = rows.map(r => r._1 -> r._2).toMap
+    val exactPairs = Dedup.embeddingPairs(u, "vec_id", "embedding", tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => clusters(a) == clusters(b) }
+    val exactDropped = exactPairs.map(_._2).toSet
+    rows.foreach { case (id, _, kept) =>
+      assert(kept == (if (exactDropped(id)) 0L else 1L), s"decision mismatch for $id")
+    }
+  }
+
   test("lsh topk is a subset of brute-force candidates with decent recall") {
     val queries = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
