@@ -298,4 +298,35 @@ class PlanSpec extends SparkSpec {
     assert(!pm.contains("CartesianProduct"), pm.take(2000))
     assert(!pm.contains("BroadcastNestedLoopJoin"), pm.take(2000))
   }
+
+  test("profile_table: ndv pass stays HashAggregate — no keyed SortAggregate anywhere") {
+    // the naive N-countDistinct Expand plan sort-aggregates |rows|×N
+    // (string min/max buffers); the two-pass profile must never sort
+    // row-scale data — the only sort is the |cols|-row output ORDER BY
+    val p = planOf("profile_table")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    val keyedSortAggs = p.linesIterator.count(l =>
+      l.contains("SortAggregate(key=[") && !l.contains("key=[]"))
+    assert(keyedSortAggs == 0, s"keyed SortAggregate leaked into the profile:\n${p.take(3000)}")
+    assert(!p.contains("Expand"), "profile must not use the multi-distinct Expand plan")
+  }
+
+  test("dq_violations: lineitem predicate rules fuse into ONE scan; FK check broadcasts") {
+    val p = planOf("dq_violations")
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    // lineitem x1 (three fused rules), orders x3 (two fused rules + FK
+    // child + PK), customer x1 — never a scan per rule
+    assert(lineitemScans <= 5, s"expected <=5 scans, rules did not fuse:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("dedup_semantic: centroid frame broadcasts; candidates never cartesian") {
+    val p = planOf("dedup_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid fan-out must be a broadcast, not a shuffle")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the candidate self-join is keyed on (cluster, table-bucket)
+    assert(p.contains("hashpartitioning"), p.take(2000))
+  }
 }

@@ -51,6 +51,39 @@ class ScaleSpec extends SparkSpec {
     assert(lshSec < 0.25 * exactSec, f"LSH-blocked not sublinear: $lshSec%.1fs vs exact $exactSec%.1fs")
   }
 
+  test("semantic dedup at 20k vectors: co-clustered twins all pruned, decisions exact", Slow) {
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 20000, dim = 32)
+    // 64 sign-structured labels (sign bits of dims 1-6): centroids are
+    // genuinely separated, assignments follow the space — the
+    // production shape, where clusters come from k-means over content
+    val labeled = spark.read.parquet(vecsPath).withColumn("label",
+      (0 until 6).map(d =>
+        when(element_at(col("embedding"), d + 1) >= 0f, lit(1L << d)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    val (rows, sec) = time {
+      Dedup.semanticDedup(labeled, "vec_id", "embedding", "label",
+        tau = 0.99, dim = 32, planes = 8, tables = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    info(f"semanticDedup over 20k vectors x 64 clusters: $sec%.1fs")
+    assert(rows.length == 20000, "one keep/drop decision per vector")
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val twins = SyntheticCorpus.stagedPairs(20000)
+    val coclustered = twins.filter { case (a, b) => cluster(a) == cluster(b) }
+    // the +0.01 dim-0 perturbation can only flip a twin across a
+    // sign-structured boundary when |x_0| < 0.01 (~0.5%)
+    assert(coclustered.size >= (twins.size * 0.95).toInt,
+      s"twins should co-cluster: ${coclustered.size}/${twins.size}")
+    val dropped = rows.filter(_._3 == 0L).map(_._1).toSet
+    val missed = coclustered.filterNot { case (_, b) => dropped(b) }
+    assert(missed.isEmpty, s"co-clustered twins must be pruned, missed: ${missed.take(5)}")
+    // drops beyond the staged twins can only be exact-verified natural
+    // tau-pairs (the cosine filter admits no false positives); at
+    // dim=32 those are a thin tail
+    val extra = dropped -- coclustered.map(_._2)
+    assert(extra.size <= twins.size / 20, s"too many non-staged drops: ${extra.size}")
+  }
+
   test("minhash-LSH dedup at 100k docs: exact staged recovery, keyed-join runtime", Slow) {
     val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
     val docs = spark.read.parquet(docsPath)
