@@ -323,6 +323,22 @@ object SparkEntry {
         )
         .orderBy("day")
     }),
+    "snapshot_diff" -> ((s, d) => {
+      // A33: CDC-style snapshot compare. The "old" snapshot is staged
+      // deterministically from orders: %17==0 keys held out (-> added),
+      // %19==3 prices bumped (-> changed), %23==5 keys cloned to ids
+      // outside the live range (-> removed). hashed=true: each side
+      // shuffles key + 8-byte fingerprint, never row data
+      val cur = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val old = cur.filter(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 19 === 3, col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+        .unionByName(cur.filter(col("o_orderkey") % 23 === 5)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+      Incremental.snapshotDiff(old, cur, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .filter(col("change") =!= "unchanged")
+        .orderBy(col("o_orderkey"))
+    }),
     "profile_table" -> ((s, d) =>
       // B49: ANALYZE-style per-column profile of lineitem in ONE scan
       // (single multi-distinct aggregate + 1-row unpivot)
@@ -1208,6 +1224,24 @@ object SparkEntry {
         |       count(*) AS n_keys
         |FROM s FULL OUTER JOIN g ON k = k2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "snapshot_diff" ->
+      """WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |old AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 19 = 3 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM cur WHERE o_orderkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus FROM cur WHERE o_orderkey % 23 = 5)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN c.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |           OR o.o_orderstatus IS DISTINCT FROM c.o_orderstatus THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM old o FULL OUTER JOIN cur c ON o.o_orderkey = c.o_orderkey) j
+        |WHERE change <> 'unchanged' ORDER BY o_orderkey""".stripMargin,
     "profile_table" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, count(*) - count(l_orderkey) AS n_nulls,
         |  count(DISTINCT l_orderkey) AS n_distinct, CAST(min(l_orderkey) AS VARCHAR) AS min_str,

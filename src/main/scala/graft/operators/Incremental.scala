@@ -151,6 +151,42 @@ object Incremental {
     * the target — the ALTER TABLE plan (es_to_bytehouse.py:1043-1051
     * `detect_new_fields_from_batch` + 1020-1041 `add_new_columns`).
     */
+  /** A33: snapshot diff — classify every key across two versions of a
+    * table as added / removed / changed / unchanged (the CDC-style
+    * compare a migration tool runs between sync snapshots, and the
+    * "what will this sync do" dry-run report). One keyed shuffle per
+    * side, full outer join on the key.
+    *
+    * `hashed = true` (the 100 TB default) reduces each side's shuffle
+    * payload to key + one 8-byte xxhash64 of the compared columns —
+    * change detection costs the same as a key-presence check, trading
+    * a ~2^-64 per-pair collision (a missed change) for never moving
+    * row data. `hashed = false` ships the compared columns and
+    * compares values null-safely — exact, for when the comparand is
+    * narrow or a miss is unacceptable.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      hashed: Boolean = true
+  ): DataFrame = {
+    def fp(df: DataFrame, tag: String): DataFrame =
+      if (hashed)
+        df.select(keyCols.map(col) :+ xxhash64(compareCols.map(col): _*).as(s"__fp_$tag"): _*)
+      else
+        df.select(keyCols.map(col) :+ struct(compareCols.map(col): _*).as(s"__fp_$tag"): _*)
+    val o = fp(oldDf, "o").withColumn("__in_o", lit(1))
+    val n = fp(newDf, "n").withColumn("__in_n", lit(1))
+    o.join(n, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__in_o").isNull, "added")
+          .when(col("__in_n").isNull, "removed")
+          .when(!(col("__fp_o") <=> col("__fp_n")), "changed")
+          .otherwise("unchanged").as("change"): _*)
+  }
+
   /** Incremental additive-rollup maintenance: a persisted keyed
     * partial-aggregate table (sums/counts per group) absorbs a new
     * batch by unioning the batch's OWN partials and re-aggregating on

@@ -23,6 +23,23 @@ class SyncSpec extends SparkSpec {
 
   private def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
 
+  test("snapshotDiff: add/remove/change classes; hashed and exact modes agree; null-safe") {
+    import spark.implicits._
+    val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]), (4L, Option("d")))
+      .toDF("k", "v")
+    val nu = Seq((1L, Option("a")), (2L, Option("B")), (3L, Option.empty[String]), (5L, Option("e")))
+      .toDF("k", "v")
+    def classes(hashed: Boolean): Map[Long, String] =
+      Incremental.snapshotDiff(old, nu, Seq("k"), Seq("v"), hashed)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Map(
+      1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // NULL vs NULL must compare equal, not changed
+      4L -> "removed", 5L -> "added")
+    assert(classes(hashed = true) == expected)
+    assert(classes(hashed = false) == expected)
+  }
+
   test("auto mode: full sync first, then incremental upsert, restart-safe state") {
     val events = Catalog.load(spark, sf, "events")
     val cutoffUs = 1705276800000000L // 2024-01-15
