@@ -180,6 +180,36 @@ object IncrementalSync {
     graft.sinks.PartitionedUpsert.promote(fs, tmp, target)
   }
 
+  /** foreachBatch incremental rollup maintenance: the streaming twin
+    * of `Incremental.mergeRollup`. Each micro-batch computes its OWN
+    * keyed partials (`partials` is the caller's groupBy over raw batch
+    * rows) and folds them into the persisted partials table by
+    * union + re-agg on the same keys — history is summarized by its
+    * partials and never rescanned, so the per-batch cost is
+    * O(|batch| + |groups|). The target is GROUP-scale (hour × type),
+    * not data-scale, which is what makes the checked-rename full swap
+    * safe at any corpus size. Sound for commutative-monoid measures,
+    * exactly like the batch path.
+    */
+  def rollupBatch(
+      spark: SparkSession,
+      target: String,
+      keyCols: Seq[String],
+      addCols: Seq[String],
+      partials: DataFrame => DataFrame
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bp = partials(batch)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(target)))
+        Incremental.mergeRollup(spark.read.parquet(target), bp, keyCols, addCols)
+      else bp
+    val tmp = s"${target}__tmp_$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    graft.sinks.PartitionedUpsert.promote(fs, tmp, target)
+  }
+
   /** foreachBatch upsert into a PARTITIONED parquet target: per
     * micro-batch, only the partitions present in the batch are read,
     * merged, and rewritten (dynamic partition overwrite) — IO per

@@ -204,6 +204,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("foreachBatch rollup maintenance converges to the full batch aggregate") {
+    val src = stageEvents(3)
+    val target = tmpDir("graft_stream_rollup") + "/hourly"
+    def partials(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("event_type"))
+      .agg(sum((round(col("value") * 100)).cast("long")).as("sum_value_c"),
+        count(lit(1)).as("n"))
+    val q = IncrementalSync
+      .readEventStream(spark, src, 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(IncrementalSync.rollupBatch(
+        spark, target, Seq("hour_us", "event_type"), Seq("sum_value_c", "n"), partials) _)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // maintained partials across micro-batches == one-shot aggregate
+    val got = spark.read.parquet(target)
+      .orderBy("hour_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = partials(Catalog.load(spark, sf, "events"))
+      .orderBy("hour_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("foreachBatch partitioned upsert converges (day-partitioned target)") {
     val src = stageEvents(3)
     val target = tmpDir("graft_stream_targetp") + "/events"
