@@ -714,6 +714,20 @@ object SparkEntry {
         e.unionByName(pert), "vec_id", "embedding",
         tau = 0.99, dim = 64, planes = 8, tables = 8)
     }),
+    "fuzzy_match_join" -> ((s, d) => {
+      // C45: entity resolution — part names with staged typos (%3==0:
+      // 4th char dropped, %3==1: last char doubled, else clean)
+      // resolved back against the canonical name list
+      val part = t(s, d, "part").select(col("p_partkey"), col("p_name"))
+      val dirty = part.select(col("p_partkey").as("rec_id"),
+        when(col("p_partkey") % 3 === 0,
+          concat(substring(col("p_name"), 1, 3), substring(col("p_name"), 5, 1000)))
+          .when(col("p_partkey") % 3 === 1,
+            concat(col("p_name"), substring(col("p_name"), length(col("p_name")), lit(1))))
+          .otherwise(col("p_name")).as("name"))
+      Dedup.fuzzyMatch(dirty, "rec_id", "name",
+        part.select(col("p_name")).distinct(), "p_name", maxDist = 1, blockPrefix = 3)
+    }),
     "dedup_semantic" -> ((s, d) => {
       // C44: SemDeDup — cluster-then-prune semantic dedup. Same staged
       // twins as dedup_embedding_blocked (cos ~0.999 vs tau 0.99, no
@@ -1781,6 +1795,16 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM u a JOIN u b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY 1,2""".stripMargin,
+    "fuzzy_match_join" ->
+      """WITH dirty AS (SELECT p_partkey AS rec_id,
+        |    CASE WHEN p_partkey % 3 = 0 THEN substring(p_name,1,3) || substring(p_name,5)
+        |         WHEN p_partkey % 3 = 1 THEN p_name || substring(p_name, length(p_name), 1)
+        |         ELSE p_name END AS name FROM part),
+        |clean AS (SELECT DISTINCT p_name AS matched FROM part)
+        |SELECT rec_id, name, matched, CAST(levenshtein(name, matched) AS BIGINT) AS dist
+        |FROM dirty JOIN clean ON substring(name,1,3) = substring(matched,1,3)
+        |WHERE abs(length(name) - length(matched)) <= 1 AND levenshtein(name, matched) <= 1
+        |ORDER BY rec_id, matched""".stripMargin,
     // exact within-cluster all-pairs oracle; the engine's LSH candidate
     // stage must lose nothing at tau 0.99 (staged twins sit at ~0.999,
     // miss ~2e-8/pair with 8 planes x 8 tables)

@@ -773,6 +773,44 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** C45: blocked fuzzy-match join — entity resolution of dirty
+    * strings against a canonical list by edit distance. Candidates
+    * come from an EQUI join on a cheap blocking key (the first
+    * `blockPrefix` chars) plus a length-band prefilter, then exact
+    * Levenshtein verifies each candidate — the plan is never a
+    * cartesian, and the quadratic only ever sees one block.
+    *
+    * Blocking recall: a single prefix key misses edits inside the
+    * first `blockPrefix` chars (tested, documented). At production
+    * scale run multiple passes with complementary keys (prefix,
+    * suffix, phonetic) and union candidates — each pass is this same
+    * keyed join.
+    *
+    * Output: every (record, candidate) match within `maxDist`,
+    * deterministic ordering, ties NOT broken — downstream picks
+    * min-by(dist) per record if it wants best-match-only.
+    */
+  def fuzzyMatch(
+      dirty: DataFrame,
+      idCol: String,
+      nameCol: String,
+      clean: DataFrame,
+      cleanCol: String,
+      maxDist: Int,
+      blockPrefix: Int = 3
+  ): DataFrame = {
+    val d = dirty.select(col(idCol).as("rec_id"), col(nameCol).as("name"),
+      substring(col(nameCol), 1, blockPrefix).as("__blk"))
+    val c = clean.select(col(cleanCol).as("matched"),
+      substring(col(cleanCol), 1, blockPrefix).as("__blk"))
+    d.join(c, "__blk")
+      .filter(abs(length(col("name")) - length(col("matched"))) <= maxDist)
+      .filter(levenshtein(col("name"), col("matched")) <= maxDist)
+      .select(col("rec_id"), col("name"), col("matched"),
+        levenshtein(col("name"), col("matched")).cast("long").as("dist"))
+      .orderBy(col("rec_id"), col("matched"))
+  }
+
   /** Full corpus dedup assignment: every doc gets its component's
     * cluster_id (itself when it has no near-dup) and a kept flag —
     * the survivor is the minimum id of each component. One broadcast-

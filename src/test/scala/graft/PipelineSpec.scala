@@ -92,6 +92,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyMatch: edits resolve within maxDist; prefix-block recall tradeoff is real") {
+    import spark.implicits._
+    val clean = Seq("widget", "gadget", "gizmo").toDF("canon")
+    val dirty = Seq(
+      (1L, "widgett"), // insert at end -> widget, dist 1
+      (2L, "gadet"),   // drop mid char -> gadget, dist 1
+      (3L, "gizmo"),   // exact, dist 0
+      (4L, "Xidget"),  // first-char edit: inside the block prefix -> MISSED by design
+      (5L, "nonsense") // no match within 1
+    ).toDF("id", "name")
+    val got = graft.operators.Dedup
+      .fuzzyMatch(dirty, "id", "name", clean, "canon", maxDist = 1, blockPrefix = 3)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "widget", 1L), (2L, "gadget", 1L), (3L, "gizmo", 0L)))
+    // the miss disappears with a complementary blocking pass (suffix):
+    // production recall comes from unioning passes, each a keyed join
+    val suffixPass = graft.operators.Dedup.fuzzyMatch(
+      dirty.select(col("id"), reverse(col("name")).as("name")),
+      "id", "name",
+      clean.select(reverse(col("canon")).as("canon")), "canon",
+      maxDist = 1, blockPrefix = 3)
+      .collect().map(r => (r.getLong(0), r.getString(2).reverse))
+    assert(suffixPass.exists(p => p._1 == 4L && p._2 == "widget"),
+      "suffix-block pass must recover the first-char edit")
+  }
+
   test("lsh topk is a subset of brute-force candidates with decent recall") {
     val queries = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
