@@ -39,7 +39,7 @@ object Bench {
     "text_rep_stats", "text_tfidf_top", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters",
     "pack_sequences", "curate_corpus",
-    "mm_binary_meta", "mm_frame_sample", "mm_byte_resize", "mm_png_meta"
+    "mm_binary_meta", "mm_frame_sample", "mm_byte_resize", "mm_png_meta", "mm_wav_meta"
   )
 
   def main(args: Array[String]): Unit = {

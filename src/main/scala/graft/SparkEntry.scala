@@ -928,6 +928,21 @@ object SparkEntry {
         stride = 64,
         maxFrames = 4
       )),
+    "mm_wav_meta" -> ((s, d) => {
+      // C46: REAL WAV/RIFF header parsing (byte-faithful canonical PCM
+      // headers staged for 2/3 of docs; the rest are non-WAV text
+      // bytes). Rates span >65536 so the 3rd little-endian byte is
+      // exercised
+      val payloads = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 =!= 0,
+          Multimodal.wavHeaderBytes(
+            lit(1L) + col("doc_id") % 2,
+            lit(8000L) + (col("doc_id") % 6) * 16000L,
+            lit(8L) * (lit(1L) + col("doc_id") % 3)))
+          .otherwise(col("text").cast("binary")).as("payload"))
+      Multimodal.parseWavMeta(payloads, "doc_id", "payload")
+    }),
     "mm_png_meta" -> ((s, d) => {
       // C43: REAL PNG signature + IHDR parsing (byte-faithful headers
       // staged for 2/3 of docs; the rest are non-PNG text bytes)
@@ -1935,6 +1950,31 @@ object SparkEntry {
         | lower(hex(CAST(substring(text,1,8) AS BLOB))) AS header_hex,
         | md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_wav_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 <> 0 THEN
+        |      concat('52494646', '00000000', '57415645', '666D7420', '10000000', '0100',
+        |        lpad(hex((1 + doc_id % 2) % 256), 2, '0'), lpad(hex((1 + doc_id % 2) // 256), 2, '0'),
+        |        lpad(hex((8000 + (doc_id % 6) * 16000) % 256), 2, '0'),
+        |        lpad(hex(((8000 + (doc_id % 6) * 16000) // 256) % 256), 2, '0'),
+        |        lpad(hex(((8000 + (doc_id % 6) * 16000) // 65536) % 256), 2, '0'),
+        |        lpad(hex(((8000 + (doc_id % 6) * 16000) // 16777216) % 256), 2, '0'),
+        |        '00000000', '0000',
+        |        lpad(hex((8 * (1 + doc_id % 3)) % 256), 2, '0'), lpad(hex((8 * (1 + doc_id % 3)) // 256), 2, '0'))
+        |    ELSE hex(CAST(text AS BLOB)) END AS hx
+        |  FROM documents),
+        |f AS (SELECT doc_id, hx,
+        |        (substring(hx,1,8) = '52494646' AND substring(hx,17,8) = '57415645'
+        |          AND substring(hx,25,8) = '666D7420') AS ok
+        |      FROM p)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT) AS is_wav,
+        |  CASE WHEN ok THEN CAST(concat('0x', substring(hx,47,2), substring(hx,45,2)) AS BIGINT) END AS n_channels,
+        |  CASE WHEN ok THEN CAST(concat('0x', substring(hx,55,2), substring(hx,53,2),
+        |    substring(hx,51,2), substring(hx,49,2)) AS BIGINT) END AS sample_rate,
+        |  CASE WHEN ok THEN CAST(concat('0x', substring(hx,71,2), substring(hx,69,2)) AS BIGINT) END AS bits_per_sample
+        |FROM f ORDER BY doc_id""".stripMargin,
     "mm_png_meta" ->
       """WITH p AS (
         |  SELECT doc_id,

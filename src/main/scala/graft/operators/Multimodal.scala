@@ -119,6 +119,59 @@ object Multimodal {
       lit("000000")            // compression, filter, interlace
     ))
 
+  /** Little-endian unsigned int read from `nBytes` bytes at 1-based
+    * `offset` of a binary column — per-byte conv + positional weights
+    * (RIFF/WAV fields are little-endian; hex+conv alone reads BE).
+    */
+  private def leUint(b: Column, offset: Int, nBytes: Int): Column =
+    (0 until nBytes).map { i =>
+      conv(hex(substring(b, offset + i, 1)), 16, 10).cast("long") * (1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** C46: REAL WAV/RIFF header parsing — the audio pendant of
+    * [[parsePngMeta]]: RIFF/WAVE/fmt signatures checked, then
+    * channels, sample rate and bit depth decoded from the canonical
+    * PCM fmt chunk (little-endian, hence [[leUint]]) — all pure
+    * codegen column expressions, no codec, no UDF. Assumes the
+    * canonical fmt-first layout (what encoders including the JDK
+    * write) and rejects anything else via the explicit "fmt " check.
+    */
+  def parseWavMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val isWav = hex(substring(b, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(b, 9, 4)) === "57415645" &&           // "WAVE"
+      hex(substring(b, 13, 4)) === "666D7420"             // "fmt "
+    df.select(
+      col(idCol),
+      when(isWav, 1L).otherwise(0L).as("is_wav"),
+      when(isWav, leUint(b, 23, 2)).as("n_channels"),
+      when(isWav, leUint(b, 25, 4)).as("sample_rate"),
+      when(isWav, leUint(b, 35, 2)).as("bits_per_sample")
+    ).orderBy(col(idCol))
+  }
+
+  /** Little-endian hex string of `v` over `nBytes` bytes (staging
+    * helper for byte-faithful synthetic WAV headers).
+    */
+  private def leHex(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+
+  /** Deterministic synthetic WAV header bytes (RIFF + canonical PCM
+    * fmt chunk) — byte-faithful, so [[parseWavMeta]] takes the same
+    * parse path a real .wav file does.
+    */
+  def wavHeaderBytes(channels: Column, sampleRate: Column, bits: Column): Column =
+    unhex(concat(
+      lit("52494646"), lit("00000000"), // "RIFF" + size (unused here)
+      lit("57415645"), lit("666D7420"), // "WAVE" + "fmt "
+      lit("10000000"), lit("0100"),     // fmt size 16 LE, PCM = 1 LE
+      leHex(channels, 2),
+      leHex(sampleRate, 4),
+      lit("00000000"), lit("0000"),     // byte rate + block align (unused)
+      leHex(bits, 2)
+    ))
+
   /** Feature row produced by the (stubbed) decoder. */
   case class MediaFeatures(id: Long, width: Int, height: Int, featureNorm: Double)
 

@@ -211,6 +211,37 @@ class PipelineSpec extends SparkSpec {
       sr.getLong(4) == 8L && sr.getLong(5) == 6L)
   }
 
+  test("parseWavMeta reads a REAL JDK-encoded WAV's fmt chunk, rejects non-WAV") {
+    // javax.sound.sampled is JDK built-in — genuine RIFF/WAVE bytes,
+    // not our own synthetic headers
+    def realWav(rate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val data = new Array[Byte](64 * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 64L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, realWav(44100f, 2)),
+      (2L, realWav(88200f, 1)), // rate > 65536: third LE byte in play
+      (3L, "just some text".getBytes("UTF-8"))
+    )
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val out = Multimodal.parseWavMeta(df, "doc_id", "payload").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 2L &&
+      out(0).getLong(3) == 44100L && out(0).getLong(4) == 16L)
+    assert(out(1).getLong(2) == 1L && out(1).getLong(3) == 88200L)
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2) && out(2).isNullAt(3))
+    // synthetic header generator parses identically
+    val syn = spark.range(1).select(lit(9L).as("doc_id"),
+      Multimodal.wavHeaderBytes(lit(2L), lit(96000L), lit(24L)).as("payload"))
+    val sr = Multimodal.parseWavMeta(syn, "doc_id", "payload").collect()(0)
+    assert(sr.getLong(1) == 1L && sr.getLong(2) == 2L &&
+      sr.getLong(3) == 96000L && sr.getLong(4) == 24L)
+  }
+
   test("decodeStub: deterministic features, plumbing intact") {
     val withBin = docs.limit(20).withColumn("payload", col("text").cast("binary"))
     val f1 = Multimodal.decodeStub(spark, withBin, "doc_id", "payload").collect().sortBy(_.id)
