@@ -323,6 +323,15 @@ object SparkEntry {
         )
         .orderBy("day")
     }),
+    "scd2_intervals" -> ((s, d) => {
+      // A34: SCD2 history from the events change log — each user's
+      // event_type runs become validity intervals; one keyed shuffle
+      val ev = t(s, d, "events").select(
+        col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      Incremental.scd2(ev, Seq("user_id"), Seq("ts_us", "event_id"), Seq("event_type"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    }),
     "snapshot_diff" -> ((s, d) => {
       // A33: CDC-style snapshot compare. The "old" snapshot is staged
       // deterministically from orders: %17==0 keys held out (-> added),
@@ -1253,6 +1262,17 @@ object SparkEntry {
         |       count(*) AS n_keys
         |FROM s FULL OUTER JOIN g ON k = k2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_intervals" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM o),
+        |ch AS (SELECT user_id, ts_us, event_id, event_type FROM c
+        |       WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+        |iv AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+        |         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+        |       FROM ch)
+        |SELECT user_id, event_type, valid_from_us, valid_to_us,
+        |  CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
     "snapshot_diff" ->
       """WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
         |old AS (

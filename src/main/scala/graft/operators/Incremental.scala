@@ -151,6 +151,41 @@ object Incremental {
     * the target — the ALTER TABLE plan (es_to_bytehouse.py:1043-1051
     * `detect_new_fields_from_batch` + 1020-1041 `add_new_columns`).
     */
+  /** A34: SCD Type-2 interval construction — turn a change log into
+    * history-keeping dimension rows: one row per (key, value-run) with
+    * [valid_from, valid_to) and an is_current flag. The history-keeping
+    * alternative to [[latestPerKey]] for sync targets that must answer
+    * "what was the value at time t".
+    *
+    * Consecutive no-op versions (value unchanged) are collapsed first
+    * (lag compare, null-safe), then each change row takes the next
+    * change's timestamp as its exclusive end. Both windows partition
+    * on the same keys, so Catalyst reuses ONE hash exchange for the
+    * whole plan — at 100 TB this is a single keyed shuffle plus two
+    * in-partition sorted passes.
+    */
+  def scd2(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
+    val cur = struct(valueCols.map(col): _*)
+    val changes = df
+      .withColumn("__prev", lag(cur, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> cur))
+      .drop("__prev")
+    val tsCol = orderCols.head
+    changes
+      .withColumn("valid_from_us", col(tsCol))
+      .withColumn("valid_to_us", lead(col(tsCol), 1).over(w))
+      .select(keyCols.map(col) ++ valueCols.map(col) ++ Seq(
+        col("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1L).otherwise(0L).as("is_current")): _*)
+  }
+
   /** A33: snapshot diff — classify every key across two versions of a
     * table as added / removed / changed / unchanged (the CDC-style
     * compare a migration tool runs between sync snapshots, and the

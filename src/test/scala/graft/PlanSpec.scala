@@ -299,6 +299,12 @@ class PlanSpec extends SparkSpec {
     assert(!pm.contains("BroadcastNestedLoopJoin"), pm.take(2000))
   }
 
+  test("scd2: collapse + interval windows share ONE keyed exchange") {
+    val p = planOf("scd2_intervals")
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      s"both windows must reuse the user_id partitioning:\n${p.take(3000)}")
+  }
+
   test("profile_table: ndv pass stays HashAggregate — no keyed SortAggregate anywhere") {
     // the naive N-countDistinct Expand plan sort-aggregates |rows|×N
     // (string min/max buffers); the two-pass profile must never sort

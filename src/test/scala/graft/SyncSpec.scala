@@ -23,6 +23,27 @@ class SyncSpec extends SparkSpec {
 
   private def tmp(prefix: String): String = Files.createTempDirectory(prefix).toString
 
+  test("scd2: runs collapse, intervals chain, exactly one current row per key") {
+    import spark.implicits._
+    // user 1: a,a,b,a — the aa run collapses; user 2: one version only
+    val log = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "a"), (1L, 30L, 102L, "b"), (1L, 40L, 103L, "a"),
+      (2L, 15L, 104L, "x")
+    ).toDF("k", "ts", "seq", "v")
+    val got = Incremental.scd2(log, Seq("k"), Seq("ts", "seq"), Seq("v"))
+      .orderBy("k", "valid_from_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10L, 30L, 0L), // aa collapsed into one interval
+      (1L, "b", 30L, 40L, 0L),
+      (1L, "a", 40L, -1L, 1L), // value returning opens a NEW interval
+      (2L, "x", 15L, -1L, 1L)))
+    // intervals chain: every non-current end == the next start (asserted
+    // by the expected sequence above), and one current row per key
+    assert(got.count(_._5 == 1L) == 2)
+  }
+
   test("snapshotDiff: add/remove/change classes; hashed and exact modes agree; null-safe") {
     import spark.implicits._
     val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]), (4L, Option("d")))
