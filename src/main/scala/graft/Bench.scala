@@ -24,7 +24,7 @@ object Bench {
     "q11_stock_value", "q12_late_lines", "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
     "q19_disjunctive", "q20_part_promo", "q21_waiting",
     "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
-    "events_hourly_incr", "profile_table", "dq_violations",
+    "events_hourly_incr", "profile_table", "dq_violations", "skew_report",
     "asof_last_click", "interval_join", "range_join_binned",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state", "snapshot_diff", "scd2_intervals",

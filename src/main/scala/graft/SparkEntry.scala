@@ -163,6 +163,11 @@ object SparkEntry {
         .saltedSumCount(ev, Seq("hour_us", "event_type"), Seq((col("value_c"), "sum_value_c")), "n")
         .orderBy(col("hour_us"), col("event_type"))
     }),
+    "skew_report" -> ((s, d) =>
+      // B52: hottest-key census for a prospective key — exact counts +
+      // share in basis points; top-k via TakeOrdered, never a full sort
+      graft.operators.Skew.skewReport(t(s, d, "events"), Seq("user_id"), topK = 10)
+        .orderBy(col("rk"))),
     "events_props_agg" -> ((s, d) =>
       // B34: semi-structured payload analytics — extract a typed field
       // from the JSON props column at scan time (one codegen'd
@@ -1038,6 +1043,14 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c, count(*) AS n
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total FROM c),
+        |r AS (SELECT user_id, n_rows, (10000 * n_rows) // total AS share_bp,
+        |        CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS BIGINT) AS rk
+        |      FROM c, t)
+        |SELECT user_id, n_rows, CAST(share_bp AS BIGINT) AS share_bp, rk
+        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
     "events_props_agg" ->
       """WITH k AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type FROM events)
         |SELECT k // 10 AS k_decade, event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k

@@ -39,4 +39,27 @@ object Skew {
       sum(col("__cnt")).alias(countName)
     stage1.groupBy(keys.map(col): _*).agg(aggs2.head, aggs2.tail: _*)
   }
+
+  /** B52: key-distribution diagnosis for a prospective grouping/join
+    * key: the top-k hottest keys with exact counts and each key's
+    * share of the table in basis points — the report that decides
+    * between a plain hash agg, [[saltedSumCount]], and a broadcast.
+    * One keyed agg, a 1-row total broadcast back, then orderBy+limit —
+    * Spark plans TakeOrderedAndProject (map-side top-k), so the
+    * full key census is never sorted or collected at any scale.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__total"))
+    val ordered = keys.map(col)
+    val top = counts
+      .crossJoin(broadcast(total))
+      .select(ordered :+ col("n_rows") :+
+        floor(col("n_rows") * 10000L / col("__total")).cast("long").as("share_bp"): _*)
+      .orderBy(col("n_rows").desc +: ordered: _*)
+      .limit(topK)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("n_rows").desc +: ordered: _*)).cast("long"))
+  }
 }

@@ -84,6 +84,15 @@ class AnalyticsSpec extends SparkSpec {
       "fk_resolvable" -> 1L, "id_unique" -> 1L))
   }
 
+  test("skewReport: exact hot-key census, shares in basis points, rank deterministic") {
+    import spark.implicits._
+    import graft.operators.Skew
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val got = Skew.skewReport(df, Seq("k"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 6L, 6000L, 1L), ("b", 3L, 3000L, 2L)))
+  }
+
   test("q1 cents sums are exact integers and grouped correctly") {
     val df = SparkEntry.queries("q1_pricing")(spark, sf)
     val rows = df.collect()

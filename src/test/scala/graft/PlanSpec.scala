@@ -299,6 +299,11 @@ class PlanSpec extends SparkSpec {
     assert(!pm.contains("BroadcastNestedLoopJoin"), pm.take(2000))
   }
 
+  test("skew_report: top-k is TakeOrdered (map-side), never a full key-census sort") {
+    val p = planOf("skew_report")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("scd2: collapse + interval windows share ONE keyed exchange") {
     val p = planOf("scd2_intervals")
     assert(count(p, "Exchange hashpartitioning") == 1,
