@@ -38,7 +38,7 @@ object Bench {
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_rep_stats", "text_tfidf_top", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters",
-    "pack_sequences", "curate_corpus",
+    "pack_sequences", "curate_corpus", "dup_ngram_mass",
     "mm_binary_meta", "mm_frame_sample", "mm_byte_resize", "mm_png_meta", "mm_wav_meta"
   )
 

@@ -728,6 +728,10 @@ object SparkEntry {
         e.unionByName(pert), "vec_id", "embedding",
         tau = 0.99, dim = 64, planes = 8, tables = 8)
     }),
+    "dup_ngram_mass" -> ((s, d) =>
+      // C47: per-doc duplicated 5-gram fraction vs earlier docs — the
+      // corpus duplication signal (Lee et al. 2022)
+      Curation.dupNgramMass(t(s, d, "documents"), "doc_id", "text", n = 5)),
     "fuzzy_match_join" -> ((s, d) => {
       // C45: entity resolution — part names with staged typos (%3==0:
       // 4th char dropped, %3==1: last char doubled, else clean)
@@ -1843,6 +1847,19 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM u a JOIN u b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY 1,2""".stripMargin,
+    "dup_ngram_mass" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents),
+        |e AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS sh
+        |      FROM w, unnest(range(1, len(ws) - 3)) AS t(i)
+        |      WHERE len(ws) >= 5),
+        |f AS (SELECT sh, min(doc_id) AS first_id FROM e GROUP BY 1),
+        |p AS (SELECT e.doc_id, count(*) AS n_ngrams,
+        |        CAST(sum(CASE WHEN f.first_id < e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |      FROM e JOIN f USING (sh) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(p.n_ngrams, 0) AS n_ngrams, coalesce(p.n_dup, 0) AS n_dup,
+        |  CASE WHEN coalesce(p.n_ngrams, 0) > 0
+        |    THEN CAST((10000 * p.n_dup) // p.n_ngrams AS BIGINT) ELSE 0 END AS dup_bp
+        |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
     "fuzzy_match_join" ->
       """WITH dirty AS (SELECT p_partkey AS rec_id,
         |    CASE WHEN p_partkey % 3 = 0 THEN substring(p_name,1,3) || substring(p_name,5)

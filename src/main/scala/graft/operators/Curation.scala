@@ -166,6 +166,58 @@ object Curation {
     * Output schema is (idCol, n_tokens, shard, pack_id) — join back by
     * id to carry document payloads into the packs.
     */
+  /** C47: per-doc duplicated-n-gram mass — the corpus-level
+    * duplication signal from "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022, arXiv:2107.06499):
+    * for every doc, the fraction (basis points) of its distinct word
+    * n-grams that already occur in an EARLIER doc (first-seen =
+    * min doc id per n-gram). Docs with fewer than n words carry no
+    * n-grams and report 0.
+    *
+    * Shape at 100 TB: explode to (doc, shingle), one keyed agg for
+    * first-seen per shingle, one keyed join back, one per-doc agg —
+    * work is proportional to total shingle volume, never quadratic.
+    * Production hashes the shingle first (`Dedup.shingleHashSet`) so
+    * the shuffle carries 8 bytes/shingle; raw strings are kept here
+    * for bit-exact oracle parity — the counts are identical either
+    * way modulo 2^-64 collisions.
+    */
+  def dupNgramMass(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // materialize the word array in its own projection: referenced
+    // from inside the transform lambda below, an inline
+    // split(normalize(...)) would re-run the regex split once PER
+    // SHINGLE (~50x per row — with the window below, 9.5s -> 1.6s
+    // at sf0.1)
+    val withWords = df.select(col(idCol).as("id"),
+      split(Dedup.normalize(col(textCol)), " ").as("__w"))
+    val w = col("__w")
+    val shingles = when(
+      size(w) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + 1, lit(n)), " ")))
+    ).otherwise(array().cast("array<string>"))
+    val exploded = withWords.select(col("id"), explode(shingles).as("sh"))
+    // first-seen per shingle as a window min: ONE evaluation of the
+    // shingle stream and no join-back (an agg + self-join would
+    // re-generate every shingle a second time)
+    val perDoc = exploded
+      .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_ngrams"), lit(0L)) > 0L,
+          floor(coalesce(col("n_dup"), lit(0L)) * 10000L / col("n_ngrams")).cast("long"))
+          .otherwise(0L).as("dup_bp"))
+      .orderBy(col(idCol))
+  }
+
   def packSequences(
       df: DataFrame,
       idCol: String,

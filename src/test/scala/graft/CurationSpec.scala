@@ -6,6 +6,22 @@ import graft.operators.{Curation, Dedup}
 import graft.sources.Catalog
 
 class CurationSpec extends SparkSpec {
+
+  test("dupNgramMass: repeated phrases counted against earlier docs only") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 2 distinct 5-grams, first seen here
+      (2L, "alpha beta gamma delta epsilon eta"),  // shares shingle 1 of 2 with doc 1
+      (3L, "tiny doc")                              // < 5 words -> no n-grams
+    ).toDF("doc_id", "text")
+    val got = Curation.dupNgramMass(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, 0L),    // first doc: nothing earlier
+      (2L, 2L, 1L, 5000L), // "alpha beta gamma delta epsilon" seen in doc 1
+      (3L, 0L, 0L, 0L)))
+  }
   import spark.implicits._
 
   lazy val docs = Catalog.load(spark, sf, "documents")
