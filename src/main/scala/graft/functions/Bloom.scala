@@ -41,7 +41,11 @@ object Bloom {
     // one JVM array holds the bitmap: beyond ~1e9 keys the caller must
     // shard (see scaladoc) — fail loudly instead of wrapping the Int
     // word count into a negative (or silently wrong) array size
-    require(bits / 64 <= Int.MaxValue - 8,
+    // the serialized form is 12 + 8*words bytes allocated in Int
+    // arithmetic (BloomAgg.finish), so bound by what fits an Int BYTE
+    // length, not an Int word count — otherwise the require passes and
+    // the failure surfaces only after the full aggregation runs
+    require(bits / 64 <= (Int.MaxValue - 16) / 8,
       s"bloom for $expectedKeys keys @ $fpp needs $bits bits — exceeds one bitmap, shard by key range")
     bits
   }

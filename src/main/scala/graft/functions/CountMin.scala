@@ -64,8 +64,11 @@ object CountMin {
     */
   class CmsAgg(depth: Int, width: Int) extends Aggregator[Long, Array[Long], Array[Byte]] {
     require(depth > 0 && width > 0, s"bad CMS dims ($depth, $width)")
-    require(depth.toLong * width <= Int.MaxValue - 8,
-      s"CMS grid $depth x $width exceeds a single array — widen depth instead, or shard")
+    // serialized form is 8 + 8*cells bytes in Int arithmetic — bound by
+    // the Int BYTE length so the require fails at sizing time, not after
+    // the aggregation runs into ByteBuffer.allocate overflow
+    require(depth.toLong * width <= (Int.MaxValue - 16) / 8,
+      s"CMS grid $depth x $width exceeds a single serialized sketch — widen depth instead, or shard")
     override def zero: Array[Long] = new Array[Long](depth * width)
     override def reduce(g: Array[Long], key: Long): Array[Long] = { addOne(g, depth, width, key); g }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

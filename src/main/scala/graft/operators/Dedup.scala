@@ -819,6 +819,8 @@ object Dedup {
     * columns are dropped (join the result back by id to keep them).
     */
   def clusterAssign(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    require(idCol != "cluster_id" && idCol != "is_kept",
+      s"idCol '$idCol' collides with a clusterAssign output column")
     val comps = connectedComponents(pairs)
     df.select(col(idCol).cast("long").as(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -209,7 +209,13 @@ object Incremental {
   ): DataFrame = {
     def fp(df: DataFrame, tag: String): DataFrame =
       if (hashed)
-        df.select(keyCols.map(col) :+ xxhash64(compareCols.map(col): _*).as(s"__fp_$tag"): _*)
+        // Spark's hash expressions skip null children (hash unchanged), so
+        // xxhash64 over the bare columns would fingerprint old (x, null)
+        // and new (null, x) identically — a deterministic miss, not a
+        // 2^-64 collision. Interleaving a never-null isnull flag per
+        // column makes null POSITION affect the fingerprint.
+        df.select(keyCols.map(col) :+ xxhash64(
+          compareCols.flatMap(c => Seq(isnull(col(c)).cast("int"), col(c))): _*).as(s"__fp_$tag"): _*)
       else
         df.select(keyCols.map(col) :+ struct(compareCols.map(col): _*).as(s"__fp_$tag"): _*)
     val o = fp(oldDf, "o").withColumn("__in_o", lit(1))

@@ -62,11 +62,14 @@ object Multimodal {
       stride: Int = 4,
       maxBytes: Int = 16
   ): DataFrame = {
-    val hx = lower(hex(col(binCol)))
     val n = length(col(binCol)).cast("long")
+    // Hex only the sampled 1-byte slice inside the lambda. Referencing a
+    // full-payload hex() column here would inline it into the transform
+    // lambda and re-evaluate it once per element (maxBytes x per row) —
+    // the defect class fixed for dup_ngram_mass in f7d437c.
     val sampled = transform(
       sequence(lit(0), lit(maxBytes - 1)),
-      i => when(i * stride < n, hx.substr(i * lit(2 * stride) + 1, lit(2)))
+      i => when(i * stride < n, lower(hex(col(binCol).substr(i * stride + 1, lit(1)))))
     )
     df.select(
       col(idCol),

@@ -56,7 +56,11 @@ object Skew {
     val top = counts
       .crossJoin(broadcast(total))
       .select(ordered :+ col("n_rows") :+
-        floor(col("n_rows") * 10000L / col("__total")).cast("long").as("share_bp"): _*)
+        // Long integral `div`, not double `/` + floor: double division is
+        // exact only while n_rows*10000 < 2^53 (~9e11 rows); `div` stays
+        // bit-stable against the DuckDB integer `//` oracle at any count,
+        // consistent with the TpchShapes basis-point math.
+        expr("n_rows * 10000 div __total").cast("long").as("share_bp"): _*)
       .orderBy(col("n_rows").desc +: ordered: _*)
       .limit(topK)
     top.withColumn("rk",

@@ -200,6 +200,23 @@ object IncrementalSync {
   )(batch: DataFrame, batchId: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // foreachBatch is at-least-once: after a failure the engine replays
+    // the last batchId, and folding its partials in a second time would
+    // double-count sums/counts (the upsert siblings are key-idempotent,
+    // this fold is not). The last applied batchId travels INSIDE the
+    // target as an underscore-prefixed marker (ignored by parquet
+    // readers), so it promotes atomically with the data it describes.
+    val metaPath = new org.apache.hadoop.fs.Path(target, "_graft_last_batch")
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val last =
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+        } finally in.close()
+      if (batchId <= last) return
+    }
     val bp = partials(batch)
     val merged =
       if (fs.exists(new org.apache.hadoop.fs.Path(target)))
@@ -207,6 +224,8 @@ object IncrementalSync {
       else bp
     val tmp = s"${target}__tmp_$batchId"
     merged.write.mode("overwrite").parquet(tmp)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_graft_last_batch"), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     graft.sinks.PartitionedUpsert.promote(fs, tmp, target)
   }
 

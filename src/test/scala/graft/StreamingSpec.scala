@@ -232,6 +232,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("rollupBatch is idempotent under micro-batch replay (at-least-once foreachBatch)") {
+    val target = tmpDir("graft_rollup_replay") + "/hourly"
+    val batch = Catalog.load(spark, sf, "events").limit(200)
+    def partials(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val apply = IncrementalSync.rollupBatch(spark, target, Seq("event_type"), Seq("n"), partials) _
+    apply(batch, 0L)
+    val once = spark.read.parquet(target).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // replay of the SAME batchId (what the engine does after a failure)
+    // must not fold the partials in a second time
+    apply(batch, 0L)
+    val replayed = spark.read.parquet(target).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(replayed == once)
+    // a genuinely new batch still folds in
+    apply(batch, 1L)
+    val next = spark.read.parquet(target).orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(next == once.map { case (k, n) => (k, n * 2) })
+  }
+
   test("foreachBatch partitioned upsert converges (day-partitioned target)") {
     val src = stageEvents(3)
     val target = tmpDir("graft_stream_targetp") + "/events"

@@ -61,6 +61,18 @@ class SyncSpec extends SparkSpec {
     assert(classes(hashed = false) == expected)
   }
 
+  test("snapshotDiff hashed: a value moving between complementary-null columns is 'changed'") {
+    import spark.implicits._
+    // hash expressions skip null children, so without null-position
+    // discrimination old (x, null) vs new (null, x) would fingerprint
+    // identically and be misclassified as unchanged
+    val old = Seq((1L, Option("x"), Option.empty[String])).toDF("k", "a", "b")
+    val nu = Seq((1L, Option.empty[String], Option("x"))).toDF("k", "a", "b")
+    val got = Incremental.snapshotDiff(old, nu, Seq("k"), Seq("a", "b"), hashed = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed"))
+  }
+
   test("auto mode: full sync first, then incremental upsert, restart-safe state") {
     val events = Catalog.load(spark, sf, "events")
     val cutoffUs = 1705276800000000L // 2024-01-15
