@@ -14,6 +14,21 @@ import graft.operators.{Flatten, TypeMapper}
   */
 object ClickHouseDdl {
 
+  /** The very first statement the reference runs against a fresh
+    * target (es_to_bytehouse.py:401-411 `create_database`): the
+    * database must exist before any table DDL.
+    */
+  def createDatabaseSql(db: String): String =
+    s"CREATE DATABASE IF NOT EXISTS `${Flatten.sanitizeName(db)}`"
+
+  /** Fresh-target bootstrap in the reference's order: database first,
+    * then the `_sync_state` bookkeeping table
+    * (es_to_bytehouse.py:401-427). Execute each in sequence before the
+    * first per-table DDL.
+    */
+  def bootstrapSql(db: String, stateTable: String = "_sync_state"): Seq[String] =
+    Seq(createDatabaseSql(db), syncStateTableSql(db, stateTable))
+
   def createTableSql(db: String, table: String, schema: StructType): String = {
     val cols = schema.fields
       .map(f => s"`${Flatten.sanitizeName(f.name)}` Nullable(${TypeMapper.clickhouseType(f.dataType)})")

@@ -192,7 +192,8 @@ object SyncRunner {
       partitionCol: Option[String] = None,
       updateCol: Option[String] = None,
       addTimestamp: Boolean = false,
-      compactTargetBytes: Option[Long] = None
+      compactTargetBytes: Option[Long] = None,
+      forceFull: Boolean = false
   ): (String, Long) = {
     // opt-in post-sync maintenance: every merge leaves batch-sized
     // (or shuffle-partition-count) files behind; the sweep rewrites
@@ -221,7 +222,10 @@ object SyncRunner {
       (t, u)
     }
 
-    readState(spark, stateDir, table) match {
+    // forceFull is the reference's explicit `--mode full` (run_full_sync
+    // re-migrates regardless of state); the rewritten target and fresh
+    // watermark row keep later incremental passes consistent
+    (if (forceFull) None else readState(spark, stateDir, table)) match {
       case None =>
         // one persisted pass serves count, write AND watermark maxes —
         // a full sync must scan the (100 TB) source exactly once
@@ -292,13 +296,14 @@ object SyncRunner {
       stateDir: String,
       nowUs: Long,
       keyOverrides: Map[String, Seq[String]] = Map.empty,
-      compactTargetBytes: Option[Long] = None
+      compactTargetBytes: Option[Long] = None,
+      forceFull: Boolean = false
   ): Map[String, (String, Long)] =
     autoSyncTables(
       spark,
       graft.sources.Catalog.selectTables(spark, srcDir, pattern),
       graft.sources.Catalog.load(spark, srcDir, _),
-      targetRoot, stateDir, nowUs, keyOverrides, compactTargetBytes)
+      targetRoot, stateDir, nowUs, keyOverrides, compactTargetBytes, forceFull)
 
   /** The same sweep over ANY source: `loadTable` is a thunk producing
     * the DataFrame for a table name, so parquet catalogs
@@ -315,7 +320,8 @@ object SyncRunner {
       stateDir: String,
       nowUs: Long,
       keyOverrides: Map[String, Seq[String]] = Map.empty,
-      compactTargetBytes: Option[Long] = None
+      compactTargetBytes: Option[Long] = None,
+      forceFull: Boolean = false
   ): Map[String, (String, Long)] = {
     tables
       .map { table =>
@@ -330,7 +336,8 @@ object SyncRunner {
             val updateCol = Incremental.detectUpdateTimeField(df.schema).filter(_ != timeCol)
             val order = updateCol.toSeq ++ Seq(timeCol) ++ keys
             autoSync(spark, df, table, keys, timeCol, order, target, stateDir, nowUs,
-              updateCol = updateCol, compactTargetBytes = compactTargetBytes)
+              updateCol = updateCol, compactTargetBytes = compactTargetBytes,
+              forceFull = forceFull)
           case None =>
             val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
             val n = writeSwap(spark, df, target, fs)
@@ -364,9 +371,18 @@ object SyncRunner {
       keyOverrides: Map[String, Seq[String]] = Map.empty,
       onPassEnd: (Int, Map[String, (String, Long)]) => Unit = (_, _) => (),
       alerter: Option[Alerts.Alerter] = None,
-      compactTargetBytes: Option[Long] = None
+      compactTargetBytes: Option[Long] = None,
+      preflight: Option[() => Unit] = None,
+      preflightAttempts: Int = 3,
+      preflightBackoffMs: Long = 50L
   ): Seq[Map[String, (String, Long)]] =
     (1 to maxPasses).map { pass =>
+      // connect-time health probe BEFORE any work is scheduled — the
+      // reference refuses to sync when connect/SELECT 1 fails
+      // (es_to_bytehouse.py:200-238); bounded backoff rides out a
+      // restarting target, a final failure alerts and aborts the loop
+      preflight.foreach(p => Health.withRetry(
+        s"$pattern pass $pass preflight", preflightAttempts, preflightBackoffMs, alerter)(p()))
       // a failed pass alerts (rate-limited) and aborts the loop —
       // sync state has not advanced, so the next start resumes cleanly
       val r = alerter match {
