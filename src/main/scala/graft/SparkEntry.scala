@@ -38,7 +38,18 @@ object SparkEntry {
     "nation", "orders", "part", "region", "supplier"
   )
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CONVENTION — gate-only sorts: entries whose output is per-doc /
+    * per-row (corpus cardinality, e.g. `text_quality`, `mm_*`,
+    * `quality_gate_pctl`) end in a global `orderBy` purely so the
+    * driver's hash compare is deterministic. That sort is NOT part of
+    * the operator's semantics and would be the most expensive node in
+    * the plan at 100 TB — the underlying operators either take a
+    * `sorted: Boolean` flag (Multimodal) or return unsorted frames
+    * that only these gate entries sort. Small aggregate outputs
+    * (group-bys, top-ks) keep their sorts; those are semantic.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. migration / sync core ----
     "src_discovery" -> ((s, d) => {

@@ -18,13 +18,21 @@ object Multimodal {
     * columns a 100 TB media pipeline partitions and dedups on without
     * ever decoding.
     */
-  def binaryMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
-    df.select(
+  /** Per-doc outputs take `sorted = true` only for deterministic
+    * correctness-gate dumps: a global sort of corpus-cardinality output
+    * is the most expensive operator in the plan at scale and carries no
+    * semantics — production callers pass `sorted = false`.
+    */
+  private def gateSort(df: DataFrame, sorted: Boolean, by: Column*): DataFrame =
+    if (sorted) df.orderBy(by: _*) else df
+
+  def binaryMeta(df: DataFrame, idCol: String, binCol: String, sorted: Boolean = true): DataFrame =
+    gateSort(df.select(
       col(idCol),
       length(col(binCol)).cast("long").as("byte_len"),
       lower(hex(substring(col(binCol), 1, 8))).as("header_hex"),
       md5(col(binCol)).as("content_md5")
-    ).orderBy(col(idCol))
+    ), sorted, col(idCol))
 
   /** C13: deterministic frame/chunk sampling — frame f starts at byte
     * f*stride, `frameLen` bytes, only complete frames. One generate +
@@ -36,16 +44,18 @@ object Multimodal {
       binCol: String,
       frameLen: Int = 16,
       stride: Int = 64,
-      maxFrames: Int = 4
+      maxFrames: Int = 4,
+      sorted: Boolean = true
   ): DataFrame = {
     val frames = array((0 until maxFrames).map { f =>
       col(binCol).substr(lit(1 + f * stride), lit(frameLen))
     }: _*)
-    df.select(col(idCol), length(col(binCol)).as("__len"), posexplode(frames))
-      .toDF(idCol, "__len", "frame_idx", "frame")
-      .filter(col("__len") >= col("frame_idx") * stride + frameLen)
-      .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"), lower(hex(col("frame"))).as("frame_hex"))
-      .orderBy(col(idCol), col("frame_idx"))
+    gateSort(
+      df.select(col(idCol), length(col(binCol)).as("__len"), posexplode(frames))
+        .toDF(idCol, "__len", "frame_idx", "frame")
+        .filter(col("__len") >= col("frame_idx") * stride + frameLen)
+        .select(col(idCol), col("frame_idx").cast("long").as("frame_idx"), lower(hex(col("frame"))).as("frame_hex")),
+      sorted, col(idCol), col("frame_idx"))
   }
 
   /** C22: strided byte downsampling — the "resize" analog expressed on
@@ -60,7 +70,8 @@ object Multimodal {
       idCol: String,
       binCol: String,
       stride: Int = 4,
-      maxBytes: Int = 16
+      maxBytes: Int = 16,
+      sorted: Boolean = true
   ): DataFrame = {
     val n = length(col(binCol)).cast("long")
     // Hex only the sampled 1-byte slice inside the lambda. Referencing a
@@ -71,11 +82,11 @@ object Multimodal {
       sequence(lit(0), lit(maxBytes - 1)),
       i => when(i * stride < n, lower(hex(col(binCol).substr(i * stride + 1, lit(1)))))
     )
-    df.select(
+    gateSort(df.select(
       col(idCol),
       n.as("byte_len"),
       array_join(filter(sampled, x => x.isNotNull), "").as("resized_hex")
-    ).orderBy(col(idCol))
+    ), sorted, col(idCol))
   }
 
   /** C43: REAL container-header parsing — unlike [[decodeStub]], this
@@ -88,7 +99,7 @@ object Multimodal {
     * ints per blob, with full predicate pushdown on the results.
     * Non-PNG payloads come back `is_png = 0` with NULL dims.
     */
-  def parsePngMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def parsePngMeta(df: DataFrame, idCol: String, binCol: String, sorted: Boolean = true): DataFrame = {
     val b = col(binCol)
     def beInt(offset1Based: Int): Column =
       conv(hex(substring(b, offset1Based, 4)), 16, 10).cast("long")
@@ -96,14 +107,14 @@ object Multimodal {
       conv(hex(substring(b, offset1Based, 1)), 16, 10).cast("long")
     val isPng = hex(substring(b, 1, 8)) === "89504E470D0A1A0A" &&
       hex(substring(b, 13, 4)) === "49484452" // IHDR chunk type
-    df.select(
+    gateSort(df.select(
       col(idCol),
       when(isPng, 1L).otherwise(0L).as("is_png"),
       when(isPng, beInt(17)).as("width"),
       when(isPng, beInt(21)).as("height"),
       when(isPng, byteAt(25)).as("bit_depth"),
       when(isPng, byteAt(26)).as("color_type")
-    ).orderBy(col(idCol))
+    ), sorted, col(idCol))
   }
 
   /** Deterministic synthetic PNG header bytes (signature + IHDR) for a
@@ -139,18 +150,18 @@ object Multimodal {
     * canonical fmt-first layout (what encoders including the JDK
     * write) and rejects anything else via the explicit "fmt " check.
     */
-  def parseWavMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def parseWavMeta(df: DataFrame, idCol: String, binCol: String, sorted: Boolean = true): DataFrame = {
     val b = col(binCol)
     val isWav = hex(substring(b, 1, 4)) === "52494646" && // "RIFF"
       hex(substring(b, 9, 4)) === "57415645" &&           // "WAVE"
       hex(substring(b, 13, 4)) === "666D7420"             // "fmt "
-    df.select(
+    gateSort(df.select(
       col(idCol),
       when(isWav, 1L).otherwise(0L).as("is_wav"),
       when(isWav, leUint(b, 23, 2)).as("n_channels"),
       when(isWav, leUint(b, 25, 4)).as("sample_rate"),
       when(isWav, leUint(b, 35, 2)).as("bits_per_sample")
-    ).orderBy(col(idCol))
+    ), sorted, col(idCol))
   }
 
   /** Little-endian hex string of `v` over `nBytes` bytes (staging

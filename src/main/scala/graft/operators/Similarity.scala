@@ -447,6 +447,46 @@ object Similarity {
     assignCells(batch, loadCentroids(spark, indexDir), idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
 
+  /** The scheduled maintenance job that [[appendToIvfIndex]] defers
+    * to: re-fit the coarse quantizer from the indexed vectors (or a
+    * sample) and re-assign every cell. Frozen-centroid appends keep
+    * the index correct, but a drifted distribution leaves dense new
+    * regions straddling stale Voronoi boundaries — neighbors split
+    * across cells a low-nProbes probe won't cover, and cell sizes
+    * skew (probe IO is proportional to probed-cell bytes). The whole
+    * NEW index (centroids + cells) is staged under `indexDir__tmp`
+    * and swapped in with ONE checked promote of the index root, so
+    * concurrent probes read the complete old index until the rename
+    * and the complete new one after — never a mixed geometry. A
+    * failed promote restores the old index and throws.
+    */
+  def refitIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      nClusters: Int,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L
+  ): Unit = {
+    import spark.implicits._
+    // the indexed vectors ARE the corpus — no external source needed
+    val corpus = spark.read.parquet(s"$indexDir/cells").select(col("cid"), col("cvec"))
+    val train =
+      if (sampleFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, sampleFraction, seed)
+    val centers = fitCentroids(train, "cvec", nClusters)
+    val tmp = s"${indexDir}__tmp"
+    centers.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/centroids")
+    assignCells(corpus, centers, "cid", "cvec")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.PartitionedUpsert.promote(fs, tmp, indexDir)
+  }
+
   /** Query a persisted IVF index (see [[buildIvfIndex]]) — no k-means
     * fit, no full-corpus assignment: centroids load from one tiny file
     * and candidate IO is bounded by the probed cells.

@@ -208,6 +208,66 @@ class ScaleSpec extends SparkSpec {
     assert(found >= 18, s"appended vectors not findable: $found/20")
   }
 
+  test("IVF refit: drift appends degrade fixed-probe recall, scheduled refit restores it", Slow) {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    // 64 well-separated anchors in [0,1]^8; initial corpus = tight
+    // clusters AROUND the anchors, so the fitted quantizer's Voronoi
+    // boundaries fall in empty space — the healthy-index shape
+    val anchors = Array.fill(64, dim)(rnd.nextFloat())
+    def jitter(c: Array[Float], std: Float): Array[Float] =
+      c.map(x => x + (rnd.nextFloat() - 0.5f) * 2f * std)
+    val initial = (0 until 19200).map { i =>
+      (i.toLong, jitter(anchors(i % 64), 0.02f).toSeq)
+    }.toDF("vec_id", "embedding")
+    // drift: 16 dense clusters at MIDPOINTS of anchor pairs — each one
+    // straddles a frozen Voronoi boundary, so frozen-centroid appends
+    // split every drift cluster ~50/50 across two cells
+    val driftCenters = (0 until 16).map { j =>
+      anchors(2 * j).zip(anchors(2 * j + 1)).map { case (a, b) => (a + b) / 2f }
+    }
+    val drift = (0 until 4800).map { i =>
+      (100000L + i, jitter(driftCenters(i % 16), 0.02f).toSeq)
+    }.toDF("vec_id", "embedding")
+
+    val indexDir = s"$corpusDir/ivf_refit_24k"
+    Similarity.buildIvfIndex(spark, initial, "vec_id", "embedding", nClusters = 64, indexDir)
+    Similarity.appendToIvfIndex(spark, drift, "vec_id", "embedding", indexDir)
+
+    // probes: twins of 160 drift vectors. A drift query's TRUE top-10
+    // are its cluster-mates, and the frozen boundary splits those
+    // ~50/50 across two cells — so recall@10 at nProbes=1 measures
+    // exactly the quantizer damage (each query still returns k rows,
+    // they're just the wrong neighbors)
+    val probes = drift.filter(col("vec_id") < 100160L).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val truth = Similarity.bruteForceTopK(initial.unionByName(drift), probes, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt10(): Double = {
+      val hits = Similarity.ivfTopKIndexed(spark, indexDir, probes, "vec_id", "embedding", k = 10, nProbes = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(hits.size == truth.size, s"every probe must fill k results, got ${hits.size}")
+      (truth intersect hits).size.toDouble / truth.size
+    }
+    val frozen = recallAt10()
+    val (_, refitSec) = time {
+      Similarity.refitIvfIndex(spark, indexDir, nClusters = 80)
+    }
+    val refit = recallAt10()
+    info(f"recall@10 nProbes=1: frozen $frozen%.2f -> refit $refit%.2f (refit $refitSec%.1fs)")
+    // deterministic corpus (seeded): frozen measures 0.85, refit 1.00
+    assert(frozen <= 0.88, s"drift should degrade fixed-probe recall, got $frozen")
+    assert(refit >= 0.95, s"refit should restore recall, got $refit")
+    assert(refit - frozen >= 0.10, s"refit must recover real recall: $frozen -> $refit")
+    // the swap is complete and clean: no staging residue, new geometry
+    // live, no vector lost
+    assert(!new java.io.File(s"${indexDir}__tmp").exists(), "staging dir must be promoted away")
+    assert(spark.read.parquet(s"$indexDir/centroids").count() == 80)
+    assert(spark.read.parquet(s"$indexDir/cells").count() == 24000)
+  }
+
   test("incremental minhash probe vs 100k-doc index: exact recovery, batch-scaled cost", Slow) {
     val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
     val docs = spark.read.parquet(docsPath)
