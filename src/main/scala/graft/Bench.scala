@@ -45,6 +45,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // Optional comma-separated subset for iterating on one query's
+    // plan without paying for the whole suite.
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(sel => headline.filter(sel))
+      .getOrElse(headline)
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -57,7 +63,7 @@ object Bench {
     // later runs measure steady-state throughput (what a long-running
     // cluster job sees). Sub-second queries get a third run so one
     // noisy-neighbor hiccup can't distort a number that small.
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try run(name)

@@ -314,6 +314,18 @@ object Dedup {
     * (table, bucket), id-keyed joins to fetch vectors for candidates
     * only — no stage quadratic in corpus size (mirrors
     * [[minhashLshPairs]]).
+    *
+    * `planes`/`tables` are FLOORS, not fixed values: with a fixed
+    * plane count, expected bucket occupancy is n/2^planes, so the
+    * within-bucket candidate volume grows quadratically in n (measured
+    * 26.6× time for 10× vectors at planes=8). Auto-sizing raises
+    * planes to keep occupancy ≤ ~32 (planes ≥ log2(n/32)) and raises
+    * tables so a tau-cosine pair's miss probability stays ≤ 1e-3 under
+    * the longer codes (per-plane collision p = 1 − acos(tau)/π, miss =
+    * (1 − p^planes)^tables). Both derived counts only ever grow from
+    * the caller's floors, so small-corpus results are unchanged.
+    * Tables are capped at 64 — past that (huge n at low tau) the right
+    * tool is multi-probe or the IVF index, not more hash tables.
     */
   def embeddingPairsLsh(
       df: DataFrame,
@@ -327,9 +339,16 @@ object Dedup {
     val base = df
       .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
       .persist()
+    val n = base.count() // reuses the persisted cache the join reads
+    val planesEff = math.max(planes,
+      math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2.0)).toInt)
+    val pCollide = 1.0 - math.acos(math.min(tau, 1.0)) / math.Pi
+    val missPerTable = 1.0 - math.pow(pCollide, planesEff)
+    val tablesEff = math.min(64, math.max(tables,
+      math.ceil(math.log(1e-3) / math.log(missPerTable)).toInt))
     val bucketed = base.select(
       col("id"),
-      explode(Similarity.tableBuckets(col("v"), dim, planes, tables)).as("tb")
+      explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb")
     )
     val cands = bucketed
       .alias("a")
