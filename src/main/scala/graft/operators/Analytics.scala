@@ -198,8 +198,9 @@ object Analytics {
     * The final join is |cols| rows vs |cols| rows — broadcast. min/max
     * are stringified so one schema fits every column type; timestamps
     * format explicitly (cast-to-string fraction-trimming differs
-    * across engines); ndv dedups on the default full-precision cast,
-    * which is injective for int/string/timestamp columns.
+    * across engines); ndv dedups on a 64-bit hash of the
+    * full-precision cast (see inline note on the wire-size and
+    * collision trade).
     */
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
     def asStr(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
@@ -221,12 +222,19 @@ object Analytics {
         col(s"${c}__min").as("min_str"),
         col(s"${c}__max").as("max_str"))): _*)).as("p"))
       .select(col("p.*"))
+    // ndv dedups on xxhash64 of the full-precision cast, so the
+    // shuffle carries 8 bytes per value regardless of column width
+    // (a wide-string column shuffles no more than a long column).
+    // Collision odds within one column are birthday ~n²/2^65 — at 100M
+    // values that's ~3e-4 of being off by one, the standard
+    // hashed-uniqExact trade. Null must be filtered BEFORE hashing:
+    // Spark's hash exprs map null to the seed, not null.
     val ndv = df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("e"))
-      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
-      .where(col("v").isNotNull)
-      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("__cnt"))
+      .where(col("e.v").isNotNull)
+      .select(col("e.col_name").as("col_name"), xxhash64(col("e.v")).as("hv"))
+      .groupBy(col("col_name"), col("hv")).agg(count(lit(1)).as("__cnt"))
       .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
     basic.join(broadcast(ndv), Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),

@@ -327,6 +327,22 @@ object Dedup {
     * Tables are capped at 64 — past that (huge n at low tau) the right
     * tool is multi-probe or the IVF index, not more hash tables.
     */
+  /** The (planes, tables) actually used for a corpus of `n` vectors:
+    * caller values are floors. Planes grow with log2(n/16) so expected
+    * bucket occupancy stays ~16 (candidate volume linear-ish in n);
+    * tables grow so a tau-cosine pair's miss probability stays <= 1e-3
+    * under the longer codes, capped at 64 (beyond that, use IVF).
+    */
+  private[graft] def lshSizing(n: Long, tau: Double, planes: Int, tables: Int): (Int, Int) = {
+    val planesEff = math.max(planes,
+      math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2.0)).toInt)
+    val pCollide = 1.0 - math.acos(math.min(tau, 1.0)) / math.Pi
+    val missPerTable = 1.0 - math.pow(pCollide, planesEff)
+    val tablesEff = math.min(64, math.max(tables,
+      math.ceil(math.log(1e-3) / math.log(missPerTable)).toInt))
+    (planesEff, tablesEff)
+  }
+
   def embeddingPairsLsh(
       df: DataFrame,
       idCol: String,
@@ -340,12 +356,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
       .persist()
     val n = base.count() // reuses the persisted cache the join reads
-    val planesEff = math.max(planes,
-      math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2.0)).toInt)
-    val pCollide = 1.0 - math.acos(math.min(tau, 1.0)) / math.Pi
-    val missPerTable = 1.0 - math.pow(pCollide, planesEff)
-    val tablesEff = math.min(64, math.max(tables,
-      math.ceil(math.log(1e-3) / math.log(missPerTable)).toInt))
+    val (planesEff, tablesEff) = lshSizing(n, tau, planes, tables)
     val bucketed = base.select(
       col("id"),
       explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb")

@@ -57,6 +57,23 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.95, s"LSH-blocked recall too low: $recall")
   }
 
+  test("lshSizing: caller floors hold at small n, codes grow with corpus, recall bound holds") {
+    // small corpus: floors untouched -> gate results bit-identical
+    assert(Dedup.lshSizing(1000L, 0.99, 8, 8) == (8, 8))
+    // 40k vectors (sf1 staged corpus): planes grow to keep occupancy ~16
+    val (p1, t1) = Dedup.lshSizing(40000L, 0.99, 8, 8)
+    assert(p1 == 12 && t1 >= 8, s"got ($p1, $t1)")
+    // monotone: more vectors never shrink the code
+    val (p2, t2) = Dedup.lshSizing(1000000L, 0.99, 8, 8)
+    assert(p2 > p1 && t2 >= t1)
+    // the advertised miss bound: (1 - p^planes)^tables <= 1e-3 at tau
+    val pc = 1.0 - math.acos(0.99) / math.Pi
+    assert(math.pow(1.0 - math.pow(pc, p2), t2) <= 1e-3)
+    // tables cap: low tau at huge n cannot explode the explode factor
+    val (_, tCap) = Dedup.lshSizing(1000000000L, 0.8, 8, 4)
+    assert(tCap == 64)
+  }
+
   test("semanticDedup: every doc classified, twins dropped within their cluster, keep-min-id") {
     val e = embs.select(col("vec_id"), col("embedding"), col("label"))
     val pert = e.select(

@@ -6,8 +6,13 @@ Reads outDir/<name>/ parquet (written by graft.Verify) and
 outDir/oracle_sql.json, runs each oracle SQL in DuckDB against the
 sfDir parquet tables, and compares schema + row values.
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
+
+# optional per-oracle wall budget (seconds): big-SF sweeps interrupt
+# oracles DuckDB can't finish in time and record them as TIMEOUT
+# instead of hanging the sweep (0 = unlimited)
+TIMEOUT = float(os.environ.get("CHECK_TIMEOUT", "0"))
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -23,6 +28,7 @@ for p in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
+timeouts = []
 for name, sql in sorted(oracle.items()):
     if name in skip:
         print(f"SKIP {name}: quadratic oracle at this SF")
@@ -30,6 +36,10 @@ for name, sql in sorted(oracle.items()):
     resdir = f"{out}/{name}"
     if not os.path.isdir(resdir):
         print(f"FAIL {name}: no spark result dir"); fails += 1; continue
+    timer = None
+    if TIMEOUT > 0:
+        timer = threading.Timer(TIMEOUT, con.interrupt)
+        timer.start()
     try:
         got = con.sql(f"SELECT * FROM '{resdir}/*.parquet'")
         exp = con.sql(sql)
@@ -51,11 +61,23 @@ for name, sql in sorted(oracle.items()):
             diff = [(a, b) for a, b in zip(grows, erows) if a != b]
             for a, b in diff[:3]:
                 print(f"   spark: {a}\n   duck : {b}")
+    except duckdb.InterruptException:
+        timeouts.append(name)
+        print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT:.0f}s in DuckDB (engine result not judged)")
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails += 1
+        if "INTERRUPT" in str(e).upper():
+            timeouts.append(name)
+            print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT:.0f}s in DuckDB (engine result not judged)")
+        else:
+            print(f"FAIL {name}: {e}"); fails += 1
+    finally:
+        if timer is not None:
+            timer.cancel()
 
 extra = [os.path.basename(d) for d in glob.glob(f"{out}/*") if os.path.isdir(d)
          and os.path.basename(d) not in oracle]
 if extra:
     print(f"rows-only (no oracle): {sorted(extra)}")
+if timeouts:
+    print(f"oracle timeouts: {sorted(timeouts)}")
 sys.exit(1 if fails else 0)
