@@ -25,7 +25,7 @@ object Bench {
     "q19_disjunctive", "q20_part_promo", "q21_waiting",
     "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
     "events_hourly_incr", "profile_table", "dq_violations", "skew_report",
-    "asof_last_click", "interval_join", "range_join_binned",
+    "asof_last_click", "interval_join", "range_join_binned", "range_count_sweep",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state", "snapshot_diff", "scd2_intervals",
     "upsert_latest", "scan_fields", "multi_table_union",

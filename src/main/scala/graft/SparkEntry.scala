@@ -812,6 +812,11 @@ object SparkEntry {
       // B48: errors within ±30min of each purchase, no equi key —
       // binned to an equi join so no nested-loop ever runs
       TimeSeries.rangeJoinBinned(t(s, d, "events"), "purchase", "error", windowMinutes = 30)),
+    "range_count_sweep" -> ((s, d) =>
+      // B48b: same answer as range_join_binned via distributed prefix
+      // sum — O(n) in rows where pair enumeration is O(density²); the
+      // form to use when only counts are needed
+      TimeSeries.rangeCountSweep(t(s, d, "events"), "purchase", "error", windowMinutes = 30)),
     "sim_topk_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, dim = 64, planes = 8)
@@ -1635,6 +1640,12 @@ object SparkEntry {
         |LEFT JOIN idx ON b.norm = idx.norm
         |ORDER BY doc_id""".stripMargin,
     "range_join_binned" ->
+      """WITH l AS (SELECT event_id AS l_id, epoch_us(ts) AS l_us FROM events WHERE event_type='purchase'),
+        |r AS (SELECT event_id AS r_id, epoch_us(ts) AS r_us FROM events WHERE event_type='error')
+        |SELECT l_id AS event_id, l_us AS ts_us,
+        |  CAST((SELECT count(*) FROM r WHERE abs(l_us - r_us) <= 1800000000) AS BIGINT) AS n_nearby
+        |FROM l ORDER BY event_id""".stripMargin,
+    "range_count_sweep" ->
       """WITH l AS (SELECT event_id AS l_id, epoch_us(ts) AS l_us FROM events WHERE event_type='purchase'),
         |r AS (SELECT event_id AS r_id, epoch_us(ts) AS r_us FROM events WHERE event_type='error')
         |SELECT l_id AS event_id, l_us AS ts_us,

@@ -350,20 +350,35 @@ object Dedup {
       tau: Double,
       dim: Int,
       planes: Int = 8,
-      tables: Int = 4
+      tables: Int = 4,
+      prefilterMargin: Double = 0.05
   ): DataFrame = {
     val base = df
       .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
       .persist()
     val n = base.count() // reuses the persisted cache the join reads
     val (planesEff, tablesEff) = lshSizing(n, tau, planes, tables)
+    // Each bucketed row carries the vector's int8 sketch (dim bytes) so
+    // the candidate stream can be cosine-prefiltered IN the join stage,
+    // before any pair is shuffled or full vectors fetched: quantized
+    // cosine (per-vector scale cancels) is within ~0.02 of float cosine
+    // at dim>=64, so admitting approx >= tau - margin cannot drop a
+    // true pair while rejecting the non-dup bulk of bucket-collision
+    // candidates. Exact double-precision cosine still decides every
+    // emitted pair — the sketch only prunes.
+    val sk = graft.functions.VecOps.quantize_i8(col("v"))
     val bucketed = base.select(
       col("id"),
+      sk.as("q"),
+      sqrt(graft.functions.VecOps.vec_dot_int(sk, sk).cast("double")).as("qn"),
       explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb")
     )
     val cands = bucketed
       .alias("a")
       .join(bucketed.alias("b"), col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .filter(
+        graft.functions.VecOps.vec_dot_int(col("a.q"), col("b.q")).cast("double") /
+          (col("a.qn") * col("b.qn")) >= tau - prefilterMargin)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
@@ -430,13 +445,30 @@ object Dedup {
         min_by(col("clab"), struct(col("d2"), col("clab"))).cast("long").as("cluster"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .persist()
+    // planes/tables are floors here exactly as in embeddingPairsLsh:
+    // fixed-length codes make within-(cluster, bucket) candidate
+    // volume quadratic in corpus size (measured: a 76 GB spill at 400k
+    // vectors with planes=8). Sizing by TOTAL n overshoots per-cluster
+    // occupancy, which only prunes harder; the tables formula keeps
+    // the tau-pair miss bound regardless.
+    val (planesEff, tablesEff) = lshSizing(assigned.count(), tau, planes, tables)
+    // int8-sketch prefilter in the candidate join, exactly as in
+    // embeddingPairsLsh: prune bucket-collision non-dups before any
+    // pair shuffles or fetches full vectors; exact cosine still
+    // decides every emitted pair.
+    val sk = graft.functions.VecOps.quantize_i8(col("v"))
     val bucketed = assigned.select(
       col("id"), col("cluster"),
-      explode(Similarity.tableBuckets(col("v"), dim, planes, tables)).as("tb"))
+      sk.as("q"),
+      sqrt(graft.functions.VecOps.vec_dot_int(sk, sk).cast("double")).as("qn"),
+      explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb"))
     val cands = bucketed.alias("a")
       .join(bucketed.alias("b"),
         col("a.cluster") === col("b.cluster") && col("a.tb") === col("b.tb") &&
           col("a.id") < col("b.id"))
+      .filter(
+        graft.functions.VecOps.vec_dot_int(col("a.q"), col("b.q")).cast("double") /
+          (col("a.qn") * col("b.qn")) >= tau - 0.05)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val dropped = cands

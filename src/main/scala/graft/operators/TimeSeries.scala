@@ -153,4 +153,61 @@ object TimeSeries {
         coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
       .orderBy(col("event_id"))
   }
+
+  /** The O(n) form of [[rangeJoinBinned]] when the caller only needs
+    * COUNTS: "how many right events within ±window" never has to
+    * enumerate the (l, r) pairs — at fixed time span, pair volume
+    * grows with density² (measured 15.4× time for 10× rows at sf10)
+    * while the answer itself grows linearly. Instead, count rights at
+    * two thresholds per left row with a distributed prefix sum:
+    * n(l) = C(l+w) − C(l−w−1) where C(T) = #rights with ts ≤ T.
+    *
+    * Plan shape: union rights (weight 1) with 2 probe rows per left
+    * (weight 0), cumulative-sum per time bin (keyed window, bounded by
+    * bin density), add per-bin offsets (one tiny window over |bins|
+    * rows), then sum ±C per left id. Every stage is keyed on bin or
+    * id; work is O(n log n) regardless of density. Rights tie-break
+    * BEFORE probes at equal timestamp (order by weight desc) so the
+    * ≤ threshold is inclusive, matching the |Δt| ≤ w predicate
+    * bit-for-bit. A hot bin is one big window partition — size
+    * `binUs` below the storm scale (it need not equal the query
+    * window), or let AQE split the preceding exchange.
+    */
+  def rangeCountSweep(
+      events: DataFrame,
+      leftType: String,
+      rightType: String,
+      windowMinutes: Int = 30,
+      binUs: Long = 0L
+  ): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val bw = if (binUs > 0L) binUs else winUs
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), unix_micros(col("ts")).as("l_us"))
+    val probes = l.select(explode(array(
+        struct((col("l_us") + winUs).as("us"), lit(1L).as("sign"), col("l_id"), col("l_us")),
+        struct((col("l_us") - winUs - 1L).as("us"), lit(-1L).as("sign"), col("l_id"), col("l_us"))
+      )).as("p"))
+      .select(col("p.us").as("us"), col("p.sign").as("sign"),
+        col("p.l_id").as("l_id"), col("p.l_us").as("l_us"), lit(0L).as("w"))
+    val rights = events.filter(col("event_type") === rightType)
+      .select(unix_micros(col("ts")).as("us"), lit(0L).as("sign"),
+        lit(null).cast("long").as("l_id"), lit(null).cast("long").as("l_us"), lit(1L).as("w"))
+    val stream = rights.unionByName(probes).withColumn("bin", floor(col("us") / bw))
+    val wBins = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin")).rowsBetween(Long.MinValue, -1)
+    val offsets = stream.groupBy(col("bin")).agg(sum(col("w")).as("bin_w"))
+      .select(col("bin"), coalesce(sum(col("bin_w")).over(wBins), lit(0L)).as("off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("us"), col("w").desc)
+      .rowsBetween(Long.MinValue, 0)
+    stream
+      .withColumn("c_in", sum(col("w")).over(wIn))
+      .filter(col("l_id").isNotNull)
+      .join(offsets, "bin")
+      .groupBy(col("l_id"), col("l_us"))
+      .agg(sum(col("sign") * (col("off") + col("c_in"))).as("n_nearby"))
+      .select(col("l_id").as("event_id"), col("l_us").as("ts_us"), col("n_nearby"))
+      .orderBy(col("event_id"))
+  }
 }

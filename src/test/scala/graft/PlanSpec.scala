@@ -277,6 +277,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bin"), p)
   }
 
+  test("range_count_sweep: identical answer to the pair-enumeration form, no join of pairs") {
+    val joined = SparkEntry.queries("range_join_binned")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val swept = SparkEntry.queries("range_count_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(swept.sameElements(joined), s"${swept.length} vs ${joined.length} rows")
+    // the sweep's only joins are bin-offset attach + per-left reduce —
+    // candidate pairs never exist in the plan
+    val p = planOf("range_count_sweep")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("heavy_hitters: the CMS filter prunes the term stream BELOW the agg shuffle") {
     val p = planOf("heavy_hitters")
     val lines = p.linesIterator.toSeq
