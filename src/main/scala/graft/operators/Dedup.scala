@@ -353,26 +353,29 @@ object Dedup {
       tables: Int = 4,
       prefilterMargin: Double = 0.05
   ): DataFrame = {
+    // Each vector carries an int8 sketch (dim bytes) so the candidate
+    // stream can be cosine-prefiltered IN the join stage, before any
+    // pair is shuffled or full vectors fetched: quantized cosine
+    // (per-vector scale cancels) is within ~0.02 of float cosine at
+    // dim>=64, so admitting approx >= tau - margin cannot drop a true
+    // pair while rejecting the non-dup bulk of bucket-collision
+    // candidates. Exact double-precision cosine still decides every
+    // emitted pair — the sketch only prunes. Sketches are computed once
+    // into the persisted base; the bucketed frame is persisted too so
+    // the self-join's two sides read the (heavy, literal-rich)
+    // hyperplane hashing from cache instead of recomputing it.
+    val sk = graft.functions.VecOps.quantize_i8(col(vecCol))
     val base = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"),
+        sk.as("q"),
+        sqrt(graft.functions.VecOps.vec_dot_int(sk, sk).cast("double")).as("qn"))
       .persist()
     val n = base.count() // reuses the persisted cache the join reads
     val (planesEff, tablesEff) = lshSizing(n, tau, planes, tables)
-    // Each bucketed row carries the vector's int8 sketch (dim bytes) so
-    // the candidate stream can be cosine-prefiltered IN the join stage,
-    // before any pair is shuffled or full vectors fetched: quantized
-    // cosine (per-vector scale cancels) is within ~0.02 of float cosine
-    // at dim>=64, so admitting approx >= tau - margin cannot drop a
-    // true pair while rejecting the non-dup bulk of bucket-collision
-    // candidates. Exact double-precision cosine still decides every
-    // emitted pair — the sketch only prunes.
-    val sk = graft.functions.VecOps.quantize_i8(col("v"))
     val bucketed = base.select(
-      col("id"),
-      sk.as("q"),
-      sqrt(graft.functions.VecOps.vec_dot_int(sk, sk).cast("double")).as("qn"),
+      col("id"), col("q"), col("qn"),
       explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb")
-    )
+    ).persist()
     val cands = bucketed
       .alias("a")
       .join(bucketed.alias("b"), col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
@@ -455,13 +458,15 @@ object Dedup {
     // int8-sketch prefilter in the candidate join, exactly as in
     // embeddingPairsLsh: prune bucket-collision non-dups before any
     // pair shuffles or fetches full vectors; exact cosine still
-    // decides every emitted pair.
+    // decides every emitted pair. Persisted so the self-join's two
+    // sides read the hyperplane hashing from cache.
     val sk = graft.functions.VecOps.quantize_i8(col("v"))
     val bucketed = assigned.select(
       col("id"), col("cluster"),
       sk.as("q"),
       sqrt(graft.functions.VecOps.vec_dot_int(sk, sk).cast("double")).as("qn"),
       explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb"))
+      .persist()
     val cands = bucketed.alias("a")
       .join(bucketed.alias("b"),
         col("a.cluster") === col("b.cluster") && col("a.tb") === col("b.tb") &&
