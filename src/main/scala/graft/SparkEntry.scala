@@ -301,20 +301,17 @@ object SparkEntry {
     }),
     "median_price" -> ((s, d) => {
       // exact grouped DISCRETE median (lower median: element at rank
-      // ceil(n/2) under a total order) — integer cents + id tiebreak
-      // make it engine-reproducible where interpolated percentiles are
-      // not. One window sort per group; the approx-sketch alternative
-      // for wide groups is percentile_approx (tested in PipelineSpec).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("price_c"), col("o_orderkey"))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
-      t(s, d, "orders")
-        .select(col("o_orderpriority"), Analytics.cents(col("o_totalprice")).as("price_c"), col("o_orderkey"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .filter(col("rn") === floor((col("n") + 1) / lit(2.0)))
-        .select(col("o_orderpriority"), col("price_c").as("median_price_c"), col("n").as("n_orders"))
+      // floor((n+1)/2) under a total order) — integer cents make it
+      // engine-reproducible where interpolated percentiles are not.
+      // Binned selection, NOT a per-group window sort: 5 priority
+      // groups would cap the sort at 5-task parallelism (21s at sf10;
+      // see Analytics.groupedExactRanks). percentile_approx is the
+      // sketch alternative for when exactness can be traded away.
+      Analytics
+        .groupedExactRanks(
+          t(s, d, "orders"), "o_orderpriority", Analytics.cents(col("o_totalprice")),
+          Seq("median" -> (n => floor((n + lit(1)) / lit(2.0)))))
+        .select(col("o_orderpriority"), col("value").as("median_price_c"), col("n").as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
     "anomaly_days" -> ((s, d) => {
@@ -409,26 +406,24 @@ object SparkEntry {
         .orderBy(col("presence"))
     }),
     "quartiles_price" -> ((s, d) => {
-      // B25: exact grouped discrete quartiles — same total-order rank
-      // trick as median_price, all three cut points from ONE window
-      // pass (rank ceil(q*n)); conditional aggregation instead of a
-      // bucket column so coinciding ranks in tiny groups still fill
-      // every quartile
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("price_c"), col("o_orderkey"))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
-      t(s, d, "orders")
-        .select(col("o_orderpriority"), Analytics.cents(col("o_totalprice")).as("price_c"), col("o_orderkey"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wAll))
+      // B25: exact grouped discrete quartiles (ranks ceil(q*n)) — all
+      // three cut points resolved by ONE binned selection pass
+      // (Analytics.groupedExactRanks), never a per-group full sort;
+      // the three ranks usually land in different bins and rank
+      // independently in parallel
+      Analytics
+        .groupedExactRanks(
+          t(s, d, "orders"), "o_orderpriority", Analytics.cents(col("o_totalprice")),
+          Seq(
+            "p25" -> (n => ceil(n / lit(4.0))),
+            "p50" -> (n => ceil(n / lit(2.0))),
+            "p75" -> (n => ceil(n * lit(3) / lit(4.0)))))
         .groupBy(col("o_orderpriority"))
         .agg(
-          min(when(col("rn") === ceil(col("n") / lit(4.0)), col("price_c"))).as("p25_c"),
-          min(when(col("rn") === ceil(col("n") / lit(2.0)), col("price_c"))).as("p50_c"),
-          min(when(col("rn") === ceil(col("n") * lit(3) / lit(4.0)), col("price_c"))).as("p75_c"),
-          max(col("n")).as("n_orders")
-        )
+          min(when(col("rank_name") === "p25", col("value"))).as("p25_c"),
+          min(when(col("rank_name") === "p50", col("value"))).as("p50_c"),
+          min(when(col("rank_name") === "p75", col("value"))).as("p75_c"),
+          max(col("n")).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
     "funnel_counts" -> ((s, d) =>

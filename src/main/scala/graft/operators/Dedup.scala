@@ -265,11 +265,15 @@ object Dedup {
         chunks.alias("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") && col("a.id") < col("b.id")
       )
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      // Hamming-filter INSIDE the join stage, before the dedup
+      // shuffle: candidates sharing several chunks are re-checked
+      // once per collision (bit_count is ~free), but the distinct
+      // then shuffles only true near-dup pairs instead of the full
+      // chunk-collision volume (which grows n²/2^16 per band)
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

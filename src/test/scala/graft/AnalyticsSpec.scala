@@ -36,6 +36,62 @@ class AnalyticsSpec extends SparkSpec {
     ))
   }
 
+  test("groupedExactRanks equals the window-sort formulation bit-for-bit") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // the formulation groupedExactRanks replaced: full per-group sort
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("price_c"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val viaWindow = orders
+      .select(col("o_orderpriority"), Analytics.cents(col("o_totalprice")).as("price_c"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(when(col("rn") === ceil(col("n") / lit(4.0)), col("price_c"))).as("p25"),
+        min(when(col("rn") === floor((col("n") + 1) / lit(2.0)), col("price_c"))).as("med"),
+        min(when(col("rn") === ceil(col("n") * lit(3) / lit(4.0)), col("price_c"))).as("p75"),
+        max(col("n")).as("n"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    // deliberately tiny bin budget so every rank lands in a multi-row
+    // bin and the in-bin ranking path is actually exercised
+    val viaBins = Analytics
+      .groupedExactRanks(
+        orders, "o_orderpriority", Analytics.cents(col("o_totalprice")),
+        Seq(
+          "p25" -> (n => ceil(n / lit(4.0))),
+          "med" -> (n => floor((n + lit(1)) / lit(2.0))),
+          "p75" -> (n => ceil(n * lit(3) / lit(4.0)))),
+        bins = 7)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(when(col("rank_name") === "p25", col("value"))).as("p25"),
+        min(when(col("rank_name") === "med", col("value"))).as("med"),
+        min(when(col("rank_name") === "p75", col("value"))).as("p75"),
+        max(col("n")).as("n"))
+      .orderBy("o_orderpriority")
+      .collect().toSeq
+    assert(viaBins == viaWindow)
+    // exactly one value row per (group, rank)
+    val perRank = Analytics.groupedExactRanks(
+      orders, "o_orderpriority", Analytics.cents(col("o_totalprice")),
+      Seq("med" -> (n => floor((n + lit(1)) / lit(2.0)))), bins = 7)
+    assert(perRank.groupBy("o_orderpriority").count().filter(col("count") =!= 1L).count() == 0L)
+  }
+
+  test("groupedExactRanks: constant value column (single-bin degenerate) and n=1 groups") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("b", 9L)).toDF("g", "v")
+    val got = Analytics
+      .groupedExactRanks(df, "g", col("v"), Seq("med" -> (n => floor((n + lit(1)) / lit(2.0)))))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "med", 5L, 3L), ("b", "med", 9L, 1L)))
+  }
+
   test("mergeRollup: state + batch partials equal the full recompute, any split") {
     import spark.implicits._
     import graft.operators.Incremental
