@@ -588,9 +588,13 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left")
         .groupBy(col("c_custkey"))
         .agg(coalesce(sum(col("p_c")), lit(0L)).as("spend_c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("spend_c").desc, col("c_custkey"))
-      spend.withColumn("decile", ntile(10).over(w).cast("long"))
+      // distributed global rank, NOT ntile().over(Window.orderBy(...)):
+      // the unpartitioned window sorts every customer in ONE task.
+      // globalRowNumber bins by spend so each bin ranks in parallel,
+      // and ntileFromRank reproduces SQL ntile semantics exactly
+      Analytics
+        .globalRowNumber(spend, col("spend_c"), descending = true, Seq(col("c_custkey")))
+        .withColumn("decile", Analytics.ntileFromRank(col("rn"), col("n_total"), 10))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_cust"), sum(col("spend_c")).as("decile_spend_c"),
           min(col("spend_c")).as("min_spend_c"))

@@ -278,11 +278,19 @@ object Analytics {
       groupCol: String,
       valueCol: Column,
       ranks: Seq[(String, Column => Column)],
-      bins: Int = 4096
+      bins: Int = 4096,
+      persistBase: Boolean = false
   ): DataFrame = {
     require(ranks.nonEmpty, "at least one rank spec required")
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val base = df.select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
+    // selection is multi-pass (stats, histogram, in-bin rank). When the
+    // upstream is an expensive subplan (join+agg), pass persistBase so
+    // it executes once; when it is a bare columnar scan, re-scanning is
+    // cheaper than materializing the cache (measured both ways at sf10)
+    val base0 = df.select(col(groupCol).as("g"), valueCol.cast("long").as("v"))
+    val base =
+      if (persistBase) base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     val stats = base.groupBy(col("g")).agg(
       min(col("v")).as("vmin"), max(col("v")).as("vmax"), count(lit(1)).as("n"))
     // ceil'd width so (vmax-vmin) div w < bins always holds; width >= 1.
@@ -318,5 +326,86 @@ object Analytics {
         sum(col("cv")).over(Window.partitionBy(col("g"), col("r")).orderBy(col("v"))) + col("prior"))
       .filter(col("cumv") >= col("k") && col("cumv") - col("cv") < col("k"))
     res.select(col("g").as(groupCol), col("r").as("rank_name"), col("v").as("value"), col("n"))
+  }
+
+  /** Distributed EXACT global row_number — the scale-safe replacement
+    * for `row_number().over(Window.orderBy(...))`, which moves the
+    * whole dataset into ONE task (Spark even warns: "No Partition
+    * Defined for Window operation").
+    *
+    * Same binning idea as [[groupedExactRanks]], one global group:
+    * rows bin by value range, a prefix sum over the ≤`bins` bin
+    * counts (metadata-sized) gives each bin its global rank offset,
+    * and each bin ranks its own rows in parallel — the per-task sort
+    * is ~n/bins rows instead of n. Equal values always share a bin,
+    * so `tieCols` break ties inside exactly one window partition and
+    * the result is bit-identical to the single-task formulation
+    * (proven side-by-side in AnalyticsSpec).
+    *
+    * Skew note: a single value held by a large fraction of rows
+    * collapses that one bin to one task — same bound as any keyed
+    * shuffle on the value; acceptable for measure-like columns.
+    *
+    * Output: input columns + `rn` (1-based global rank by
+    * (value asc|desc, tieCols)) + `n_total`.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      valueCol: Column,
+      descending: Boolean,
+      tieCols: Seq[Column],
+      bins: Int = 4096,
+      persistBase: Boolean = true
+  ): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    // selection is multi-pass by construction (stats, histogram, rank):
+    // persist the narrow ranked frame or the upstream plan (often a
+    // join+agg, as in decile_spend) re-executes once per pass — the
+    // same defect class as the LSH self-join's bucketed frame. Default
+    // on: global-rank inputs are usually already-aggregated frames;
+    // disable for bare scans where re-reading beats materializing
+    // (measured both ways at sf10).
+    val base0 = df.withColumn("__v", valueCol.cast("long"))
+    val base =
+      if (persistBase) base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    val stats = base.agg(
+      min(col("__v")).as("vmin"), max(col("__v")).as("vmax"), count(lit(1)).as("n_total"))
+    val statsW = stats.withColumn(
+      "w", greatest(lit(1L), expr(s"(vmax - vmin) div ${bins.toLong}L") + lit(1L)))
+    val binned = base
+      .crossJoin(broadcast(statsW)) // 1-row stats frame
+      .withColumn("__b", expr("(__v - vmin) div w"))
+    val binCounts = binned.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val binOrder = if (descending) col("__b").desc else col("__b").asc
+    val prior = binCounts
+      .withColumn("__prior", sum(col("__c")).over(Window.orderBy(binOrder)) - col("__c"))
+      .select(col("__b"), col("__prior"))
+    val inBinOrder = (if (descending) col("__v").desc else col("__v").asc) +: tieCols
+    binned
+      .join(broadcast(prior), Seq("__b"))
+      .withColumn("rn",
+        col("__prior") + row_number().over(Window.partitionBy(col("__b")).orderBy(inBinOrder: _*)))
+      .drop("__v", "__b", "__prior", "vmin", "vmax", "w")
+  }
+
+  /** Long integral division as a Column op — `a div b`, never the
+    * double division `Column./` whose exactness ends at 2^53. */
+  private def ldiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a.cast("long")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b.cast("long"))))
+
+  /** Exact `ntile(k)` from a global rank: SQL semantics — with
+    * q = n div k, r = n mod k, the first r tiles hold q+1 rows.
+    * Pure integer arithmetic on the `rn`/`n_total` columns produced
+    * by [[globalRowNumber]]; bit-identical to the window `ntile`.
+    */
+  def ntileFromRank(rn: Column, nTotal: Column, k: Int): Column = {
+    val q = ldiv(nTotal, lit(k.toLong))
+    val r = nTotal % k
+    when(rn <= r * (q + lit(1L)), ldiv(rn - lit(1L), q + lit(1L)) + lit(1L))
+      .otherwise(r + ldiv(rn - r * (q + lit(1L)) - lit(1L), greatest(q, lit(1L))) + lit(1L))
   }
 }

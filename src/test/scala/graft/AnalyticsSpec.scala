@@ -81,6 +81,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(perRank.groupBy("o_orderpriority").count().filter(col("count") =!= 1L).count() == 0L)
   }
 
+  test("globalRowNumber + ntileFromRank equal the unpartitioned-window formulation bit-for-bit") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), Analytics.cents(col("o_totalprice")).as("p_c"))
+    val w = Window.orderBy(col("p_c").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .select(col("o_orderkey"), col("rn"), col("decile"))
+      .orderBy(col("o_orderkey")).collect().toSeq
+    // tiny bin budget → multi-row bins, cross-bin offsets exercised
+    val viaBins = Analytics
+      .globalRowNumber(orders, col("p_c"), descending = true, Seq(col("o_orderkey")), bins = 7)
+      .withColumn("decile", Analytics.ntileFromRank(col("rn"), col("n_total"), 10))
+      .select(col("o_orderkey"), col("rn"), col("decile"))
+      .orderBy(col("o_orderkey")).collect().toSeq
+    assert(viaBins == viaWindow)
+  }
+
+  test("ntileFromRank degenerate shapes: n < k, n == k, constant values") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 10, 23)) {
+      val df = (1 to n).map(i => (i.toLong, 42L)).toDF("id", "v")
+      val w = Window.orderBy(col("v").desc, col("id"))
+      val viaWindow = df.withColumn("t", ntile(10).over(w).cast("long"))
+        .select(col("id"), col("t")).orderBy("id").collect().toSeq
+      val viaBins = Analytics.globalRowNumber(df, col("v"), descending = true, Seq(col("id")), bins = 5)
+        .withColumn("t", Analytics.ntileFromRank(col("rn"), col("n_total"), 10))
+        .select(col("id"), col("t")).orderBy("id").collect().toSeq
+      assert(viaBins == viaWindow, s"n=$n")
+    }
+  }
+
   test("groupedExactRanks: constant value column (single-bin degenerate) and n=1 groups") {
     import spark.implicits._
     import graft.operators.Analytics
