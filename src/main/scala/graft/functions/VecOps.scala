@@ -257,13 +257,26 @@ object VecOps {
     new GenericArrayData(Array(n.toLong, topWord, n.toLong - distinct, topBigram))
   }
 
-  /** Spark-round (HALF_UP over BigDecimal.valueOf) — the exact rounding
-    * `functions.round` applies to doubles, which DuckDB's
-    * half-away-from-zero `round` reproduces; kernels must use THIS, not
-    * `Math.round` (whose floor(x+.5) misrounds 0.49999999999999994).
+  /** Half-away-from-zero rounding, bit-identical to BigDecimal
+    * HALF_UP (what `functions.round` applies to doubles and DuckDB's
+    * `round` reproduces) but allocation-free. The half-point test
+    * compares 2v against 2*floor(v)+1 — both exactly representable
+    * for |v| < 2^52 — because the naive `v - floor(v)` rounds off the
+    * 2^-54 ulp that separates -0.49999999999999994 from -0.5 (and
+    * `Math.round`'s floor(x+.5) misrounds the positive twin).
+    * Parity with the BigDecimal form is property-tested in
+    * EmbedOpsSpec, edges included.
     */
-  private def roundHalfUp(v: Double): Long =
-    java.math.BigDecimal.valueOf(v).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  private[graft] def roundHalfUp(v: Double): Long = {
+    if (v >= 4.503599627370496e15 || v <= -4.503599627370496e15) return v.toLong // 2^52: already integral
+    val f = math.floor(v)
+    val twoV = 2.0 * v // exact: power-of-two scale
+    val half = 2.0 * f + 1.0 // exact: odd integer < 2^53
+    if (twoV > half) f.toLong + 1L
+    else if (twoV < half) f.toLong
+    else if (v >= 0.0) f.toLong + 1L // exact half: away from zero
+    else f.toLong
+  }
 
   /** Ordered integer dot product over int arrays, Long accumulation
     * (exact — no float drift, oracle-reproducible in SQL). Public

@@ -50,11 +50,16 @@ object Catalog {
   def selectTables(spark: SparkSession, dir: String, pattern: String): Seq[String] =
     listTables(spark, dir).filter(matchesPattern(_, pattern))
 
-  /** Load one source table. The `events` stream table carries
-    * nanosecond parquet timestamps, which Spark only reads as Long
-    * (`nanosAsLong`); normalize to a micro-precision TimestampType
-    * column with exact integer division (never double math — ns epochs
-    * exceed 2^53).
+  /** Load one source table. The `events` stream table's `ts` arrives
+    * in whichever physical form the upstream writer chose —
+    * TIMESTAMP(NANOS) (Spark only reads it as a raw Long via
+    * `nanosAsLong`), TIMESTAMP(MICROS) without UTC adjustment (reads
+    * as TIMESTAMP_NTZ), or UTC-adjusted micros (reads as TIMESTAMP) —
+    * so the loader dispatches on the scanned type and normalizes every
+    * form to one session-TZ micro-precision TimestampType column.
+    * Nanos use exact integer division (never double math — ns epochs
+    * exceed 2^53); the NTZ cast is value-identity under the session's
+    * UTC zone.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir)
@@ -62,7 +67,14 @@ object Catalog {
 
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    loadEventsRaw(spark, dir).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = loadEventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Events with `ts` as the raw nanosecond Long — the form incremental
@@ -104,17 +116,29 @@ object Catalog {
 
   /** Incremental batch of events strictly newer than `watermark`
     * (micro precision), with the time predicate pushed down to the
-    * parquet scan in raw-nanos space:
-    * µs(ts) > W  ⟺  ts_ns > W*1000 + 999.
+    * parquet scan in the scan's NATIVE type — raw-nanos space for
+    * TIMESTAMP(NANOS) sources (µs(ts) > W ⟺ ts_ns > W*1000 + 999),
+    * an NTZ/timestamp literal for micros sources. Filtering the raw
+    * column (never a converted one) is what lets min/max row-group
+    * skipping see the predicate.
     */
   def loadEventsSince(spark: SparkSession, dir: String, watermark: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val wmInstant = java.time.LocalDateTime
-      .parse(watermark.replace(" ", "T"))
-      .toInstant(java.time.ZoneOffset.UTC)
+    val wmLdt = java.time.LocalDateTime.parse(watermark.replace(" ", "T"))
+    val wmInstant = wmLdt.toInstant(java.time.ZoneOffset.UTC)
     val wmMicros = wmInstant.getEpochSecond * 1000000L + wmInstant.getNano / 1000L
-    loadEventsRaw(spark, dir)
-      .filter(col("ts") > lit(wmMicros * 1000L + 999L))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = loadEventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .filter(col("ts") > lit(wmMicros * 1000L + 999L))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw
+          .filter(col("ts") > lit(wmLdt))
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ =>
+        raw.filter(col("ts") > timestamp_micros(lit(wmMicros)))
+    }
   }
 }

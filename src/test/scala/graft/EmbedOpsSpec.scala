@@ -12,6 +12,31 @@ class EmbedOpsSpec extends SparkSpec {
   lazy val docs = Catalog.load(spark, sf, "documents")
   lazy val embs = Catalog.load(spark, sf, "embeddings")
 
+  test("roundHalfUp: bit-identical to BigDecimal HALF_UP across the hot range") {
+    def ref(v: Double): Long =
+      java.math.BigDecimal.valueOf(v).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    // the documented Math.round trap + exact halves both signs + zero
+    val edges = Seq(0.49999999999999994, -0.49999999999999994, 0.5, -0.5, 1.5, -1.5,
+      2.5, -2.5, 0.0, -0.0, 126.5, -126.5, 1e12 + 0.5, -(1e12 + 0.5))
+    edges.foreach(v => assert(VecOps.roundHalfUp(v) == ref(v), s"edge $v"))
+    // every half point and its ulp neighbors across the quantize range
+    (-256 to 256).foreach { k =>
+      val h = k + 0.5
+      Seq(h, Math.nextUp(h), Math.nextDown(h)).foreach { v =>
+        assert(VecOps.roundHalfUp(v) == ref(v), s"near-half $v")
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 200000).foreach { _ =>
+      val v = (rnd.nextDouble() - 0.5) * 254.0 // quantize range [-127,127]
+      assert(VecOps.roundHalfUp(v) == ref(v), s"mismatch at $v")
+    }
+    (1 to 50000).foreach { _ =>
+      val v = (rnd.nextDouble() - 0.5) * 2e9 // randProject micro-unit range
+      assert(VecOps.roundHalfUp(v) == ref(v), s"mismatch at $v")
+    }
+  }
+
   // ---- bloom filter ----
 
   test("bloom: zero false negatives, bounded false positives") {
