@@ -77,6 +77,11 @@ object Bench {
           val warm = math.min(cold, once())
           if (warm < 1.0) math.min(warm, once()) else warm
         }
+      // drop this query's internally-persisted frames (LSH buckets,
+      // selection bases, ...): leaving ~100 queries' caches to fight
+      // over executor memory evicts mid-measurement and makes later
+      // queries pay eviction+respill instead of their own cost
+      spark.catalog.clearCache()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

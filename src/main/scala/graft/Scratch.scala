@@ -10,6 +10,44 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    if (sys.env.contains("GRAFT_PROBE_LSH")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Similarity}
+      val e = graft.sources.Catalog.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+      val all = e.unionByName(pert)
+      val n = all.count()
+      val (planesEff, tablesEff) = Dedup.lshSizing(n, 0.99, 8, 8)
+      println(s"[scratch] n=$n planes=$planesEff tables=$tablesEff")
+      val bucketed = all.select(col("vec_id").as("id"),
+        explode(Similarity.tableBuckets(col("embedding"), 64, planesEff, tablesEff)).as("tb"))
+      val occ = bucketed.groupBy("tb").agg(count(lit(1)).as("c"))
+      occ.agg(sum(expr("c*(c-1)/2")).as("cand_pairs"), max("c").as("max_bucket"),
+        count(lit(1)).as("n_buckets")).show()
+      val bp = bucketed.persist()
+      time("ids-only pairs+distinct") {
+        val d = bp.alias("a").join(bp.alias("b"),
+          col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        println(s"[scratch] distinct pairs = ${d.count()}")
+      }
+      bp.unpersist()
+      // natural cosine distribution on a sample of pairs
+      val s1 = e.filter(col("vec_id") % 97 === 0).select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val s2 = e.filter(col("vec_id") % 89 === 0).select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      s1.join(broadcast(s2), col("ida") < col("idb"))
+        .select((Similarity.dot(col("va"), col("vb")) /
+          (Similarity.norm(col("va")) * Similarity.norm(col("vb")))).as("cos"))
+        .agg(max("cos").as("max_cos"), avg("cos").as("avg_cos"),
+          sum(when(col("cos") > 0.9, 1L).otherwise(0L)).as("gt09"),
+          sum(when(col("cos") > 0.94, 1L).otherwise(0L)).as("gt094"),
+          count(lit(1)).as("n_pairs")).show()
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_QUANT")) {
       import org.apache.spark.sql.functions._
       import graft.functions.VecOps
@@ -56,6 +94,7 @@ object Scratch {
       if (explain) { println(s"=== $n ==="); df.explain("formatted") }
       time(s"$n run1") { df.write.format("noop").mode("overwrite").save() }
       time(s"$n run2") { df.write.format("noop").mode("overwrite").save() }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

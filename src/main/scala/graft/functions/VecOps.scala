@@ -353,6 +353,77 @@ object VecOps {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(acc)
   }
 
+  /** Deterministic pseudo-random hyperplane component (j, d) —
+    * splitmix64-style integer mix, no RNG state, identical on every
+    * executor and every run. The single source of the plane family:
+    * Similarity's declarative `lshBucket` and the [[tableCodes]]
+    * kernel must hash identically.
+    */
+  def planeComponent(j: Int, d: Int): Double = {
+    var z = j.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble // in [-1, 1]
+  }
+
+  // plane matrices are tiny (planes*tables*dim doubles) but rebuilt
+  // millions of times if resolved per row — cache per shape. Keyed by
+  // (planes, tables, dim); values never change (pure function of key).
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planeMatrix(planes: Int, tables: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((planes, tables, dim), { key =>
+      val (p, t, dm) = key
+      val m = new Array[Double](p * t * dm)
+      var j = 0
+      while (j < p * t) {
+        var d = 0
+        while (d < dm) { m(j * dm + d) = planeComponent(j, d); d += 1 }
+        j += 1
+      }
+      m
+    })
+
+  /** All `tables` hyperplane-LSH codes of a float vector in one pass:
+    * element t packs (t << 56) | signBits(planes) into one Long — the
+    * complete (table, bucket) join key with no struct overhead. Table
+    * t uses planes [t*planes, (t+1)*planes) of [[planeComponent]]'s
+    * family, sign convention `dot >= 0`, exactly like the declarative
+    * formulation it replaces (which built tables*planes literal
+    * arrays as Catalyst expressions — past Janino's method limit for
+    * the long codes clustered corpora need). Public static for
+    * codegen.
+    */
+  def tableCodes(vec: ArrayData, planes: Int, tables: Int): ArrayData = {
+    val dim = vec.numElements()
+    val m = planeMatrix(planes, tables, dim)
+    val out = new Array[Long](tables)
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { v(d) = vec.getFloat(d).toDouble; d += 1 }
+    var t = 0
+    while (t < tables) {
+      var bits = 0L
+      var j = 0
+      while (j < planes) {
+        val off = (t * planes + j) * dim
+        var s = 0.0
+        d = 0
+        while (d < dim) { s += v(d) * m(off + d); d += 1 }
+        if (s >= 0) bits |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << 56) | bits
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def table_codes(vec: Column, planes: Int, tables: Int): Column =
+    ColumnBridge.column(TableCodes(ColumnBridge.expression(vec), planes, tables))
+
   def shingle_hashes(words: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
@@ -505,6 +576,22 @@ case class VecDotInt(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotII($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotInt = copy(l, r)
+}
+
+case class TableCodes(child: Expression, planes: Int, tables: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if planes >= 1 && planes <= 56 && tables >= 1 && tables <= 255 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"table_codes needs array<float>, 1<=planes<=56, 1<=tables<=255; got $other planes=$planes tables=$tables")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.tableCodes(v.asInstanceOf[ArrayData], planes, tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.tableCodes($c, $planes, $tables)")
+  override protected def withNewChildInternal(c: Expression): TableCodes = copy(child = c)
 }
 
 case class QuantizeI8(child: Expression) extends UnaryExpression {

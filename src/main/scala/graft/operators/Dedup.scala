@@ -323,23 +323,27 @@ object Dedup {
     * plane count, expected bucket occupancy is n/2^planes, so the
     * within-bucket candidate volume grows quadratically in n (measured
     * 26.6× time for 10× vectors at planes=8). Auto-sizing raises
-    * planes to keep occupancy ≤ ~32 (planes ≥ log2(n/32)) and raises
-    * tables so a tau-cosine pair's miss probability stays ≤ 1e-3 under
-    * the longer codes (per-plane collision p = 1 − acos(tau)/π, miss =
-    * (1 − p^planes)^tables). Both derived counts only ever grow from
-    * the caller's floors, so small-corpus results are unchanged.
-    * Tables are capped at 64 — past that (huge n at low tau) the right
-    * tool is multi-probe or the IVF index, not more hash tables.
+    * planes with the corpus and raises tables so a tau-cosine pair's
+    * miss probability stays ≤ 1e-3 under the longer codes (per-plane
+    * collision p = 1 − acos(tau)/π, miss = (1 − p^planes)^tables).
+    * Both derived counts only ever grow from the caller's floors, so
+    * small-corpus results are unchanged. Tables are capped at 64 —
+    * past that (huge n at low tau) the right tool is multi-probe or
+    * the IVF index, not more hash tables.
     */
   /** The (planes, tables) actually used for a corpus of `n` vectors:
-    * caller values are floors. Planes grow with log2(n/16) so expected
-    * bucket occupancy stays ~16 (candidate volume linear-ish in n);
-    * tables grow so a tau-cosine pair's miss probability stays <= 1e-3
-    * under the longer codes, capped at 64 (beyond that, use IVF).
+    * caller values are floors. Planes grow to log2(n)+8 — expected
+    * RANDOM bucket occupancy n/2^planes ≤ 1/256, so background
+    * collisions vanish and surviving candidates are mostly real
+    * near-pairs even on label-clustered corpora (occupancy-16 codes
+    * measured 33x more candidates at 400k clustered vectors). Tables
+    * grow so a tau-cosine pair's miss probability stays <= 1e-3 under
+    * the longer codes; planes cap at 56 (codes pack into a Long with
+    * the table index), tables at 64 (beyond that, use IVF).
     */
   private[graft] def lshSizing(n: Long, tau: Double, planes: Int, tables: Int): (Int, Int) = {
-    val planesEff = math.max(planes,
-      math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2.0)).toInt)
+    val planesEff = math.max(planes, math.min(56,
+      math.ceil(math.log(math.max(2.0, n.toDouble)) / math.log(2.0)).toInt + 8))
     val pCollide = 1.0 - math.acos(math.min(tau, 1.0)) / math.Pi
     val missPerTable = 1.0 - math.pow(pCollide, planesEff)
     val tablesEff = math.min(64, math.max(tables,
@@ -357,35 +361,30 @@ object Dedup {
       tables: Int = 4,
       prefilterMargin: Double = 0.05
   ): DataFrame = {
-    // Each vector carries an int8 sketch (dim bytes) so the candidate
-    // stream can be cosine-prefiltered IN the join stage, before any
-    // pair is shuffled or full vectors fetched: quantized cosine
-    // (per-vector scale cancels) is within ~0.02 of float cosine at
-    // dim>=64, so admitting approx >= tau - margin cannot drop a true
-    // pair while rejecting the non-dup bulk of bucket-collision
-    // candidates. Exact double-precision cosine still decides every
-    // emitted pair — the sketch only prunes. Sketches are computed once
-    // into the persisted base; the bucketed frame is persisted too so
-    // the self-join's two sides read the (heavy, literal-rich)
-    // hyperplane hashing from cache instead of recomputing it.
-    val sk = graft.functions.VecOps.quantize_i8(col(vecCol))
+    // Candidate generation is a SLIM self-join: the bucketed frame
+    // carries only (id, code) — 16-byte rows — so the shuffle that
+    // enumerates bucket collisions moves keys, never vectors. Codes
+    // are sized ~log2(n)+8 bits (lshSizing), which keeps expected
+    // RANDOM bucket occupancy below one: surviving collisions are
+    // mostly genuinely-close pairs, measured 33x fewer candidates
+    // than occupancy-16 codes on a label-clustered 400k corpus. At
+    // that volume the exact double-precision cosine verifies every
+    // candidate directly — the pair stream is small enough that a
+    // sketch prefilter would only add a second pass over it. The
+    // prefilterMargin parameter is retained for API stability.
+    val _ = prefilterMargin
     val base = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"),
-        sk.as("q"),
-        sqrt(graft.functions.VecOps.vec_dot_int(sk, sk).cast("double")).as("qn"))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"))
       .persist()
-    val n = base.count() // reuses the persisted cache the join reads
+    val n = base.count() // reuses the persisted cache the joins read
     val (planesEff, tablesEff) = lshSizing(n, tau, planes, tables)
     val bucketed = base.select(
-      col("id"), col("q"), col("qn"),
+      col("id"),
       explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb")
-    ).persist()
+    )
     val cands = bucketed
       .alias("a")
       .join(bucketed.alias("b"), col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
-      .filter(
-        graft.functions.VecOps.vec_dot_int(col("a.q"), col("b.q")).cast("double") /
-          (col("a.qn") * col("b.qn")) >= tau - prefilterMargin)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
@@ -459,25 +458,18 @@ object Dedup {
     // occupancy, which only prunes harder; the tables formula keeps
     // the tau-pair miss bound regardless.
     val (planesEff, tablesEff) = lshSizing(assigned.count(), tau, planes, tables)
-    // int8-sketch prefilter in the candidate join, exactly as in
-    // embeddingPairsLsh: prune bucket-collision non-dups before any
-    // pair shuffles or fetches full vectors; exact cosine still
-    // decides every emitted pair. Persisted so the self-join's two
-    // sides read the hyperplane hashing from cache.
-    val sk = graft.functions.VecOps.quantize_i8(col("v"))
+    // slim candidate self-join, exactly as in embeddingPairsLsh: the
+    // bucketed frame carries only (id, cluster, code) so the
+    // collision-enumerating shuffle moves keys, never vectors; codes
+    // long enough that background collisions vanish and the exact
+    // cosine verifies the (small) candidate stream directly.
     val bucketed = assigned.select(
       col("id"), col("cluster"),
-      sk.as("q"),
-      sqrt(graft.functions.VecOps.vec_dot_int(sk, sk).cast("double")).as("qn"),
       explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb"))
-      .persist()
     val cands = bucketed.alias("a")
       .join(bucketed.alias("b"),
         col("a.cluster") === col("b.cluster") && col("a.tb") === col("b.tb") &&
           col("a.id") < col("b.id"))
-      .filter(
-        graft.functions.VecOps.vec_dot_int(col("a.q"), col("b.q")).cast("double") /
-          (col("a.qn") * col("b.qn")) >= tau - 0.05)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val dropped = cands

@@ -133,17 +133,12 @@ object Similarity {
       .orderBy(col(idCol))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component d of plane j is
-    * derived from a splitmix64-style integer mix of (j, d) — no RNG
-    * state, identical on every executor and every run.
+  /** Deterministic pseudo-random hyperplanes — delegated to
+    * [[graft.functions.VecOps.planeComponent]], the single source of
+    * the family (the `tableCodes` kernel hashes with the same values).
     */
-  private def planeComponent(j: Int, d: Int): Double = {
-    var z = j.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
-  }
+  private def planeComponent(j: Int, d: Int): Double =
+    graft.functions.VecOps.planeComponent(j, d)
 
   /** Sign-bucket id from `planes` random hyperplanes (random-hyperplane
     * LSH: collision prob = 1 - angle/pi per plane).
@@ -573,17 +568,17 @@ object Similarity {
 
   /** Bucket ids for `tables` independent hash tables (table t uses
     * planes [t*planes, (t+1)*planes) of the deterministic family),
-    * paired with the table index for joining. Public: also the
-    * blocking key for Dedup.embeddingPairsLsh.
+    * each code a single Long packing (table << 56) | signBits — the
+    * complete join key. Native one-pass kernel: the former
+    * declarative form built tables*planes literal arrays as Catalyst
+    * expressions, which blows past Janino limits (and interpreted
+    * fallback speed) at the 20+-bit codes clustered corpora need.
+    * Public: also the blocking key for Dedup.embeddingPairsLsh.
+    * `dim` is taken from each row's array at runtime; the parameter
+    * is kept for call-site documentation.
     */
   def tableBuckets(vecCol: Column, dim: Int, planes: Int, tables: Int): Column =
-    array((0 until tables).map { t =>
-      val bits = (0 until planes).map { j =>
-        val plane = array((0 until dim).map(d => lit(planeComponent(t * planes + j, d))): _*)
-        when(dot(vecCol, plane) >= 0, lit(1L << j)).otherwise(0L)
-      }
-      struct(lit(t).as("t"), bits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
-    }: _*)
+    graft.functions.VecOps.table_codes(vecCol, planes, tables)
 
   /** C7: ANN top-k with multi-table random-hyperplane LSH. Exact
     * cosine is only computed against candidates sharing a bucket with

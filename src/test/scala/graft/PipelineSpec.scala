@@ -58,11 +58,12 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("lshSizing: caller floors hold at small n, codes grow with corpus, recall bound holds") {
-    // small corpus: floors untouched -> gate results bit-identical
-    assert(Dedup.lshSizing(1000L, 0.99, 8, 8) == (8, 8))
-    // 40k vectors (sf1 staged corpus): planes grow to keep occupancy ~16
+    // codes are log2(n)+8 bits so even small corpora hash to sparse
+    // buckets; tables re-derived so the tau-pair miss bound holds
+    assert(Dedup.lshSizing(1000L, 0.99, 8, 8) == (18, 13))
+    // 40k vectors (sf1 staged corpus): codes keep pace with the corpus
     val (p1, t1) = Dedup.lshSizing(40000L, 0.99, 8, 8)
-    assert(p1 == 12 && t1 >= 8, s"got ($p1, $t1)")
+    assert(p1 == 24 && t1 >= 8, s"got ($p1, $t1)")
     // monotone: more vectors never shrink the code
     val (p2, t2) = Dedup.lshSizing(1000000L, 0.99, 8, 8)
     assert(p2 > p1 && t2 >= t1)
