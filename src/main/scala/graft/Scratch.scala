@@ -10,6 +10,47 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    if (sys.env.contains("GRAFT_PROBE_CC")) {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      val sh0 = docs.select(col("doc_id").as("id"),
+        array_sort(array_distinct(Dedup.shingleHashSet(col("text"), 3))).as("hs"))
+        .withColumn("nsh", size(col("hs")).cast("long"))
+      time("stage sh (shingle+sort+distinct)") { println(s"[scratch] sh rows = ${sh0.count()}") }
+      val shP = sh0.persist()
+      time("stage sh persist") { shP.count() }
+      val posts0 = shP.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
+      time("stage posts") { println(s"[scratch] posts rows = ${posts0.count()}") }
+      val wDf0 = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      val wId0 = org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+      val prefLen0 = col("nsh") - floor((col("nsh") * 80 + 99L) / 100L) + 1L
+      val prefix0 = posts0.withColumn("df", count(lit(1)).over(wDf0))
+        .withColumn("rk", row_number().over(wId0)).filter(col("rk") <= prefLen0)
+        .select(col("h"), col("id"), col("nsh"), col("rk"))
+      time("stage prefix (2 windows)") { println(s"[scratch] prefix rows = ${prefix0.count()}") }
+      val alpha0 = expr("((80 * (a.nsh + b.nsh)) + 179) div 180")
+      val cands0 = prefix0.alias("a").join(prefix0.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          least(col("a.nsh"), col("b.nsh")) * 100 >= greatest(col("a.nsh"), col("b.nsh")) * 80 &&
+          least(col("a.nsh") - col("a.rk"), col("b.nsh") - col("b.rk")) + 1L >= alpha0)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      time("stage cands (positional)") { println(s"[scratch] cands rows = ${cands0.count()}") }
+      shP.unpersist()
+      var pairs: org.apache.spark.sql.DataFrame = null
+      time("ngramJaccardPairs build+count") {
+        pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80).persist()
+        println(s"[scratch] pairs = ${pairs.count()}")
+      }
+      time("connectedComponents") {
+        val cc = Dedup.connectedComponents(pairs)
+        println(s"[scratch] cc rows = ${cc.count()}")
+      }
+      time("clusterAssign full") {
+        Dedup.clusterAssign(docs, "doc_id", pairs).write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_LSH")) {
       import org.apache.spark.sql.functions._
       import graft.operators.{Dedup, Similarity}
@@ -90,10 +131,12 @@ object Scratch {
       .split(",").map(_.trim).filter(_.nonEmpty)
     val explain = sys.env.contains("GRAFT_SCRATCH_EXPLAIN")
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
-      if (explain) { println(s"=== $n ==="); df.explain("formatted") }
-      time(s"$n run1") { df.write.format("noop").mode("overwrite").save() }
-      time(s"$n run2") { df.write.format("noop").mode("overwrite").save() }
+      if (explain) { println(s"=== $n ==="); SparkEntry.queries(n)(spark, sfDir).explain("formatted") }
+      // construction INSIDE the timer: operators with eager phases
+      // (count/collect for size-adaptive strategy) spend real time
+      // before any write starts
+      time(s"$n run1") { SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      time(s"$n run2") { SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save() }
       spark.catalog.clearCache()
     }
     spark.stop()
