@@ -424,6 +424,114 @@ object VecOps {
   def table_codes(vec: Column, planes: Int, tables: Int): Column =
     ColumnBridge.column(TableCodes(ColumnBridge.expression(vec), planes, tables))
 
+  /** Whitespace-token and BPE-ish-token counts of a string in one
+    * code-point scan — [n_ws, n_bpe], exactly the counts of
+    * non-overlapping leftmost matches of `[^ ]+` and
+    * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]` (the regex alternation tries
+    * alpha-run, then digit-run, then a single other code point; only
+    * the literal space separates). Public static for codegen.
+    */
+  def tokenCounts(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    // UTF-8 byte scan: ASCII classes are byte-exact, and a non-ASCII
+    // CODE POINT (what a regex class matches once) is exactly one
+    // non-continuation byte — continuation bytes (10xxxxxx) are
+    // skipped, so multi-byte and astral characters count once, same
+    // as Java regex and RE2.
+    val bytes = text.getBytes
+    val n = bytes.length
+    var ws = 0L
+    var bpe = 0L
+    var inWs = false
+    var i = 0
+    def isAlpha(b: Byte): Boolean = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+    def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+    while (i < n) {
+      val b = bytes(i)
+      if (b == ' ') { inWs = false; i += 1 }
+      else {
+        if (!inWs) { ws += 1; inWs = true }
+        if (isAlpha(b)) {
+          bpe += 1; i += 1
+          while (i < n && isAlpha(bytes(i))) i += 1
+        } else if (isDigit(b)) {
+          bpe += 1; i += 1
+          while (i < n && isDigit(bytes(i))) i += 1
+        } else {
+          if ((b & 0xC0) != 0x80) bpe += 1 // lead or ASCII byte: one code point
+          i += 1
+        }
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array(ws, bpe))
+  }
+
+  /** Occurrences of any of `chars` (ASCII) in a string, by byte scan —
+    * UTF-8 guarantees ASCII bytes never appear inside a multi-byte
+    * sequence, so the byte count equals the code-point count. Public
+    * static for codegen.
+    */
+  def asciiCharsetCount(text: org.apache.spark.unsafe.types.UTF8String, chars: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = text.getBytes
+    val cs = chars.getBytes
+    var cnt = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      var j = 0
+      while (j < cs.length) { if (b == cs(j)) { cnt += 1L; j = cs.length } else j += 1 }
+      i += 1
+    }
+    cnt
+  }
+
+  /** Hashed-linear model score: Σ over word hashes of
+    * weight[pmod(h, buckets)] with weight[b] = b % 2001 − 1000 —
+    * the kernel form of the HOF fold in TextAnalysis.modelScore
+    * (bit-identical integer math). Public static for codegen.
+    */
+  def hashedLinearScore(hashes: ArrayData, buckets: Long): Long = {
+    val n = hashes.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      val m = ((h % buckets) + buckets) % buckets
+      s += m % 2001L - 1000L
+      i += 1
+    }
+    s
+  }
+
+  def token_counts(text: Column): Column =
+    ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(text)))
+
+  def ascii_charset_count(text: Column, chars: Column): Column =
+    ColumnBridge.column(AsciiCharsetCount(ColumnBridge.expression(text), ColumnBridge.expression(chars)))
+
+  def hashed_linear_score(hashes: Column, buckets: Long): Column =
+    ColumnBridge.column(HashedLinearScore(ColumnBridge.expression(hashes), buckets))
+
+  def member_count(words: Column, set: Seq[String]): Column =
+    ColumnBridge.column(MemberCount(ColumnBridge.expression(words), set))
+
+  /** Elements of a string array contained in a fixed set — the kernel
+    * form of `size(filter(w, x => array_contains(lit(set), x)))`,
+    * which interprets |w|×|set| lambda compares per row. The set
+    * ships as a plan reference object (addReferenceObj), so executors
+    * get it with the task, never from driver-local statics. Public
+    * static for codegen.
+    */
+  def memberCountSet(words: ArrayData, set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Long = {
+    val n = words.numElements()
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      if (set.contains(words.getUTF8String(i))) cnt += 1L
+      i += 1
+    }
+    cnt
+  }
+
   def shingle_hashes(words: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
@@ -592,6 +700,67 @@ case class TableCodes(child: Expression, planes: Int, tables: Int) extends Unary
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.tableCodes($c, $planes, $tables)")
   override protected def withNewChildInternal(c: Expression): TableCodes = copy(child = c)
+}
+
+case class TokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"token_counts needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.tokenCounts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.tokenCounts($c)")
+  override protected def withNewChildInternal(c: Expression): TokenCountsExpr = copy(child = c)
+}
+
+case class AsciiCharsetCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"ascii_charset_count needs two strings, got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.asciiCharsetCount(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.asciiCharsetCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AsciiCharsetCount = copy(l, r)
+}
+
+case class HashedLinearScore(child: Expression, buckets: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if buckets > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"hashed_linear_score needs array<long>, buckets>0; got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.hashedLinearScore(v.asInstanceOf[ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.hashedLinearScore($c, ${buckets}L)")
+  override protected def withNewChildInternal(c: Expression): HashedLinearScore = copy(child = c)
+}
+
+case class MemberCount(child: Expression, set: Seq[String]) extends UnaryExpression {
+  @transient private lazy val hashSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val hs = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    set.foreach(s => hs.add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    hs
+  }
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"member_count needs array<string>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.memberCountSet(v.asInstanceOf[ArrayData], hashSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("memberSet", hashSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.memberCountSet($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): MemberCount = copy(child = c)
 }
 
 case class QuantizeI8(child: Expression) extends UnaryExpression {

@@ -49,13 +49,15 @@ object TextAnalysis {
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
     val w = words(c)
-    val en = array(Stopwords("en").map(lit): _*)
     df.select(
       col(idCol),
       length(c).cast("long").as("n_chars"),
       size(w).cast("long").as("n_words"),
-      size(filter(w, x => array_contains(en, x))).cast("long").as("n_stop"),
-      regexp_count(c, lit("[.,;:!?]")).cast("long").as("n_punct")
+      // hash-set membership kernel: the HOF filter + array_contains
+      // form interprets |words|×|stopwords| compares per row
+      graft.functions.VecOps.member_count(w, Stopwords("en")).as("n_stop"),
+      // fixed ASCII class — byte-scan kernel, not a regex pass
+      graft.functions.VecOps.ascii_charset_count(c, lit(".,;:!?")).as("n_punct")
     ).withColumn(
       "stop_score",
       when(col("n_words") > 0, floor(lit(100.0) * col("n_stop") / col("n_words"))).otherwise(0L)
@@ -77,14 +79,12 @@ object TextAnalysis {
     */
   def modelScore(df: DataFrame, idCol: String, textCol: String, buckets: Int = 4096, threshold: Long = 0L): DataFrame = {
     require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
-    val weightOf: Column => Column = b => b % 2001L - 1000L
     df.select(
         col(idCol),
-        aggregate(
-          graft.functions.VecOps.fnv_hashes(words(col(textCol))),
-          lit(0L),
-          (acc, h) => acc + weightOf(pmod(h, lit(buckets.toLong)))
-        ).as("score")
+        // fused kernel fold: Σ weight[pmod(h, B)], weight[b] = b%2001-1000
+        // — the HOF aggregate form interprets one lambda per word
+        graft.functions.VecOps.hashed_linear_score(
+          graft.functions.VecOps.fnv_hashes(words(col(textCol))), buckets.toLong).as("score")
       )
       .withColumn("keep", when(col("score") > threshold, 1L).otherwise(0L))
       .orderBy(col(idCol))
@@ -201,11 +201,15 @@ object TextAnalysis {
     * tokenization (letter runs / digit runs / single punctuation).
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val c = col(textCol)
+    // one byte-scan kernel per row — counts non-overlapping leftmost
+    // matches of `[^ ]+` and `[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]` exactly
+    // like the two regexp_count passes it replaces (token classes are
+    // plain runs; no backtracking subtlety), ~10x cheaper than regex
+    val tc = graft.functions.VecOps.token_counts(col(textCol))
     df.select(
       col(idCol),
-      regexp_count(c, lit("[^ ]+")).cast("long").as("n_ws_tokens"),
-      regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_bpe_tokens")
+      tc.getItem(0).as("n_ws_tokens"),
+      tc.getItem(1).as("n_bpe_tokens")
     )
   }
 
