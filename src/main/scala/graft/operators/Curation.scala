@@ -183,20 +183,20 @@ object Curation {
     * way modulo 2^-64 collisions.
     */
   def dupNgramMass(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // materialize the word array in its own projection: referenced
-    // from inside the transform lambda below, an inline
-    // split(normalize(...)) would re-run the regex split once PER
-    // SHINGLE (~50x per row — with the window below, 9.5s -> 1.6s
-    // at sf0.1)
-    val withWords = df.select(col(idCol).as("id"),
-      split(Dedup.normalize(col(textCol)), " ").as("__w"))
-    val w = col("__w")
-    val shingles = when(
-      size(w) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + 1, lit(n)), " ")))
-    ).otherwise(array().cast("array<string>"))
-    val exploded = withWords.select(col("id"), explode(shingles).as("sh"))
+    // 64-bit hashed shingles from the native kernel (one pass, no
+    // per-shingle string materialization), hash-equivalent to string
+    // shingles w.h.p. — the same discipline as ngramJaccardPairs,
+    // whose string-based oracle passes on it. The first-seen shuffle
+    // below then moves 8-byte longs, not n-word strings.
+    // guard: the kernel hashes one whole-doc shingle for docs shorter
+    // than n words (the set-similarity contract); here short docs
+    // have ZERO n-grams
+    val exploded = df
+      .select(col(idCol).as("id"),
+        when(size(split(Dedup.normalize(col(textCol)), " ")) >= n,
+          array_distinct(Dedup.shingleHashSet(col(textCol), n)))
+          .otherwise(array().cast("array<long>")).as("shs"))
+      .select(col("id"), explode(col("shs")).as("sh"))
     // first-seen per shingle as a window min: ONE evaluation of the
     // shingle stream and no join-back (an agg + self-join would
     // re-generate every shingle a second time)

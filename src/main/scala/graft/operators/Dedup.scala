@@ -96,14 +96,26 @@ object Dedup {
     */
   def passageDupStats(df: DataFrame, idCol: String, textCol: String, window: Int = 8): DataFrame = {
     require(window >= 2, "passage window must be at least 2 words")
+    // passage identity via the shingle-hash kernel: overlapping
+    // window-gram hashes at stride `window` ARE the non-overlapping
+    // passages (element i*window+1 hashes words [i*window,
+    // i*window+window)). Hash-equivalent to the md5-of-joined-words
+    // form w.h.p. (ngramJaccardPairs discipline), and the first-seen
+    // shuffle moves 8-byte longs instead of 32-char digests. The hash
+    // array and passage count materialize in their OWN projection —
+    // referenced inline from the transform lambda they would
+    // re-evaluate once per passage (the C47 lambda-inlining trap).
     val w = split(normalize(col(textCol)), " ")
-    val nPass = floor(size(w) / window).cast("int")
+    val base = df.select(
+      col(idCol),
+      graft.functions.VecOps.shingle_hashes(w, window).as("__hs"),
+      floor(size(w) / window).cast("int").as("__np"))
     val passages = transform(
-      sequence(lit(0), nPass - 1),
-      i => md5(concat_ws(" ", slice(w, i * window + 1, lit(window))))
+      sequence(lit(0), col("__np") - 1),
+      i => element_at(col("__hs"), i * window + 1)
     )
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("ph"))
-    df.select(col(idCol), explode(when(nPass > 0, passages).otherwise(array())).as("ph"))
+    base.select(col(idCol), explode(when(col("__np") > 0, passages).otherwise(array().cast("array<long>"))).as("ph"))
       .withColumn(
         "isdup",
         (min(col(idCol)).over(byHash) =!= max(col(idCol)).over(byHash)).cast("long")

@@ -96,9 +96,13 @@ object TextAnalysis {
     */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = words(col(textCol))
+    // letters = length(normalized) - (n_words - 1): normalize collapses
+    // runs to single spaces and trims, so the only non-word chars left
+    // are exactly n_words-1 separators — same value as stripping
+    // spaces with a regex pass, without the pass
     df.select(
       col(idCol),
-      floor(lit(10.0) * length(regexp_replace(Dedup.normalize(col(textCol)), " ", "")) / size(w))
+      floor(lit(10.0) * (length(Dedup.normalize(col(textCol))) - size(w) + 1) / size(w))
         .as("avg_word_len_x10"),
       graft.functions.VecOps.max_word_rep(w).as("max_word_rep"),
       size(array_distinct(w)).cast("long").as("n_distinct_words")
