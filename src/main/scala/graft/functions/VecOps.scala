@@ -502,6 +502,28 @@ object VecOps {
     s
   }
 
+  /** Squared L2 distance between a float vector and a double vector
+    * (centroid), ordered accumulation — bit-identical to
+    * `aggregate(zip_with(v, c, (a,b) => (a-b)*(a-b)), 0.0, +)` for
+    * equal-length arrays (float→double widening is exact, same
+    * operation order), which interprets two lambdas per element per
+    * centroid. Public static for codegen.
+    */
+  def sqDistFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def vec_sqdist(a: Column, b: Column): Column =
+    ColumnBridge.column(VecSqDistFD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def token_counts(text: Column): Column =
     ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(text)))
 
@@ -700,6 +722,19 @@ case class TableCodes(child: Expression, planes: Int, tables: Int) extends Unary
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.tableCodes($c, $planes, $tables)")
   override protected def withNewChildInternal(c: Expression): TableCodes = copy(child = c)
+}
+
+case class VecSqDistFD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"vec_sqdist needs array<float>, array<double>; got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.sqDistFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.sqDistFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDistFD = copy(l, r)
 }
 
 case class TokenCountsExpr(child: Expression) extends UnaryExpression {

@@ -472,9 +472,8 @@ object Dedup {
     val assigned = base
       .crossJoin(broadcast(cent))
       .select(col("id"), col("v"), col("nrm"), col("clab"),
-        aggregate(
-          zip_with(col("v"), col("centroid"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("d2"))
+        // native sqdist kernel — see Similarity.nearestCentroid
+        graft.functions.VecOps.vec_sqdist(col("v"), col("centroid")).as("d2"))
       .groupBy(col("id"))
       .agg(
         min_by(col("clab"), struct(col("d2"), col("clab"))).cast("long").as("cluster"),

@@ -122,11 +122,9 @@ object Similarity {
         col(idCol),
         col(labelCol).cast("long").as("label"),
         col("clab"),
-        aggregate(
-          zip_with(col(vecCol), col("centroid"), (a, b) => (a - b) * (a - b)),
-          lit(0.0),
-          (acc, v) => acc + v
-        ).as("d2")
+        // native sqdist kernel: the HOF zip_with+aggregate form
+        // interprets 2 lambdas × dim × |centroids| per row
+        graft.functions.VecOps.vec_sqdist(col(vecCol), col("centroid")).as("d2")
       )
       .groupBy(col(idCol), col("label"))
       .agg(min_by(col("clab"), struct(col("d2"), col("clab"))).cast("long").as("pred_label"))
