@@ -524,6 +524,38 @@ object VecOps {
   def vec_sqdist(a: Column, b: Column): Column =
     ColumnBridge.column(VecSqDistFD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** `trim(regexp_replace(lower(text), "\s+", " "))` in one pass:
+    * lowercase via UTF8String.toLowerCase (the same implementation
+    * Spark's `lower` uses — ASCII fast path, Unicode-correct
+    * otherwise), then a byte scan that collapses whitespace runs to
+    * single spaces and drops leading/trailing ones. Byte-exact with
+    * the regex form: Java and RE2 both define `\s` as the pure-ASCII
+    * class [ \t\n\x0B\f\r], and UTF-8 keeps those bytes unambiguous.
+    * Public static for codegen.
+    */
+  def normalizeWs(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val b = text.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+      if (ws) { if (o > 0) pendingSpace = true } // leading run: dropped
+      else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = c
+        o += 1
+      }
+      i += 1
+    } // trailing run: pendingSpace never flushed
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
+  }
+
+  def normalize_ws(text: Column): Column =
+    ColumnBridge.column(NormalizeWs(ColumnBridge.expression(text)))
+
   def token_counts(text: Column): Column =
     ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(text)))
 
@@ -722,6 +754,19 @@ case class TableCodes(child: Expression, planes: Int, tables: Int) extends Unary
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.tableCodes($c, $planes, $tables)")
   override protected def withNewChildInternal(c: Expression): TableCodes = copy(child = c)
+}
+
+case class NormalizeWs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"normalize_ws needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.normalizeWs(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.normalizeWs($c)")
+  override protected def withNewChildInternal(c: Expression): NormalizeWs = copy(child = c)
 }
 
 case class VecSqDistFD(left: Expression, right: Expression) extends BinaryExpression {

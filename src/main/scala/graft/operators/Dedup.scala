@@ -25,7 +25,13 @@ object Dedup {
   /** Content normalization shared by all tiers: lowercase, collapse
     * whitespace, trim.
     */
-  def normalize(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  /** lower + collapse whitespace runs + trim, as one byte-scan kernel
+    * (byte-exact with `trim(regexp_replace(lower(c), "\\s+", " "))` —
+    * see [[graft.functions.VecOps.normalizeWs]]). Every text operator
+    * normalizes through HERE; two drifting copies would silently
+    * desynchronize dedup surfaces.
+    */
+  def normalize(c: Column): Column = graft.functions.VecOps.normalize_ws(c)
 
   /** The 16-byte (binary, not hex-string) content identity every
     * exact-dedup surface keys on — ONE implementation on purpose:
