@@ -556,6 +556,47 @@ object VecOps {
   def normalize_ws(text: Column): Column =
     ColumnBridge.column(NormalizeWs(ColumnBridge.expression(text)))
 
+  /** PPJoin prefix selection against a Count-Min document-frequency
+    * sketch: returns the (|s| − ⌈τ|s|⌉ + 1) elements of the shingle
+    * set with the smallest (estimated df, h), IN that order — element
+    * i's 0-based index is its rank in the doc's full (est, h) order,
+    * which is what the positional filter needs. Any consistent total
+    * order preserves the prefix theorem (two sets with J ≥ τ must
+    * share a prefix element), so sketch error only shifts candidate
+    * volume, never correctness — and the sketch replaces two
+    * full-posting-list window sorts with one mergeable aggregation.
+    * Public static for codegen.
+    */
+  def prefixSelect(hs: ArrayData, cms: Array[Byte], tauPct: Int): ArrayData = {
+    val s = hs.numElements()
+    if (s == 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val prefLen = (s - (s.toLong * tauPct + 99L) / 100L + 1L).toInt
+    val h = new Array[Long](s)
+    val est = new Array[Long](s)
+    var i = 0
+    while (i < s) {
+      h(i) = hs.getLong(i)
+      est(i) = CountMin.estimate(cms, h(i))
+      i += 1
+    }
+    // insertion sort by (est, h) — shingle sets are tens of elements
+    i = 1
+    while (i < s) {
+      val eh = est(i); val hh = h(i)
+      var j = i - 1
+      while (j >= 0 && (est(j) > eh || (est(j) == eh && h(j) > hh))) {
+        est(j + 1) = est(j); h(j + 1) = h(j); j -= 1
+      }
+      est(j + 1) = eh; h(j + 1) = hh
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      java.util.Arrays.copyOfRange(h, 0, math.min(prefLen, s)))
+  }
+
+  def prefix_select(hs: Column, cms: Array[Byte], tauPct: Int): Column =
+    ColumnBridge.column(PrefixSelect(ColumnBridge.expression(hs), cms, tauPct))
+
   def token_counts(text: Column): Column =
     ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(text)))
 
@@ -754,6 +795,21 @@ case class TableCodes(child: Expression, planes: Int, tables: Int) extends Unary
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.tableCodes($c, $planes, $tables)")
   override protected def withNewChildInternal(c: Expression): TableCodes = copy(child = c)
+}
+
+case class PrefixSelect(child: Expression, cms: Array[Byte], tauPct: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if tauPct >= 1 && tauPct <= 100 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"prefix_select needs array<long>, 1<=tauPct<=100; got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.prefixSelect(v.asInstanceOf[ArrayData], cms, tauPct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefixCms", cms, "byte[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.prefixSelect($c, $ref, $tauPct)")
+  }
+  override protected def withNewChildInternal(c: Expression): PrefixSelect = copy(child = c)
 }
 
 case class NormalizeWs(child: Expression) extends UnaryExpression {

@@ -155,25 +155,25 @@ object Dedup {
     * Jaccard w.h.p.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("h"))
     val sh = df
       .select(col(idCol).as("id"), array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))
       .withColumn("nsh", size(col("hs")).cast("long"))
       .persist()
-    val posts = sh.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
-    // prefix length |s| - ceil(τ|s|) + 1, integer math
-    val prefLen = col("nsh") - floor((col("nsh") * tauPct + 99L) / 100L) + 1L
-    // document frequency as a window count over the SAME h-keyed
-    // exchange the posting rows already need — a groupBy+re-join
-    // formulation shuffles the 60M-row posting list a third time and
-    // sort-merges it against the frequency table for nothing
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val prefix = posts
-      .withColumn("df", count(lit(1)).over(wDf))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= prefLen)
-      .select(col("h"), col("id"), col("nsh"), col("rk"))
+    // document frequency comes from a Count-Min sketch — one mergeable
+    // map-side aggregation over the exploded shingles instead of two
+    // full-posting-list window sorts (df count by h + per-doc rank by
+    // (df, h)), which were the pipeline's largest shuffles. Any
+    // CONSISTENT total order preserves the prefix theorem, so sketch
+    // overestimates only shift candidate volume, never lose a pair;
+    // rare-vs-common separation (what makes the prefix selective)
+    // survives ~N/width estimate noise. Per-doc prefix + positional
+    // ranks then come from one kernel call per row, no shuffle.
+    val cms = graft.functions.CountMin.build(
+      sh.select(explode(col("hs")).as("h")), "h", depth = 4, width = 1 << 20)
+    val prefix = sh
+      .select(col("id"), col("nsh"),
+        posexplode(graft.functions.VecOps.prefix_select(col("hs"), cms, tauPct)).as(Seq("pos", "h")))
+      .select(col("h"), col("id"), col("nsh"), (col("pos") + 1L).as("rk"))
     // PPJoin positional filter (Xiao et al. 2008): a pair needs
     // overlap α = ceil(τ(|A|+|B|)/(1+τ)); a collision at (sorted)
     // positions rka/rkb caps the achievable overlap at
