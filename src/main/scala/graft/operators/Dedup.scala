@@ -154,26 +154,49 @@ object Dedup {
     * Jaccard over 64-bit hashed shingles equals string-shingle
     * Jaccard w.h.p.
     */
+  /** Docs above which [[ngramJaccardPairs]] switches its prefix
+    * ordering from exact-df window sorts to the Count-Min sketch
+    * path: the sketch build is one extra (fixed-cost) job, a loss on
+    * small corpora and a large win once the posting list dwarfs it
+    * (measured break-even ~30–50k docs; 2× at 500k).
+    */
+  private[graft] val sketchDfMinDocs: Long = 32768L
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {
     val sh = df
       .select(col(idCol).as("id"), array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))
       .withColumn("nsh", size(col("hs")).cast("long"))
       .persist()
-    // document frequency comes from a Count-Min sketch — one mergeable
-    // map-side aggregation over the exploded shingles instead of two
-    // full-posting-list window sorts (df count by h + per-doc rank by
-    // (df, h)), which were the pipeline's largest shuffles. Any
-    // CONSISTENT total order preserves the prefix theorem, so sketch
-    // overestimates only shift candidate volume, never lose a pair;
-    // rare-vs-common separation (what makes the prefix selective)
-    // survives ~N/width estimate noise. Per-doc prefix + positional
-    // ranks then come from one kernel call per row, no shuffle.
-    val cms = graft.functions.CountMin.build(
-      sh.select(explode(col("hs")).as("h")), "h", depth = 4, width = 1 << 20)
-    val prefix = sh
-      .select(col("id"), col("nsh"),
-        posexplode(graft.functions.VecOps.prefix_select(col("hs"), cms, tauPct)).as(Seq("pos", "h")))
-      .select(col("h"), col("id"), col("nsh"), (col("pos") + 1L).as("rk"))
+    val nDocs = sh.count() // fills the persisted cache every later stage reads
+    // Prefix ordering needs each doc's shingles ranked by a
+    // CONSISTENT global (df, h) order — the theorem holds under any
+    // consistent order, df-ascending is what makes prefixes
+    // selective. Two ways to get it, picked by corpus size:
+    // small — exact df via two window passes over the posting list;
+    // large — a Count-Min df sketch from one mergeable map-side
+    // aggregation, then a per-row kernel that selects the prefix
+    // (element index = positional-filter rank) WITHOUT shuffling a
+    // single posting row. Sketch overestimates only shift candidate
+    // volume, never lose a pair; rare-vs-common separation survives
+    // ~N/width estimate noise.
+    val prefix = if (nDocs < sketchDfMinDocs) {
+      val posts = sh.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
+      val prefLen = col("nsh") - floor((col("nsh") * tauPct + 99L) / 100L) + 1L
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      val wId = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df"), col("h"))
+      posts
+        .withColumn("df", count(lit(1)).over(wDf))
+        .withColumn("rk", row_number().over(wId))
+        .filter(col("rk") <= prefLen)
+        .select(col("h"), col("id"), col("nsh"), col("rk"))
+    } else {
+      val cms = graft.functions.CountMin.build(
+        sh.select(explode(col("hs")).as("h")), "h", depth = 4, width = 1 << 20)
+      sh.select(col("id"), col("nsh"),
+          posexplode(graft.functions.VecOps.prefix_select(col("hs"), cms, tauPct)).as(Seq("pos", "h")))
+        .select(col("h"), col("id"), col("nsh"), (col("pos") + 1L).as("rk"))
+    }
     // PPJoin positional filter (Xiao et al. 2008): a pair needs
     // overlap α = ceil(τ(|A|+|B|)/(1+τ)); a collision at (sorted)
     // positions rka/rkb caps the achievable overlap at
