@@ -91,7 +91,10 @@ object Bench {
     println(json)
     // Also write to a file: the stdout line gets buried in sbt [info]
     // noise, which left the driver's BENCH parse empty in round 1.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // subset runs must not clobber the committed full-suite artifact
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_subset.json" else "bench_out.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
