@@ -952,7 +952,7 @@ object SparkEntry {
       Multimodal.byteResize(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", stride = 4, maxBytes = 16)),
-    "mm_frame_sample" -> ((s, d) =>
+    "mm_frame_bytes" -> ((s, d) =>
       Multimodal.frameSample(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
         "doc_id",
@@ -961,6 +961,29 @@ object SparkEntry {
         stride = 64,
         maxFrames = 4
       )),
+    "mm_frame_sample" -> ((s, d) => {
+      // C13, de-stubbed: REAL PNGs staged per doc (JDK encoder), then
+      // REAL javax.imageio decode — frame f = pixel row f*4, exact
+      // Long channel sums the oracle integrates in closed form from
+      // the staged pattern (r=(id%200)+y, g=(id%100)+x, b=x+y).
+      val staged = Multimodal.encodeStagedPng(
+        s,
+        t(s, d, "documents").select(col("doc_id"),
+          (lit(8) + col("doc_id") % 9).as("w"), (lit(8) + col("doc_id") % 5).as("h")),
+        "doc_id", "w", "h")
+      Multimodal.decodeFrameSample(s, staged, "doc_id", "png", rowStride = 4, maxFrames = 4)
+    }),
+    "mm_pixel_resize" -> ((s, d) => {
+      // C22 pixel form: real decode + exact box-filter downsample to a
+      // 2x2 grid (block channel sums — the integer-exact numerators of
+      // the box average).
+      val staged = Multimodal.encodeStagedPng(
+        s,
+        t(s, d, "documents").select(col("doc_id"),
+          (lit(8) + (col("doc_id") % 5) * 2).as("w"), (lit(8) + (col("doc_id") % 3) * 4).as("h")),
+        "doc_id", "w", "h")
+      Multimodal.decodePixelResize(s, staged, "doc_id", "png", outW = 2, outH = 2)
+    }),
     "mm_wav_meta" -> ((s, d) => {
       // C46: REAL WAV/RIFF header parsing (byte-faithful canonical PCM
       // headers staged for 2/3 of docs; the rest are non-WAV text
@@ -2072,10 +2095,42 @@ object SparkEntry {
         |FROM (SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
         |             octet_length(CAST(text AS BLOB)) AS octlen FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    "mm_frame_sample" ->
+    "mm_frame_bytes" ->
       """SELECT doc_id, f AS frame_idx, lower(hex(CAST(substring(text, CAST(1+f*64 AS INT), 16) AS BLOB))) AS frame_hex
         |FROM documents, (SELECT unnest(range(4)) AS f) t
         |WHERE octet_length(CAST(text AS BLOB)) >= f*64+16
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the engine side ENCODES real PNGs and DECODES them with
+    // javax.imageio; the oracle integrates the staged pixel pattern
+    // (r=(id%200)+y, g=(id%100)+x, b=x+y over a w x h image) in closed
+    // form — any decode defect (wrong defilter, wrong dims, wrong
+    // channel order) breaks the hash match
+    "mm_frame_sample" ->
+      """SELECT d.doc_id,
+        |  t.f AS frame_idx,
+        |  (8 + d.doc_id % 9) AS width,
+        |  (8 + d.doc_id % 9) * ((d.doc_id % 200) + t.f * 4) AS sum_r,
+        |  (8 + d.doc_id % 9) * (d.doc_id % 100)
+        |    + (8 + d.doc_id % 9) * (8 + d.doc_id % 9 - 1) // 2 AS sum_g,
+        |  (8 + d.doc_id % 9) * (t.f * 4)
+        |    + (8 + d.doc_id % 9) * (8 + d.doc_id % 9 - 1) // 2 AS sum_b
+        |FROM documents d, (SELECT unnest(generate_series(0, 3)) AS f) t
+        |WHERE t.f * 4 < (8 + d.doc_id % 5)
+        |ORDER BY d.doc_id, t.f""".stripMargin,
+    "mm_pixel_resize" ->
+      """WITH blocks AS (
+        |  SELECT doc_id,
+        |         (8 + (doc_id % 5) * 2) // 2 AS bw,
+        |         (8 + (doc_id % 3) * 4) // 2 AS bh,
+        |         bxt.bx AS bx, byt.by AS by
+        |  FROM documents,
+        |       (SELECT unnest(generate_series(0, 1)) AS bx) bxt,
+        |       (SELECT unnest(generate_series(0, 1)) AS by) byt)
+        |SELECT doc_id, bx, by,
+        |  bw * bh * (doc_id % 200) + bw * (bh * (by * bh) + bh * (bh - 1) // 2) AS sum_r,
+        |  bw * bh * (doc_id % 100) + bh * (bw * (bx * bw) + bw * (bw - 1) // 2) AS sum_g,
+        |  bh * (bw * (bx * bw) + bw * (bw - 1) // 2)
+        |    + bw * (bh * (by * bh) + bh * (bh - 1) // 2) AS sum_b
+        |FROM blocks ORDER BY doc_id, by, bx""".stripMargin
   )
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
@@ -266,9 +267,20 @@ object VecOps {
     * `Math.round`'s floor(x+.5) misrounds the positive twin).
     * Parity with the BigDecimal form is property-tested in
     * EmbedOpsSpec, edges included.
+    *
+    * PRECONDITION: finite input. The HALF_UP-parity claim holds for
+    * finite doubles only; NaN/±Inf throw (matching the loud failure
+    * of the BigDecimal.valueOf path this kernel replaced) so a
+    * NaN-poisoned vector fails the job instead of silently
+    * quantizing to 0 / saturating to Long.MAX.
     */
   private[graft] def roundHalfUp(v: Double): Long = {
-    if (v >= 4.503599627370496e15 || v <= -4.503599627370496e15) return v.toLong // 2^52: already integral
+    if (v != v) throw new IllegalArgumentException("roundHalfUp: NaN input — quantization requires finite vectors")
+    if (v >= 4.503599627370496e15 || v <= -4.503599627370496e15) { // 2^52: already integral
+      if (java.lang.Double.isInfinite(v))
+        throw new IllegalArgumentException("roundHalfUp: infinite input — quantization requires finite vectors")
+      return v.toLong
+    }
     val f = math.floor(v)
     val twoV = 2.0 * v // exact: power-of-two scale
     val half = 2.0 * f + 1.0 // exact: odd integer < 2^53
@@ -594,7 +606,7 @@ object VecOps {
       java.util.Arrays.copyOfRange(h, 0, math.min(prefLen, s)))
   }
 
-  def prefix_select(hs: Column, cms: Array[Byte], tauPct: Int): Column =
+  def prefix_select(hs: Column, cms: Broadcast[Array[Byte]], tauPct: Int): Column =
     ColumnBridge.column(PrefixSelect(ColumnBridge.expression(hs), cms, tauPct))
 
   def token_counts(text: Column): Column =
@@ -797,17 +809,29 @@ case class TableCodes(child: Expression, planes: Int, tables: Int) extends Unary
   override protected def withNewChildInternal(c: Expression): TableCodes = copy(child = c)
 }
 
-case class PrefixSelect(child: Expression, cms: Array[Byte], tauPct: Int) extends UnaryExpression {
+/** Holds the df sketch as a BROADCAST handle, not a plan literal: a
+  * depth=4 width=2^20 grid is 32 MB, and `addReferenceObj` on the raw
+  * array would serialize it into the task binary of EVERY stage that
+  * touches the prefix frame. The broadcast ships once per executor
+  * through the block manager; the expression's reference object is
+  * just the TorrentBroadcast handle (~bytes). Codegen hoists `.value`
+  * into a lazily-initialized field so the per-row path is an array
+  * read, not a broadcast lookup.
+  */
+case class PrefixSelect(child: Expression, cms: Broadcast[Array[Byte]], tauPct: Int)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) if tauPct >= 1 && tauPct <= 100 => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"prefix_select needs array<long>, 1<=tauPct<=100; got $other")
   }
   override def nullSafeEval(v: Any): Any =
-    VecOps.prefixSelect(v.asInstanceOf[ArrayData], cms, tauPct)
+    VecOps.prefixSelect(v.asInstanceOf[ArrayData], cms.value, tauPct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("prefixCms", cms, "byte[]")
-    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.prefixSelect($c, $ref, $tauPct)")
+    val ref = ctx.addReferenceObj("prefixCmsBc", cms, classOf[Broadcast[Array[Byte]]].getName)
+    val grid = ctx.addMutableState("byte[]", "prefixCmsGrid")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecOps.prefixSelect($c, ($grid != null ? $grid : ($grid = (byte[]) $ref.value())), $tauPct)")
   }
   override protected def withNewChildInternal(c: Expression): PrefixSelect = copy(child = c)
 }

@@ -191,8 +191,11 @@ object Dedup {
         .filter(col("rk") <= prefLen)
         .select(col("h"), col("id"), col("nsh"), col("rk"))
     } else {
-      val cms = graft.functions.CountMin.build(
-        sh.select(explode(col("hs")).as("h")), "h", depth = 4, width = 1 << 20)
+      // the 32 MB grid ships as a BROADCAST (once per executor via the
+      // block manager), never as a plan literal in every task binary
+      val cms = df.sparkSession.sparkContext.broadcast(
+        graft.functions.CountMin.build(
+          sh.select(explode(col("hs")).as("h")), "h", depth = 4, width = 1 << 20))
       sh.select(col("id"), col("nsh"),
           posexplode(graft.functions.VecOps.prefix_select(col("hs"), cms, tauPct)).as(Seq("pos", "h")))
         .select(col("h"), col("id"), col("nsh"), (col("pos") + 1L).as("rk"))
@@ -384,8 +387,12 @@ object Dedup {
     * planes with the corpus and raises tables so a tau-cosine pair's
     * miss probability stays ≤ 1e-3 under the longer codes (per-plane
     * collision p = 1 − acos(tau)/π, miss = (1 − p^planes)^tables).
-    * Both derived counts only ever grow from the caller's floors, so
-    * small-corpus results are unchanged. Tables are capped at 64 —
+    * Codes grow at ALL corpus sizes (log2(n)+8 planes raises even a
+    * 1k-vector corpus from the (8,8) floors to (18,13)), so candidate
+    * SETS are not bit-identical to what the caller's floors would
+    * produce — what is preserved is the tau-pair miss bound ≤ 1e-3
+    * (and the exact verify step, so no false positives ever).
+    * Tables are capped at 64 —
     * past that (huge n at low tau) the right tool is multi-probe or
     * the IVF index, not more hash tables.
     */
@@ -844,7 +851,11 @@ object Dedup {
     * hyperplane bucket ids are precomputed once and persisted, so a
     * batch probe never re-hashes (or even re-reads, under bucket
     * pruning) the corpus vectors. planes/tables are baked into the
-    * stored buckets — probe with the SAME values.
+    * stored buckets — probe with the SAME values. SCHEMA: `tbs` is
+    * array<long> of packed codes ((table << 56) | signBits, see
+    * Similarity.tableBuckets) — indexes persisted under the earlier
+    * array<struct(t, bucket)> layout must be rebuilt, and C32 probes
+    * join on these packed codes.
     */
   def buildEmbeddingIndex(
       corpus: DataFrame,

@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal columns: image/audio/video payloads ride through the
-  * engine as opaque `binary` columns with typed metadata. The Spark
-  * plumbing (schemas, projections, chunking, batch shapes) is real and
-  * tested; the actual media decode is STUBBED (no codec libraries in
-  * this environment) behind [[decodeStub]] — swap in a real decoder by
-  * replacing that one function.
+  * engine as opaque `binary` columns with typed metadata. Header
+  * metadata (PNG IHDR, WAV fmt) parses as pure codegen byte
+  * expressions; pixel-level decode is REAL via the JDK-native
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — zlib inflate + defiltering,
+  * no external codec library), running partition-parallel through
+  * [[decodeFeatures]] / [[decodeFrameSample]] / [[decodePixelResize]].
+  * Formats the JDK cannot decode (video, proprietary codecs) would
+  * plug in at [[readImage]] with an external library.
   */
 object Multimodal {
 
@@ -186,25 +189,187 @@ object Multimodal {
       leHex(bits, 2)
     ))
 
-  /** Feature row produced by the (stubbed) decoder. */
+  /** Feature row produced by the real decoder. */
   case class MediaFeatures(id: Long, width: Int, height: Int, featureNorm: Double)
 
-  /** Decode + feature-extract over binary payloads, partition-parallel.
-    * The per-partition batching shape (iterator-to-iterator, no
-    * materialization) is exactly what a real decoder needs; only the
-    * byte interpretation is fake.
+  // ---------------------------------------------------------------
+  // REAL pixel decode (JDK-native javax.imageio — no external codec
+  // library needed for PNG/JPEG/BMP/GIF). Executor-side helpers are
+  // in the companion so generated/serialized closures reference only
+  // static methods + primitives.
+  // ---------------------------------------------------------------
+
+  /** ImageIO's default temp-FILE cache would turn every decode into
+    * disk IO on the executor — stream-only decode instead. Safe to
+    * set per-JVM; lazily triggered by the first decode on each
+    * executor.
     */
-  def decodeStub(spark: SparkSession, df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+  @transient private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoInit
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+  }
+
+  /** Decode + feature-extract over binary payloads, partition-parallel
+    * (iterator-to-iterator, nothing materialized). REAL decode via
+    * `javax.imageio` — PNG payloads go through actual zlib inflate +
+    * scanline defiltering and come back as pixels; `featureNorm` is
+    * mean luminance (sum of R+G+B over 3*255*w*h). Payloads ImageIO
+    * cannot decode (plain text, truncated files) are dropped — a
+    * 100 TB media sweep quarantines those rows upstream via
+    * [[binaryMeta]] header checks, it does not fail the job.
+    */
+  def decodeFeatures(spark: SparkSession, df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])].mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        // STUB: a real implementation decodes `bytes` with a codec
-        // library. Deterministic fake: derive dims/features from bytes.
-        val w = 1 + (math.abs(bytes.length * 31 + (if (bytes.nonEmpty) bytes(0) else 0)) % 1024)
-        val h = 1 + (math.abs(bytes.length * 17 + (if (bytes.length > 1) bytes(1) else 0)) % 1024)
-        val fn = bytes.take(64).map(b => (b & 0xff).toDouble / 255.0).sum
-        MediaFeatures(id, w, h, fn)
+      it.flatMap { case (id, bytes) =>
+        readImage(bytes).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(id, w, h, s.toDouble / (3.0 * 255.0 * w * h))
+        }
       }
     }
+  }
+
+  /** Stage REAL PNG files (signature, IHDR, zlib-compressed filtered
+    * scanlines — written by the JDK encoder, so [[decodeFeatures]] and
+    * friends exercise a genuine decode) with a deterministic pixel
+    * pattern the DuckDB oracle can integrate in closed form:
+    * r = (id mod 200) + y, g = (id mod 100) + x, b = x + y — all < 256
+    * for w, h ≤ 16. Output: (idCol, w, h, png binary).
+    */
+  def encodeStagedPng(spark: SparkSession, df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)].mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          require(w >= 1 && w <= 16 && h >= 1 && h <= 16,
+            s"staged PNG dims must be in [1,16] so channel values stay < 256; got ${w}x$h")
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = (id % 200).toInt + y
+              val g = (id % 100).toInt + x
+              val b = x + y
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          imageIoInit
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, w, h, baos.toByteArray)
+        }
+      }
+    out.toDF(idCol, wCol, hCol, "png")
+  }
+
+  /** C13, de-stubbed: frame sampling over DECODED pixels. Frame `f` is
+    * pixel row `y = f * rowStride` (the 1-D analog of video frame
+    * sampling at a fixed timestep); emitted per frame are the exact
+    * Long channel sums across the row — integer-exact, so the oracle
+    * reproduces them bit-for-bit from the staged pattern. Decode is
+    * real (`javax.imageio`): a corrupt payload or a wrong defilter
+    * would change every sum. Partition-parallel, no shuffle, output
+    * bounded by maxFrames per row.
+    */
+  def decodeFrameSample(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      rowStride: Int = 4,
+      maxFrames: Int = 4,
+      sorted: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readImage(bytes).toSeq.flatMap { img =>
+            val w = img.getWidth; val h = img.getHeight
+            (0 until maxFrames).iterator
+              .map(f => (f, f * rowStride))
+              .takeWhile(_._2 < h)
+              .map { case (f, y) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                (id, f.toLong, w.toLong, sr, sg, sb)
+              }
+          }
+        }
+      }
+    gateSort(out.toDF(idCol, "frame_idx", "width", "sum_r", "sum_g", "sum_b"),
+      sorted, col(idCol), col("frame_idx"))
+  }
+
+  /** C22 pixel form: REAL box-filter downsample over decoded pixels —
+    * the image is partitioned into an outW × outH grid of equal
+    * blocks and each block emits its exact Long channel sums (the
+    * numerators of a box-average; integer-exact so the oracle checks
+    * bit-for-bit, and a caller divides by the block area for the
+    * resized pixel). Requires w % outW == 0 and h % outH == 0 — exact
+    * partition blocks; fractional-overlap kernels need float weights
+    * and lose oracle-exactness, so non-divisible dims fail loudly
+    * rather than silently approximate.
+    */
+  def decodePixelResize(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      outW: Int = 2,
+      outH: Int = 2,
+      sorted: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readImage(bytes).toSeq.flatMap { img =>
+            val w = img.getWidth; val h = img.getHeight
+            require(w % outW == 0 && h % outH == 0,
+              s"decodePixelResize needs exact blocks: ${w}x$h image vs ${outW}x$outH grid")
+            val bw = w / outW; val bh = h / outH
+            for (by <- 0 until outH; bx <- 0 until outW) yield {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = by * bh
+              while (y < (by + 1) * bh) {
+                var x = bx * bw
+                while (x < (bx + 1) * bw) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              (id, bx.toLong, by.toLong, sr, sg, sb)
+            }
+          }
+        }
+      }
+    gateSort(out.toDF(idCol, "bx", "by", "sum_r", "sum_g", "sum_b"),
+      sorted, col(idCol), col("by"), col("bx"))
   }
 }

@@ -574,9 +574,24 @@ object Similarity {
     * Public: also the blocking key for Dedup.embeddingPairsLsh.
     * `dim` is taken from each row's array at runtime; the parameter
     * is kept for call-site documentation.
+    *
+    * Hard limits planes ≤ 56 / tables ≤ 255 come from the packed-Long
+    * code layout ((table << 56) | signBits) and are validated HERE so
+    * a caller gets a sizing error at call time, not a generic
+    * analysis-time type-check failure deep in a plan. SCHEMA NOTE: the
+    * packed-Long codes replaced an earlier array<struct(t, bucket)>
+    * layout — an embedding index persisted under the old schema
+    * cannot be probed by this code; rebuild it with
+    * Dedup.buildEmbeddingIndex.
     */
-  def tableBuckets(vecCol: Column, dim: Int, planes: Int, tables: Int): Column =
+  def tableBuckets(vecCol: Column, dim: Int, planes: Int, tables: Int): Column = {
+    require(planes >= 1 && planes <= 56,
+      s"tableBuckets: planes must be in [1, 56] (codes pack sign bits into the low 56 bits of a Long); got $planes. " +
+        "For more planes use the IVF index instead of wider LSH codes.")
+    require(tables >= 1 && tables <= 255,
+      s"tableBuckets: tables must be in [1, 255] (table id packs into the top byte of the code); got $tables.")
     graft.functions.VecOps.table_codes(vecCol, planes, tables)
+  }
 
   /** C7: ANN top-k with multi-table random-hyperplane LSH. Exact
     * cosine is only computed against candidates sharing a bucket with

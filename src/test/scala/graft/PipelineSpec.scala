@@ -185,19 +185,23 @@ class PipelineSpec extends SparkSpec {
     assert(preds.subsetOf(TextAnalysis.Stopwords.keySet + "und"))
   }
 
-  test("multimodal pipeline composes: binary -> decode -> near-dup by feature") {
-    // the shape of a real media-dedup pipeline: payloads → (stubbed)
-    // decode → feature vector → cosine near-dup; only the byte
-    // interpretation is fake, every Spark stage is real
-    val withBin = docs.withColumn("payload", col("text").cast("binary"))
-    val feats = Multimodal.decodeStub(spark, withBin, "doc_id", "payload")
+  test("multimodal pipeline composes: binary -> REAL decode -> near-dup by feature") {
+    // the shape of a real media-dedup pipeline: staged PNG payloads →
+    // real javax.imageio decode → feature vector → cosine near-dup;
+    // every Spark stage AND the byte interpretation are real
+    val staged = Multimodal.encodeStagedPng(
+      spark,
+      docs.limit(50).select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).as("w"), (lit(8) + col("doc_id") % 5).as("h")),
+      "doc_id", "w", "h")
+    val feats = Multimodal.decodeFeatures(spark, staged, "doc_id", "png")
       .toDF()
       .select(col("id").as("doc_id"),
         array(col("width").cast("float"), col("height").cast("float"), col("featureNorm").cast("float")).as("fv"))
     val pairs = Dedup.embeddingPairs(feats, "doc_id", "fv", tau = 0.999999)
     assert(pairs.count() >= 0) // executes the full composed plan
-    val meta = Multimodal.binaryMeta(withBin, "doc_id", "payload")
-    assert(meta.count() == docs.count())
+    val meta = Multimodal.binaryMeta(staged, "doc_id", "png")
+    assert(meta.count() == 50)
   }
 
   test("parsePngMeta reads a REAL JDK-encoded PNG's IHDR, rejects non-PNG") {
@@ -260,12 +264,28 @@ class PipelineSpec extends SparkSpec {
       sr.getLong(3) == 96000L && sr.getLong(4) == 24L)
   }
 
-  test("decodeStub: deterministic features, plumbing intact") {
-    val withBin = docs.limit(20).withColumn("payload", col("text").cast("binary"))
-    val f1 = Multimodal.decodeStub(spark, withBin, "doc_id", "payload").collect().sortBy(_.id)
-    val f2 = Multimodal.decodeStub(spark, withBin, "doc_id", "payload").collect().sortBy(_.id)
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(m => m.width >= 1 && m.width <= 1024 && m.featureNorm >= 0))
+  test("decodeFeatures: REAL round-trip — staged pattern's closed-form mean luminance recovered") {
+    val staged = Multimodal.encodeStagedPng(
+      spark,
+      docs.limit(20).select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).as("w"), (lit(8) + col("doc_id") % 5).as("h")),
+      "doc_id", "w", "h")
+    val feats = Multimodal.decodeFeatures(spark, staged, "doc_id", "png").collect().sortBy(_.id)
+    assert(feats.length == 20)
+    feats.foreach { m =>
+      val id = m.id; val w = m.width; val h = m.height
+      assert(w == 8 + (id % 9) && h == 8 + (id % 5)) // real dims decoded
+      // closed-form channel sums of the staged pattern (see encodeStagedPng)
+      val sumR = w.toLong * (h.toLong * (id % 200) + h.toLong * (h - 1) / 2)
+      val sumG = h.toLong * (w.toLong * (id % 100) + w.toLong * (w - 1) / 2)
+      val sumB = h.toLong * w.toLong * (w - 1) / 2 + w.toLong * h.toLong * (h - 1) / 2
+      val expected = (sumR + sumG + sumB).toDouble / (3.0 * 255.0 * w * h)
+      assert(math.abs(m.featureNorm - expected) < 1e-12,
+        s"doc $id: decoded luminance ${m.featureNorm} != closed form $expected")
+    }
+    // non-decodable payloads are dropped, not failed
+    val junk = docs.limit(5).withColumn("payload", col("text").cast("binary"))
+    assert(Multimodal.decodeFeatures(spark, junk, "doc_id", "payload").count() == 0)
   }
 
   test("ivf topk: probe-limited search with reasonable recall vs brute force") {
