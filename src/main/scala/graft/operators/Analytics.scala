@@ -202,7 +202,17 @@ object Analytics {
     * full-precision cast (see inline note on the wire-size and
     * collision trade).
     */
-  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** `approxNdv = true` is the 100 TB default: n_distinct comes from
+    * `approx_count_distinct` (HLL++, relative error ~2.3% at the
+    * twelve-bit default) folded into the SAME single-scan aggregate as
+    * count/min/max — per-value data never shuffles anywhere; the only
+    * exchange in the whole plan is the one-row partial→final agg
+    * merge. Exact mode (`false`, the oracle path) dedups on a
+    * per-value 8-byte hash shuffle — inherently a full-data shuffle,
+    * which at 100 TB should be a deliberate opt-in, not a profile
+    * default.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String], approxNdv: Boolean = false): DataFrame = {
     def asStr(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
       case org.apache.spark.sql.types.TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
       case _ => c.cast("string")
@@ -212,16 +222,22 @@ object Analytics {
       Seq(
         count(col(c)).as(s"${c}__nn"),
         asStr(min(col(c)), types(c)).as(s"${c}__min"),
-        asStr(max(col(c)), types(c)).as(s"${c}__max"))
+        asStr(max(col(c)), types(c)).as(s"${c}__max")) ++
+        (if (approxNdv) Seq(approx_count_distinct(col(c)).as(s"${c}__ndv")) else Nil)
     }
     val basic = df.agg(count(lit(1)).as("__n"), aggs: _*)
       .select(explode(array(cols.map(c => struct(
         lit(c).as("col_name"),
         col("__n").as("n_rows"),
         (col("__n") - col(s"${c}__nn")).as("n_nulls"),
+        (if (approxNdv) col(s"${c}__ndv") else lit(0L)).as("ndv_approx"),
         col(s"${c}__min").as("min_str"),
         col(s"${c}__max").as("max_str"))): _*)).as("p"))
       .select(col("p.*"))
+    if (approxNdv)
+      return basic.select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("ndv_approx").as("n_distinct"), col("min_str"), col("max_str"))
+        .orderBy(col("col_name"))
     // ndv dedups on xxhash64 of the full-precision cast, so the
     // shuffle carries 8 bytes per value regardless of column width
     // (a wide-string column shuffles no more than a long column).
@@ -236,7 +252,7 @@ object Analytics {
       .select(col("e.col_name").as("col_name"), xxhash64(col("e.v")).as("hv"))
       .groupBy(col("col_name"), col("hv")).agg(count(lit(1)).as("__cnt"))
       .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
-    basic.join(broadcast(ndv), Seq("col_name"), "left")
+    basic.drop("ndv_approx").join(broadcast(ndv), Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_str"), col("max_str"))

@@ -92,6 +92,13 @@ object PartitionedUpsert {
     * not advance sync state past an exception (a silently-ignored
     * rename previously risked losing the target AND advancing the
     * watermark, orphaning the batch).
+    *
+    * CONSTRAINT: rename-based, so correct only where directory rename
+    * is atomic — HDFS and local filesystems. On S3-style object
+    * stores a directory rename is per-object copy + delete (a crash
+    * mid-promote strands a half-moved table); deploy those targets on
+    * [[VersionedPublish]], whose commit primitive is a single
+    * small-object write.
     */
   def promote(fs: FileSystem, tmpDir: String, targetDir: String): Unit = {
     val tmpP = new Path(tmpDir)

@@ -159,6 +159,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(p("s") == ((4L, 1L, 3L, "a", "c")))
   }
 
+  test("profileTable approxNdv: single-scan plan with NO per-value ndv shuffle, HLL-bounded estimate") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val df = spark.range(0, 20000).select(
+      (col("id") % 1000).as("k"), concat(lit("v"), col("id") % 777).as("s"))
+    val approx = Analytics.profileTable(df, Seq("k", "s"), approxNdv = true)
+    // plan lock: the exact path shuffles an 8-byte hash PER VALUE
+    // (xxhash64 + a (col_name, hv) aggregate); the approx path must
+    // fold HLL into the one-row agg — no per-value hashing, and the
+    // only exchanges are the single-partition agg merge
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("xxhash64"), "approx mode must not hash per-value")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "approx mode's only exchange is the one-row agg merge (SinglePartition) — a keyed shuffle means ndv data moved")
+    val rows = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // HLL++ default rsd = 5%; allow 3x that for a deterministic gate
+    assert(math.abs(rows("k") - 1000L) <= 150, s"k ndv estimate ${rows("k")} off from 1000")
+    assert(math.abs(rows("s") - 777L) <= 120, s"s ndv estimate ${rows("s")} off from 777")
+    // exact twin on the same data agrees with truth, for contrast
+    val exact = Analytics.profileTable(df, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(exact("k") == 1000L)
+  }
+
   test("dq checks: predicate fusion, fk anti join, duplicate keys — counts are exact") {
     import spark.implicits._
     import graft.operators.DataQuality

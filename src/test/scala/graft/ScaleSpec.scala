@@ -417,4 +417,84 @@ class ScaleSpec extends SparkSpec {
     // ~5k uniq singletons exist; sketch fp can admit a few, not most
     assert(tailTerms > 3000, s"light tail should be pruned pre-shuffle, only $tailTerms dropped")
   }
+
+  test("connected components on a power-law graph: one component holds 30% of edges", Slow) {
+    // Real web corpora have one giant near-dup component (boilerplate):
+    // its min label becomes a HOT KEY in both distributedComponents
+    // joins (edges⋈labels on dst; pointer-jump self-join on lbl). This
+    // stages that shape — 60k-edge star component (30% of 200k edges)
+    // among 70k 2-node components — forces the distributed path AND
+    // the SMJ form (no broadcast: at 100 TB the labels frame is
+    // corpus-sized), lowers AQE's skew thresholds so the local scale
+    // is visible to the optimizer, and checks (a) labels are exactly
+    // right, (b) the adaptive runtime actually split a skewed join,
+    // (c) wall-clock stays comparable to a uniform graph of identical
+    // edge count.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // a realistic partition count: with the suite's tiny default the
+      // median partition is a quarter of the graph and no key can ever
+      // exceed 2x median — exactly backwards from a 1000-executor
+      // cluster where partitions are small and a hot key towers over
+      // the median
+      conf.set("spark.sql.shuffle.partitions", "64")
+      spark.listenerManager.register(listener)
+
+      val hub = 1L // giant star: (1, i) for i in [2, 60001] — min label 1
+      val giant = spark.range(2, 60002).select(lit(hub).as("id_a"), col("id").as("id_b"))
+      val small = spark.range(0, 70000) // 70k disjoint 2-node components
+        .select((col("id") * 2 + 1000000L).as("id_a"), (col("id") * 2 + 1000001L).as("id_b"))
+      val skewedPairs = giant.union(small)
+      val uniform = spark.range(0, 100000)
+        .select((col("id") * 2 + 5000000L).as("id_a"), (col("id") * 2 + 5000001L).as("id_b"))
+
+      val (skewedLabels, skewedSec) = time {
+        Dedup.connectedComponents(skewedPairs, driverMaxEdges = 0L).collect()
+      }
+      val (_, uniformSec) = time {
+        Dedup.connectedComponents(uniform, driverMaxEdges = 0L).collect()
+      }
+      // (a) exactness: every star node labels to the hub; pairs to their even node
+      val lbl = skewedLabels.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbl.size == 60001 + 140000)
+      assert((2L to 60001L).forall(lbl(_) == hub), "giant component must label to its min")
+      assert(lbl(hub) == hub)
+      assert((0 until 70000).forall { i =>
+        lbl(i * 2 + 1000000L) == i * 2 + 1000000L && lbl(i * 2 + 1000001L) == i * 2 + 1000000L
+      })
+      // (b) the adaptive runtime split at least one skewed join
+      import scala.jdk.CollectionConverters._
+      assert(plans.asScala.exists(_.contains("skew=true")),
+        s"expected AQE to mark a skewed join; captured ${plans.size} plans")
+      // (c) no quadratic/straggler blowup vs the uniform twin (same edge count)
+      info(f"power-law $skewedSec%.2f s vs uniform $uniformSec%.2f s (200k edges)")
+      assert(skewedSec <= uniformSec * 4 + 10,
+        f"skewed graph took $skewedSec%.1f s vs uniform $uniformSec%.1f s — hot-label straggler?")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+  }
 }

@@ -572,6 +572,52 @@ class SyncSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$target/data.txt")))
   }
 
+  test("VersionedPublish: write-audit-publish, crash matrix, vacuum") {
+    import spark.implicits._
+    import graft.sinks.VersionedPublish
+    import org.apache.hadoop.fs.Path
+    val root = tmp("graft_wap") + "/tbl"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // v1 publish + read-through-pointer
+    val v1 = VersionedPublish.publish(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    assert(v1 == 1)
+    assert(VersionedPublish.read(spark, root).count() == 2)
+
+    // audit failure: pointer untouched, version never committed
+    intercept[RuntimeException] {
+      VersionedPublish.publish(spark, Seq((9L, "x")).toDF("id", "s"), root,
+        validate = d => if (d.count() == 1) sys.error("audit: suspicious row count"))
+    }
+    assert(VersionedPublish.currentVersion(fs, root).contains(1))
+    assert(VersionedPublish.read(spark, root).count() == 2) // still v1
+
+    // crash after stage, before _COMMITTED: orphan dir is invisible
+    Seq((7L, "z")).toDF("id", "s").write.parquet(s"$root/.v00003")
+    assert(VersionedPublish.currentVersion(fs, root).contains(1))
+    assert(VersionedPublish.read(spark, root).count() == 2)
+
+    // a clean publish skips past the orphan's number
+    val v4 = VersionedPublish.publish(spark, Seq((1L, "a2"), (2L, "b2"), (3L, "c")).toDF("id", "s"), root)
+    assert(v4 == 4)
+    assert(VersionedPublish.read(spark, root).count() == 3)
+
+    // crash mid-flip: truncated pointer → newest COMMITTED version wins
+    val out = fs.create(new Path(root, "_CURRENT"), true)
+    out.write("v000".getBytes("UTF-8")); out.close()
+    assert(VersionedPublish.currentVersion(fs, root).contains(4))
+    assert(VersionedPublish.read(spark, root).count() == 3)
+
+    // naive full-dir read fails loudly (hidden version dirs), never unions versions
+    intercept[Exception](spark.read.parquet(root).count())
+
+    // vacuum(keep=0) drops v1 and the never-committed orphan, keeps current
+    VersionedPublish.publish(spark, Seq((5L, "e")).toDF("id", "s"), root) // v5, repairs pointer
+    VersionedPublish.vacuum(spark, root, keep = 0)
+    assert(!fs.exists(new Path(root, ".v00001")) && !fs.exists(new Path(root, ".v00003")))
+    assert(VersionedPublish.read(spark, root).count() == 1)
+  }
+
   test("flattenShallow: mongo-variant semantics (nested -> JSON at depth 1)") {
     import spark.implicits._
     val df = Seq((1L, """{"a":{"b":2},"tags":[1,2],"s":"x"}""")).toDF("id", "doc")
