@@ -39,8 +39,25 @@ object Bench {
     "text_rep_stats", "text_tfidf_top", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters",
     "pack_sequences", "curate_corpus", "dup_ngram_mass",
-    "mm_binary_meta", "mm_frame_sample", "mm_byte_resize", "mm_png_meta", "mm_wav_meta"
+    "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",
+    "mm_byte_resize", "mm_png_meta", "mm_wav_meta",
+    "events_props_agg", "length_histogram", "quality_gate_pctl", "text_bigrams_top",
+    "src_discovery", "ddl_generate", "ddl_allstring", "schema_evolution", "type_mapping"
   )
+
+  /** Coverage guard: every SparkEntry query must have a timing record —
+    * an entry missing from the manual ordering above is appended (and
+    * flagged) rather than silently unbenched.
+    */
+  private def fullHeadline: Seq[String] = {
+    val missing = (SparkEntry.queries.keySet -- headline).toSeq.sorted
+    if (missing.nonEmpty)
+      System.err.println(s"[bench] WARNING: queries missing from headline, appending: ${missing.mkString(",")}")
+    val gone = headline.filterNot(SparkEntry.queries.contains)
+    if (gone.nonEmpty)
+      System.err.println(s"[bench] WARNING: headline names without a query entry, skipping: ${gone.mkString(",")}")
+    headline.filter(SparkEntry.queries.contains) ++ missing
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,8 +66,8 @@ object Bench {
     // plan without paying for the whole suite.
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .map(sel => headline.filter(sel))
-      .getOrElse(headline)
+      .map(sel => fullHeadline.filter(sel))
+      .getOrElse(fullHeadline)
     val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -13,11 +13,19 @@ object Verify {
     // dev-loop subset: VERIFY_ONLY=q1,q2 dumps just those queries
     // (the driver never sets it, so the gate always runs everything)
     val only = sys.env.get("VERIFY_ONLY").map(_.split(",").toSet)
+    // big-SF sweeps set VERIFY_COALESCE=0: a 60M-row dump through
+    // coalesce(1) is a single-threaded write; the checker globs
+    // multi-file dirs and ORDER-BY-ALLs, so file count is cosmetic.
+    // Default stays 1 (the driver's layout).
+    val coalesceN = sys.env.getOrElse("VERIFY_COALESCE", "1").toInt
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val res = fn(spark, sfDir)
+        (if (coalesceN > 0) res.coalesce(coalesceN) else res)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
