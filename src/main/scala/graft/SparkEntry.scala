@@ -824,6 +824,16 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nClusters = 16, nProbes = 4)
     }),
+    "sim_topk_pq" -> ((s, d) => {
+      // C48: product-quantization ANN — 8-byte packed codes + ADC
+      // probe (rows-only: approximate by design, recall
+      // property-tested vs brute force in EmbedOpsSpec)
+      val e = t(s, d, "embeddings")
+      val dir = s"target/pq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.buildPqIndex(s, e, "vec_id", "embedding", dim = 64, indexDir = dir, m = 8, kCodes = 64)
+      Similarity.pqTopKRefined(s, dir, e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, shortlist = 50)
+    }),
     "sim_topk_ivf_sq8" -> ((s, d) => {
       // C42: IVF-SQ8 — int8-quantized cell-partitioned index probe
       // (rows-only: approximate by design, recall property-tested)

@@ -671,6 +671,86 @@ object VecOps {
 
   def rand_project(vec: Column, outDims: Int): Column =
     ColumnBridge.column(RandProject(ColumnBridge.expression(vec), outDims))
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) kernels — Jégou et al. 2011. A vector
+  // splits into `m` subvectors; each subvector maps to its nearest of
+  // `kCodes` per-subspace codewords; the m code indices pack into ONE
+  // Long (m ≤ 8, kCodes ≤ 256 — 8 bytes per vector, a 32x cut vs 64
+  // floats). ADC scoring never touches vectors: a query precomputes a
+  // m×kCodes table of partial dots, each candidate costs m array
+  // lookups on its packed code. Codebooks ride flat [s][c][d] →
+  // ((s*kCodes)+c)*subDim+d.
+  // ---------------------------------------------------------------
+
+  /** Packed PQ code of `vec` under `cb` (argmin L2 per subspace). */
+  def pqEncode(vec: ArrayData, cb: Array[Float], m: Int, kCodes: Int, subDim: Int): Long = {
+    var code = 0L
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < kCodes) {
+        val base = (s * kCodes + c) * subDim
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val diff = vec.getFloat(s * subDim + d).toDouble - cb(base + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      code |= best.toLong << (8 * s)
+      s += 1
+    }
+    code
+  }
+
+  /** ADC table for a query: m×kCodes partial dot products (flat). */
+  def pqQueryTable(vec: ArrayData, cb: Array[Float], m: Int, kCodes: Int, subDim: Int): ArrayData = {
+    val out = new Array[Float](m * kCodes)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < kCodes) {
+        val base = (s * kCodes + c) * subDim
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          acc += vec.getFloat(s * subDim + d).toDouble * cb(base + d)
+          d += 1
+        }
+        out(s * kCodes + c) = acc.toFloat
+        c += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Approximate dot(query, candidate) from a packed code + ADC table. */
+  def pqAdc(code: Long, table: ArrayData, m: Int, kCodes: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val c = ((code >>> (8 * s)) & 0xffL).toInt
+      acc += table.getFloat(s * kCodes + c).toDouble
+      s += 1
+    }
+    acc
+  }
+
+  def pq_encode(vec: Column, cb: Array[Float], m: Int, kCodes: Int, subDim: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), cb, m, kCodes, subDim))
+
+  def pq_query_table(vec: Column, cb: Array[Float], m: Int, kCodes: Int, subDim: Int): Column =
+    ColumnBridge.column(PqQueryTable(ColumnBridge.expression(vec), cb, m, kCodes, subDim))
+
+  def pq_adc(code: Column, table: Column, m: Int, kCodes: Int): Column =
+    ColumnBridge.column(PqAdcScore(ColumnBridge.expression(code), ColumnBridge.expression(table), m, kCodes))
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -957,4 +1037,66 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.minhash($c, $k)")
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** PQ encode: packed code under flat codebooks `cb` — a 64 KB plan
+  * reference object (per-plan, not per-row), well under broadcast
+  * territory. m ≤ 8 so codes pack one byte per subspace into a Long.
+  */
+case class PqEncode(child: Expression, cb: Array[Float], m: Int, kCodes: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+        if m >= 1 && m <= 8 && kCodes >= 1 && kCodes <= 256 && subDim >= 1 &&
+          cb.length == m * kCodes * subDim =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_encode needs array<float>, 1<=m<=8, 1<=kCodes<=256, cb of m*kCodes*subDim floats; got $other m=$m k=$kCodes sub=$subDim cb=${cb.length}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.pqEncode(v.asInstanceOf[ArrayData], cb, m, kCodes, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.pqEncode($c, $ref, $m, $kCodes, $subDim)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+case class PqQueryTable(child: Expression, cb: Array[Float], m: Int, kCodes: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+        if m >= 1 && m <= 8 && kCodes >= 1 && kCodes <= 256 && subDim >= 1 &&
+          cb.length == m * kCodes * subDim =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pq_query_table needs array<float> + consistent (m, kCodes, subDim, cb); got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.pqQueryTable(v.asInstanceOf[ArrayData], cb, m, kCodes, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.pqQueryTable($c, $ref, $m, $kCodes, $subDim)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqQueryTable = copy(child = c)
+}
+
+case class PqAdcScore(left: Expression, right: Expression, m: Int, kCodes: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, ArrayType(FloatType, _)) if m >= 1 && m <= 8 && kCodes >= 1 && kCodes <= 256 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"pq_adc needs (long code, array<float> table); got $other")
+  }
+  override def nullSafeEval(code: Any, table: Any): Any =
+    VecOps.pqAdc(code.asInstanceOf[Long], table.asInstanceOf[ArrayData], m, kCodes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, t) => s"graft.functions.VecOps.pqAdc($c, $t, $m, $kCodes)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
 }

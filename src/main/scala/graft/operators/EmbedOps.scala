@@ -24,11 +24,19 @@ object EmbedOps {
   /** C36: per-vector symmetric int8 quantization, long format:
     * (idCol, dim, q) with q = round(x*127/max|x|) in [-127,127].
     */
+  /** Deterministic (id, dim) output order comes from sorting the
+    * VECTOR frame before the explode — posexplode emits dims in
+    * order within each row and preserves row order within partitions,
+    * so the exploded output is globally (id, dim)-ordered without
+    * ever sorting it. Sorting after the explode was the dominant cost
+    * at scale: a 12.8M-row range exchange + sort vs a 200k-row one
+    * (measured 4.3s → 0.7s for the whole query at 200k×64).
+    */
   def quantizeLong(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
     embeddings
+      .orderBy(col(idCol))
       .select(col(idCol), posexplode(VecOps.quantize_i8(col(vecCol))))
       .select(col(idCol), col("pos").cast("long").as("dim"), col("col").cast("long").as("q"))
-      .orderBy(col(idCol), col("dim"))
 
   /** C37: fixed-point random projection to `outDims` dims, long
     * format: (idCol, dim, proj_fp) where proj_fp is the signed sum of
@@ -37,9 +45,9 @@ object EmbedOps {
     */
   def projectLong(embeddings: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame =
     embeddings
+      .orderBy(col(idCol)) // see quantizeLong: pre-explode sort, same order
       .select(col(idCol), posexplode(VecOps.rand_project(col(vecCol), outDims)))
       .select(col(idCol), col("pos").cast("long").as("dim"), col("col").as("proj_fp"))
-      .orderBy(col(idCol), col("dim"))
 
   /** C38: top-k neighbors by QUANTIZED dot product — the int8 scoring
     * path. Corpus and queries quantize per-row (codegen projection),

@@ -564,6 +564,168 @@ object Similarity {
     )
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization (C48, Jégou et al. 2011): the memory-bound
+  // ANN scale path. Each vector stores as ONE packed Long (m=8
+  // subspaces × 1-byte codes) — 32x smaller than 64 float32s, so a
+  // billion-vector index is 8 GB of codes instead of 256 GB of
+  // vectors. Probing is ADC: per query one m×kCodes table of partial
+  // dots (codegen kernel), then every candidate costs m array lookups
+  // on its code — the scan reads ONLY (id, code) longs, never a
+  // vector, and top-k reduces map-side (k rows per partition per
+  // query cross the shuffle). Codebooks are per-subspace k-means fits
+  // (~64 KB — plan literals, deterministic seed).
+  // ---------------------------------------------------------------
+
+  /** Fit per-subspace codebooks and persist the PQ index:
+    * `codebooks` (sub, code, center) + `codes` (id, code Long).
+    * Requires dim % m == 0; kCodes ≤ 256 (one byte per subspace).
+    */
+  def buildPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      indexDir: String,
+      m: Int = 8,
+      kCodes: Int = 256
+  ): Unit = {
+    import spark.implicits._
+    require(m >= 1 && m <= 8, s"PQ m must be in [1,8] (codes pack one byte per subspace); got $m")
+    require(kCodes >= 1 && kCodes <= 256, s"PQ kCodes must be in [1,256]; got $kCodes")
+    require(dim % m == 0, s"PQ needs dim % m == 0; got dim=$dim m=$m")
+    val subDim = dim / m
+    // L2-normalize first: ADC sums partial DOT products, so encoding
+    // unit vectors makes the score approximate COSINE — the metric
+    // every other similarity path here ranks by. The norm is
+    // materialized as a column BEFORE the transform lambda (a norm
+    // call inside the lambda would re-evaluate the full dot per
+    // element — the defect class fixed for dup_ngram_mass).
+    val unit = normalized(candidates, idCol, vecCol)
+    // per-subspace k-means over the sliced vectors — m small fits,
+    // each a distinct fitCentroids cache entry
+    val books: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      fitCentroids(
+        unit.select(slice(col("__unit"), s * subDim + 1, subDim).as("sub")),
+        "sub", kCodes)
+    }.toArray
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, ci) => (s, ci, c.toSeq) }
+    }.toIndexedSeq
+      .toDF("sub", "code", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val flat = flatBooks(books, m, kCodes, subDim)
+    unit
+      .select(col(idCol).as("cid"),
+        graft.functions.VecOps.pq_encode(col("__unit"), flat, m, kCodes, subDim).as("code"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** (idCol, __unit): the L2-normalized vector, zero vectors passed
+    * through unchanged. Norm materializes as its own column so the
+    * per-element division never re-evaluates the dot.
+    */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+      .select(col(idCol),
+        when(col("__n") > 0.0,
+          transform(col("__v"), x => (x / col("__n")).cast("float")))
+          .otherwise(col("__v")).as("__unit"))
+
+  private def flatBooks(books: Array[Array[Array[Double]]], m: Int, kCodes: Int, subDim: Int): Array[Float] = {
+    val flat = new Array[Float](m * kCodes * subDim)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < kCodes) {
+        val center = books(s)(c)
+        var d = 0
+        while (d < subDim) {
+          flat((s * kCodes + c) * subDim + d) = center(d).toFloat
+          d += 1
+        }
+        c += 1
+      }
+      s += 1
+    }
+    flat
+  }
+
+  private def loadPqBooks(spark: org.apache.spark.sql.SparkSession, indexDir: String): (Array[Float], Int, Int, Int) = {
+    val rows = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy("sub", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val kCodes = rows.map(_.getInt(1)).max + 1
+    val subDim = rows(0).getAs[Seq[Double]]("center").length
+    val books = Array.ofDim[Array[Double]](m, kCodes)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getAs[Seq[Double]]("center").toArray)
+    (flatBooks(books.map(_.toArray), m, kCodes, subDim), m, kCodes, subDim)
+  }
+
+  /** C48 probe: ADC top-k over the persisted code table. Scans 8
+    * bytes per candidate (the packed code), never a vector; each
+    * (query, candidate) score is m table lookups via the codegen
+    * `pq_adc` kernel; map-side TopK reduce. Approximate by design
+    * (quantization error) — recall property-tested vs brute force.
+    */
+  def pqTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val (flat, m, kCodes, subDim) = loadPqBooks(spark, indexDir)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val qs = broadcast(normalized(queries, idCol, vecCol).select(
+      col(idCol).as("qid"),
+      graft.functions.VecOps.pq_query_table(col("__unit"), flat, m, kCodes, subDim).as("qtab")))
+    topKReduce(
+      codes
+        .join(qs, col("cid") =!= col("qid"))
+        .select(
+          col("qid"),
+          graft.functions.VecOps.pq_adc(col("code"), col("qtab"), m, kCodes).as("score"),
+          col("cid").as("id")),
+      k)
+  }
+
+  /** C48 production probe: ADC SHORTLIST + exact re-rank — the
+    * standard PQ deployment (Jégou et al. §V): the 8-byte-code scan
+    * ranks a shortlist of `shortlist` candidates per query (cheap,
+    * memory-bound), then ONLY those ids fetch their true vectors from
+    * the corpus table (id-keyed join, shortlist×queries rows — never
+    * a corpus scan) for exact-cosine re-ranking. Lifts recall@10 from
+    * PQ's intrinsic ~0.4-0.6 at 32x compression to near-exact while
+    * reading full vectors for a vanishing fraction of the corpus.
+    */
+  def pqTopKRefined(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int = 50
+  ): DataFrame = {
+    val short = pqTopKIndexed(spark, indexDir, queries, idCol, vecCol, shortlist)
+      .select(col("qid"), col("neighbor_id").as("id"))
+    val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+    val qvecs = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm")))
+    topKReduce(
+      short
+        .join(cvecs, "id")
+        .join(qvecs, "qid")
+        .select(col("qid"),
+          (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
+          col("id")),
+      k)
+  }
+
   /** Bucket ids for `tables` independent hash tables (table t uses
     * planes [t*planes, (t+1)*planes) of the deterministic family),
     * each code a single Long packing (table << 56) | signBits — the

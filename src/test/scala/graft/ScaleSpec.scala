@@ -391,6 +391,36 @@ class ScaleSpec extends SparkSpec {
     assert(hits >= 17, s"SQ8 probe should find the exact twin first: $hits/${got.size}")
   }
 
+  test("PQ at 20k vectors: 8-byte codes, twin recall through ADC+refine, far smaller than SQ8", Slow) {
+    import graft.operators.Similarity
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val vecs = spark.read.parquet(vecsPath)
+    val pqDir = s"$corpusDir/pq_20k"
+    Similarity.buildPqIndex(spark, vecs, "vec_id", "embedding", dim = 32, indexDir = pqDir,
+      m = 8, kCodes = 256)
+    def dirBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(path).getLength
+    }
+    // compression: the codes table stores ONE Long per vector — must
+    // come in far under the float IVF cells built by the SQ8 test's
+    // sibling (32 floats + id + norm per row). Compare against the raw
+    // vectors parquet: > 4x smaller even after parquet's own packing.
+    val (raw, cb) = (dirBytes(vecsPath), dirBytes(s"$pqDir/codes"))
+    info(f"raw vectors $raw%d bytes, pq codes $cb%d bytes (${raw.toDouble / cb}%.1fx)")
+    assert(cb * 4 < raw, s"PQ codes should be at least 4x smaller than raw vectors: $cb vs $raw")
+    // staged twins (vec_id % 20 == 19 twins vec_id-1) must surface at
+    // rank 1 through the refined probe
+    val queries = vecs.filter(pmod(col("vec_id"), lit(20L)) === 19L).limit(20)
+    val got = Similarity.pqTopKRefined(spark, pqDir, queries, vecs, "vec_id", "embedding",
+      k = 1, shortlist = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = got.count { case (qid, n) => n == qid - 1 }
+    info(s"twin@rank1 through PQ ADC+refine: $hits/${got.size}")
+    assert(hits >= 17, s"PQ refined probe should find the exact twin first: $hits/${got.size}")
+  }
+
   test("CMS heavy hitters at 100k docs: exact vocab recovery, light tail pruned pre-shuffle", Slow) {
     import graft.operators.TextAnalysis
     val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)

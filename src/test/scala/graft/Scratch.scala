@@ -10,6 +10,28 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    if (sys.env.contains("GRAFT_PROBE_SCAN")) {
+      // scan-only floors for the §6b root-cause notes: how much of a
+      // "steep scaler" is just the parquet read + sink?
+      import org.apache.spark.sql.functions._
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val emb = graft.sources.Catalog.load(spark, sfDir, "embeddings")
+      val li = graft.sources.Catalog.load(spark, sfDir, "lineitem")
+      noop(emb.limit(10)) // session warm-up
+      time("embeddings scan (all cols)") { noop(emb) }
+      time("embeddings scan x2") { noop(emb) }
+      time("embed_quantize") {
+        noop(graft.operators.EmbedOps.quantizeLong(emb, "vec_id", "embedding"))
+      }
+      time("embed_quantize x2") {
+        noop(graft.operators.EmbedOps.quantizeLong(emb, "vec_id", "embedding"))
+      }
+      time("lineitem scan (all cols)") { noop(li) }
+      time("lineitem scan x2") { noop(li) }
+      time("lineitem 3-col scan") { noop(li.select("l_partkey", "l_quantity", "l_extendedprice")) }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_CC")) {
       import org.apache.spark.sql.functions._
       import graft.operators.Dedup
