@@ -29,7 +29,7 @@ object Bench {
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state", "snapshot_diff", "scd2_intervals",
     "upsert_latest", "scan_fields", "multi_table_union",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_incr_exact", "dedup_incr_minhash",
+    "dedup_exact", "dedup_containment", "dedup_minhash_lsh", "dedup_incr_exact", "dedup_incr_minhash",
     "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked", "dedup_incr_embedding",
     "dedup_clusters",
     "dedup_passages", "dedup_semantic", "fuzzy_match_join",

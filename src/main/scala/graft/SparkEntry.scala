@@ -627,6 +627,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, tauPct = 80)),
+    "dedup_containment" -> ((s, d) =>
+      // C49: overlap / |smaller| >= 70% — doc-contains-doc pairs that
+      // Jaccard misses (no size-ratio filter, by design)
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text", n = 3, tauPct = 70)),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", tauPct = 80)),
     "dedup_simhash" -> ((s, d) =>
@@ -1787,6 +1791,16 @@ object SparkEntry {
         |   (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))) AS BIGINT) AS jacc_pct
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))
+        |ORDER BY 1,2""".stripMargin,
+    "dedup_containment" ->
+      """WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(floor(100.0*len(list_intersect(a.sh,b.sh)) / least(len(a.sh), len(b.sh))) AS BIGINT) AS cont_pct
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 70*least(len(a.sh), len(b.sh))
         |ORDER BY 1,2""".stripMargin,
     // same HUGEINT FNV-1a fold as the simhash oracle; buckets=4096
     // divides 2^64 so unsigned-mod here == signed-pmod in the engine

@@ -162,6 +162,68 @@ object Dedup {
     */
   private[graft] val sketchDfMinDocs: Long = 32768L
 
+  /** C49: CONTAINMENT near-dup pairs — overlap / |smaller set| ≥ τ.
+    * Catches what Jaccard structurally cannot: a document CONTAINING
+    * another (quote pages, aggregator wrappers, doc+boilerplate) has
+    * high containment but low Jaccard because the union is dominated
+    * by the larger doc; there is deliberately NO size-ratio filter.
+    *
+    * Prefix theorem, containment form: for a qualifying pair the
+    * SMALLER set S needs overlap α = ceil(τ|S|), so S's prefix of
+    * |S| − α + 1 shingles (under the global df-ascending order) must
+    * contain a common element — but the larger side's needed α
+    * depends on its PARTNER's size, so its prefix cannot be bounded.
+    * Hence the candidate join is prefix × FULL ranked posting list
+    * (either side's prefix vs the other's full list finds the pair
+    * via the smaller side). Positional filter stays lossless: the
+    * FIRST common element under the shared order sits at ranks
+    * (rka, rkb) with min(|A|−rka, |B|−rkb)+1 ≥ α for any qualifying
+    * pair. Exact verify (sorted-merge intersect) decides every
+    * surviving candidate — no false positives ever.
+    *
+    * Scale: every stage is a keyed shuffle; the full-side posting
+    * list is long for common shingles but the prefix side holds only
+    * each doc's RAREST shingles (df-ascending), so the per-key
+    * product stays bounded — same behavior class as [[ngramJaccardPairs]],
+    * whose Count-Min df path drops in identically if the window df
+    * rank ever dominates.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))
+      .withColumn("nsh", size(col("hs")).cast("long"))
+      .persist()
+    sh.count() // fill the cache once; both join sides and the verify read it
+    val posts = sh.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val ranked = posts
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("rk", row_number().over(wId))
+      .select(col("h"), col("id"), col("nsh"), col("rk"))
+    // own-size prefix: valid whenever this doc is the smaller side
+    val prefix = ranked.filter(
+      col("rk") <= col("nsh") - expr(s"((nsh * $tauPct) + 99) div 100") + 1L)
+    val alpha = expr(s"((least(`a`.nsh, `b`.nsh) * $tauPct) + 99) div 100")
+    val cands = prefix.alias("a")
+      .join(ranked.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
+          least(col("a.nsh") - col("a.rk"), col("b.nsh") - col("b.rk")) + 1L >= alpha)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val full = sh.select(col("id"), col("hs"), col("nsh"))
+    cands
+      .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"), col("nsh").as("na")), "id_a")
+      .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("i", graft.functions.VecOps.sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .filter(col("i") * 100 >= least(col("na"), col("nb")) * tauPct)
+      .select(col("id_a"), col("id_b"),
+        floor(col("i") * lit(100.0) / least(col("na"), col("nb"))).as("cont_pct"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {
     val sh = df
       .select(col(idCol).as("id"), array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))

@@ -447,6 +447,43 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan.take(1500))
   }
 
+  test("containmentPairs finds doc-contains-doc that Jaccard misses; prefix x full join is lossless") {
+    import spark.implicits._
+    // core: 40 words; wrapper = core + 80 words of boilerplate.
+    // containment(core, wrapper) = 100%; jaccard ~ 38/118 ~ 32%.
+    val core = (1 to 40).map(i => s"core$i").mkString(" ")
+    val boiler = (1 to 80).map(i => s"nav$i").mkString(" ")
+    val rows = Seq(
+      (1L, core),
+      (2L, s"$core $boiler"),
+      (3L, (1 to 60).map(i => s"other$i").mkString(" ")),
+      (4L, (1 to 60).map(i => s"other$i").mkString(" ")) // exact dup of 3
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(rows, "doc_id", "text", n = 3, tauPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cont.map(t => (t._1, t._2)).toSet == Set((1L, 2L), (3L, 4L)),
+      s"expected the contained pair and the exact dup, got $cont")
+    assert(cont.forall(_._3 >= 90))
+    // Jaccard at a comparable threshold structurally cannot see (1,2)
+    val jacc = Dedup.ngramJaccardPairs(rows, "doc_id", "text", n = 3, tauPct = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacc == Set((3L, 4L)), s"jaccard should only find the exact dup, got $jacc")
+    // lossless vs brute force on the corpus sample: every qualifying
+    // pair survives the prefix x full candidate join
+    val docs200 = docs.limit(200)
+    val got = Dedup.containmentPairs(docs200, "doc_id", "text", n = 3, tauPct = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs200.select(col("doc_id"),
+      array_sort(array_distinct(Dedup.shingleHashSet(col("text"), 3))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      i = (sa intersect sb).size
+      if i * 100 >= math.min(sa.size, sb.size) * 70
+    } yield (a, b)).toSet
+    assert(got == brute, s"containment join must be lossless: missing ${brute -- got}, extra ${got -- brute}")
+  }
+
   test("connectedComponents labels a path graph and honors a custom id column") {
     // path 1-2-3-4-5 plus isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("id_a", "id_b")
