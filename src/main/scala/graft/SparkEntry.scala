@@ -808,6 +808,28 @@ object SparkEntry {
     "domain_cap" -> ((s, d) =>
       // C40: per-source doc cap by length priority, keep decision out
       Curation.domainCap(t(s, d, "documents"), "doc_id", "source", col("n_chars"), cap = 40)),
+    "dedup_url" -> ((s, d) => {
+      // C50: canonical-URL dedup over staged messy fetch URLs (mixed
+      // scheme/host case, default ports, tracking params, unsorted
+      // query, fragments, trailing slashes)
+      val urls = t(s, d, "documents").select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+          when(col("doc_id") % 3 === 0, concat(lit("WWW."), col("source"), lit(".Example.COM")))
+            .otherwise(concat(col("source"), lit(".example.com"))),
+          element_at(array(lit(":80"), lit(":443"), lit(":8080"), lit("")),
+            (col("doc_id") % 4 + 1).cast("int")),
+          lit("/Articles/item-"), (col("doc_id") % 10).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          element_at(array(
+            lit("?utm_source=feed&b=2&a=1"),
+            lit("?a=1&b=2&utm_campaign=x&fbclid=zz"),
+            lit("?b=2&a=1")), (col("doc_id") % 3 + 1).cast("int")),
+          when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit(""))
+        ).as("url"))
+      Curation.urlDedupGroups(urls, "doc_id", "url")
+    }),
     "heavy_hitters" -> ((s, d) =>
       // C41: exact term counts >= threshold via Count-Min prefilter
       TextAnalysis.heavyHitters(t(s, d, "documents"), "text", minCount = 30L)),
@@ -1699,6 +1721,53 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
         |  CAST(CASE WHEN src_rank <= 40 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
         |FROM r ORDER BY source, src_rank""".stripMargin,
+    "dedup_url" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    concat(
+        |      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+        |      CASE WHEN doc_id % 3 = 0 THEN concat('WWW.', source, '.Example.COM')
+        |           ELSE concat(source, '.example.com') END,
+        |      [':80', ':443', ':8080', ''][CAST(doc_id % 4 + 1 AS INT)],
+        |      '/Articles/item-', CAST(doc_id % 10 AS VARCHAR),
+        |      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        |      ['?utm_source=feed&b=2&a=1',
+        |       '?a=1&b=2&utm_campaign=x&fbclid=zz',
+        |       '?b=2&a=1'][CAST(doc_id % 3 + 1 AS INT)],
+        |      CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    regexp_replace(url, '#.*$', '') AS nofrag,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM staged),
+        |comps AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |    regexp_replace(rest, '^[^/?]*', '') AS afterhost
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id,
+        |    concat(scheme, '://',
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END,
+        |      CASE WHEN len(CASE WHEN regexp_extract(afterhost, '^([^?]*)', 1) = '' THEN '/'
+        |                         ELSE regexp_extract(afterhost, '^([^?]*)', 1) END) > 1
+        |           THEN regexp_replace(CASE WHEN regexp_extract(afterhost, '^([^?]*)', 1) = '' THEN '/'
+        |                                    ELSE regexp_extract(afterhost, '^([^?]*)', 1) END, '/$', '')
+        |           ELSE CASE WHEN regexp_extract(afterhost, '^([^?]*)', 1) = '' THEN '/'
+        |                     ELSE regexp_extract(afterhost, '^([^?]*)', 1) END END,
+        |      CASE WHEN array_to_string(list_sort(list_filter(string_split(regexp_extract(afterhost, '\?(.*)$', 1), '&'),
+        |             p -> NOT (regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)=') OR p = ''))), '&') = ''
+        |           THEN ''
+        |           ELSE concat('?', array_to_string(list_sort(list_filter(string_split(regexp_extract(afterhost, '\?(.*)$', 1), '&'),
+        |             p -> NOT (regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)=') OR p = ''))), '&')) END
+        |    ) AS url_canon
+        |  FROM comps)
+        |SELECT url_canon, count(*) AS n_fetches, min(doc_id) AS keep_id
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
     "rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,

@@ -255,4 +255,49 @@ object Curation {
         when(col("src_rank") <= cap, 1L).otherwise(0L).as("is_kept"))
       .orderBy(col(sourceCol), col("src_rank"))
   }
+
+  /** C50: URL canonicalization — the key under which a web corpus
+    * dedups fetches of the same page (the same article arrives as
+    * `HTTP://Host:80/a/?utm_source=feed&b=2&a=1#frag` and
+    * `https://host/a?a=1&b=2`). Pure codegen/HOF column chain, no
+    * shuffle:
+    *   - scheme + host lowercase (path/query case is significant per
+    *     RFC 3986 — only the authority is case-insensitive);
+    *   - default port stripped (:80 for http, :443 for https; any
+    *     other port is meaningful and kept);
+    *   - fragment dropped (client-side only, never sent to servers);
+    *   - tracking params removed (utm_*, gclid, fbclid, ref), the
+    *     rest SORTED so param order stops mattering;
+    *   - one trailing slash stripped from non-root paths; an empty
+    *     path becomes "/".
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val afterHost = regexp_replace(rest, "^[^/?]*", "")
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(afterHost, "^([^?]*)", 1)
+    val path0 = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val path = when(length(path0) > 1, regexp_replace(path0, "/$", "")).otherwise(path0)
+    val query = regexp_extract(afterHost, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => !(p.rlike("^(utm_[^=]*|gclid|fbclid|ref)=") || p === lit("")))
+    val sortedQ = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** C50 corpus form: canonical-URL dedup groups — per canonical URL
+    * the fetch count and the canonical (minimum) doc id to keep. One
+    * keyed agg shuffle on the canonical string.
+    */
+  def urlDedupGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_fetches"), min(col(idCol)).as("keep_id"))
+      .orderBy(col("url_canon"))
 }

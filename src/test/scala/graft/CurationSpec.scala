@@ -215,4 +215,34 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(2000))
   }
+
+  test("canonicalizeUrl: RFC-shaped normalization fixtures") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val cases = Seq(
+      // scheme+host case-folded, default port dropped, params sorted,
+      // tracking stripped, fragment dropped, trailing slash stripped
+      ("HTTP://WWW.Ex.COM:80/A/b/?utm_source=x&b=2&a=1#frag", "http://www.ex.com/A/b?a=1&b=2"),
+      ("https://ex.com:443/path", "https://ex.com/path"),
+      // non-default port and path/query case are SIGNIFICANT
+      ("https://ex.com:8080/Path?Q=V", "https://ex.com:8080/Path?Q=V"),
+      // all-tracking query vanishes entirely
+      ("https://ex.com/p?utm_campaign=c&fbclid=z&gclid=g&ref=r", "https://ex.com/p"),
+      // bare host gets the root path; root slash never stripped
+      ("https://Ex.Com", "https://ex.com/"),
+      ("https://ex.com/", "https://ex.com/"),
+      ("https://ex.com/?b=2&a=1", "https://ex.com/?a=1&b=2")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+    // idempotence: canonical of canonical is itself
+    val twice = cases.map(_._2).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == cases.map(_._2), "canonicalization must be idempotent")
+  }
 }
