@@ -23,7 +23,7 @@ object Bench {
     "q2_min_cost", "q7_nation_volume", "q8_market_share", "q9_product_profit", "q10_returned",
     "q11_stock_value", "q12_late_lines", "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
     "q19_disjunctive", "q20_part_promo", "q21_waiting",
-    "median_price", "quartiles_price", "anomaly_days", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
+    "median_price", "quartiles_price", "anomaly_days", "anomaly_mad", "events_twap", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
     "events_hourly_incr", "profile_table", "dq_violations", "skew_report",
     "asof_last_click", "interval_join", "range_join_binned", "range_count_sweep",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
@@ -36,7 +36,7 @@ object Bench {
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_sq8", "sim_topk_pq", "sim_topk_quant", "embed_nearest_centroid",
     "embed_quantize", "embed_project", "dedup_incr_bloom", "domain_cap", "dedup_url",
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
-    "text_rep_stats", "text_tfidf_top", "text_model_score", "corpus_stats",
+    "text_rep_stats", "text_tfidf_top", "text_unigram_score", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters",
     "pack_sequences", "curate_corpus", "dup_ngram_mass",
     "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",

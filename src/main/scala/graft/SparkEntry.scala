@@ -336,6 +336,14 @@ object SparkEntry {
         )
         .orderBy("day")
     }),
+    "anomaly_mad" -> ((s, d) =>
+      // B54: robust (median/MAD) anomaly days — B26's mean-band twin
+      // with an outlier-immune baseline; all-integer lower medians
+      TimeSeries.anomalyMadDays(t(s, d, "events"))),
+    "events_twap" -> ((s, d) =>
+      // B53: per-(user, day) time-weighted average — hold-until-next
+      // weighting, milli-unit integer math, (user, day) windows only
+      TimeSeries.twap(t(s, d, "events"))),
     "scd2_intervals" -> ((s, d) => {
       // A34: SCD2 history from the events change log — each user's
       // event_type runs become validity intervals; one keyed shuffle
@@ -891,6 +899,9 @@ object SparkEntry {
     "text_rep_stats" -> ((s, d) =>
       // C23: Gopher-style repetition filters (basis-point fractions)
       TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_unigram_score" -> ((s, d) =>
+      // C51: CCNet-style unigram-LM quality signal (integer ppm/bp)
+      TextAnalysis.unigramScore(t(s, d, "documents"), "doc_id", "text")),
     "text_tfidf_top" -> ((s, d) =>
       // C26: integer-exact tf-idf top-3 terms per document
       TextAnalysis.tfidfTop(t(s, d, "documents"), "doc_id", "text", topK = 3)),
@@ -1227,6 +1238,17 @@ object SparkEntry {
         |       CASE WHEN coalesce(b.n_bigrams,0) > 0 THEN CAST(10000 * b.top_bigram_rep // b.n_bigrams AS BIGINT) ELSE 0 END AS top_bigram_bp,
         |       CASE WHEN w.n_words > 0 THEN CAST(10000 * w.n_dup // w.n_words AS BIGINT) ELSE 0 END AS dup_word_bp
         |FROM wstat w LEFT JOIN bstat b USING (doc_id) ORDER BY w.doc_id""".stripMargin,
+    "text_unigram_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM v)
+        |SELECT doc_id,
+        |       CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tf * (ctf * 1000000 // total)) // sum(tf) AS BIGINT) AS mean_tok_ppm,
+        |       CAST(10000 * sum(CASE WHEN ctf <= 2 THEN tf ELSE 0 END) // sum(tf) AS BIGINT) AS rare_bp
+        |FROM tf JOIN v USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf_top" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1,2),
@@ -1345,6 +1367,28 @@ object SparkEntry {
         |       CAST(CASE WHEN n * n_days * 10 > total * 11 THEN 1
         |            WHEN n * n_days * 10 < total * 9 THEN -1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM d, t ORDER BY day""".stripMargin,
+    "anomaly_mad" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM d),
+        |r AS (SELECT day, cnt, row_number() OVER (ORDER BY cnt, day) AS rn FROM d),
+        |med AS (SELECT cnt AS med FROM r, n WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT day, cnt, med, abs(cnt - med) AS dev FROM d, med),
+        |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev, day) AS rn FROM dv),
+        |mad AS (SELECT dev AS mad FROM r2, n WHERE rn = (n + 1) // 2)
+        |SELECT strftime(dv.day, '%Y-%m-%d') AS day, dv.cnt, dv.med, CAST(mad.mad AS BIGINT) AS mad,
+        |       CAST(CASE WHEN dv.dev >= 3 * greatest(mad.mad, 1) THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM dv, mad ORDER BY day""".stripMargin,
+    "events_twap" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+        |                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |s AS (SELECT user_id, day, vm,
+        |             (lead(us) OVER (PARTITION BY user_id, day ORDER BY us, event_id) - us) // 1000 AS dt_ms
+        |      FROM e)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(sum(vm * dt_ms) // sum(dt_ms) AS BIGINT) AS twap_milli
+        |FROM s WHERE dt_ms IS NOT NULL
+        |GROUP BY user_id, day HAVING sum(dt_ms) > 0 ORDER BY user_id, day""".stripMargin,
     "recon_counts" ->
       """WITH s AS (SELECT DISTINCT o_orderkey AS k FROM orders),
         |g AS (SELECT DISTINCT l_orderkey AS k2 FROM lineitem)

@@ -247,4 +247,42 @@ object TextAnalysis {
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("term"))
   }
+
+  /** C51: unigram-LM quality signal (the integer-exact form of the
+    * CCNet/RedPajama "score each document under a corpus language
+    * model" filter). Every token is scored by its corpus frequency in
+    * parts-per-million; a document's signal is the tf-weighted mean
+    * token ppm (high = made of common language, low = rare-token
+    * noise) plus the fraction of token mass whose corpus frequency is
+    * <= `rareMaxTf` (hapax/near-hapax junk) in basis points.
+    *
+    * Plan shape: one keyed agg to per-doc term counts, a re-agg of the
+    * SAME frame to the corpus vocabulary, one keyed join on `term`,
+    * one keyed agg back to docs. The vocabulary is joined keyed, never
+    * broadcast: at 100 TB the distinct-term table is itself huge. The
+    * corpus-total is a 1-row agg broadcast by the scalar cross join.
+    *
+    * Overflow discipline: per-token ppm = `ctf * 1e6 DIV total` <= 1e6
+    * (integer `DIV`, not double `/`, so the math stays exact past
+    * 2^53 total tokens); the per-doc weighted sum is then bounded by
+    * doc_tokens * 1e6 — safe in a Long for any document that fits in
+    * memory at all.
+    */
+  def unigramScore(df: DataFrame, idCol: String, textCol: String, rareMaxTf: Long = 2L): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val total = vocab.agg(sum(col("ctf")).as("total"))
+    tf.join(vocab, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        expr("sum(tf * (ctf * 1000000L DIV total)) DIV sum(tf)").as("mean_tok_ppm"),
+        expr(s"10000 * sum(CASE WHEN ctf <= $rareMaxTf THEN tf ELSE 0 END) DIV sum(tf)").as("rare_bp")
+      )
+      .orderBy(col(idCol))
+  }
 }

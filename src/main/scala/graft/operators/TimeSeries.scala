@@ -210,4 +210,78 @@ object TimeSeries {
       .select(col("l_id").as("event_id"), col("l_us").as("ts_us"), col("n_nearby"))
       .orderBy(col("event_id"))
   }
+
+  /** B53: time-weighted average value per (user, day) — each reading
+    * holds until the next one, so its weight is the span to the next
+    * event that day (the standard TWAP/metrics-rollup semantics; a
+    * plain AVG over-weights bursts). The last event of a day carries
+    * no span and drops out; user-days with zero total span (all
+    * events in the same millisecond) are filtered, not divided by
+    * zero.
+    *
+    * Integer discipline: values are floored to milli-units and spans
+    * to milliseconds BEFORE the weighted sum, and the division is
+    * integer `DIV` — engine-reproducible, and vm*dt_ms stays ~1e15
+    * below Long overflow for any realistic per-day span. The window
+    * is partitioned by (user, day): millions of small partitions, no
+    * global sort, scale-safe.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day")).orderBy(col("us"), col("event_id"))
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(1000d)).cast("long").as("vm")
+      )
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .withColumn("dt_ms", expr("(next_us - us) DIV 1000"))
+      .filter(col("dt_ms").isNotNull)
+      .groupBy(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        expr("sum(vm * dt_ms) DIV sum(dt_ms)").as("twap_milli"),
+        sum(col("dt_ms")).as("span_ms")
+      )
+      .filter(col("span_ms") > 0L)
+      .drop("span_ms")
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** B54: robust anomaly days via median/MAD instead of the mean-rate
+    * bands of B26 — a single extreme day shifts a mean but not a
+    * median, so this flags spikes without the baseline itself being
+    * polluted by them (the standard robust-statistics upgrade).
+    * Lower-median semantics (element at rank (n+1)/2) keep everything
+    * in integers; a day is anomalous when |cnt - med| >= 3 * MAD
+    * (MAD floored to >= 1 so a perfectly flat series still has a
+    * non-degenerate band).
+    *
+    * Scale note: the global window runs over the DAILY series — one
+    * row per day regardless of SF (100 TB of events is still ~365
+    * rows here), so the single-partition rank is driver-scale by
+    * construction, not a skew hazard.
+    */
+  def anomalyMadDays(events: DataFrame): DataFrame = {
+    def lowerMedian(df: DataFrame, valueCol: String, tieCol: String, as: String): DataFrame = {
+      val n = df.agg(count(lit(1)).as("n"))
+      df.withColumn("rn", row_number().over(Window.orderBy(col(valueCol), col(tieCol))).cast("long"))
+        .crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(n + 1L) DIV 2"))
+        .select(col(valueCol).as(as))
+    }
+    val daily = events.groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+    val med = lowerMedian(daily, "cnt", "day", "med")
+    val dev = daily.crossJoin(broadcast(med)).withColumn("dev", abs(col("cnt") - col("med")))
+    val mad = lowerMedian(dev, "dev", "day", "mad")
+    dev
+      .crossJoin(broadcast(mad))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("med"), col("mad"),
+        when(col("dev") >= lit(3L) * greatest(col("mad"), lit(1L)), 1L).otherwise(0L).as("anomaly")
+      )
+      .orderBy(col("day"))
+  }
 }

@@ -313,4 +313,59 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy(col("o_orderpriority")).collect().toSeq
     assert(semi == viaDistinct && semi.nonEmpty)
   }
+
+  test("twap: hold-until-next weighting on a hand-built day, exact integer result") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // user 1: 1.0 held 10s, 2.0 held 20s, 4.0 unweighted (last of day)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 1.0),
+      (2L, 1L, "2024-01-01 00:00:10", 2.0),
+      (3L, 1L, "2024-01-01 00:00:30", 4.0)
+    ).toDF("event_id", "user_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.twap(ev).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_spans") == 2L)
+    // (1000*10000 + 2000*20000) DIV 30000 = 50_000_000 DIV 30_000
+    assert(r.getAs[Long]("twap_milli") == 1666L)
+  }
+
+  test("twap: single-event user-days drop out; same-ms bursts never divide by zero") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val ev = Seq(
+      (1L, 7L, "2024-01-01 00:00:00.000", 5.0), // lone event → no span
+      (2L, 8L, "2024-01-02 00:00:00.0001", 1.0), // two events inside one ms
+      (3L, 8L, "2024-01-02 00:00:00.0005", 9.0)  // → span_ms = 0 → filtered
+    ).toDF("event_id", "user_id", "tss", "value")
+      .withColumn("ts", to_timestamp(col("tss")))
+    assert(TimeSeries.twap(ev).count() == 0)
+  }
+
+  test("anomaly_mad: median baseline immune to the spike it flags; zero MAD floored") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // 4 flat days of 3 events + one day of 10 → med 3, mad 0 (floored to 1)
+    val rows = (0 until 4).flatMap(d => (0 until 3).map(i => (s"2024-02-0${d + 1} 00:00:0$i", d * 10L + i))) ++
+      (0 until 10).map(i => (s"2024-02-05 00:10:0$i", 100L + i))
+    val ev = rows.toDF("tss", "event_id").withColumn("ts", to_timestamp(col("tss")))
+    val got = TimeSeries.anomalyMadDays(ev).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.forall { case (_, _, med, mad, _) => med == 3L && mad == 0L })
+    assert(got.filter(_._5 == 1L).map(_._1).toSeq == Seq("2024-02-05"))
+    assert(got.count(_._5 == 0L) == 4)
+  }
+
+  test("unigram score: common-word docs score high ppm, hapax docs max rare_bp — exact") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "the the the cat"), (2L, "zzz qqq")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramScore(docs, "doc_id", "text").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // total=6 tokens; ppm: the=500000, cat/zzz/qqq=166666
+    assert(got(0) == ((1L, 4L, (3L * 500000L + 166666L) / 4L, 2500L)))
+    assert(got(1) == ((2L, 2L, 166666L, 10000L)))
+  }
 }
