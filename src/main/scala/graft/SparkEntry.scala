@@ -796,6 +796,9 @@ object SparkEntry {
     "embed_project" -> ((s, d) =>
       // C37: fixed-point random projection 64 -> 16 dims
       EmbedOps.projectLong(t(s, d, "embeddings"), "vec_id", "embedding", outDims = 16)),
+    "embed_pca_top" -> ((s, d) =>
+      // C52: integer power-iteration PC1 projection (engine-exact PCA)
+      EmbedOps.pcaTopProjection(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
     "sim_topk_quant" -> ((s, d) => {
       // C38: int8-quantized exact-integer top-k scoring
       val e = t(s, d, "embeddings")
@@ -1059,6 +1062,35 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
+  /** DuckDB twin of [[graft.operators.EmbedOps.pcaTopProjection]]:
+    * the same integer power iteration unrolled into chained CTEs (one
+    * s/w/renormalize block per step — exact Long/HUGEINT arithmetic,
+    * so the engines agree bit-for-bit; `//` and `DIV` both truncate
+    * toward zero, verified on negatives).
+    */
+  private def pcaOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    // AS MATERIALIZED: DuckDB inlines CTEs by default, which would
+    // re-expand the parquet scan once per iteration reference (dozens
+    // of scans → fd exhaustion); materializing xc makes it one scan.
+    sb ++= "WITH xl AS MATERIALIZED (SELECT vec_id AS id, CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,\n"
+    sb ++= "  unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS xq FROM embeddings),\n"
+    sb ++= "mu AS MATERIALIZED (SELECT dim, CAST(sum(xq) // count(*) AS BIGINT) AS mu FROM xl GROUP BY dim),\n"
+    sb ++= "xc AS MATERIALIZED (SELECT id, dim, xq - mu AS xc FROM xl JOIN mu USING (dim)),\n"
+    sb ++= "v0 AS (SELECT dim, CAST(1000000 AS BIGINT) AS v FROM mu),\n"
+    for (k <- 0 until iters) {
+      sb ++= s"s$k AS MATERIALIZED (SELECT id, CAST(sum(xc * v) // 1000000 AS BIGINT) AS s FROM xc JOIN v$k USING (dim) GROUP BY id),\n"
+      sb ++= s"w$k AS MATERIALIZED (SELECT dim, CAST(sum(s * xc) AS BIGINT) AS w FROM xc JOIN s$k USING (id) GROUP BY dim),\n"
+      sb ++= s"sc$k AS (SELECT greatest(1, max(abs(w)) // 1000000) AS sc FROM w$k),\n"
+      sb ++= s"wr$k AS MATERIALIZED (SELECT dim, CAST(w // sc AS BIGINT) AS wr FROM w$k, sc$k),\n"
+      sb ++= s"m$k AS (SELECT greatest(1, max(abs(wr))) AS m FROM wr$k),\n"
+      sb ++= s"v${k + 1} AS MATERIALIZED (SELECT dim, CAST(wr * 1000000 // m AS BIGINT) AS v FROM wr$k, m$k),\n"
+    }
+    sb ++= s"sf AS (SELECT id, CAST(sum(xc * v) // 1000000 AS BIGINT) AS s FROM xc JOIN v$iters USING (dim) GROUP BY id)\n"
+    sb ++= "SELECT id AS vec_id, s AS pc1_proj FROM sf ORDER BY vec_id"
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "src_discovery" ->
       "SELECT * FROM (VALUES ('customer'),('nation')) AS t(table_name) ORDER BY 1",
@@ -1707,6 +1739,7 @@ object SparkEntry {
         |           THEN mv ELSE -mv END) AS BIGINT) AS proj_fp
         |FROM ex CROSS JOIN range(16) t(j)
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "embed_pca_top" -> pcaOracleSql(iters = 8),
     "sim_topk_quant" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

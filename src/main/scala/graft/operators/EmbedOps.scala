@@ -77,4 +77,66 @@ object EmbedOps {
       scoreOut = Some("dot_q")
     )
   }
+
+  /** C52: top-principal-component projection by INTEGER power
+    * iteration — the PCA-whitening primitive embedding pipelines run
+    * before semantic dedup (SemDeDup centers + projects) and ANN
+    * index fitting, in a form two engines can reproduce bit-for-bit.
+    *
+    * Floating-point power iteration cannot be oracle-checked (sum
+    * order drifts ulps across engines), so every step here is exact
+    * Long arithmetic: vectors quantize once to milli-units, the mean
+    * is an integer `DIV`, the component v lives in fixed-point 1e6
+    * scale, and each step renormalizes by the L-infinity norm (max
+    * |w|) with a pre-shift so no product ever leaves a Long:
+    *
+    *   s_i = ((x_i - mu) . v)  DIV 1e6          (per row)
+    *   w   = sum_i s_i (x_i - mu)               (one agg, d sums)
+    *   wr  = w DIV max(1, max|w| DIV 1e6)       (pre-shift: |wr|<=~2e6)
+    *   v'  = wr * 1e6 DIV max(1, max|wr|)       (L-inf renormalize)
+    *
+    * Plan shape per iteration: ONE whole-stage-codegen scan of the
+    * cached quantized frame into `dims` map-side partial sums — no
+    * join, no shuffle wider than the d-column partial merge. The
+    * driver holds only mu and v (2×d Longs — metadata-scale, like the
+    * k-means centroid loads). Output is each vector's centered
+    * projection on the final component, the ranking SemDeDup-style
+    * pipelines bucket on.
+    *
+    * Overflow bounds (documented, not checked per-row): |s| <=
+    * d·2e3·1e6/1e6 ≈ 1.3e5, per-row w term <= 2.6e8, so the global
+    * sum stays in a Long up to ~3.5e9 rows per job; beyond that,
+    * partition the corpus and merge (the sums are monoidal).
+    */
+  def pcaTopProjection(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      iters: Int = 8
+  ): DataFrame = {
+    val xq = embeddings
+      .select(
+        col(idCol),
+        transform(col(vecCol), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq")
+      )
+      .cache()
+    val muRow = xq
+      .agg(array((0 until dims).map(d => expr(s"sum(xq[$d]) DIV count(*)")): _*).as("mu"))
+      .head().getSeq[Long](0).toArray
+    def sExpr(v: Array[Long]): String =
+      (0 until dims).map(d => s"(xq[$d] - ${muRow(d)}L) * ${v(d)}L").mkString("(", " + ", ") DIV 1000000")
+    var v = Array.fill(dims)(1000000L)
+    for (_ <- 0 until iters) {
+      val w = xq
+        .select(expr(sExpr(v)).as("s"), col("xq"))
+        .agg(array((0 until dims).map(d => expr(s"sum(s * (xq[$d] - ${muRow(d)}L))")): _*).as("w"))
+        .head().getSeq[Long](0).toArray
+      val shift = math.max(1L, w.map(math.abs).max / 1000000L)
+      val wr = w.map(_ / shift)
+      val m = math.max(1L, wr.map(math.abs).max)
+      v = wr.map(_ * 1000000L / m)
+    }
+    xq.select(col(idCol).as("vec_id"), expr(sExpr(v)).as("pc1_proj")).orderBy("vec_id")
+  }
 }

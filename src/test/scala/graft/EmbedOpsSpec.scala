@@ -276,4 +276,34 @@ class EmbedOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(codes2 == codes, "PQ codes must be deterministic across rebuilds")
   }
+
+  test("pca top component: recovers a planted dominant direction, exactly reproducible") {
+    import spark.implicits._
+    import graft.operators.EmbedOps
+    // planted structure: dim 3 carries a +-0.9 signal, every other dim
+    // deterministic noise <= 0.05 — PC1 must align with dim 3, so the
+    // projection must rank the +0.9 half above the -0.9 half
+    val n = 400
+    val dims = 16
+    val rows = (0 until n).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      val vec = Array.tabulate(dims) { d =>
+        val noise = (((i * 31 + d * 17) % 11) - 5) / 100.0
+        (if (d == 3) sign * 0.9 else 0.0) + noise
+      }.map(_.toFloat)
+      (i.toLong, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = EmbedOps.pcaTopProjection(df, "vec_id", "embedding", dims = dims, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pos = rows.filter(_._1 % 2 == 0).map(r => proj(r._1))
+    val neg = rows.filter(_._1 % 2 == 1).map(r => proj(r._1))
+    // separation: the two halves must not overlap (up to sign flip)
+    val separated = pos.min > neg.max || neg.min > pos.max
+    assert(separated, s"PC1 failed to separate the planted signal: pos=[${pos.min},${pos.max}] neg=[${neg.min},${neg.max}]")
+    // exact reproducibility: integer math must give identical output on re-run
+    val proj2 = EmbedOps.pcaTopProjection(df, "vec_id", "embedding", dims = dims, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(proj2 == proj, "integer power iteration must be bit-identical across runs")
+  }
 }
