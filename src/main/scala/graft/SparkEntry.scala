@@ -799,6 +799,9 @@ object SparkEntry {
     "embed_pca_top" -> ((s, d) =>
       // C52: integer power-iteration PC1 projection (engine-exact PCA)
       EmbedOps.pcaTopProjection(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
+    "embed_kmeans" -> ((s, d) =>
+      // C53: integer-exact Lloyd's k-means fit + assignment
+      EmbedOps.kmeansFit(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
     "sim_topk_quant" -> ((s, d) => {
       // C38: int8-quantized exact-integer top-k scoring
       val e = t(s, d, "embeddings")
@@ -1088,6 +1091,30 @@ object SparkEntry {
     }
     sb ++= s"sf AS (SELECT id, CAST(sum(xc * v) // 1000000 AS BIGINT) AS s FROM xc JOIN v$iters USING (dim) GROUP BY id)\n"
     sb ++= "SELECT id AS vec_id, s AS pc1_proj FROM sf ORDER BY vec_id"
+    sb.toString
+  }
+
+  /** DuckDB twin of [[graft.operators.EmbedOps.kmeansFit]]: the same
+    * integer Lloyd iterations unrolled as MATERIALIZED CTEs in long
+    * format — assignment = min (d2, j) per id, centroid update =
+    * integer-mean LEFT-JOINed over the previous round so empty
+    * clusters keep their centroid, exactly the engine's semantics.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH xl AS MATERIALIZED (SELECT vec_id AS id, CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,\n"
+    sb ++= "  unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS xq FROM embeddings),\n"
+    sb ++= s"c0 AS MATERIALIZED (SELECT id % $k AS j, dim, CAST(sum(xq) // count(*) AS BIGINT) AS c FROM xl GROUP BY 1, 2),\n"
+    for (t <- 0 until iters) {
+      sb ++= s"a$t AS MATERIALIZED (SELECT id, j FROM (SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d2, j) AS rk\n"
+      sb ++= s"  FROM (SELECT xl.id, c.j, CAST(sum((xq - c) * (xq - c)) AS BIGINT) AS d2 FROM xl JOIN c$t c USING (dim) GROUP BY 1, 2)) WHERE rk = 1),\n"
+      sb ++= s"c${t + 1} AS MATERIALIZED (SELECT pc.j, pc.dim, coalesce(nc.c, pc.c) AS c FROM c$t pc LEFT JOIN\n"
+      sb ++= s"  (SELECT j, dim, CAST(sum(xq) // count(*) AS BIGINT) AS c FROM xl JOIN a$t USING (id) GROUP BY 1, 2) nc\n"
+      sb ++= s"  ON pc.j = nc.j AND pc.dim = nc.dim),\n"
+    }
+    sb ++= s"af AS (SELECT id, j, d2 FROM (SELECT id, j, d2, row_number() OVER (PARTITION BY id ORDER BY d2, j) AS rk\n"
+    sb ++= s"  FROM (SELECT xl.id, c.j, CAST(sum((xq - c) * (xq - c)) AS BIGINT) AS d2 FROM xl JOIN c$iters c USING (dim) GROUP BY 1, 2)) WHERE rk = 1)\n"
+    sb ++= "SELECT id AS vec_id, CAST(j AS BIGINT) AS cluster, d2 FROM af ORDER BY vec_id"
     sb.toString
   }
 
@@ -1740,6 +1767,7 @@ object SparkEntry {
         |FROM ex CROSS JOIN range(16) t(j)
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "embed_pca_top" -> pcaOracleSql(iters = 8),
+    "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 5),
     "sim_topk_quant" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

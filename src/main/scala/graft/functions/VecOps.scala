@@ -536,6 +536,39 @@ object VecOps {
   def vec_sqdist(a: Column, b: Column): Column =
     ColumnBridge.column(VecSqDistFD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Nearest centroid over a quantized Long vector: returns
+    * [argmin_j, d2_min] where d2_j = Σ_d (vec[d] − cents[j·d0+d])²
+    * in exact Long arithmetic, ties broken by smallest j (strict-less
+    * scan). One virtual call and one tight k×d loop per row — the
+    * k-means assignment step as a single codegen projection, vs a
+    * k-way join or a 512-term SQL expression. Bounds: milli-unit
+    * inputs keep |diff| ≤ ~2·10⁶, so d2 ≤ d·4·10¹² — Long-safe past
+    * any embedding magnitude this engine stages. Public static for
+    * codegen.
+    */
+  def nearestCentroidLL(vec: ArrayData, cents: Array[Long], d: Int): ArrayData = {
+    val k = cents.length / d
+    var best = 0L
+    var bestD2 = Long.MaxValue
+    var j = 0
+    while (j < k) {
+      var s = 0L
+      var i = 0
+      val off = j * d
+      while (i < d) {
+        val df = vec.getLong(i) - cents(off + i)
+        s += df * df
+        i += 1
+      }
+      if (s < bestD2) { bestD2 = s; best = j.toLong }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array(best, bestD2))
+  }
+
+  def nearest_centroid_ll(vec: Column, cents: Array[Long], d: Int): Column =
+    ColumnBridge.column(NearestCentroidLL(ColumnBridge.expression(vec), cents, d))
+
   /** `trim(regexp_replace(lower(text), "\s+", " "))` in one pass:
     * lowercase via UTF8String.toLowerCase (the same implementation
     * Spark's `lower` uses — ASCII fast path, Unicode-correct
@@ -1099,4 +1132,26 @@ case class PqAdcScore(left: Expression, right: Expression, m: Int, kCodes: Int)
     defineCodeGen(ctx, ev, (c, t) => s"graft.functions.VecOps.pqAdc($c, $t, $m, $kCodes)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
     copy(left = l, right = r)
+}
+
+/** k-means assignment kernel: centroids ride as a plan reference
+  * object (k·d Longs — a few KB, nothing like the CMS-grid case that
+  * needs a broadcast), so every task gets them with its binary.
+  */
+case class NearestCentroidLL(child: Expression, cents: Array[Long], d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if d >= 1 && cents.nonEmpty && cents.length % d == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"nearest_centroid_ll needs array<long> + cents multiple of d; got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.nearestCentroidLL(v.asInstanceOf[ArrayData], cents, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kmeansCents", cents, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.nearestCentroidLL($c, $ref, $d)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidLL = copy(child = c)
 }

@@ -139,4 +139,58 @@ object EmbedOps {
     }
     xq.select(col(idCol).as("vec_id"), expr(sExpr(v)).as("pc1_proj")).orderBy("vec_id")
   }
+
+  /** C53: Lloyd's k-means fit in EXACT integer arithmetic — the
+    * clustering primitive every index here depends on (IVF cells, PQ
+    * codebooks, SemDeDup clusters) in a form a second engine can
+    * replay bit-for-bit. Vectors quantize once to milli-units;
+    * init centroid j = integer mean (DIV) of rows with id % k == j
+    * (deterministic partition init, expressible in both engines);
+    * each round assigns by exact-Long squared distance (smallest-j
+    * tiebreak) and recomputes integer means, empty clusters keeping
+    * their previous centroid.
+    *
+    * Plan shape per round: ONE codegen scan of the cached quantized
+    * frame through the [[graft.functions.VecOps.nearestCentroidLL]]
+    * kernel (k·d multiply-adds per row, no join, no k-way expand) +
+    * one k-group agg whose map-side combine reduces every partition
+    * to ≤k·d partial sums — the shuffle carries ~k rows per
+    * partition regardless of corpus size. The driver holds only the
+    * k·d centroid Longs. This is exactly the 1000-executor k-means
+    * loop: broadcast-read centroids, scan, tiny keyed merge.
+    *
+    * Output: (vec_id, cluster, d2) — final assignment and its exact
+    * squared distance in milli-unit² scale.
+    */
+  def kmeansFit(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int = 8,
+      iters: Int = 5
+  ): DataFrame = {
+    val xq = embeddings
+      .select(
+        col(idCol).as("id"),
+        transform(col(vecCol), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq")
+      )
+      .cache()
+    val meanCols = array((0 until dims).map(d => expr(s"sum(xq[$d]) DIV count(*)")): _*).as("c")
+    def toCents(rows: Array[org.apache.spark.sql.Row]): Map[Int, Array[Long]] =
+      rows.map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
+    val init = toCents(xq.groupBy((col("id") % k).as("j")).agg(meanCols).collect())
+    var cents: Array[Array[Long]] = Array.tabulate(k)(init(_))
+    for (_ <- 0 until iters) {
+      val asg = xq.select(
+        VecOps.nearest_centroid_ll(col("xq"), cents.flatten, dims)(0).as("j"),
+        col("xq")
+      )
+      val next = toCents(asg.groupBy("j").agg(meanCols).collect())
+      cents = Array.tabulate(k)(j => next.getOrElse(j, cents(j)))
+    }
+    val fin = VecOps.nearest_centroid_ll(col("xq"), cents.flatten, dims)
+    xq.select(col("id").as("vec_id"), fin(0).as("cluster"), fin(1).as("d2"))
+      .orderBy("vec_id")
+  }
 }

@@ -306,4 +306,39 @@ class EmbedOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(proj2 == proj, "integer power iteration must be bit-identical across runs")
   }
+
+  test("integer k-means: recovers planted clusters, deterministic, empty clusters survive") {
+    import spark.implicits._
+    import graft.operators.EmbedOps
+    // 3 well-separated planted clusters in 8 dims; fit with k=4 so at
+    // least one cluster must go/stay empty (exercises the keep-old path)
+    val dims = 8
+    val n = 300
+    val rows = (0 until n).map { i =>
+      val g = i % 3
+      val vec = Array.tabulate(dims) { d =>
+        val base = if (d == g) 1.0 else if (d == g + 3) -1.0 else 0.0
+        val noise = (((i * 13 + d * 7) % 9) - 4) / 200.0
+        (base + noise).toFloat
+      }
+      (i.toLong, vec)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = EmbedOps.kmeansFit(df, "vec_id", "embedding", dims = dims, k = 4, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n)
+    // every member of a planted group must land in the same fitted cluster,
+    // and different groups in different clusters
+    val byGroup = out.groupBy(_._1 % 3).map { case (g, rs) => g -> rs.map(_._2).distinct }
+    byGroup.foreach { case (g, cs) =>
+      assert(cs.length == 1, s"planted group $g split across clusters $cs")
+    }
+    assert(byGroup.values.flatten.toSet.size == 3, "planted groups merged into one cluster")
+    // distances to the fitted centroid must be small vs the inter-cluster scale
+    // (planted separation ~2.0 in milli-units^2 across 2 dims = 8e6)
+    assert(out.map(_._3).max < 1000000L, "assignment distance larger than noise scale")
+    val out2 = EmbedOps.kmeansFit(df, "vec_id", "embedding", dims = dims, k = 4, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq == out.toSeq, "integer k-means must be bit-identical across runs")
+  }
 }
