@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fingerprint64.fingerprint64
-import graft.operators.{AllString, Analytics, AsOfJoin, Curation, DataQuality, Dedup, EmbedOps, Incremental, Multimodal, Similarity, TextAnalysis, TimeSeries, TpchShapes, TypeMapper}
+import graft.operators.{AllString, Analytics, AsOfJoin, Curation, DataQuality, Dedup, EmbedOps, GraphOps, Incremental, Multimodal, Similarity, TextAnalysis, TimeSeries, TpchShapes, TypeMapper}
 import graft.sinks.ClickHouseDdl
 import graft.sources.{Catalog, JsonIngest}
 
@@ -802,6 +802,18 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) =>
       // C53: integer-exact Lloyd's k-means fit + assignment
       EmbedOps.kmeansFit(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
+    "graph_pagerank" -> ((s, d) => {
+      // C54: integer fixed-point PageRank over a staged doc-link graph
+      // (3 modular out-links per doc — deterministic in both engines)
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % n,
+          (col("doc_id") * 13 + 2) % n,
+          (col("doc_id") * 31 + 3) % n)).as("dst"))
+      GraphOps.pageRank(edges, iters = 5, dampPct = 85)
+    }),
     "sim_topk_quant" -> ((s, d) => {
       // C38: int8-quantized exact-integer top-k scoring
       val e = t(s, d, "embeddings")
@@ -1115,6 +1127,31 @@ object SparkEntry {
     sb ++= s"af AS (SELECT id, j, d2 FROM (SELECT id, j, d2, row_number() OVER (PARTITION BY id ORDER BY d2, j) AS rk\n"
     sb ++= s"  FROM (SELECT xl.id, c.j, CAST(sum((xq - c) * (xq - c)) AS BIGINT) AS d2 FROM xl JOIN c$iters c USING (dim) GROUP BY 1, 2)) WHERE rk = 1)\n"
     sb ++= "SELECT id AS vec_id, CAST(j AS BIGINT) AS cluster, d2 FROM af ORDER BY vec_id"
+    sb.toString
+  }
+
+  /** DuckDB twin of [[graft.operators.GraphOps.pageRank]] on the
+    * staged doc-link graph: same integer fixed-point rounds unrolled
+    * as CTEs; no-in-edge nodes get exactly base via LEFT JOIN +
+    * coalesce, matching the engine.
+    */
+  private def pagerankOracleSql(iters: Int, dampPct: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH nn AS (SELECT count(*) AS n FROM documents),\n"
+    sb ++= "e AS MATERIALIZED (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn\n"
+    sb ++= "  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn\n"
+    sb ++= "  UNION ALL SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn),\n"
+    sb ++= "nd AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),\n"
+    sb ++= "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),\n"
+    sb ++= s"cons AS (SELECT CAST(1000000000000 // max(n) AS BIGINT) AS r0v,\n"
+    sb ++= s"  CAST(((100 - $dampPct) * (1000000000000 // max(n))) // 100 AS BIGINT) AS base FROM nn),\n"
+    sb ++= "r0 AS MATERIALIZED (SELECT id, (SELECT r0v FROM cons) AS r FROM nd),\n"
+    for (t <- 0 until iters) {
+      sb ++= s"s$t AS (SELECT e.dst AS id, CAST(sum(r // deg) AS BIGINT) AS s FROM e JOIN deg USING (src) JOIN r$t ON r$t.id = e.src GROUP BY 1),\n"
+      sb ++= s"r${t + 1} AS MATERIALIZED (SELECT nd.id, CAST((SELECT base FROM cons) + ($dampPct * coalesce(s.s, 0)) // 100 AS BIGINT) AS r FROM nd LEFT JOIN s$t s USING (id)),\n"
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= s"\nSELECT id AS node_id, r AS rank_fp FROM r$iters ORDER BY node_id"
     sb.toString
   }
 
@@ -1768,6 +1805,7 @@ object SparkEntry {
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "embed_pca_top" -> pcaOracleSql(iters = 8),
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 5),
+    "graph_pagerank" -> pagerankOracleSql(iters = 5, dampPct = 85),
     "sim_topk_quant" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("pagerank: star graph concentrates rank on the hub, deterministic") {
+    import spark.implicits._
+    // star: nodes 1..20 all link to node 0; hub links back to node 1
+    val edges = ((1 to 20).map(i => (i.toLong, 0L)) :+ (0L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, iters = 5, dampPct = 85)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 21)
+    val hub = r(0L)
+    val spoke = r(5L)
+    assert(hub > 10 * spoke, s"hub rank $hub not dominant over spoke $spoke")
+    // node 1 gets the hub's entire outflow — must beat plain spokes
+    assert(r(1L) > spoke, "hub-pointed node must outrank plain spokes")
+    val r2 = GraphOps.pageRank(edges, iters = 5, dampPct = 85)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == r, "integer pagerank must be bit-identical across runs")
+  }
+
+  test("pagerank: ring graph is exactly uniform; mass approximately conserved") {
+    import spark.implicits._
+    val n = 50
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, iters = 4, dampPct = 85).collect().map(_.getLong(1))
+    assert(r.distinct.length == 1, "ring symmetry must give one identical rank everywhere")
+    // total mass: SCALE up to DIV truncation (n nodes, a few units each)
+    val total = r.sum
+    assert(math.abs(total - 1000000000000L) < 100L * n,
+      s"rank mass drifted: $total vs 1e12")
+  }
+
+  test("pagerank: node with no in-edges gets exactly the base mass") {
+    import spark.implicits._
+    // 0 -> 1 -> 2 -> 1 : node 0 has no in-edges
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, iters = 3, dampPct = 85)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val scale = 1000000000000L
+    val base = ((100L - 85L) * (scale / 3L)) / 100L
+    assert(r(0L) == base, s"source-only node must hold exactly base: ${r(0L)} vs $base")
+    assert(r(1L) > r(2L), "node fed by two sources must outrank single-fed node")
+  }
+}
