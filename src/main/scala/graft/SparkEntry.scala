@@ -802,6 +802,9 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) =>
       // C53: integer-exact Lloyd's k-means fit + assignment
       EmbedOps.kmeansFit(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
+    "mix_allocate" -> ((s, d) =>
+      // C55: sqrt-temperature mixture allocation, exact budget apportionment
+      Curation.temperatureAllocate(t(s, d, "documents"), "source", budget = 100000L)),
     "graph_pagerank" -> ((s, d) => {
       // C54: integer fixed-point PageRank over a staged doc-link graph
       // (3 modular out-links per doc — deterministic in both engines)
@@ -1806,6 +1809,18 @@ object SparkEntry {
     "embed_pca_top" -> pcaOracleSql(iters = 8),
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 5),
     "graph_pagerank" -> pagerankOracleSql(iters = 5, dampPct = 85),
+    // w = floor(sqrt(count)) is cross-engine exact: IEEE sqrt is
+    // correctly rounded in both engines; the rest is integer math
+    "mix_allocate" ->
+      """WITH c AS (SELECT source AS stratum, count(*) AS docs,
+        |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM c),
+        |b AS (SELECT stratum, docs, w, CAST((100000 * w) // tw AS BIGINT) AS base,
+        |             CAST((100000 * w) % tw AS BIGINT) AS rem FROM c, t),
+        |l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS r FROM b),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rn FROM b)
+        |SELECT stratum, docs, w, CAST(base + CASE WHEN rn <= l.r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rk, l ORDER BY stratum""".stripMargin,
     "sim_topk_quant" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

@@ -300,4 +300,46 @@ object Curation {
       .groupBy(col("url_canon"))
       .agg(count(lit(1)).as("n_fetches"), min(col(idCol)).as("keep_id"))
       .orderBy(col("url_canon"))
+
+  /** C55: temperature-scaled mixture allocation with EXACT budget
+    * apportionment — the "how many docs from each source" decision a
+    * multilingual/multi-domain training mix makes (α=0.5 temperature
+    * sampling, the mT5/XLM-R convention: weight ∝ √count flattens
+    * head domains without drowning the tail).
+    *
+    * Exactness: w = floor(sqrt(count)) is cross-engine exact because
+    * IEEE-754 sqrt is correctly rounded in both engines; everything
+    * after is integer — base_i = (B·w_i) DIV Σw, and the leftover
+    * R = B − Σ base (< #strata) goes to the R largest remainders
+    * (largest-remainder apportionment, stratum-name tiebreak), so
+    * Σ alloc == B exactly, not approximately.
+    *
+    * Scale: one keyed count agg; the remainder rank runs through
+    * [[Analytics.globalRowNumber]] (binned parallel rank), so
+    * millions of strata (web hosts) never serialize into one window
+    * task; scalars (Σw, Σbase) broadcast as 1-row frames.
+    */
+  def temperatureAllocate(
+      df: DataFrame,
+      strataCol: String,
+      budget: Long
+  ): DataFrame = {
+    // "wgt" not "w": globalRowNumber's broadcast stats frame carries
+    // its own bin-width column named w
+    val counts = df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("docs"))
+      .withColumn("wgt", floor(sqrt(col("docs").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("wgt")).as("tw"))
+    val based = counts
+      .crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(${budget}L * wgt) DIV tw"))
+      .withColumn("rem", expr(s"(${budget}L * wgt) % tw"))
+    val left = based.agg((lit(budget) - sum(col("base"))).as("r"))
+    Analytics
+      .globalRowNumber(based, col("rem"), descending = true, Seq(col("stratum")))
+      .crossJoin(broadcast(left))
+      .withColumn("alloc", col("base") + when(col("rn") <= col("r"), 1L).otherwise(0L))
+      .select(col("stratum"), col("docs"), col("wgt").as("w"), col("alloc"))
+      .orderBy(col("stratum"))
+  }
 }

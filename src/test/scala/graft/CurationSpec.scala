@@ -245,4 +245,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(twice == cases.map(_._2), "canonicalization must be idempotent")
   }
+
+  test("temperatureAllocate: exact budget, sqrt flattening, deterministic remainders") {
+    import spark.implicits._
+    // skewed strata: head domain 10000 docs, torso 400, tail 9 singleton-ish
+    val docs = (
+      (1 to 10000).map(i => (i, "head")) ++
+      (1 to 400).map(i => (i + 20000, "torso")) ++
+      (1 to 9).flatMap(j => (1 to (j + 1)).map(i => (i + 30000 + j * 100, s"tail$j")))
+    ).toDF("doc_id", "source")
+    val budget = 777L // prime-ish so remainders actually fire
+    val out = Curation.temperatureAllocate(docs, "source", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact apportionment: allocations sum to the budget, not approximately
+    assert(out.map(_._4).sum == budget, s"alloc sum ${out.map(_._4).sum} != $budget")
+    // sqrt temperature: head/torso doc ratio is 25x but weight ratio must be 5x
+    val head = out.find(_._1 == "head").get
+    val torso = out.find(_._1 == "torso").get
+    assert(head._3 == 100 && torso._3 == 20, s"isqrt weights wrong: $head $torso")
+    // every stratum with at least one doc gets weight >= 1 (tail not starved of weight)
+    assert(out.forall(_._3 >= 1))
+    val out2 = Curation.temperatureAllocate(docs, "source", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out2.toSeq == out.toSeq, "apportionment must be deterministic")
+  }
 }
