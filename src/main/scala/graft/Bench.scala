@@ -23,7 +23,7 @@ object Bench {
     "q2_min_cost", "q7_nation_volume", "q8_market_share", "q9_product_profit", "q10_returned",
     "q11_stock_value", "q12_late_lines", "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
     "q19_disjunctive", "q20_part_promo", "q21_waiting",
-    "median_price", "quartiles_price", "anomaly_days", "anomaly_mad", "events_twap", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
+    "median_price", "quartiles_price", "anomaly_days", "anomaly_mad", "events_twap", "events_ewma", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
     "events_hourly_incr", "profile_table", "dq_violations", "skew_report",
     "asof_last_click", "interval_join", "range_join_binned", "range_count_sweep",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",

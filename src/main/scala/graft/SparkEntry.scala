@@ -344,6 +344,9 @@ object SparkEntry {
       // B53: per-(user, day) time-weighted average — hold-until-next
       // weighting, milli-unit integer math, (user, day) windows only
       TimeSeries.twap(t(s, d, "events"))),
+    "events_ewma" -> ((s, d) =>
+      // B55: per-user integer EWMA fold in (ts, event_id) order
+      TimeSeries.ewma(t(s, d, "events"), alphaPct = 20)),
     "scd2_intervals" -> ((s, d) => {
       // A34: SCD2 history from the events change log — each user's
       // event_type runs become validity intervals; one keyed shuffle
@@ -1488,6 +1491,18 @@ object SparkEntry {
         |       CAST(sum(vm * dt_ms) // sum(dt_ms) AS BIGINT) AS twap_milli
         |FROM s WHERE dt_ms IS NOT NULL
         |GROUP BY user_id, day HAVING sum(dt_ms) > 0 ORDER BY user_id, day""".stripMargin,
+    // list_reduce seeds the fold with the first list element — the
+    // exact twin of the slice+aggregate(init=xs[0]) form engine-side
+    "events_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |             list_sort(list(struct_pack(us := us, eid := event_id, vm := vm))) AS xs
+        |      FROM e GROUP BY 1)
+        |SELECT user_id, n_events,
+        |       CAST(list_reduce(list_transform(xs, s -> s.vm),
+        |                        (acc, x) -> (80 * acc + 20 * x) // 100) AS BIGINT) AS ewma_milli
+        |FROM g ORDER BY user_id""".stripMargin,
     "recon_counts" ->
       """WITH s AS (SELECT DISTINCT o_orderkey AS k FROM orders),
         |g AS (SELECT DISTINCT l_orderkey AS k2 FROM lineitem)

@@ -284,4 +284,46 @@ object TimeSeries {
       )
       .orderBy(col("day"))
   }
+
+  /** B55: per-user exponentially-weighted moving average of the event
+    * value — the time-decayed metric ops dashboards keep per entity
+    * (recency-weighted spend/engagement), as a STATEFUL SEQUENTIAL
+    * FOLD: e₀ = first value, eₖ = ((100−α)·eₖ₋₁ + α·xₖ) DIV 100 over
+    * the user's events in (ts, event_id) order. A window can't
+    * express this recurrence (each step depends on the previous
+    * OUTPUT, not the previous input), so it runs as collect → sort →
+    * `aggregate` fold per user.
+    *
+    * Integer discipline: milli-unit values, integer DIV per step —
+    * bit-reproducible, and DuckDB's `list_reduce` seeds with the
+    * first element exactly like the `slice + aggregate(init=xs[0])`
+    * form here, so the oracle replays the identical fold. Sort order
+    * is total: (us, event_id) is unique, so struct comparison order
+    * can't diverge between engines.
+    *
+    * Scale: one keyed shuffle; state is per-user event lists (the
+    * same bound as sessionize — thousands of events per user, never
+    * corpus-sized). The fold is O(events/user) per row with no
+    * window machinery.
+    */
+  def ewma(events: DataFrame, alphaPct: Int = 20): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"alphaPct must be 1..99, got $alphaPct")
+    val keep = 100 - alphaPct
+    events
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("vm")))).as("xs"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        expr(s"aggregate(transform(slice(xs, 2, size(xs) - 1), s -> s.vm), xs[0].vm," +
+          s" (acc, x) -> ($keep * acc + $alphaPct * x) DIV 100)").as("ewma_milli"))
+      .orderBy(col("user_id"))
+  }
 }

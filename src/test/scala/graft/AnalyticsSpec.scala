@@ -368,4 +368,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0) == ((1L, 4L, (3L * 500000L + 166666L) / 4L, 2500L)))
     assert(got(1) == ((2L, 2L, 166666L, 10000L)))
   }
+
+  test("ewma: exact fold in time order, single-event identity, order independence of input") {
+    import graft.operators.TimeSeries
+    import java.sql.Timestamp
+    import spark.implicits._
+    // user 1: values 10.0, 20.0, 30.0 at t=1,2,3s (shuffled input rows);
+    // alpha=20: e = 10000 -> (80*10000+20*20000)/100 = 12000 -> (80*12000+20*30000)/100 = 15600
+    val rows = Seq(
+      (3L, new Timestamp(3000L), 1L, 30.0),
+      (1L, new Timestamp(1000L), 1L, 10.0),
+      (2L, new Timestamp(2000L), 1L, 20.0),
+      (4L, new Timestamp(5000L), 2L, 7.5)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = TimeSeries.ewma(rows, alphaPct = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L, 15600L), (2L, 1L, 7500L)))
+    // input row order must not matter: fold order comes from (ts, event_id)
+    val got2 = TimeSeries.ewma(rows.orderBy(col("value")), alphaPct = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == got.toSeq)
+  }
 }
