@@ -805,6 +805,9 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) =>
       // C53: integer-exact Lloyd's k-means fit + assignment
       EmbedOps.kmeansFit(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
+    "embed_outliers" -> ((s, d) =>
+      // C56: per-cluster median+3*MAD outlier gate on exact kmeans d2
+      EmbedOps.clusterOutliers(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
     "mix_allocate" -> ((s, d) =>
       // C55: sqrt-temperature mixture allocation, exact budget apportionment
       Curation.temperatureAllocate(t(s, d, "documents"), "source", budget = 100000L)),
@@ -1118,7 +1121,25 @@ object SparkEntry {
     * integer-mean LEFT-JOINed over the previous round so empty
     * clusters keep their centroid, exactly the engine's semantics.
     */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    kmeansOracleCtes(k, iters) +
+      "\nSELECT id AS vec_id, CAST(j AS BIGINT) AS cluster, d2 FROM af ORDER BY vec_id"
+
+  /** C56 oracle: per-cluster lower-median/MAD outlier gate stacked on
+    * the same unrolled k-means CTEs (exact rank medians, id tiebreak).
+    */
+  private def kmeansOutliersOracleSql(k: Int, iters: Int): String =
+    kmeansOracleCtes(k, iters) + """,
+      |m AS (SELECT j, d2 AS med FROM (SELECT j, d2, row_number() OVER (PARTITION BY j ORDER BY d2, id) AS rk,
+      |  count(*) OVER (PARTITION BY j) AS n FROM af) WHERE rk = (n + 1) // 2),
+      |dv AS (SELECT af.id, af.j, af.d2, abs(af.d2 - m.med) AS dev, m.med FROM af JOIN m USING (j)),
+      |md AS (SELECT j, dev AS mad FROM (SELECT j, dev, row_number() OVER (PARTITION BY j ORDER BY dev, id) AS rk,
+      |  count(*) OVER (PARTITION BY j) AS n FROM dv) WHERE rk = (n + 1) // 2)
+      |SELECT dv.id AS vec_id, CAST(dv.j AS BIGINT) AS cluster, dv.d2,
+      |       CAST(CASE WHEN dv.d2 > dv.med + 3 * greatest(md.mad, 1) THEN 1 ELSE 0 END AS BIGINT) AS outlier
+      |FROM dv JOIN md USING (j) ORDER BY vec_id""".stripMargin
+
+  private def kmeansOracleCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH xl AS MATERIALIZED (SELECT vec_id AS id, CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,\n"
     sb ++= "  unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS xq FROM embeddings),\n"
@@ -1130,9 +1151,8 @@ object SparkEntry {
       sb ++= s"  (SELECT j, dim, CAST(sum(xq) // count(*) AS BIGINT) AS c FROM xl JOIN a$t USING (id) GROUP BY 1, 2) nc\n"
       sb ++= s"  ON pc.j = nc.j AND pc.dim = nc.dim),\n"
     }
-    sb ++= s"af AS (SELECT id, j, d2 FROM (SELECT id, j, d2, row_number() OVER (PARTITION BY id ORDER BY d2, j) AS rk\n"
-    sb ++= s"  FROM (SELECT xl.id, c.j, CAST(sum((xq - c) * (xq - c)) AS BIGINT) AS d2 FROM xl JOIN c$iters c USING (dim) GROUP BY 1, 2)) WHERE rk = 1)\n"
-    sb ++= "SELECT id AS vec_id, CAST(j AS BIGINT) AS cluster, d2 FROM af ORDER BY vec_id"
+    sb ++= s"af AS MATERIALIZED (SELECT id, j, d2 FROM (SELECT id, j, d2, row_number() OVER (PARTITION BY id ORDER BY d2, j) AS rk\n"
+    sb ++= s"  FROM (SELECT xl.id, c.j, CAST(sum((xq - c) * (xq - c)) AS BIGINT) AS d2 FROM xl JOIN c$iters c USING (dim) GROUP BY 1, 2)) WHERE rk = 1)"
     sb.toString
   }
 
@@ -1823,6 +1843,7 @@ object SparkEntry {
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "embed_pca_top" -> pcaOracleSql(iters = 8),
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 5),
+    "embed_outliers" -> kmeansOutliersOracleSql(k = 8, iters = 5),
     "graph_pagerank" -> pagerankOracleSql(iters = 5, dampPct = 85),
     // w = floor(sqrt(count)) is cross-engine exact: IEEE sqrt is
     // correctly rounded in both engines; the rest is integer math

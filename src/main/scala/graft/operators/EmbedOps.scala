@@ -193,4 +193,47 @@ object EmbedOps {
     xq.select(col("id").as("vec_id"), fin(0).as("cluster"), fin(1).as("d2"))
       .orderBy("vec_id")
   }
+
+  /** C56: embedding-space outlier pruning — flag vectors whose exact
+    * k-means distance sits beyond median + 3·MAD of their OWN
+    * cluster (the robust per-cluster gate curation runs to drop
+    * mislabeled/junk embeddings; a global threshold would flag whole
+    * small clusters). Entirely integer: d2 comes exact from
+    * [[kmeansFit]], medians are exact lower-median ranks
+    * ((n+1) DIV 2, id tiebreak — the B54 discipline), MAD floors to
+    * ≥1 so constant clusters don't flag everything.
+    *
+    * Plan: both median windows and the deviation join run under ONE
+    * cluster-keyed partitioning (k groups after the kmeans scan);
+    * the per-cluster med/mad frames are k rows — broadcast joins.
+    */
+  def clusterOutliers(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int = 8,
+      iters: Int = 5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmeansFit(embeddings, idCol, vecCol, dims, k, iters)
+    def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("cluster")).orderBy(col(valCol), col("vec_id"))
+      val wc = Window.partitionBy(col("cluster"))
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(expr("rk = (n + 1) DIV 2"))
+        .select(col("cluster"), col(valCol).as(out))
+    }
+    val med = lowerMedian(asg, "d2", "med")
+    val dev = asg.join(broadcast(med), "cluster")
+      .withColumn("dev", abs(col("d2") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), "cluster")
+      .select(
+        col("vec_id"), col("cluster"), col("d2"),
+        when(col("d2") > col("med") + lit(3L) * greatest(col("mad"), lit(1L)), 1L)
+          .otherwise(0L).as("outlier"))
+      .orderBy("vec_id")
+  }
 }

@@ -341,4 +341,28 @@ class EmbedOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out2.toSeq == out.toSeq, "integer k-means must be bit-identical across runs")
   }
+
+  test("cluster outliers: planted far point flagged by its own cluster's MAD gate only") {
+    import spark.implicits._
+    import graft.operators.EmbedOps
+    val dims = 8
+    // two tight planted clusters + one far outlier appended to cluster 0's side
+    val rows = (0 until 200).map { i =>
+      val g = i % 2
+      val vec = Array.tabulate(dims) { d =>
+        val base = if (d == g) 1.0 else 0.0
+        val noise = (((i * 11 + d * 5) % 7) - 3) / 300.0
+        (base + noise).toFloat
+      }
+      (i.toLong, vec)
+    } :+ (999L, Array.tabulate(dims)(d => if (d == 0) 3.0f else 0.5f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = EmbedOps.clusterOutliers(df, "vec_id", "embedding", dims = dims, k = 2, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 201)
+    val flagged = out.filter(_._4 == 1L).map(_._1)
+    assert(flagged.contains(999L), "planted far point must be flagged")
+    // the tight-cluster points must NOT be flagged (robust gate holds)
+    assert(flagged.count(_ != 999L) < 10, s"gate over-fires: $flagged")
+  }
 }
