@@ -808,6 +808,9 @@ object SparkEntry {
     "embed_outliers" -> ((s, d) =>
       // C56: per-cluster median+3*MAD outlier gate on exact kmeans d2
       EmbedOps.clusterOutliers(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
+    "sample_weighted" -> ((s, d) =>
+      // C57: sequential-Poisson weighted sample, weight = doc length
+      Curation.weightedSample(t(s, d, "documents"), "doc_id", "n_chars", k = 200)),
     "mix_allocate" -> ((s, d) =>
       // C55: sqrt-temperature mixture allocation, exact budget apportionment
       Curation.temperatureAllocate(t(s, d, "documents"), "source", budget = 100000L)),
@@ -1847,6 +1850,13 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracleSql(iters = 5, dampPct = 85),
     // w = floor(sqrt(count)) is cross-engine exact: IEEE sqrt is
     // correctly rounded in both engines; the rest is integer math
+    "sample_weighted" ->
+      """WITH b AS (SELECT doc_id, n_chars AS weight, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |    (a,x) -> a*16+x) AS h FROM documents),
+        |p AS (SELECT doc_id, weight, CAST(h // greatest(weight, 1) AS BIGINT) AS priority FROM b)
+        |SELECT doc_id, weight, priority FROM p ORDER BY priority, doc_id LIMIT 200""".stripMargin,
     "mix_allocate" ->
       """WITH c AS (SELECT source AS stratum, count(*) AS docs,
         |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w FROM documents GROUP BY 1),

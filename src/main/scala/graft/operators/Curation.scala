@@ -301,6 +301,37 @@ object Curation {
       .agg(count(lit(1)).as("n_fetches"), min(col(idCol)).as("keep_id"))
       .orderBy(col("url_canon"))
 
+  /** C57: deterministic weighted sampling without replacement —
+    * sequential Poisson sampling (Ohlsson 1998, the estimation-grade
+    * weighted-sample scheme): rank every row by priority
+    * hash(id) DIV weight and keep the k smallest, so inclusion odds
+    * scale ∝ weight while the whole draw stays reproducible (no RNG
+    * state — the hash IS the uniform variate, exactly the md5-bucket
+    * discipline of [[stratifiedSample]]).
+    *
+    * Scale: priorities are a pure projection; the global k-smallest
+    * runs as TakeOrderedAndProject (k candidates per partition cross
+    * the shuffle, never a full sort — same plan lock as
+    * text_bigrams_top).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int
+  ): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    df.select(
+        col(idCol),
+        col(weightCol).cast("long").as("weight"),
+        (h.cast("long")).as("h"))
+      .withColumn("priority", expr("h DIV greatest(weight, 1L)"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("priority"))
+      .orderBy(col(idCol))
+  }
+
   /** C55: temperature-scaled mixture allocation with EXACT budget
     * apportionment — the "how many docs from each source" decision a
     * multilingual/multi-domain training mix makes (α=0.5 temperature

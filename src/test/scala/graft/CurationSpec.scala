@@ -269,4 +269,20 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out2.toSeq == out.toSeq, "apportionment must be deterministic")
   }
+
+  test("weightedSample: weight-proportional inclusion, deterministic, exact k") {
+    import spark.implicits._
+    // 1000 light docs (weight 10) + 1000 heavy docs (weight 1000):
+    // heavy docs must dominate the sample ~100:1 per Ohlsson priorities
+    val docs = ((0 until 1000).map(i => (i.toLong, 10L)) ++
+      (1000 until 2000).map(i => (i.toLong, 1000L))).toDF("doc_id", "n_chars")
+    val got = Curation.weightedSample(docs, "doc_id", "n_chars", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 100, "must return exactly k rows")
+    val heavy = got.count(_._2 == 1000L)
+    assert(heavy >= 90, s"heavy docs should dominate the weighted sample, got $heavy/100")
+    val got2 = Curation.weightedSample(docs.orderBy(col("doc_id").desc), "doc_id", "n_chars", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == got.toSeq, "sample must be input-order independent")
+  }
 }
