@@ -352,4 +352,41 @@ class PlanSpec extends SparkSpec {
     // the candidate self-join is keyed on (cluster, table-bucket)
     assert(p.contains("hashpartitioning"), p.take(2000))
   }
+
+  test("embed_kmeans: final assignment is a joinless kernel scan") {
+    // the per-round loops collect() internally; the returned frame is
+    // the final assignment — one kernel projection over the cached
+    // quantized frame, no join, no k-way expand
+    val p = planOf("embed_kmeans")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.toLowerCase.contains("nearestcentroidll"),
+      "assignment must run through the native kernel: " + p.take(1500))
+  }
+
+  test("graph_pagerank: every round's join is keyed — no nested-loop, no cartesian") {
+    val p = planOf("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("mix_allocate: remainder rank never collapses into one global window task") {
+    val p = planOf("mix_allocate")
+    // globalRowNumber bins the rank: the only single-partition
+    // exchange allowed is the tiny bin-prior window, never the data
+    assert(!p.contains("Window [") || !p.contains("SinglePartition, ORDER BY rem"),
+      p.take(2000))
+    // stats + prior + leftover scalars ride as broadcasts
+    assert(count(p, "BroadcastExchange") >= 3, p.take(2000))
+  }
+
+  test("sample_weighted: global k-smallest is TakeOrdered, never a full sort") {
+    val p = planOf("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("events_ewma: one keyed shuffle for the per-user fold") {
+    val p = planOf("events_ewma")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(count(p, "hashpartitioning") == 1, p.take(2000))
+  }
 }
