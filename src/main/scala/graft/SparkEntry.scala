@@ -1172,8 +1172,11 @@ object SparkEntry {
     sb ++= "  UNION ALL SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn),\n"
     sb ++= "nd AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),\n"
     sb ++= "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),\n"
-    sb ++= s"cons AS (SELECT CAST(1000000000000 // max(n) AS BIGINT) AS r0v,\n"
-    sb ++= s"  CAST(((100 - $dampPct) * (1000000000000 // max(n))) // 100 AS BIGINT) AS base FROM nn),\n"
+    // r0/base divide by the NODE count (src ∪ dst), not the document
+    // count: with non-contiguous ids the modular dsts add nodes, and
+    // the engine sizes the initial mass by graph nodes
+    sb ++= s"cons AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS r0v,\n"
+    sb ++= s"  CAST(((100 - $dampPct) * (1000000000000 // count(*))) // 100 AS BIGINT) AS base FROM nd),\n"
     sb ++= "r0 AS MATERIALIZED (SELECT id, (SELECT r0v FROM cons) AS r FROM nd),\n"
     for (t <- 0 until iters) {
       sb ++= s"s$t AS (SELECT e.dst AS id, CAST(sum(r // deg) AS BIGINT) AS s FROM e JOIN deg USING (src) JOIN r$t ON r$t.id = e.src GROUP BY 1),\n"
