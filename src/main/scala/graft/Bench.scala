@@ -37,7 +37,7 @@ object Bench {
     "embed_quantize", "embed_project", "embed_pca_top", "embed_kmeans", "embed_outliers", "graph_pagerank", "dedup_incr_bloom", "domain_cap", "dedup_url",
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_rep_stats", "text_tfidf_top", "text_unigram_score", "text_model_score", "corpus_stats",
-    "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters", "mix_allocate", "sample_weighted",
+    "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters", "mix_allocate", "sample_weighted", "dup_span_stats",
     "pack_sequences", "curate_corpus", "dup_ngram_mass",
     "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",
     "mm_byte_resize", "mm_png_meta", "mm_wav_meta",

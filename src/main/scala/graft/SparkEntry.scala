@@ -808,6 +808,9 @@ object SparkEntry {
     "embed_outliers" -> ((s, d) =>
       // C56: per-cluster median+3*MAD outlier gate on exact kmeans d2
       EmbedOps.clusterOutliers(t(s, d, "embeddings"), "vec_id", "embedding", dims = 64)),
+    "dup_span_stats" -> ((s, d) =>
+      // C58: positional duplicated-span stats (longest clip-out run)
+      Curation.dupSpanStats(t(s, d, "documents"), "doc_id", "text", n = 8)),
     "sample_weighted" -> ((s, d) =>
       // C57: sequential-Poisson weighted sample, weight = doc length
       Curation.weightedSample(t(s, d, "documents"), "doc_id", "n_chars", k = 200)),
@@ -1853,6 +1856,22 @@ object SparkEntry {
     "graph_pagerank" -> pagerankOracleSql(iters = 5, dampPct = 85),
     // w = floor(sqrt(count)) is cross-engine exact: IEEE sqrt is
     // correctly rounded in both engines; the rest is integer math
+    // string n-grams positionally; engine hashes them to 8 bytes in
+    // the kernel (hash-equivalent w.h.p. — the dup_ngram_mass discipline)
+    "dup_span_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |x AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 8 + 1, 0))) AS pos FROM w),
+        |g AS (SELECT doc_id, pos, array_to_string(ws[pos + 1 : pos + 8], ' ') AS ng FROM x),
+        |f AS (SELECT ng, min(doc_id) AS first_id FROM g GROUP BY 1),
+        |s AS (SELECT g.doc_id, g.pos, (f.first_id < g.doc_id) AS shared FROM g JOIN f USING (ng)),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |             CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows FROM s GROUP BY 1),
+        |runs AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s WHERE shared),
+        |mr AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_dup_run FROM
+        |  (SELECT doc_id, grp, count(*) AS c FROM runs GROUP BY 1, 2) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows, coalesce(dup_windows, 0) AS dup_windows,
+        |       coalesce(max_dup_run, 0) AS max_dup_run
+        |FROM documents d LEFT JOIN a USING (doc_id) LEFT JOIN mr USING (doc_id) ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """WITH b AS (SELECT doc_id, n_chars AS weight, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',

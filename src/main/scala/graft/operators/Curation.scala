@@ -218,6 +218,52 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** C58: duplicated-SPAN statistics — the exact-substring-dedup
+    * signal of Lee et al. 2022 (arXiv:2107.06499 §4.1): for every
+    * doc, how much of it is covered by token windows an EARLIER doc
+    * already contains, and the LONGEST consecutive such run (the
+    * span a clip-out dedup would remove). Unlike [[dupNgramMass]]
+    * (distinct n-grams), this is positional: stride-1 windows at
+    * every token position, runs detected with gaps-and-islands
+    * (pos − row_number over shared positions).
+    *
+    * Scale: work ∝ token volume, never doc×doc — windows hash to 8
+    * bytes in the kernel before any shuffle (string n-grams only in
+    * the oracle, hash-equivalent w.h.p.); first-seen is a window min
+    * over the hash key; the island detection and both per-doc aggs
+    * run under ONE doc-keyed partitioning.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        when(size(split(Dedup.normalize(col(textCol)), " ")) >= n,
+          graft.functions.VecOps.shingle_hashes(
+            split(Dedup.normalize(col(textCol)), " "), n))
+          .otherwise(array().cast("array<long>")).as("shs"))
+      .select(col("id"), posexplode(col("shs")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
+    val shared = exploded
+      .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
+      .select(col("id"), col("pos"), (col("first_id") < col("id")).as("shared"))
+    val counts = shared.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("shared"), 1L).otherwise(0L)).as("dup_windows"))
+    val runs = shared.filter(col("shared"))
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .groupBy(col("id"), col("grp")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(max(col("c")).as("max_dup_run"))
+    df.select(col(idCol))
+      .join(counts.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(runs.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+      .orderBy(col(idCol))
+  }
+
   def packSequences(
       df: DataFrame,
       idCol: String,

@@ -285,4 +285,22 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got2.toSeq == got.toSeq, "sample must be input-order independent")
   }
+
+  test("dupSpanStats: planted copied span found with exact run length; originals clean") {
+    import spark.implicits._
+    // doc 1: 20 unique words. doc 2: 8 fresh words, then words 5..14 of
+    // doc 1 (10 words -> 3 consecutive shared 8-grams), then 6 fresh.
+    val w1 = (0 until 20).map(i => s"a$i")
+    val d2 = (0 until 8).map(i => s"b$i") ++ w1.slice(5, 15) ++ (0 until 6).map(i => s"c$i")
+    val docs = Seq((1L, w1.mkString(" ")), (2L, d2.mkString(" ")), (3L, "short text")).toDF("doc_id", "text")
+    val got = Curation.dupSpanStats(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: 13 windows, none shared (it is first)
+    assert(got(0) == ((1L, 13L, 0L, 0L)), got(0).toString)
+    // doc 2: 24 words -> 17 windows; shared windows are exactly the 3
+    // fully-inside-the-copied-span positions (8..10), one island of 3
+    assert(got(1) == ((2L, 17L, 3L, 3L)), got(1).toString)
+    // doc 3: < 8 words -> zero windows
+    assert(got(2) == ((3L, 0L, 0L, 0L)), got(2).toString)
+  }
 }
