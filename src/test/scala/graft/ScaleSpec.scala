@@ -527,4 +527,65 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("pagerank on a mega-hub graph at 200k nodes: hot dst key absorbed by partial agg", Slow) {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // web reality: one hub page every node links to. The dst-keyed agg
+    // gets a key holding 50% of ALL contributions — survivable only
+    // because map-side combine collapses each partition's hub rows to
+    // one partial before the shuffle (the same property that makes
+    // any hot-key count safe). Every node also links to its ring
+    // successor so nothing dangles and mass stays conserved.
+    val n = 200000
+    val hubEdges = spark.range(n).selectExpr("id AS src", "0L AS dst")
+      .union(spark.range(n).selectExpr("id AS src", s"(id + 1) % ${n}L AS dst"))
+    val ring = spark.range(n).selectExpr("id AS src", s"(id + 1) % ${n}L AS dst")
+      .union(spark.range(n).selectExpr("id AS src", s"(id + 7) % ${n}L AS dst"))
+    // ring first: the first pageRank run pays codegen/shuffle warmup
+    // for both (measured ~40 s of JIT on a cold suite JVM)
+    val (_, ringSec) = time {
+      GraphOps.pageRank(ring, iters = 5).collect()
+    }
+    val (hubRanks, hubSec) = time {
+      GraphOps.pageRank(hubEdges, iters = 5).collect()
+    }
+    assert(hubRanks.length == n)
+    val byId = hubRanks.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = byId(0L)
+    val others = hubRanks.filter(_.getLong(0) != 0L).map(_.getLong(1)).sorted
+    // node 1 legitimately rides the hub's outflow; the TYPICAL node
+    // (median) must sit orders of magnitude below the hub
+    assert(hub > others(others.length / 2) * 1000,
+      s"hub must dominate the typical node: $hub vs median ${others(others.length / 2)}")
+    assert(hub > others.last, s"hub must still be the max: $hub vs ${others.last}")
+    val total = hubRanks.map(_.getLong(1)).sum
+    assert(math.abs(total - 1000000000000L) < 500L * n, s"mass drifted: $total")
+    info(f"mega-hub $hubSec%.2f s vs uniform ring $ringSec%.2f s (400k edges, 5 rounds)")
+    assert(hubSec <= ringSec * 4 + 10,
+      f"hub graph took $hubSec%.1f s vs ring $ringSec%.1f s — hot-dst straggler?")
+  }
+
+  test("integer k-means at 100k x 32: planted partition recovered exactly, one scan per round", Slow) {
+    import graft.operators.EmbedOps
+    val n = 100000
+    val vecs = spark.range(n).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 31), d -> cast(
+        |  (case when d = id % 8 then 1.0 else 0.0 end)
+        |  + (((id * 31 + d * 17) % 11) - 5) / 100.0 as float)) AS embedding""".stripMargin)
+    val (out, sec) = time {
+      EmbedOps.kmeansFit(vecs, "vec_id", "embedding", dims = 32, k = 8, iters = 5).collect()
+    }
+    assert(out.length == n)
+    // planted group -> fitted cluster must be a bijection on 8 groups
+    val mapping = out.groupBy(_.getLong(0) % 8).map { case (g, rs) =>
+      val cs = rs.map(_.getLong(1)).distinct
+      assert(cs.length == 1, s"planted group $g split across $cs")
+      g -> cs.head
+    }
+    assert(mapping.values.toSet.size == 8, "planted groups merged")
+    info(f"kmeans 100k x 32, k=8, 5 rounds: $sec%.2f s")
+    assert(sec < 120, f"kmeans took $sec%.1f s at 100k — scan-per-round shape broken?")
+  }
 }
