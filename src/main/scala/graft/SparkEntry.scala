@@ -356,6 +356,27 @@ object SparkEntry {
       Incremental.scd2(ev, Seq("user_id"), Seq("ts_us", "event_id"), Seq("event_type"))
         .orderBy(col("user_id"), col("valid_from_us"))
     }),
+    "cdc_apply" -> ((s, d) => {
+      // A35: I/U/D change stream applied to a base snapshot — deletes
+      // round out the upsert sync core. Changes staged from orders:
+      // %10>=8 inserts (new keys), %10<=1 deletes, rest updates;
+      // o_orderkey is the unique log sequence
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val ch = t(s, d, "orders").select(
+        when(col("o_orderkey") % 10 >= 8, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 >= 8, lit("I"))
+          .when(col("o_orderkey") % 10 <= 1, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        floor(col("o_totalprice") * 100).cast("long").as("bal_c"))
+      Incremental.cdcApply(base, ch, "c_custkey", "seq", "op", Seq("bal_c"))
+    }),
+    "shuffle_shards" -> ((s, d) =>
+      // C60: deterministic training-shard assignment + intra-shard
+      // shuffle order, proven via per-shard order-sensitive checksums
+      Curation.shuffleShards(t(s, d, "documents"), "doc_id", "n_chars", nShards = 16)),
     "snapshot_diff" -> ((s, d) => {
       // A33: CDC-style snapshot compare. The "old" snapshot is staged
       // deterministically from orders: %17==0 keys held out (-> added),
@@ -829,6 +850,25 @@ object SparkEntry {
           (col("doc_id") * 31 + 3) % n)).as("dst"))
       GraphOps.pageRank(edges, iters = 5, dampPct = 85)
     }),
+    "graph_triangles" -> ((s, d) => {
+      // C59: degree-ordered triangle counting over the same staged
+      // doc-link graph as pagerank (undirected-ized)
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % n,
+          (col("doc_id") * 13 + 2) % n,
+          (col("doc_id") * 31 + 3) % n)).as("dst"))
+      GraphOps.trianglesPerNode(edges)
+    }),
+    "trend_slope" -> ((s, d) =>
+      // B56: per-brand OLS daily-revenue trend, integer-exact moments
+      Analytics.trendSlope(t(s, d, "lineitem"), t(s, d, "part"))),
+    "corr_pairs" -> ((s, d) =>
+      // B57: quantity-discount Pearson corr per return flag,
+      // bit-reproducible IEEE tail over exact integer moments
+      Analytics.corrPairs(t(s, d, "lineitem"))),
     "sim_topk_quant" -> ((s, d) => {
       // C38: int8-quantized exact-integer top-k scoring
       val e = t(s, d, "embeddings")
@@ -1551,6 +1591,33 @@ object SparkEntry {
         |SELECT user_id, event_type, valid_from_us, valid_to_us,
         |  CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+    "cdc_apply" ->
+      """WITH base AS (SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |ch AS (SELECT CASE WHEN o_orderkey % 10 >= 8 THEN o_custkey + 10000000 ELSE o_custkey END AS c_custkey,
+        |              o_orderkey AS seq,
+        |              CASE WHEN o_orderkey % 10 >= 8 THEN 'I' WHEN o_orderkey % 10 <= 1 THEN 'D' ELSE 'U' END AS op,
+        |              CAST(floor(o_totalprice * 100) AS BIGINT) AS bal_c FROM orders),
+        |last AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM ch) WHERE rn = 1)
+        |SELECT c_custkey,
+        |       CASE WHEN l.op IS NOT NULL THEN 'cdc' ELSE 'base' END AS src,
+        |       CASE WHEN l.op IS NOT NULL THEN l.bal_c ELSE b.bal_c END AS bal_c
+        |FROM base b FULL OUTER JOIN last l USING (c_custkey)
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+    "shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':s'), i, 1)) - 1 AS BIGINT))), (a,x) -> a*16+x) % 16 AS shard,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':p'), i, 1)) - 1 AS BIGINT))), (a,x) -> a*16+x) AS pos
+        |  FROM documents),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY pos, doc_id) AS BIGINT) AS rn,
+        |             count(*) OVER (PARTITION BY shard) AS cnt FROM h)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |       min(CASE WHEN rn = 1 THEN doc_id END) AS first_id,
+        |       min(CASE WHEN rn = cnt THEN doc_id END) AS last_id,
+        |       CAST(sum(rn * (doc_id % 1000003)) AS BIGINT) AS order_checksum
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "snapshot_diff" ->
       """WITH cur AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
         |old AS (
@@ -1854,6 +1921,45 @@ object SparkEntry {
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 5),
     "embed_outliers" -> kmeansOutliersOracleSql(k = 8, iters = 5),
     "graph_pagerank" -> pagerankOracleSql(iters = 5, dampPct = 85),
+    // triangle counts are enumeration-order-invariant, so the oracle
+    // uses the naive a<b<c id ordering — same answer as the engine's
+    // degree ordering, without replicating the rank machinery
+    "graph_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn),
+        |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |nd AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |crn AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |cnt AS (SELECT id, count(*) AS n_tri FROM crn GROUP BY 1)
+        |SELECT nd.id AS node_id, CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM nd LEFT JOIN cnt USING (id) ORDER BY node_id""".stripMargin,
+    "trend_slope" ->
+      """WITH daily AS (
+        |  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) // 100 AS BIGINT) AS yd
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |x AS (SELECT p_brand, CAST(date_diff('day', DATE '1992-01-01', day) AS BIGINT) AS x, yd FROM daily),
+        |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_days, sum(x) AS sx, sum(yd) AS sy,
+        |             sum(x * yd) AS sxy, sum(x * x) AS sxx FROM x GROUP BY 1)
+        |SELECT p_brand, n_days,
+        |  CAST((1000 * (CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+        |       // (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_md
+        |FROM m ORDER BY p_brand""".stripMargin,
+    "corr_pairs" ->
+      """WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |                  CAST(floor(l_discount * 10000) AS BIGINT) AS y FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |   / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |   / sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS corr_qd
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // w = floor(sqrt(count)) is cross-engine exact: IEEE sqrt is
     // correctly rounded in both engines; the rest is integer math
     // string n-grams positionally; engine hashes them to 8 bytes in

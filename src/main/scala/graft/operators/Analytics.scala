@@ -424,4 +424,77 @@ object Analytics {
     when(rn <= r * (q + lit(1L)), ldiv(rn - lit(1L), q + lit(1L)) + lit(1L))
       .otherwise(r + ldiv(rn - r * (q + lit(1L)) - lit(1L), greatest(q, lit(1L))) + lit(1L))
   }
+
+  /** B56: per-group OLS trend slope over a daily series — "is this
+    * brand's revenue trending up?", the classic sales-drift signal,
+    * in cross-engine-exact arithmetic. Daily revenue is aggregated
+    * FIRST (so the regression runs over <= ~2500 (brand, day) points
+    * per group regardless of fact rows — the sums below then can't
+    * overflow), x = days since 1992-01-01, y = daily revenue in whole
+    * dollars (cents summed exactly, then DIV 100). Slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with the moment products in
+    * DECIMAL(38,0) (Long holds Σ's but not n·Σxy at 100 TB; the
+    * oracle mirrors with HUGEINT), reported in milli-dollars/day via
+    * integer DIV — both engines truncate toward zero, verified
+    * including negative slopes.
+    *
+    * Plan shape: one lineitem×part keyed join, one (brand, day) agg,
+    * one brand agg — map-side partials everywhere, no window, no
+    * driver state. Skew-safe: groups are brands, days bound the
+    * per-group state.
+    */
+  def trendSlope(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val daily = lineitem
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
+      .agg(expr("sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) DIV 100").as("yd"))
+      .select(col("p_brand"), datediff(col("day"), lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("x"), col("yd"))
+    daily
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("yd")).as("sy"),
+        sum(col("x") * col("yd")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("p_brand"), col("n_days"),
+        expr("""CAST((1000 * (CAST(n_days AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+               | DIV (CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("slope_md"))
+      .orderBy("p_brand")
+  }
+
+  /** B57: per-group Pearson correlation between two measures —
+    * quantity vs discount per return flag ("do discounts move
+    * volume?"). The moments are EXACT integers (quantity as units,
+    * discount floored to basis points; sums in DECIMAL(38,0) /
+    * HUGEINT since n·Σxy crosses 2^63 near 20M rows/group); only the
+    * final three ops are doubles, and each — two sqrt, two divides,
+    * in a FIXED evaluation order num/sqrt(dx)/sqrt(dy) — is
+    * correctly rounded under IEEE 754 in both engines, so the double
+    * result is bit-reproducible, not approximately equal. (A
+    * float-sum corr, like both engines' built-in `corr`, is
+    * order-dependent and can't be cross-checked bit-for-bit.)
+    *
+    * Plan: single lineitem scan into a 3-group agg with map-side
+    * partials; no joins, no window.
+    */
+  def corrPairs(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_discount") * lit(10000d)).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+               | / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+               | / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))""".stripMargin.replace("\n", ""))
+          .as("corr_qd"))
+      .orderBy("l_returnflag")
 }

@@ -419,4 +419,49 @@ object Curation {
       .select(col("stratum"), col("docs"), col("wgt").as("w"), col("alloc"))
       .orderBy(col("stratum"))
   }
+
+  /** C60: deterministic global shuffle into training shards — the
+    * last step of every corpus pipeline: assign each doc to one of
+    * `nShards` output files and fix a pseudo-random ORDER within the
+    * shard, with no RNG state (both keys are md5-derived, the
+    * [[stratifiedSample]]/[[weightedSample]] discipline), so a re-run
+    * or a resumed job produces byte-identical shards.
+    *
+    * Shard = h(id, "s") mod n; intra-shard position = rank of
+    * (h(id, "p"), id) — independent salts so shard membership and
+    * order don't correlate. The returned card proves BOTH decisions
+    * cross-engine: per shard the doc count, char mass, the first/last
+    * doc ids in shuffle order, and an order-sensitive checksum
+    * Σ rn·(id mod 1000003) that any off-by-one in the permutation
+    * breaks.
+    *
+    * Scale: the per-shard window IS the shard writer's sort — one
+    * hash shuffle on shard id then an in-partition sort, exactly
+    * what `repartition(shard).sortWithinPartitions(pos)` does when
+    * the real writer dumps shards to parquet; shard count is chosen
+    * so a shard fits an executor (docs/nShards rows), and the card
+    * aggregation is map-side-combined per shard.
+    */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      nShards: Int
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val hs = conv(substring(md5(concat(col(idCol).cast("string"), lit(":s"))), 1, 8), 16, 10).cast("long")
+    val hp = conv(substring(md5(concat(col(idCol).cast("string"), lit(":p"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("pos"), col(idCol))
+    df.select(col(idCol), col(sizeCol).cast("long").as("sz"),
+        (hs % nShards).as("shard"), hp.as("pos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("sz")).as("total_size"),
+        min_by(col(idCol), struct(col("pos"), col(idCol))).as("first_id"),
+        max_by(col(idCol), struct(col("pos"), col(idCol))).as("last_id"),
+        sum(col("rn") * (col(idCol) % 1000003L)).as("order_checksum"))
+      .orderBy("shard")
+  }
 }

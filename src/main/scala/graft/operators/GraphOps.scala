@@ -64,4 +64,72 @@ object GraphOps {
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank_fp")).orderBy("node_id")
   }
+
+  /** C59: per-node triangle participation — the clustering-structure
+    * signal web-graph curation ranks link farms / mutual-citation
+    * rings by (a page whose neighborhood is a clique is a very
+    * different quality prior than a tree-like hub).
+    *
+    * Algorithm: the compact-forward / degree-ordering enumeration
+    * (Latapy 2008; also MR triangle counting, Suri & Vassilvitskii
+    * 2011 — "node-iterator++"): canonicalize to undirected simple
+    * edges, rank nodes by (degree, id), DIRECT every edge from
+    * lower to higher rank, and join forward-adjacency with itself on
+    * the source — each wedge (a→b, a→c) closes iff b→c (or c→b,
+    * but rank-direction makes it exactly b→c for rank(b)<rank(c)) is
+    * an edge. Directing by DEGREE bounds every node's forward
+    * out-degree by O(sqrt(m)) on any graph, so the wedge self-join —
+    * the only superlinear step — generates O(m^1.5) candidates
+    * worst-case instead of Σ deg² (a single hub node would otherwise
+    * emit deg²/2 wedges; ranked, a hub emits almost none). Each
+    * triangle is enumerated exactly once, then credited to its three
+    * corners via explode.
+    *
+    * Plan: degree agg + two keyed joins to rank endpoints, one
+    * wedge self-join keyed on the source, one closing keyed join
+    * against the directed edge set, explode + keyed count back onto
+    * the node set. Everything is keyed shuffles on node ids; AQE's
+    * skew split covers residual hot sources.
+    *
+    * The per-node result is enumeration-ORDER-INVARIANT, so the
+    * DuckDB oracle can use the naive a<b<c id-ordered enumeration —
+    * identical answer, no need to replicate the degree ranking.
+    */
+  def trianglesPerNode(edges: DataFrame): DataFrame = {
+    // canonical simple undirected edges: u < v, self-loops dropped
+    val und = edges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val nodes = und.select(col("u").as("id")).union(und.select(col("v").as("id"))).distinct()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // rank key (deg, id) is a total order; direct edges low -> high
+    val ranked = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("v")).otherwise(col("u")).as("b"))
+      .cache()
+    // rank of b vs c inside a wedge: compare (deg, id) again — join
+    // degrees once onto the directed frame so the wedge filter is local
+    val fwd = ranked
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("db"))
+    val wedges = fwd.alias("x")
+      .join(fwd.alias("y"), col("x.a") === col("y.a") &&
+        (col("x.db") < col("y.db") || (col("x.db") === col("y.db") && col("x.b") < col("y.b"))))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tris = wedges
+      .join(ranked.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val credit = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    nodes
+      .join(credit, Seq("id"), "left")
+      .select(col("id").as("node_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("node_id")
+  }
 }

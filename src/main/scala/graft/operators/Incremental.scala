@@ -308,4 +308,47 @@ object Incremental {
     fields.map { case (name, chType) =>
       s"ALTER TABLE `$db`.`$table` ADD COLUMN `$name` Nullable($chType)"
     }
+
+  /** A35: apply a CDC change stream (I/U/D with a sequence column) to
+    * a base snapshot — the Debezium/binlog-shaped merge that rounds
+    * out the sync core: [[mergeUpsert]] handles inserts/updates, this
+    * adds DELETE semantics. Per key the HIGHEST-seq change wins
+    * (ties impossible: seq is the log offset, unique by contract);
+    * a final 'D' removes the key even if it exists in base, a final
+    * 'I' or 'U' materializes the change payload (upsert semantics —
+    * 'I' on an existing key and 'U' on a missing key both take the
+    * change row, the standard idempotent-replay convention so a
+    * reordered/replayed log converges to the same snapshot). Base
+    * rows with no change pass through untouched.
+    *
+    * Plan: one keyed window over changes (latest per key — the
+    * [[latestPerKey]] shape), one full-outer keyed join against
+    * base; both hash-partition on the key, AQE splits hot keys. At
+    * 100 TB the base side is the lake table: the join prunes to
+    * touched partitions when the caller pre-filters by the change
+    * key range (same discipline as [[snapshotDiff]]).
+    */
+  def cdcApply(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String,
+      payloadCols: Seq[String]
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val last = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol) +: col(opCol).as("__op") +: payloadCols.map(c => col(c).as(s"__c_$c")): _*)
+    base.alias("b")
+      .join(last.alias("c"), Seq(keyCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(
+        col(keyCol) +:
+          when(col("__op").isNotNull, lit("cdc")).otherwise(lit("base")).as("src") +:
+          payloadCols.map(c =>
+            when(col("__op").isNotNull, col(s"__c_$c")).otherwise(col(s"b.$c")).as(c)): _*)
+      .orderBy(keyCol)
+  }
 }

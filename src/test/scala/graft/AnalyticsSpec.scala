@@ -389,4 +389,37 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got2.toSeq == got.toSeq)
   }
+
+  test("trendSlope: planted linear daily revenue recovers the exact slope, sign included") {
+    import spark.implicits._
+    // brand UP: daily revenue 100 + 5x dollars; brand DOWN: 1000 - 7x
+    def day(x: Int) = java.sql.Timestamp.valueOf(f"1992-01-${x + 1}%02d 00:00:00")
+    val li = (0 until 10).flatMap { x =>
+      Seq((1L, (100 + 5 * x).toDouble, day(x)), (2L, (1000 - 7 * x).toDouble, day(x)))
+    }.toDF("l_partkey", "l_extendedprice", "l_shipdate")
+    val part = Seq((1L, "UP"), (2L, "DOWN")).toDF("p_partkey", "p_brand")
+    val r = operators.Analytics.trendSlope(li, part)
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r("UP") == 5000L, s"UP slope_md: ${r("UP")}")
+    assert(r("DOWN") == -7000L, s"negative slope must survive truncating DIV: ${r("DOWN")}")
+  }
+
+  test("corrPairs: perfect linear (anti-)correlation hits ±1 to double precision") {
+    import spark.implicits._
+    // discounts are i/16: exactly representable doubles, so
+    // floor(d*10000) = 625·i is exactly linear in i (an arbitrary
+    // 1/10000-grid value can floor to 624.99..→624 and break ±1)
+    val li = (1 to 40).map(i =>
+      ("P", i.toDouble, i / 16.0) ) ++ (1 to 40).map(i =>
+      ("N", i.toDouble, (50.0 - i) / 16.0))
+    val df = li.toDF("l_returnflag", "l_quantity", "l_discount")
+    val r = operators.Analytics.corrPairs(df)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(math.abs(r("P") - 1.0) < 1e-12, s"corr(P)=${r("P")}")
+    assert(math.abs(r("N") + 1.0) < 1e-12, s"corr(N)=${r("N")}")
+    // determinism: the IEEE tail must be bit-stable across runs
+    val r2 = operators.Analytics.corrPairs(df)
+      .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
+    assert(r2 == r, "corr must be bit-identical across runs")
+  }
 }

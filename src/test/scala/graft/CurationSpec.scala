@@ -303,4 +303,21 @@ class CurationSpec extends SparkSpec {
     // doc 3: < 8 words -> zero windows
     assert(got(2) == ((3L, 0L, 0L, 0L)), got(2).toString)
   }
+
+  test("shuffleShards: shards partition the corpus, order is deterministic and salt-independent of membership") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, 10 + i % 7)).toDF("doc_id", "n_chars")
+    val a = Curation.shuffleShards(docs, "doc_id", "n_chars", nShards = 8).collect()
+    assert(a.map(_.getLong(1)).sum == 300L, "shards must partition the corpus")
+    assert(a.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+    // re-run: byte-identical card (shard membership AND order)
+    val b = Curation.shuffleShards(docs, "doc_id", "n_chars", nShards = 8).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "shuffle must be deterministic")
+    // order checksum is order-SENSITIVE: a different position salt
+    // (different permutation, same membership) must move checksums
+    val hs = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":s"))), 1, 8), 16, 10).cast("long")
+    val shardOf = docs.select((hs % 8).as("shard")).groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach(r => assert(shardOf(r.getLong(0)) == r.getLong(1), "membership must follow the shard hash"))
+  }
 }

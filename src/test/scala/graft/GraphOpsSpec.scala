@@ -44,4 +44,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(0L) == base, s"source-only node must hold exactly base: ${r(0L)} vs $base")
     assert(r(1L) > r(2L), "node fed by two sources must outrank single-fed node")
   }
+
+  test("triangles: K4 gives every node 3 triangles; ring of 5 gives none") {
+    import spark.implicits._
+    val k4 = (for (i <- 0 to 3; j <- 0 to 3 if i < j) yield (i.toLong, j.toLong)).toDF("src", "dst")
+    val r = GraphOps.trianglesPerNode(k4).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"K4 per-node triangles wrong: $r")
+    val ring = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong)).toDF("src", "dst")
+    val r2 = GraphOps.trianglesPerNode(ring).collect().map(_.getLong(1))
+    assert(r2.forall(_ == 0L), "odd ring must be triangle-free")
+  }
+
+  test("triangles: direction/duplicates/self-loops don't change the undirected answer") {
+    import spark.implicits._
+    // one triangle (0,1,2) written messily: both directions, dups, a self-loop, a dangling edge
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 2L), (2L, 2L), (3L, 0L))
+      .toDF("src", "dst")
+    val r = GraphOps.trianglesPerNode(messy).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L), s"canonicalization broken: $r")
+  }
+
+  test("triangles: degree-ordered enumeration matches brute force on a deterministic graph") {
+    import spark.implicits._
+    // modular graph, the staged query shape: 60 nodes, 3 out-links each
+    val n = 60L
+    val edges = (0L until n).flatMap(i => Seq((i, (i * 7 + 1) % n), (i, (i * 13 + 2) % n), (i, (i * 31 + 3) % n)))
+    val got = GraphOps.trianglesPerNode(edges.toDF("src", "dst"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // brute force on the driver
+    val und = edges.flatMap { case (a, b) => if (a == b) Nil else Seq((a min b, a max b)) }.toSet
+    val counts = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val ids = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    for (Seq(a, b, c) <- ids.combinations(3)
+         if und((a, b)) && und((b, c)) && und((a, c));
+         v <- Seq(a, b, c)) counts(v) += 1
+    val exp = ids.map(i => i -> counts(i)).toMap
+    assert(got == exp, s"degree-ordered result diverges from brute force")
+  }
 }
