@@ -1128,6 +1128,20 @@ object SparkEntry {
           Multimodal.pngHeaderBytes(lit(16L) + col("doc_id") % 1920L, lit(16L) + col("doc_id") % 1080L))
           .otherwise(col("text").cast("binary")).as("payload"))
       Multimodal.parsePngMeta(payloads, "doc_id", "payload")
+    }),
+    "mm_jpeg_meta" -> ((s, d) => {
+      // C61: REAL JPEG SOF parsing via the bounded marker walk — 2/3
+      // of docs carry genuine JDK-encoded JPEGs (variable-length
+      // APP0/DQT chain ahead of SOF0), the rest non-JPEG text bytes;
+      // the oracle knows the staged dims in closed form
+      val docs = t(s, d, "documents")
+      val jp = Multimodal.encodeStagedJpeg(s,
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+          (lit(8) + col("doc_id") % 32).as("w"), (lit(8) + col("doc_id") % 24).as("h")),
+        "doc_id", "w", "h").select(col("doc_id"), col("jpeg").as("payload"))
+      val tx = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.parseJpegMeta(jp.unionByName(tx), "doc_id", "payload")
     })
   )
 
@@ -2494,6 +2508,16 @@ object SparkEntry {
         |    substring(hx,51,2), substring(hx,49,2)) AS BIGINT) END AS sample_rate,
         |  CASE WHEN ok THEN CAST(concat('0x', substring(hx,71,2), substring(hx,69,2)) AS BIGINT) END AS bits_per_sample
         |FROM f ORDER BY doc_id""".stripMargin,
+    // the engine walks REAL JDK-encoded JPEG bytes to SOF0; the oracle
+    // states the staged ground truth in closed form (same discipline
+    // as mm_frame_sample: decode is engine-side, truth is derivable)
+    "mm_jpeg_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS is_jpeg,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 32 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 24 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(3 AS BIGINT) END AS n_components
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_png_meta" ->
       """WITH p AS (
         |  SELECT doc_id,

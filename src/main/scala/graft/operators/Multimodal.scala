@@ -189,6 +189,70 @@ object Multimodal {
       leHex(bits, 2)
     ))
 
+  /** C61: REAL JPEG dimension parsing — unlike PNG/WAV, JPEG has no
+    * fixed-offset header: the SOF frame segment sits behind a
+    * variable-length marker chain (APPn/DQT/COM...), so the parse is
+    * a BOUNDED MARKER WALK expressed as an `aggregate` fold over a
+    * constant hop sequence — still a pure codegen column expression
+    * (dynamic-offset substring + hex + conv per hop), no codec, no
+    * UDF. Fold state is the 1-based offset of the next marker's 0xFF;
+    * negated when an SOF marker (C0–CF minus C4/C8/CC, per ITU T.81)
+    * is found, 0 on desync/overrun. `maxHops` bounds work per blob —
+    * baseline encoders (including the JDK's: SOI, APP0, DQT×2, SOF0)
+    * reach SOF within a handful of segments; blobs whose SOF sits
+    * deeper just report not-parsed rather than scanning megabytes.
+    * Non-JPEG payloads come back `is_jpeg = 0` with NULL dims.
+    */
+  def parseJpegMeta(df: DataFrame, idCol: String, binCol: String, maxHops: Int = 12, sorted: Boolean = true): DataFrame = {
+    val b = col(binCol)
+    def byteAt(pos: Column): Column = conv(hex(b.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    def be16(pos: Column): Column = conv(hex(b.substr(pos.cast("int"), lit(2))), 16, 10).cast("long")
+    def isSof(m: Column): Column =
+      m.between(0xC0L, 0xCFL) && m =!= 0xC4L && m =!= 0xC8L && m =!= 0xCCL
+    val soi = hex(substring(b, 1, 2)) === "FFD8"
+    val walk = aggregate(
+      sequence(lit(1), lit(maxHops)),
+      lit(3L), // first marker after SOI
+      (off, _) =>
+        when(off <= 0L || off.isNull, coalesce(off, lit(0L)))         // done / desynced
+          .when(byteAt(off) =!= 0xFFL, lit(0L))                        // not a marker: desync
+          .when(isSof(byteAt(off + 1)), -off)                          // found: negate
+          .otherwise(coalesce(off + 2L + be16(off + 2L), lit(0L))))    // hop the segment
+    gateSort(
+      df.select(col(idCol), b, when(soi, walk).otherwise(lit(0L)).as("__sof"))
+        .select(
+          col(idCol),
+          when(col("__sof") < 0, 1L).otherwise(0L).as("is_jpeg"),
+          when(col("__sof") < 0, be16(-col("__sof") + 7L)).as("width"),
+          when(col("__sof") < 0, be16(-col("__sof") + 5L)).as("height"),
+          when(col("__sof") < 0, byteAt(-col("__sof") + 9L)).as("n_components")),
+      sorted, col(idCol))
+  }
+
+  /** Stage REAL JPEG files through the JDK encoder (JFIF APP0, quant
+    * tables, baseline SOF0, entropy-coded data) so [[parseJpegMeta]]
+    * exercises the marker walk an actual .jpg takes. Pixel content is
+    * irrelevant to the meta parse — a flat fill keeps encode cheap.
+    */
+  def encodeStagedJpeg(spark: SparkSession, df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)].mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+          g.fillRect(0, 0, w, h)
+          g.dispose()
+          imageIoInit
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          (id, w, h, baos.toByteArray)
+        }
+      }
+    out.toDF(idCol, wCol, hCol, "jpeg")
+  }
+
   /** Feature row produced by the real decoder. */
   case class MediaFeatures(id: Long, width: Int, height: Int, featureNorm: Double)
 

@@ -264,6 +264,39 @@ class PipelineSpec extends SparkSpec {
       sr.getLong(3) == 96000L && sr.getLong(4) == 24L)
   }
 
+  test("parseJpegMeta walks a REAL JDK-encoded JPEG's markers to SOF0, rejects non-JPEG") {
+    def realJpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, realJpeg(640, 480)),
+      (2L, realJpeg(3, 1077)),
+      (3L, "not a jpeg".getBytes("UTF-8")),
+      (4L, realJpeg(16, 16).take(4)), // truncated mid-walk: desync, not crash
+      (5L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)) // PNG magic
+    )
+    val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
+    val out = Multimodal.parseJpegMeta(df, "doc_id", "payload").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 640L && out(0).getLong(3) == 480L &&
+      out(0).getLong(4) == 3L, out(0).toString)
+    assert(out(1).getLong(2) == 3L && out(1).getLong(3) == 1077L)
+    assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(2), "truncated payload must parse as not-jpeg")
+    assert(out(4).getLong(1) == 0L)
+    // staged-encoder round trip at the query's dims
+    val staged = Multimodal.encodeStagedJpeg(spark,
+      spark.range(4, 7).select(col("id").as("doc_id"),
+        (lit(8) + col("id") % 32).as("w"), (lit(8) + col("id") % 24).as("h")),
+      "doc_id", "w", "h")
+    val sr = Multimodal.parseJpegMeta(staged.select(col("doc_id"), col("jpeg")), "doc_id", "jpeg").collect()
+    sr.zip(4L until 7L).foreach { case (r, id) =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == 8 + id % 32 && r.getLong(3) == 8 + id % 24, r.toString)
+    }
+  }
+
   test("decodeFeatures: REAL round-trip — staged pattern's closed-form mean luminance recovered") {
     val staged = Multimodal.encodeStagedPng(
       spark,
