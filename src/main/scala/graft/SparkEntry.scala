@@ -347,6 +347,9 @@ object SparkEntry {
     "events_ewma" -> ((s, d) =>
       // B55: per-user integer EWMA fold in (ts, event_id) order
       TimeSeries.ewma(t(s, d, "events"), alphaPct = 20)),
+    "events_holt" -> ((s, d) =>
+      // B58: per-user Holt level+trend fold, bit-packed two-part state
+      TimeSeries.holt(t(s, d, "events"), alphaPct = 20, betaPct = 10)),
     "scd2_intervals" -> ((s, d) => {
       // A34: SCD2 history from the events change log — each user's
       // event_type runs become validity intervals; one keyed shuffle
@@ -1586,6 +1589,26 @@ object SparkEntry {
         |       CAST(list_reduce(list_transform(xs, s -> s.vm),
         |                        (acc, x) -> (80 * acc + 20 * x) // 100) AS BIGINT) AS ewma_milli
         |FROM g ORDER BY user_id""".stripMargin,
+    // packed Holt state: acc = (l + 2^35)*2^26 + (t + 2^25), strictly
+    // positive so % / // unpack identically in both engines; the seed
+    // is prepended PACKED, mirroring aggregate(init = pack(x0, 0))
+    "events_holt" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |                  CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |             list_sort(list(struct_pack(us := us, eid := event_id, vm := vm))) AS xs
+        |      FROM e GROUP BY 1),
+        |f AS (SELECT user_id, n_events,
+        |        list_reduce(list_prepend((xs[1].vm + 34359738368) * 67108864 + 33554432,
+        |                                 list_transform(xs[2:], s -> s.vm)),
+        |          (acc, x) -> (((20 * x + 80 * ((acc // 67108864 - 34359738368) + (acc % 67108864 - 33554432))) // 100 + 34359738368) * 67108864)
+        |                    + (((10 * (((20 * x + 80 * ((acc // 67108864 - 34359738368) + (acc % 67108864 - 33554432))) // 100) - (acc // 67108864 - 34359738368))
+        |                        + 90 * (acc % 67108864 - 33554432)) // 100) + 33554432)) AS acc
+        |      FROM g)
+        |SELECT user_id, n_events,
+        |       CAST(acc // 67108864 - 34359738368 AS BIGINT) AS level_milli,
+        |       CAST(acc % 67108864 - 33554432 AS BIGINT) AS trend_milli
+        |FROM f ORDER BY user_id""".stripMargin,
     "recon_counts" ->
       """WITH s AS (SELECT DISTINCT o_orderkey AS k FROM orders),
         |g AS (SELECT DISTINCT l_orderkey AS k2 FROM lineitem)

@@ -306,6 +306,56 @@ object TimeSeries {
     * corpus-sized). The fold is O(events/user) per row with no
     * window machinery.
     */
+  /** B58: Holt's linear (double-exponential) smoothing per user — the
+    * level+trend forecast state ops pipelines keep per entity, one
+    * step up from [[ewma]]: l' = (α·x + (100−α)·(l+t)) DIV 100,
+    * t' = (β·(l'−l) + (100−β)·t) DIV 100, seeded l₀ = x₀, t₀ = 0.
+    * The recurrence carries TWO mutually-dependent state components,
+    * which the fold machinery only threads as one value — so the
+    * state is BIT-PACKED into a single Long: acc = (l + 2³⁵)·2²⁶ +
+    * (t + 2²⁵), strictly positive, so `%`/`DIV` unpack identically
+    * in both engines (negative-modulo semantics never enter play).
+    * Bounds: |l| < 2³⁵ milli-units and |t| < 2²⁵ hold for any input
+    * the milli-unit convention admits (level is a convex combination
+    * of inputs plus bounded trend drift; trend is a smoothed first
+    * difference); acc < 2⁶² — no Long overflow.
+    *
+    * Oracle: DuckDB `list_reduce` over the same packed arithmetic —
+    * the seed is `list_prepend`-ed as a PACKED value, mirroring the
+    * engine's `aggregate(init = pack(x₀, 0))`, so the fold replays
+    * bit-for-bit. Scale: identical shape to [[ewma]] — one keyed
+    * shuffle, per-user bounded state, no window machinery.
+    */
+  def holt(events: DataFrame, alphaPct: Int = 20, betaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"alphaPct must be 1..99, got $alphaPct")
+    require(betaPct >= 1 && betaPct <= 99, s"betaPct must be 1..99, got $betaPct")
+    val (ka, kb) = (100 - alphaPct, 100 - betaPct)
+    val step =
+      s"""(acc, x) -> ((((($alphaPct * x + $ka * ((acc DIV 67108864L - 34359738368L) + (acc % 67108864L - 33554432L))) DIV 100) + 34359738368L) * 67108864L)
+         | + ((($betaPct * ((($alphaPct * x + $ka * ((acc DIV 67108864L - 34359738368L) + (acc % 67108864L - 33554432L))) DIV 100) - (acc DIV 67108864L - 34359738368L))
+         |      + $kb * (acc % 67108864L - 33554432L)) DIV 100) + 33554432L))""".stripMargin.replace("\n", "")
+    events
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("vm")))).as("xs"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        expr(s"aggregate(transform(slice(xs, 2, size(xs) - 1), s -> s.vm)," +
+          s" (xs[0].vm + 34359738368L) * 67108864L + 33554432L, $step)").as("acc"))
+      .select(
+        col("user_id"), col("n_events"),
+        expr("acc DIV 67108864L - 34359738368L").as("level_milli"),
+        expr("acc % 67108864L - 33554432L").as("trend_milli"))
+      .orderBy(col("user_id"))
+  }
+
   def ewma(events: DataFrame, alphaPct: Int = 20): DataFrame = {
     require(alphaPct >= 1 && alphaPct <= 99, s"alphaPct must be 1..99, got $alphaPct")
     val keep = 100 - alphaPct

@@ -390,6 +390,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2.toSeq == got.toSeq)
   }
 
+  test("holt: packed two-part state replays the hand-computed fold, negative trend included") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00")
+    // user 1: [10, 20, 5] -> l=10760, t=56 (hand-computed)
+    // user 2: [100, 0]    -> l=80000, t=-2000 (negative trend through the packing)
+    // user 3: single event -> identity (l=x0, t=0)
+    val rows = Seq(
+      (1L, ts(1), 101L, 10.0), (1L, ts(2), 102L, 20.0), (1L, ts(3), 103L, 5.0),
+      (2L, ts(1), 201L, 100.0), (2L, ts(2), 202L, 0.0),
+      (3L, ts(1), 301L, 7.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = TimeSeries.holt(rows, alphaPct = 20, betaPct = 10)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((10760L, 56L)), s"user1: ${r(1L)}")
+    assert(r(2L) == ((80000L, -2000L)), s"user2 negative trend: ${r(2L)}")
+    assert(r(3L) == ((7500L, 0L)), s"user3 identity: ${r(3L)}")
+  }
+
   test("trendSlope: planted linear daily revenue recovers the exact slope, sign included") {
     import spark.implicits._
     // brand UP: daily revenue 100 + 5x dollars; brand DOWN: 1000 - 7x
