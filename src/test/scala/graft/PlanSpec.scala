@@ -389,4 +389,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
     assert(count(p, "hashpartitioning") == 1, p.take(2000))
   }
+
+  test("events_holt: packed fold keeps the ewma plan shape — one keyed shuffle, no join") {
+    val p = planOf("events_holt")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(count(p, "hashpartitioning") == 1, p.take(2000))
+  }
+
+  test("trend_slope / corr_pairs: map-side partial moments, no window, bounded exchanges") {
+    val pt = planOf("trend_slope")
+    assert(pt.contains("partial_sum") || pt.contains("partial_count"), pt.take(2000))
+    assert(!pt.contains("Window"), pt.take(2000))
+    val pc = planOf("corr_pairs")
+    assert(pc.contains("partial_sum"), pc.take(2000))
+    assert(!pc.contains("Window") && !pc.contains("Join"), pc.take(2000))
+    // single scan: moments fold into one aggregate, not one per moment
+    assert(count(pc, "FileScan") == 1, pc.take(2000))
+  }
+
+  test("graph_triangles: wedge + closing joins are keyed — no cartesian, no nested loop") {
+    val p = planOf("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("cdc_apply: latest-change window and merge join share the key — no extra exchange between them") {
+    val p = planOf("cdc_apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // window partitions by the key, join is keyed on the same column:
+    // the window's exchange must be reusable by the join side (no
+    // second hashpartitioning of the change stream)
+    assert(count(p, "hashpartitioning(c_custkey") <= 3, p.take(3000))
+  }
+
+  test("shuffle_shards: one shard-keyed exchange feeds both the order window and the card agg") {
+    val p = planOf("shuffle_shards")
+    assert(count(p, "hashpartitioning(shard") <= 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }
