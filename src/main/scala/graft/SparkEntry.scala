@@ -642,6 +642,20 @@ object SparkEntry {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(Analytics.cents(col("l_extendedprice"))).as("sum_base_c"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "grouping_sets_mix" -> ((s, d) => {
+      // B59: EXPLICIT grouping sets — the non-hierarchical middle
+      // ground rollup/cube can't express: (flag, status), (flag),
+      // (status) but NOT the grand total. grouping_id() disambiguates
+      // the null-as-ALL rows exactly like the SQL standard
+      t(s, d, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+               |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+               |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+               |  count(*) AS n
+               |FROM li_gs
+               |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+               |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
     "brand_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(
         col("l_partkey"),
@@ -2152,6 +2166,14 @@ object SparkEntry {
         |  CAST(sum(spend_c) AS BIGINT) AS decile_spend_c,
         |  CAST(min(spend_c) AS BIGINT) AS min_spend_c
         |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "grouping_sets_mix" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "cube_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
