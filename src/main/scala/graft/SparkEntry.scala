@@ -1001,6 +1001,42 @@ object SparkEntry {
     "text_bigrams_top" -> ((s, d) =>
       // C35: corpus top-20 bigram collocations (TakeOrdered top-k)
       TextAnalysis.topBigrams(t(s, d, "documents"), "text", topK = 20)),
+    "text_bigram_pmi" -> ((s, d) =>
+      // C62: top collocations by integer lift (the PMI ratio) — count
+      // separates frequency, lift separates association
+      TextAnalysis.pmiCollocations(t(s, d, "documents"), "text", minCount = 5, topK = 20)),
+    "window_suite" -> ((s, d) => {
+      // B60: the remaining rank-family window functions — rank,
+      // dense_rank, percent_rank and cume_dist in exact integer basis
+      // points (derived from rank/count windows, no engine-edge-case
+      // doubles), ntile(4) over a unique ordering. Partitioned by
+      // (status, day): thousands of small partitions, never a global
+      // sort
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val part = Window.partitionBy(col("o_orderstatus"), col("day"))
+      val wv = part.orderBy(col("cents"))
+      val wu = part.orderBy(col("cents"), col("o_orderkey"))
+      o.select(
+          col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("cents"),
+          rank().over(wv).cast("long").as("rnk"),
+          dense_rank().over(wv).cast("long").as("drnk"),
+          count(lit(1)).over(wv).as("n_le"), // default frame: RANGE → ties included
+          count(lit(1)).over(part.orderBy(col("cents"))
+            .rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"),
+          ntile(4).over(wu).cast("long").as("quartile"))
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("day"), col("cents"),
+          col("rnk"), col("drnk"),
+          expr("((rnk - 1) * 10000) DIV greatest(n - 1, 1)").as("pr_bp"),
+          expr("(n_le * 10000) DIV n").as("cume_bp"),
+          col("quartile"))
+        .orderBy(col("o_orderstatus"), col("day"), col("cents"), col("o_orderkey"))
+    }),
     "quality_gate_pctl" -> ((s, d) =>
       // C33: per-source 20th-percentile length gate, integer rank math
       Curation
@@ -1468,6 +1504,32 @@ object SparkEntry {
         |       CAST(10000 * sum(CASE WHEN dup.ph IS NOT NULL THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS dup_passage_bp
         |FROM p LEFT JOIN dup ON p.ph = dup.ph
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bigram_pmi" ->
+      """WITH w AS (SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents),
+        |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(ws) AS tok FROM w) GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+        |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cxy
+        |       FROM (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram FROM w)
+        |       GROUP BY 1 HAVING count(*) >= 5),
+        |j AS (SELECT bigram, cxy, string_split(bigram, ' ')[1] AS x, string_split(bigram, ' ')[2] AS y FROM bc)
+        |SELECT bigram, cxy, ux.c AS cx, uy.c AS cy,
+        |  CAST((CAST(nt.n AS HUGEINT) * cxy * 1000000) // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS lift_ppm
+        |FROM j JOIN uc ux ON j.x = ux.tok JOIN uc uy ON j.y = uy.tok, nt
+        |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin,
+    "window_suite" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS day,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT *,
+        |  CAST(rank() OVER (PARTITION BY o_orderstatus, day ORDER BY cents) AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_orderstatus, day ORDER BY cents) AS BIGINT) AS drnk,
+        |  CAST(count(*) OVER (PARTITION BY o_orderstatus, day ORDER BY cents) AS BIGINT) AS n_le,
+        |  CAST(count(*) OVER (PARTITION BY o_orderstatus, day) AS BIGINT) AS n,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus, day ORDER BY cents, o_orderkey) AS BIGINT) AS quartile
+        |FROM o)
+        |SELECT o_orderkey, o_orderstatus, strftime(day, '%Y-%m-%d') AS day, cents, rnk, drnk,
+        |  CAST(((rnk - 1) * 10000) // greatest(n - 1, 1) AS BIGINT) AS pr_bp,
+        |  CAST((n_le * 10000) // n AS BIGINT) AS cume_bp, quartile
+        |FROM r ORDER BY o_orderstatus, day, cents, o_orderkey""".stripMargin,
     "text_bigrams_top" ->
       """WITH w AS (SELECT string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents)
         |SELECT bigram, count(*) AS n

@@ -201,6 +201,48 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** C62: collocation mining by LIFT — n·c(x,y) / (c(x)·c(y)), the
+    * monotone integer-exact stand-in for PMI (PMI = log lift; log is
+    * not cross-engine bit-reproducible, the RATIO is): the phrase-
+    * mining signal that separates "of the" (high count, lift ≈ 1)
+    * from genuine collocations ("machine learning": modest count,
+    * lift ≫ 1). Reported in ppm with the n·cxy·1e6 product carried in
+    * DECIMAL(38,0)/HUGEINT — a 100 TB corpus's token total crosses
+    * 2^63 inside the product.
+    *
+    * Plan: unigram and bigram counts are keyed aggs; bigrams join
+    * their component counts KEYED on the token (a web-scale
+    * vocabulary never broadcasts — the C51 discipline), the corpus
+    * total rides as a 1-row broadcast, and top-k is
+    * TakeOrderedAndProject. minCount prunes the hapax tail BEFORE
+    * the joins — the same sketch-then-verify shape as heavy hitters
+    * would apply above memory scale.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val w = words(col(textCol))
+    val uni = df.select(explode(w).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n"))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b)
+    )
+    df.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("tok").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("cxy"), col("cx"), col("cy"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * cxy * 1000000) DIV (CAST(cx AS DECIMAL(38,0)) * cy) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** C10: token counts — whitespace tokens and a BPE-ish regex
     * tokenization (letter runs / digit runs / single punctuation).
     */
