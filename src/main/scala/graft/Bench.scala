@@ -23,7 +23,8 @@ object Bench {
     "q2_min_cost", "q7_nation_volume", "q8_market_share", "q9_product_profit", "q10_returned",
     "q11_stock_value", "q12_late_lines", "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
     "q19_disjunctive", "q20_part_promo", "q21_waiting",
-    "median_price", "quartiles_price", "anomaly_days", "anomaly_mad", "events_twap", "events_ewma", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
+    "median_price", "quartiles_price", "anomaly_days", "anomaly_mad", "events_twap", "events_ewma", "events_holt", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
+    "grouping_sets_mix", "window_suite", "trend_slope", "corr_pairs", "cdc_apply",
     "events_hourly_incr", "profile_table", "dq_violations", "skew_report",
     "asof_last_click", "interval_join", "range_join_binned", "range_count_sweep",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
@@ -34,13 +35,13 @@ object Bench {
     "dedup_clusters",
     "dedup_passages", "dedup_semantic", "fuzzy_match_join",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_sq8", "sim_topk_pq", "sim_topk_quant", "embed_nearest_centroid",
-    "embed_quantize", "embed_project", "embed_pca_top", "embed_kmeans", "embed_outliers", "graph_pagerank", "dedup_incr_bloom", "domain_cap", "dedup_url",
+    "embed_quantize", "embed_project", "embed_pca_top", "embed_kmeans", "embed_outliers", "graph_pagerank", "graph_triangles", "dedup_incr_bloom", "domain_cap", "dedup_url",
     "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_rep_stats", "text_tfidf_top", "text_unigram_score", "text_model_score", "corpus_stats",
-    "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters", "mix_allocate", "sample_weighted", "dup_span_stats",
+    "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters", "mix_allocate", "sample_weighted", "shuffle_shards", "dup_span_stats", "text_bigram_pmi",
     "pack_sequences", "curate_corpus", "dup_ngram_mass",
     "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",
-    "mm_byte_resize", "mm_png_meta", "mm_wav_meta",
+    "mm_byte_resize", "mm_png_meta", "mm_wav_meta", "mm_jpeg_meta",
     "events_props_agg", "length_histogram", "quality_gate_pctl", "text_bigrams_top",
     "src_discovery", "ddl_generate", "ddl_allstring", "schema_evolution", "type_mapping"
   )
