@@ -228,6 +228,17 @@ object SparkEntry {
         .lastBefore(purchases, clicks, "user_id", "ts_us", "ts_us", "ts_us")
         .orderBy(col("event_id"))
     }),
+    "asof_within" -> ((s, d) => {
+      // B61: bounded as-of — last click within 1 hour of the purchase;
+      // stale matches (latest click older than the bound) are NULL
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts_us")
+      AsOfJoin
+        .lastWithin(purchases, clicks, "user_id", "ts_us", "ts_us", "ts_us", tolerance = 3600000000L)
+        .orderBy(col("event_id"))
+    }),
     "incremental_by_id" -> ((s, d) =>
       // MongoDB-variant incremental sync: monotone `_id` watermark
       // (mongodb_to_bytehouse.py:579-679) — filter + new-state in one agg
@@ -1568,6 +1579,17 @@ object SparkEntry {
         |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click')
         |SELECT p.user_id, p.event_id, p.ts_us, c.ts_us AS asof_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+    // bounded as-of: DuckDB's ASOF picks the latest preceding row;
+    // if that one is stale no within-bound row exists, so the CASE
+    // post-filter is exact
+    "asof_within" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |       CASE WHEN p.ts_us - c.ts_us <= 3600000000 THEN c.ts_us END AS asof_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
         |ORDER BY p.event_id""".stripMargin,
     "q6_filter_agg" ->

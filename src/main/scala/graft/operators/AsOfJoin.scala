@@ -68,4 +68,61 @@ object AsOfJoin {
           col("__asof").getField("v").as(s"asof_$valueCol")): _*
       )
   }
+
+  /** B61: BOUNDED as-of join — most recent right row of the same key
+    * with left_time − tolerance ≤ right_time ≤ left_time (the kdb
+    * `wj`/QuestDB `ASOF ... TOLERANCE` semantics: a quote matched to
+    * a trade only counts if it's fresh). Same union+running-last plan
+    * as [[lastBefore]] — one keyed shuffle, no join operator — with
+    * the right TIME carried inside the struct so staleness is decided
+    * per left row AFTER the window: the latest preceding right row
+    * either is within bound or no within-bound row exists (anything
+    * else is older still), so the post-filter is exact, not a
+    * heuristic. Time columns must be numeric (e.g. `unix_micros`);
+    * `tolerance` is in the same unit.
+    */
+  def lastWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      valueCol: String,
+      tolerance: Long
+  ): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val leftCols = left.columns
+    val valueType = right.schema(valueCol).dataType
+    val timeType = right.schema(rightTimeCol).dataType
+    val wrapType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", timeType),
+      org.apache.spark.sql.types.StructField("v", valueType)))
+    val l = left
+      .withColumn("__t", col(leftTimeCol))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(wrapType))
+      .withColumnRenamed(keyCol, "__k")
+    val r = right.select(
+      col(keyCol).as("__k"),
+      col(rightTimeCol).as("__t"),
+      lit(0).as("__side"),
+      struct(col(rightTimeCol).as("t"), col(valueCol).as("v")).as("__rv")
+    )
+    val unioned = l.select(
+      (Seq(col("__k"), col("__t"), col("__side"), col("__rv")) ++
+        leftCols.filterNot(_ == keyCol).map(col)): _*
+    ).unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__rv"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(
+        (Seq(col("__k").as(keyCol)) ++ leftCols.filterNot(_ == keyCol).map(col) :+
+          when(col("__t") - col("__asof").getField("t") <= tolerance,
+            col("__asof").getField("v")).as(s"asof_$valueCol")): _*
+      )
+  }
 }

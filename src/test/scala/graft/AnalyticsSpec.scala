@@ -36,6 +36,23 @@ class AnalyticsSpec extends SparkSpec {
     ))
   }
 
+  test("bounded as-of: fresh match carried, stale match nulled, exact-bound edge included") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 95L, "fresh"),   // within 10
+      (2L, 90L, "edge"),    // exactly at the bound: <= keeps it
+      (3L, 89L, "stale"),   // just outside: nulled
+      (3L, 20L, "older")    // even staler — must not resurface
+    ).toDF("k", "t", "v")
+    val got = AsOfJoin.lastWithin(left, right, "k", "t", "t", "v", tolerance = 10L)
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(got.toSeq == Seq(
+      (1L, Some("fresh")), (2L, Some("edge")), (3L, None), (4L, None)), got.mkString(","))
+  }
+
   test("groupedExactRanks equals the window-sort formulation bit-for-bit") {
     import graft.operators.Analytics
     import org.apache.spark.sql.expressions.Window
