@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
 
 /** Parquet sink layouts for the synced tables.
   *
@@ -43,6 +43,34 @@ object Writers {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(name)
+
+  /** C60's writer half: dump a corpus as JSONL training shards with
+    * the deterministic md5-salted shard assignment and intra-shard
+    * order of [[graft.operators.Curation.shuffleShards]] — re-running
+    * the job writes byte-identical shard directories (no RNG state),
+    * which is what makes training-data exports resumable and
+    * auditable. Each shard is one directory (`shard=<k>/`) holding
+    * json-lines in shuffle order: `repartition(shard)` co-locates a
+    * shard, `sortWithinPartitions(shard, pos, id)` fixes the line
+    * order (several shards may hash into one task; the leading shard
+    * sort key keeps each FILE internally ordered), and the dynamic
+    * partition split writes one directory per shard. One keyed
+    * exchange total — the same plan the shard-card query proves.
+    */
+  def jsonlShards(df: DataFrame, idCol: String, path: String, nShards: Int): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val hs = conv(substring(md5(concat(col(idCol).cast("string"), lit(":s"))), 1, 8), 16, 10).cast("long")
+    val hp = conv(substring(md5(concat(col(idCol).cast("string"), lit(":p"))), 1, 8), 16, 10).cast("long")
+    df.withColumn("shard", hs % nShards)
+      .withColumn("__pos", hp)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__pos"), col(idCol))
+      .drop("__pos")
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .json(path)
+  }
 
   /** Plain parquet with a bounded file count and in-file ordering. */
   def sortedParquet(df: DataFrame, path: String, sortCols: Seq[String], files: Int = 32): Unit =

@@ -180,6 +180,41 @@ object IncrementalSync {
     graft.sinks.PartitionedUpsert.promote(fs, tmp, target)
   }
 
+  /** A35's streaming twin: foreachBatch CDC apply — each micro-batch
+    * of I/U/D changes merges into the parquet snapshot via
+    * [[Incremental.cdcApply]] (latest seq wins, deletes remove),
+    * with the same checked-promote swap as [[upsertBatch]].
+    *
+    * Ordering contract: the stream must deliver a key's changes in
+    * non-decreasing seq order ACROSS micro-batches (binlog replay
+    * order — what CDC sources provide); within a batch any order is
+    * fine, cdcApply picks the max seq. A change that arrives after a
+    * later-seq change for the same key would win here (the snapshot
+    * doesn't retain per-key seqs) — out-of-order logs need the
+    * seq-retaining variant, not this sink. Suitable for small
+    * targets; partition the snapshot for scale like
+    * [[upsertBatchPartitioned]].
+    */
+  def cdcBatch(
+      spark: SparkSession,
+      target: String,
+      keyCol: String,
+      seqCol: String,
+      opCol: String,
+      payloadCols: Seq[String]
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base =
+      if (fs.exists(new org.apache.hadoop.fs.Path(target)))
+        spark.read.parquet(target).drop("src")
+      else batch.select(col(keyCol) +: payloadCols.map(col): _*).limit(0)
+    val merged = Incremental.cdcApply(base, batch, keyCol, seqCol, opCol, payloadCols)
+    val tmp = s"${target}__tmp_$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    graft.sinks.PartitionedUpsert.promote(fs, tmp, target)
+  }
+
   /** foreachBatch incremental rollup maintenance: the streaming twin
     * of `Incremental.mergeRollup`. Each micro-batch computes its OWN
     * keyed partials (`partials` is the caller's groupBy over raw batch

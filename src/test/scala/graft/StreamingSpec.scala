@@ -204,6 +204,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("foreachBatch CDC apply converges to the batch cdcApply across micro-batches") {
+    // each key lives in exactly ONE source file, so file-discovery
+    // order can't violate the per-key seq contract; multiple ops per
+    // key within a file exercise the intra-batch max-seq pick
+    val base = (1L to 90L).map(k => (k, k * 10)).toDF("k", "v")
+    val changes = (1L to 300L).flatMap { i =>
+      val k = i % 120 // keys 0..119: 1..90 exist in base, 91..119 are inserts
+      val op = if (k % 7 == 0) "D" else if (k > 90) "I" else "U"
+      Seq((k, i, op, i * 100))
+    }.toDF("k", "seq", "op", "v")
+    val src = tmpDir("graft_cdc_src")
+    // one file per key-range third => per-key changes never split
+    (0 until 3).foreach { f =>
+      changes.filter(col("k") % 3 === f).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    val target = tmpDir("graft_cdc_target") + "/snap"
+    // prime the target with the base snapshot (src column included,
+    // as cdcBatch's own output would have it)
+    base.select(col("k"), lit("base").as("src"), col("v"))
+      .write.parquet(target)
+    val q = spark.readStream
+      .schema(changes.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(IncrementalSync.cdcBatch(spark, target, "k", "seq", "op", Seq("v")) _)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.read.parquet(target)
+      .select(col("k"), col("v")).orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Incremental.cdcApply(base, changes, "k", "seq", "op", Seq("v"))
+      .select(col("k"), col("v")).orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq, s"stream=${got.length} batch=${want.length}")
+    // deletes actually removed something, inserts actually appeared
+    assert(got.map(_._1).toSet.intersect((1L to 90L).filter(_ % 7 == 0).toSet).isEmpty)
+    assert(got.exists(_._1 > 90L))
+  }
+
   test("foreachBatch rollup maintenance converges to the full batch aggregate") {
     val src = stageEvents(3)
     val target = tmpDir("graft_stream_rollup") + "/hourly"

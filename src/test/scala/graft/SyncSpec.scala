@@ -753,4 +753,34 @@ class SyncSpec extends SparkSpec {
       .select("id", "day", "v").collect().toSeq
     assert(got == df.orderBy("id").select("id", "day", "v").collect().toSeq)
   }
+
+  test("jsonlShards: byte-identical re-runs, shard membership + line order match the card") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val docs = (0L until 200L).map(i => (i, s"doc-$i body")).toDF("doc_id", "text")
+    def dump(path: String): Map[Long, Seq[String]] = {
+      graft.sinks.Writers.jsonlShards(docs, "doc_id", path, nShards = 4)
+      (0 until 4).map { s =>
+        val dir = Paths.get(path, s"shard=$s")
+        val lines = JFiles.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .toSeq.sortBy(_.getFileName.toString)
+          .flatMap(p => JFiles.readAllLines(p).asScala)
+        s.toLong -> lines.toSeq
+      }.toMap
+    }
+    val d1 = tmp("jsonl_shards_a"); val d2 = tmp("jsonl_shards_b")
+    val a = dump(d1); val b = dump(d2)
+    assert(a == b, "re-run must be byte-identical")
+    assert(a.values.map(_.size).sum == 200, "shards must partition the corpus")
+    // line order matches the card's checksum basis: (hp, id) ascending
+    val card = graft.operators.Curation.shuffleShards(docs.withColumn("n_chars", lit(1L)), "doc_id", "n_chars", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    def idOf(line: String): Long = """"doc_id":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+    a.foreach { case (s, lines) =>
+      assert(idOf(lines.head) == card(s)._1, s"shard $s first line != card first_id")
+      assert(idOf(lines.last) == card(s)._2, s"shard $s last line != card last_id")
+    }
+  }
 }
