@@ -965,7 +965,7 @@ object SparkEntry {
       // property-tested vs brute force in EmbedOpsSpec)
       val e = t(s, d, "embeddings")
       val dir = s"target/pq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
-      Similarity.buildPqIndex(s, e, "vec_id", "embedding", dim = 64, indexDir = dir, m = 8, kCodes = 64)
+      Similarity.buildPqIndexIfAbsent(s, e, "vec_id", "embedding", dim = 64, indexDir = dir, m = 8, kCodes = 64)
       Similarity.pqTopKRefined(s, dir, e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, shortlist = 50)
     }),

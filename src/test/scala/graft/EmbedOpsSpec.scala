@@ -275,6 +275,20 @@ class EmbedOpsSpec extends SparkSpec {
     val codes2 = spark.read.parquet(s"$dir2/codes").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(codes2 == codes, "PQ codes must be deterministic across rebuilds")
+    // 4) fingerprint-guarded build: unchanged data skips the re-train;
+    //    a rewritten corpus re-trains (parquet round-trip: real files)
+    val srcDir = "target/pq_unit_src"
+    embs.write.mode("overwrite").parquet(srcDir)
+    val onDisk = spark.read.parquet(srcDir)
+    val dir3 = "target/pq_unit3"
+    assert(Similarity.buildPqIndexIfAbsent(spark, onDisk, "vec_id", "embedding", 64, dir3, 8, 64),
+      "first build must train")
+    assert(!Similarity.buildPqIndexIfAbsent(spark, spark.read.parquet(srcDir), "vec_id", "embedding", 64, dir3, 8, 64),
+      "unchanged corpus must skip the re-train")
+    Thread.sleep(1100) // mtime granularity: ensure the rewrite is visible
+    embs.limit(400).write.mode("overwrite").parquet(srcDir)
+    assert(Similarity.buildPqIndexIfAbsent(spark, spark.read.parquet(srcDir), "vec_id", "embedding", 64, dir3, 8, 64),
+      "rewritten corpus must re-train")
   }
 
   test("pca top component: recovers a planted dominant direction, exactly reproducible") {
