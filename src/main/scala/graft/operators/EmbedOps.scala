@@ -115,7 +115,14 @@ object EmbedOps {
       dims: Int,
       iters: Int = 8
   ): DataFrame = {
-    val xq = embeddings
+    // spread the cached frame across the cluster BEFORE iterating: a
+    // compactly-written corpus can arrive as one input split (one
+    // 49 MB parquet file = one partition), which would serialize
+    // every iteration's scan onto a single core — measured 3x the
+    // whole loop at 200k vectors. One small shuffle up front buys
+    // parallel scans for all `iters` passes.
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val xq = (if (embeddings.rdd.getNumPartitions < par) embeddings.repartition(par) else embeddings)
       .select(
         col(idCol),
         transform(col(vecCol), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq")
@@ -170,7 +177,10 @@ object EmbedOps {
       k: Int = 8,
       iters: Int = 5
   ): DataFrame = {
-    val xq = embeddings
+    // same single-input-split hazard as pcaTopProjection: spread
+    // before the per-round scans
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val xq = (if (embeddings.rdd.getNumPartitions < par) embeddings.repartition(par) else embeddings)
       .select(
         col(idCol).as("id"),
         transform(col(vecCol), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq")

@@ -607,11 +607,23 @@ object Similarity {
     // call inside the lambda would re-evaluate the full dot per
     // element — the defect class fixed for dup_ngram_mass).
     val unit = normalized(candidates, idCol, vecCol)
+    // codebook TRAINING runs on a deterministic hash-sample of the
+    // corpus — the FAISS discipline (~256 training vectors per
+    // centroid saturate codebook quality; training all N is
+    // O(N·k·iters·m) for no recall gain and dominated the build at
+    // 200k vectors). ENCODING still covers every vector. xxhash64 of
+    // the id makes the sample reproducible, so codes stay
+    // deterministic across rebuilds.
+    val trainTarget = kCodes.toLong * 256L
+    val total = unit.count()
+    val trainBase =
+      if (total <= trainTarget) unit
+      else unit.filter(pmod(xxhash64(col(idCol)), lit(10000L)) < lit(trainTarget * 10000L / total))
     // per-subspace k-means over the sliced vectors — m small fits,
     // each a distinct fitCentroids cache entry
     val books: Array[Array[Array[Double]]] = (0 until m).map { s =>
       fitCentroids(
-        unit.select(slice(col("__unit"), s * subDim + 1, subDim).as("sub")),
+        trainBase.select(slice(col("__unit"), s * subDim + 1, subDim).as("sub")),
         "sub", kCodes)
     }.toArray
     books.zipWithIndex.flatMap { case (book, s) =>
