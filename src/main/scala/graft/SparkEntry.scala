@@ -878,6 +878,17 @@ object SparkEntry {
           (col("doc_id") * 31 + 3) % n)).as("dst"))
       GraphOps.pageRank(edges, iters = 5, dampPct = 85)
     }),
+    "graph_hits" -> ((s, d) => {
+      // C63: integer fixed-point HITS over the staged doc-link graph
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % n,
+          (col("doc_id") * 13 + 2) % n,
+          (col("doc_id") * 31 + 3) % n)).as("dst"))
+      GraphOps.hits(edges, iters = 4)
+    }),
     "graph_triangles" -> ((s, d) => {
       // C59: degree-ordered triangle counting over the same staged
       // doc-link graph as pagerank (undirected-ized)
@@ -1308,7 +1319,34 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB twin of [[graft.operators.GraphOps.hits]]: rounds
+    * unrolled as MATERIALIZED CTEs, same integer renormalize — exact
+    * Long arithmetic on both sides, bit-for-bit.
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH nn AS (SELECT count(*) AS n FROM documents),\n"
+    sb ++= "e AS MATERIALIZED (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn\n"
+    sb ++= "  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn\n"
+    sb ++= "  UNION ALL SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn),\n"
+    sb ++= "nd AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),\n"
+    sb ++= "h0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nd),\n"
+    for (k <- 0 until iters) {
+      sb ++= s"ar$k AS MATERIALIZED (SELECT nd.id, CAST(coalesce(t.s, 0) AS BIGINT) AS ar FROM nd" +
+        s" LEFT JOIN (SELECT e.dst AS id, sum(h) AS s FROM e JOIN h$k ON h$k.id = e.src GROUP BY 1) t USING (id)),\n"
+      sb ++= s"a$k AS MATERIALIZED (SELECT id, CAST((ar * 1000000) // (SELECT greatest(max(ar), 1) FROM ar$k) AS BIGINT) AS a FROM ar$k),\n"
+      sb ++= s"hr$k AS MATERIALIZED (SELECT nd.id, CAST(coalesce(t.s, 0) AS BIGINT) AS hr FROM nd" +
+        s" LEFT JOIN (SELECT e.src AS id, sum(a) AS s FROM e JOIN a$k ON a$k.id = e.dst GROUP BY 1) t USING (id)),\n"
+      sb ++= s"h${k + 1} AS MATERIALIZED (SELECT id, CAST((hr * 1000000) // (SELECT greatest(max(hr), 1) FROM hr$k) AS BIGINT) AS h FROM hr$k),\n"
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"\nSELECT nd.id AS node_id, a AS auth_fp, h AS hub_fp FROM nd" +
+      s" JOIN a${iters - 1} USING (id) JOIN h$iters USING (id) ORDER BY node_id"
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_hits" -> hitsOracleSql(iters = 4),
     "src_discovery" ->
       "SELECT * FROM (VALUES ('customer'),('nation')) AS t(table_name) ORDER BY 1",
     "scan_fields" ->

@@ -65,6 +65,58 @@ object GraphOps {
     ranks.select(col("id").as("node_id"), col("r").as("rank_fp")).orderBy("node_id")
   }
 
+  /** C63: HITS hub/authority scores (Kleinberg 1999) in EXACT integer
+    * fixed-point — the complementary centrality to [[pageRank]]: a
+    * node is a good AUTHORITY if good hubs link to it and a good HUB
+    * if it links to good authorities (directory/link-farm structure
+    * PageRank's single score conflates). Per round: a(v) = Σ_{u→v}
+    * h(u) then L∞-renormalize to 1e6 (integer DIV against a 1-row
+    * broadcast max), h(u) = Σ_{u→v} a(v) then renormalize — the
+    * power-iteration normalization that keeps every value in [0,
+    * 1e6] so cross-engine Long arithmetic never overflows (bound:
+    * max in-degree · 1e6 · 1e6 < 2^63 ⟺ degree < 9.2e6; document
+    * larger graphs onto a wider scale). DuckDB twin unrolls the
+    * rounds and matches bit-for-bit.
+    *
+    * Plan per round: two keyed join+agg pairs (src then dst), each
+    * with map-side combine; maxima ride as 1-row broadcasts; scores
+    * never visit the driver.
+    */
+  def hits(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).cache()
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct().cache()
+    var hubs = nodes.select(col("id"), lit(1000000L).as("h"))
+    var auths = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 0 until iters) {
+      // Each half-step: keyed join+agg, cache, ONE collected Long (the
+      // L∞ max — driver-scale by definition, the pageRank n-collection
+      // discipline), renormalize against the literal. Embedding the
+      // max as a broadcast-of-aggregate subtree instead nests a
+      // broadcast job inside every later round's plan — measured
+      // minutes at 500 nodes; collected scalars keep each round's
+      // plan shallow.
+      val asum = e.join(hubs, e("src") === hubs("id"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val araw = nodes.join(asum, nodes("id") === asum("dst"), "left")
+        .select(nodes("id"), coalesce(col("ar"), lit(0L)).as("ar"))
+        .cache()
+      val am = math.max(araw.agg(max(col("ar"))).head().getLong(0), 1L)
+      auths = araw.select(col("id"), expr(s"(ar * 1000000L) DIV ${am}L").as("a"))
+      val hsum = e.join(auths, e("dst") === auths("id"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hraw = nodes.join(hsum, nodes("id") === hsum("src"), "left")
+        .select(nodes("id"), coalesce(col("hr"), lit(0L)).as("hr"))
+        .cache()
+      val hm = math.max(hraw.agg(max(col("hr"))).head().getLong(0), 1L)
+      hubs = hraw.select(col("id"), expr(s"(hr * 1000000L) DIV ${hm}L").as("h"))
+    }
+    nodes
+      .join(auths.select(col("id"), col("a")), "id")
+      .join(hubs.select(col("id"), col("h")), "id")
+      .select(col("id").as("node_id"), col("a").as("auth_fp"), col("h").as("hub_fp"))
+      .orderBy("node_id")
+  }
+
   /** C59: per-node triangle participation — the clustering-structure
     * signal web-graph curation ranks link farms / mutual-citation
     * rings by (a page whose neighborhood is a clique is a very

@@ -45,6 +45,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(1L) > r(2L), "node fed by two sources must outrank single-fed node")
   }
 
+  test("HITS: star spokes are pure hubs, the center a pure authority; deterministic") {
+    import spark.implicits._
+    // spokes 1..10 all link to center 0; center links nowhere
+    val star = (1 to 10).map(i => (i.toLong, 0L)).toDF("src", "dst")
+    val r = GraphOps.hits(star, iters = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((1000000L, 0L)), s"center must be the max authority with zero hub: ${r(0L)}")
+    (1L to 10L).foreach(i =>
+      assert(r(i) == ((0L, 1000000L)), s"spoke $i must be a pure max hub: ${r(i)}"))
+    val r2 = GraphOps.hits(star, iters = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r2 == r, "integer HITS must be bit-identical across runs")
+  }
+
+  test("HITS: a node linking to two authorities out-hubs one linking to one") {
+    import spark.implicits._
+    // hubs: 10 -> {0, 1}, 11 -> {0}; authorities 0 (two hubs) > 1 (one hub)
+    val g = Seq((10L, 0L), (10L, 1L), (11L, 0L)).toDF("src", "dst")
+    val r = GraphOps.hits(g, iters = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(10L)._2 > r(11L)._2, s"two-authority hub must dominate: ${r(10L)} vs ${r(11L)}")
+    assert(r(0L)._1 > r(1L)._1, s"two-hub authority must dominate: ${r(0L)} vs ${r(1L)}")
+    assert(r(10L)._2 == 1000000L && r(0L)._1 == 1000000L, "maxima renormalize to exactly 1e6")
+  }
+
   test("triangles: K4 gives every node 3 triangles; ring of 5 gives none") {
     import spark.implicits._
     val k4 = (for (i <- 0 to 3; j <- 0 to 3 if i < j) yield (i.toLong, j.toLong)).toDF("src", "dst")
