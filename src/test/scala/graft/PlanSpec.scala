@@ -407,6 +407,12 @@ class PlanSpec extends SparkSpec {
     assert(count(pc, "FileScan") == 1, pc.take(2000))
   }
 
+  test("graph_hits: every round's joins are keyed — no cartesian, no nested loop") {
+    val p = planOf("graph_hits")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("graph_triangles: wedge + closing joins are keyed — no cartesian, no nested loop") {
     val p = planOf("graph_triangles")
     assert(!p.contains("CartesianProduct"), p.take(2000))
