@@ -117,6 +117,15 @@ object Bench {
       java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
+    // The full line above is ~4 KB at 140+ queries — longer than a
+    // tail-window stdout parse can see the START of (every BENCH_r*
+    // artifact so far has parsed:null for exactly this reason). Emit a
+    // SHORT summary as the LAST line: total + the slowest queries,
+    // pointing at the file carrying the complete per-query map.
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"10 slowest; full map in $out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

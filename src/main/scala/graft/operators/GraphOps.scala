@@ -87,6 +87,12 @@ object GraphOps {
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct().cache()
     var hubs = nodes.select(col("id"), lit(1000000L).as("h"))
     var auths = nodes.select(col("id"), lit(0L).as("a"))
+    // cached frames from EARLIER rounds: once round i's max has been
+    // collected, round i−1's araw/hraw have been fully consumed (the
+    // current half-step's join read them) and can drop out of executor
+    // storage — otherwise 2·iters cached frames outlive the call.
+    var prevA: DataFrame = null
+    var prevH: DataFrame = null
     for (_ <- 0 until iters) {
       // Each half-step: keyed join+agg, cache, ONE collected Long (the
       // L∞ max — driver-scale by definition, the pageRank n-collection
@@ -101,6 +107,7 @@ object GraphOps {
         .select(nodes("id"), coalesce(col("ar"), lit(0L)).as("ar"))
         .cache()
       val am = math.max(araw.agg(max(col("ar"))).head().getLong(0), 1L)
+      if (prevH != null) prevH.unpersist(blocking = false) // consumed by asum's join
       auths = araw.select(col("id"), expr(s"(ar * 1000000L) DIV ${am}L").as("a"))
       val hsum = e.join(auths, e("dst") === auths("id"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
@@ -108,13 +115,27 @@ object GraphOps {
         .select(nodes("id"), coalesce(col("hr"), lit(0L)).as("hr"))
         .cache()
       val hm = math.max(hraw.agg(max(col("hr"))).head().getLong(0), 1L)
+      if (prevA != null) prevA.unpersist(blocking = false) // consumed by hsum's join
       hubs = hraw.select(col("id"), expr(s"(hr * 1000000L) DIV ${hm}L").as("h"))
+      prevA = araw
+      prevH = hraw
     }
-    nodes
+    // Materialize the node-scale result once, then release EVERY
+    // intermediate (last round's araw/hraw + e + nodes) — the caller
+    // gets one cached node-count-sized frame instead of 2·iters+2
+    // edge/node-scale leftovers pinned in executor storage.
+    val out = nodes
       .join(auths.select(col("id"), col("a")), "id")
       .join(hubs.select(col("id"), col("h")), "id")
       .select(col("id").as("node_id"), col("a").as("auth_fp"), col("h").as("hub_fp"))
       .orderBy("node_id")
+      .cache()
+    out.count()
+    if (prevA != null) prevA.unpersist(blocking = false)
+    if (prevH != null) prevH.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** C59: per-node triangle participation — the clustering-structure
@@ -179,9 +200,16 @@ object GraphOps {
       .join(ranked.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
     val credit = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    nodes
+    // node-scale result materialized once so the edge-scale `ranked`
+    // cache (read by both wedge sides + the closing join) can drop out
+    // of executor storage instead of outliving the call
+    val out = nodes
       .join(credit, Seq("id"), "left")
       .select(col("id").as("node_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .orderBy("node_id")
+      .cache()
+    out.count()
+    ranked.unpersist(blocking = false)
+    out
   }
 }

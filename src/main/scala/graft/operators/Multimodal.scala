@@ -210,13 +210,24 @@ object Multimodal {
     def isSof(m: Column): Column =
       m.between(0xC0L, 0xCFL) && m =!= 0xC4L && m =!= 0xC8L && m =!= 0xCCL
     val soi = hex(substring(b, 1, 2)) === "FFD8"
+    // T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+    // fill bytes (some encoders pad with them) — slide one byte per
+    // hop over FF-FF. TEM (0x01) and RSTn (D0–D7) are standalone
+    // length-less markers: hop 2, never read a length field. EOI /
+    // SOS before any SOF means dims aren't in the walked prefix:
+    // desync to not-parsed rather than hopping into entropy data.
     val walk = aggregate(
       sequence(lit(1), lit(maxHops)),
       lit(3L), // first marker after SOI
       (off, _) =>
         when(off <= 0L || off.isNull, coalesce(off, lit(0L)))         // done / desynced
           .when(byteAt(off) =!= 0xFFL, lit(0L))                        // not a marker: desync
+          .when(byteAt(off + 1L) === 0xFFL, off + 1L)                  // FF fill byte: slide
           .when(isSof(byteAt(off + 1)), -off)                          // found: negate
+          .when(byteAt(off + 1L) === 0x01L ||
+            byteAt(off + 1L).between(0xD0L, 0xD7L), off + 2L)          // TEM/RSTn: length-less
+          .when(byteAt(off + 1L) === 0xD9L ||
+            byteAt(off + 1L) === 0xDAL, lit(0L))                       // EOI/SOS: no SOF ahead
           .otherwise(coalesce(off + 2L + be16(off + 2L), lit(0L))))    // hop the segment
     gateSort(
       df.select(col(idCol), b, when(soi, walk).otherwise(lit(0L)).as("__sof"))

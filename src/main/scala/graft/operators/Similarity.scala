@@ -616,9 +616,16 @@ object Similarity {
     // deterministic across rebuilds.
     val trainTarget = kCodes.toLong * 256L
     val total = unit.count()
+    // ppm threshold floored to >= 1: the integer division hits 0 once
+    // total > trainTarget*10000 (~655M rows at kCodes=256), which would
+    // select NOTHING and fit codebooks on an empty frame — exactly the
+    // corpus size this sampling exists for. The floor over-samples
+    // slightly past that point (0.01% of the corpus >= trainTarget),
+    // never under-samples.
     val trainBase =
       if (total <= trainTarget) unit
-      else unit.filter(pmod(xxhash64(col(idCol)), lit(10000L)) < lit(trainTarget * 10000L / total))
+      else unit.filter(pmod(xxhash64(col(idCol)), lit(10000L)) <
+        lit(math.max(1L, trainTarget * 10000L / total)))
     // per-subspace k-means over the sliced vectors — m small fits,
     // each a distinct fitCentroids cache entry
     val books: Array[Array[Array[Double]]] = (0 until m).map { s =>

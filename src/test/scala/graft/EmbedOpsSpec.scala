@@ -285,8 +285,12 @@ class EmbedOpsSpec extends SparkSpec {
       "first build must train")
     assert(!Similarity.buildPqIndexIfAbsent(spark, spark.read.parquet(srcDir), "vec_id", "embedding", 64, dir3, 8, 64),
       "unchanged corpus must skip the re-train")
-    Thread.sleep(1100) // mtime granularity: ensure the rewrite is visible
-    embs.limit(400).write.mode("overwrite").parquet(srcDir)
+    // No mtime sleep: the fingerprint pins the sorted FILE LIST (every
+    // Spark write job stamps a fresh UUID into its part-file names, and
+    // repartition(3) changes the file COUNT too), so the rewrite changes
+    // the fingerprint deterministically — independent of filesystem
+    // timestamp granularity or an unlucky same-length rewrite.
+    embs.limit(400).repartition(3).write.mode("overwrite").parquet(srcDir)
     assert(Similarity.buildPqIndexIfAbsent(spark, spark.read.parquet(srcDir), "vec_id", "embedding", 64, dir3, 8, 64),
       "rewritten corpus must re-train")
   }

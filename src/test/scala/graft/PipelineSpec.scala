@@ -271,12 +271,19 @@ class PipelineSpec extends SparkSpec {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+    // T.81 allows any number of 0xFF fill bytes before a marker, and
+    // standalone length-less markers (TEM) — some real encoders emit
+    // both; inject each right after SOI
+    def inject(jpeg: Array[Byte], extra: Array[Byte]): Array[Byte] =
+      jpeg.take(2) ++ extra ++ jpeg.drop(2)
     val rows = Seq(
       (1L, realJpeg(640, 480)),
       (2L, realJpeg(3, 1077)),
       (3L, "not a jpeg".getBytes("UTF-8")),
       (4L, realJpeg(16, 16).take(4)), // truncated mid-walk: desync, not crash
-      (5L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)) // PNG magic
+      (5L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)), // PNG magic
+      (6L, inject(realJpeg(40, 30), Array(0xFF.toByte, 0xFF.toByte))), // fill bytes
+      (7L, inject(realJpeg(41, 31), Array(0xFF.toByte, 0x01.toByte)))  // TEM marker
     )
     val df = spark.createDataFrame(rows).toDF("doc_id", "payload")
     val out = Multimodal.parseJpegMeta(df, "doc_id", "payload").collect()
@@ -286,6 +293,10 @@ class PipelineSpec extends SparkSpec {
     assert(out(2).getLong(1) == 0L && out(2).isNullAt(2))
     assert(out(3).getLong(1) == 0L && out(3).isNullAt(2), "truncated payload must parse as not-jpeg")
     assert(out(4).getLong(1) == 0L)
+    assert(out(5).getLong(1) == 1L && out(5).getLong(2) == 40L && out(5).getLong(3) == 30L,
+      s"FF fill bytes before a marker must not desync the walk: ${out(5)}")
+    assert(out(6).getLong(1) == 1L && out(6).getLong(2) == 41L && out(6).getLong(3) == 31L,
+      s"standalone TEM marker must hop 2 bytes, not read a length: ${out(6)}")
     // staged-encoder round trip at the query's dims
     val staged = Multimodal.encodeStagedJpeg(spark,
       spark.range(4, 7).select(col("id").as("doc_id"),
