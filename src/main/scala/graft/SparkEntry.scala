@@ -488,6 +488,11 @@ object SparkEntry {
     "moving_7d" -> ((s, d) =>
       // B23: trailing 7-day RANGE-frame revenue window
       TimeSeries.movingRevenue7d(t(s, d, "lineitem"))),
+    "moving_distinct_7d" -> ((s, d) =>
+      // B62: EXACT trailing 7-day distinct users (weekly-active-users)
+      // via the coverage-explosion plan — distinct doesn't compose
+      // over B23's RANGE frame
+      TimeSeries.movingDistinct7d(t(s, d, "events"))),
     "pivot_daily_events" -> ((s, d) =>
       // B24: daily counts pivoted to one column per event type
       TimeSeries.pivotDailyCounts(t(s, d, "events"),
@@ -1027,6 +1032,14 @@ object SparkEntry {
       // C62: top collocations by integer lift (the PMI ratio) — count
       // separates frequency, lift separates association
       TextAnalysis.pmiCollocations(t(s, d, "documents"), "text", minCount = 5, topK = 20)),
+    "text_winnow_fp" -> ((s, d) =>
+      // C65: winnowing positional fingerprints (MOSS, SIGMOD 2003) —
+      // window-min selection over k=4-word shingle hashes, w=4
+      TextAnalysis.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", k = 4, w = 4)),
+    "sparse_cosine_join" -> ((s, d) =>
+      // C66: inverted-index tf-idf cosine θ-join — integer weights,
+      // squared-threshold compare, no floats anywhere
+      Dedup.sparseCosineJoin(t(s, d, "documents"), "doc_id", "text", tauBp = 8000, maxDf = 1000L)),
     "window_suite" -> ((s, d) => {
       // B60: the remaining rank-family window functions — rank,
       // dense_rank, percent_rank and cume_dist in exact integer basis
@@ -1137,6 +1150,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("shard"), col("pack_id"))
     }),
+    "chunk_overlap" -> ((s, d) =>
+      // C67: overlapping 64-token chunks at stride 48 (16-token
+      // overlap), identified by content hash — zero-shuffle projection
+      Curation.chunkOverlap(t(s, d, "documents"), "doc_id", "text", chunkTokens = 64, stride = 48)),
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.binaryMeta(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -1217,6 +1234,20 @@ object SparkEntry {
       val tx = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.parseJpegMeta(jp.unionByName(tx), "doc_id", "payload")
+    }),
+    "mm_gif_meta" -> ((s, d) => {
+      // C64: REAL GIF header parsing — 2/3 of docs carry genuine
+      // JDK-encoded GIF89a payloads (logical screen descriptor +
+      // LZW image data), the rest non-GIF text bytes; the oracle
+      // states the staged dims in closed form (mm_jpeg discipline)
+      val docs = t(s, d, "documents")
+      val gf = Multimodal.encodeStagedGif(s,
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+          (lit(8) + col("doc_id") % 64).as("w"), (lit(8) + col("doc_id") % 48).as("h")),
+        "doc_id", "w", "h").select(col("doc_id"), col("gif").as("payload"))
+      val tx = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.parseGifMeta(gf.unionByName(tx), "doc_id", "payload")
     })
   )
 
@@ -1565,6 +1596,44 @@ object SparkEntry {
         |  CAST((CAST(nt.n AS HUGEINT) * cxy * 1000000) // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS lift_ppm
         |FROM j JOIN uc ux ON j.x = ux.tok JOIN uc uy ON j.y = uy.tok, nt
         |ORDER BY lift_ppm DESC, bigram LIMIT 20""".stripMargin,
+    // winnowing replayed exactly: same md5-of-shingle selection key
+    // (hash || ':' || zero-padded pos), same w-row window min, same
+    // short-document single-global-min rule
+    "text_winnow_fp" ->
+      """WITH wd AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) - 3 AS n_grams, unnest(range(1, len(ws) - 2)) AS pos, ws
+        |      FROM wd WHERE len(ws) >= 4),
+        |k AS (SELECT doc_id, n_grams, pos,
+        |        md5(array_to_string(ws[pos:pos+3], ' ')) || ':' || lpad(CAST(pos AS VARCHAR), 10, '0') AS key FROM g),
+        |s AS (SELECT doc_id, n_grams, pos,
+        |        min(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM k)
+        |SELECT DISTINCT doc_id, substring(sel, 1, 32) AS fp_hash, CAST(substring(sel, 34, 10) AS BIGINT) AS fp_pos
+        |FROM s WHERE pos >= 4 OR (n_grams < 4 AND pos = n_grams)
+        |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+    // integer tf-idf weights (tf*1000 // df, df-capped vector space),
+    // HUGEINT squared-cosine threshold — replays the engine bit-for-bit
+    "sparse_cosine_join" ->
+      """WITH tok AS (SELECT doc_id AS id, unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term FROM documents),
+        |tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1,2),
+        |d AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
+        |w AS (SELECT id, term, CAST(tf * 1000 // df AS BIGINT) AS w FROM d
+        |      WHERE df <= 1000 AND tf * 1000 // df > 0),
+        |n AS (SELECT id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+        |      FROM w a JOIN w b ON a.term = b.term AND a.id < b.id GROUP BY 1,2)
+        |SELECT id_a, id_b, dot,
+        |  CAST((CAST(dot AS HUGEINT) * dot * 100000000) // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS cos2_x1e8
+        |FROM p JOIN n na ON p.id_a = na.id JOIN n nb ON p.id_b = nb.id
+        |WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 100000000 >= CAST(8000 AS HUGEINT) * 8000 * na.n2 * nb.n2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "chunk_overlap" ->
+      """WITH wd AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws, unnest(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_id FROM wd)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 + 1 AS BIGINT) AS start_pos,
+        |  CAST(len(ws[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ws[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "window_suite" ->
       """WITH o AS (SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS day,
         |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
@@ -1894,6 +1963,13 @@ object SparkEntry {
         |FROM d
         |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+    "moving_distinct_7d" ->
+      """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id, user_id FROM events),
+        |days AS (SELECT DISTINCT day_id FROM ud)
+        |SELECT CAST(d.day_id AS BIGINT) AS day_id,
+        |       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+        |FROM days d JOIN ud u ON u.day_id BETWEEN d.day_id - 6 AND d.day_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pivot_daily_events" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |       count(*) FILTER (WHERE event_type='click') AS n_click,
@@ -2684,6 +2760,14 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 32 AS BIGINT) END AS width,
         |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 24 AS BIGINT) END AS height,
         |  CASE WHEN doc_id % 3 <> 0 THEN CAST(3 AS BIGINT) END AS n_components
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the engine parses REAL JDK-encoded GIF89a bytes; the oracle
+    // states the staged ground truth in closed form (mm_jpeg discipline)
+    "mm_gif_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS is_gif,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 64 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 48 AS BIGINT) END AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_png_meta" ->
       """WITH p AS (

@@ -264,6 +264,48 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** C67: overlapping-window document chunking — the context-window
+    * segmentation step ahead of embedding/indexing or long-document
+    * training (each chunk carries `overlap = chunkTokens − stride`
+    * tokens of its predecessor so no span is ever split without
+    * context). Chunk starts sit at token offsets 0, stride, 2·stride…
+    * while they fall inside the document; the final chunk may be
+    * short. Chunks are identified by (doc, chunk_id, start, length,
+    * md5-of-content) — the HASH rides downstream shuffles instead of
+    * chunk text (the dedup_passages discipline; the text itself is
+    * re-sliceable from the source by (start, length)).
+    *
+    * Plan: one per-row HOF projection + explode, work ∝ token volume
+    * × (1 + overlap/chunk), ZERO shuffles — stream-compatible and
+    * trivially partition-parallel at any corpus size.
+    */
+  def chunkOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 64,
+      stride: Int = 48
+  ): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"need 1 <= stride <= chunkTokens; got chunkTokens=$chunkTokens stride=$stride")
+    val ws = split(Dedup.normalize(col(textCol)), " ")
+    val chunks = transform(
+      // n >= 1 always (normalize of "" still yields one empty token),
+      // so sequence() never sees a descending range
+      sequence(lit(0), floor((size(ws) - 1) / stride).cast("int")),
+      c => {
+        val toks = slice(ws, c * stride + 1, lit(chunkTokens))
+        struct(
+          c.cast("long").as("chunk_id"),
+          (c * stride + 1).cast("long").as("start_pos"),
+          size(toks).cast("long").as("n_tokens"),
+          md5(array_join(toks, " ").cast("binary")).as("chunk_hash"))
+      })
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_id"), col("c.start_pos"), col("c.n_tokens"), col("c.chunk_hash"))
+      .orderBy(col(idCol), col("chunk_id"))
+  }
+
   def packSequences(
       df: DataFrame,
       idCol: String,

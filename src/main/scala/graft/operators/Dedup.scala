@@ -1024,4 +1024,64 @@ object Dedup {
       )
       .orderBy(col(idCol))
   }
+
+  /** C66: sparse TF-IDF cosine similarity θ-join via an inverted
+    * index — the WEIGHTED pendant of the set-overlap joins above
+    * (Jaccard treats "the" and "spark" alike; tf-idf cosine is the
+    * classic text-similarity metric that doesn't). Candidate pairs
+    * come from a term-keyed self-join of posting lists (work ∝
+    * Σ_term df², never doc×doc); each pair's dot product is one keyed
+    * aggregation of per-term weight products.
+    *
+    * Exactness: weights are integer tf-idf (w = tf·1000 DIV df, the
+    * C26 discipline), norms are Σw² in Longs, and the cosine
+    * threshold is decided WITHOUT square roots or floats by squaring:
+    *   dot ≥ τ·‖a‖·‖b‖  ⟺  dot > 0 ∧ dot²·10⁸ ≥ τbp²·‖a‖²·‖b‖²,
+    * with the 38-digit products carried in DECIMAL(38,0)/HUGEINT —
+    * bit-reproducible across engines. Reported `cos2_x1e8` =
+    * (dot²·10⁸) DIV (‖a‖²·‖b‖²) is monotone in cosine for dot > 0.
+    *
+    * Scale: `maxDf` excludes terms appearing in more than maxDf docs
+    * from the VECTOR SPACE itself (weights, norms, candidates alike —
+    * both engines agree, so it's exact over the defined space). This
+    * is the standard stopword cap: idf already crushes those weights
+    * toward zero, and the cap bounds every posting list, so the
+    * self-join's worst term costs maxDf² — no web-scale "the" posting
+    * list ever self-joins. AQE's skew split covers residual hot terms.
+    */
+  def sparseCosineJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tauBp: Int = 5000,
+      maxDf: Long = 1000L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauBp >= 1 && tauBp <= 10000, s"tauBp must be 1..10000, got $tauBp")
+    val tf = df
+      .select(col(idCol).cast("long").as("id"), explode(split(normalize(col(textCol)), " ")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df via ONE unordered window pass over the tf frame (C26
+    // discipline: a dictionary self-join would scan it twice)
+    val weighted = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("df") <= maxDf)
+      .select(col("id"), col("term"), expr("tf * 1000L DIV df").as("w"))
+      .filter(col("w") > 0)
+    val norms = weighted.groupBy(col("id")).agg(sum(expr("w * w")).as("n2"))
+    val pairs = weighted.alias("a")
+      .join(weighted.alias("b"), col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    pairs
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na2")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")), "id_b")
+      .filter(col("dot") > 0 &&
+        expr(s"CAST(dot AS DECIMAL(38,0)) * dot * 100000000 >= CAST($tauBp AS DECIMAL(38,0)) * $tauBp * na2 * nb2"))
+      .select(col("id_a"), col("id_b"), col("dot"),
+        expr("CAST((CAST(dot AS DECIMAL(38,0)) * dot * 100000000) DIV (CAST(na2 AS DECIMAL(38,0)) * nb2) AS BIGINT)")
+          .as("cos2_x1e8"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -240,6 +240,51 @@ object Multimodal {
       sorted, col(idCol))
   }
 
+  /** C64 (mm_gif_meta): REAL GIF header parsing — the third fixed-
+    * offset image format next to [[parsePngMeta]]: "GIF87a"/"GIF89a"
+    * signature, then the Logical Screen Descriptor's width/height as
+    * little-endian uint16 at offsets 7/9 (1-based) — pure codegen
+    * column expressions ([[leUint]] handles the byte order), no
+    * codec, no UDF. Proven on genuine JDK-encoded GIFs
+    * ([[encodeStagedGif]]); non-GIF payloads report `is_gif = 0`
+    * with NULL dims.
+    */
+  def parseGifMeta(df: DataFrame, idCol: String, binCol: String, sorted: Boolean = true): DataFrame = {
+    val b = col(binCol)
+    val isGif = hex(substring(b, 1, 4)) === "47494638" && // "GIF8"
+      (hex(substring(b, 5, 2)) === "3761" || hex(substring(b, 5, 2)) === "3961") // "7a" | "9a"
+    gateSort(df.select(
+      col(idCol),
+      when(isGif, 1L).otherwise(0L).as("is_gif"),
+      when(isGif, leUint(b, 7, 2)).as("width"),
+      when(isGif, leUint(b, 9, 2)).as("height")
+    ), sorted, col(idCol))
+  }
+
+  /** Stage REAL GIF files through the JDK encoder (GIF89a + logical
+    * screen descriptor + LZW image data) so [[parseGifMeta]] parses
+    * the bytes an actual .gif carries — the same staging discipline
+    * as [[encodeStagedJpeg]].
+    */
+  def encodeStagedGif(spark: SparkSession, df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)].mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+          g.fillRect(0, 0, w, h)
+          g.dispose()
+          imageIoInit
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "gif", baos)
+          (id, w, h, baos.toByteArray)
+        }
+      }
+    out.toDF(idCol, wCol, hCol, "gif")
+  }
+
   /** Stage REAL JPEG files through the JDK encoder (JFIF APP0, quant
     * tables, baseline SOF0, entropy-coded data) so [[parseJpegMeta]]
     * exercises the marker walk an actual .jpg takes. Pixel content is

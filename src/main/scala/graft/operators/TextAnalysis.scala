@@ -327,4 +327,63 @@ object TextAnalysis {
       )
       .orderBy(col(idCol))
   }
+
+  /** C65: winnowing document fingerprints (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS local fingerprinting algorithm):
+    * hash every k-word shingle, slide a w-position window over the
+    * position-ordered hashes, and select each window's MINIMUM. The
+    * paper's guarantee: any shared run of >= w+k-1 words between two
+    * documents shares at least one selected fingerprint, while only
+    * ~2/(w+1) of all shingle hashes are kept — positional near-dup
+    * detection at a fraction of [[Dedup]]'s full-shingle volume.
+    *
+    * Determinism: the selection key is `md5(shingle) || ':' ||
+    * zero-padded position`, so the window argmin is a plain string
+    * MIN with (hash asc, pos asc) tie order — no RNG, engine-exact
+    * (md5 and lexicographic string order agree across engines).
+    * Documents with fewer than w shingles keep their single global
+    * minimum (the standard short-document rule).
+    *
+    * Plan: one per-row HOF projection builds (pos, hash) pairs
+    * (explode ∝ token count), ONE doc-keyed window pass selects, and
+    * the distinct is a (doc, fingerprint)-keyed agg — work ∝ corpus
+    * token volume, never doc×doc; per-doc window partitions stay
+    * document-sized at any corpus scale.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, s"winnow needs k,w >= 1; got k=$k w=$w")
+    val ws = words(col(textCol))
+    // (pos, selection key) per shingle position; sequence() must be
+    // guarded — Spark's sequence(1, n) DESCENDS for n < 1
+    val grams = when(size(ws) >= k,
+      transform(
+        sequence(lit(1), size(ws) - (k - 1)),
+        i => struct(
+          i.cast("long").as("pos"),
+          concat(
+            md5(array_join(slice(ws, i, lit(k)), " ").cast("binary")),
+            lit(":"), lpad(i.cast("string"), 10, "0")).as("key"))))
+      .otherwise(array().cast("array<struct<pos:bigint,key:string>>"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    df.select(col(idCol), size(ws).cast("long").as("__n"), explode(grams).as("g"))
+      .select(col(idCol), col("__n") - (k - 1) as "n_grams", col("g.pos").as("pos"), col("g.key").as("key"))
+      .withColumn("sel", min(col("key")).over(win))
+      // full windows only — except short docs (< w shingles), which
+      // keep the single global min (visible at the last position)
+      .filter(col("pos") >= w || (col("n_grams") < w && col("pos") === col("n_grams")))
+      .select(
+        col(idCol),
+        substring(col("sel"), 1, 32).as("fp_hash"),
+        substring(col("sel"), 34, 10).cast("long").as("fp_pos"))
+      .distinct()
+      .orderBy(col(idCol), col("fp_pos"), col("fp_hash"))
+  }
 }

@@ -99,6 +99,34 @@ object TimeSeries {
       .orderBy(col("day"))
   }
 
+  /** B62: EXACT trailing 7-day distinct users per observed day — the
+    * weekly-active-users series. DISTINCT doesn't compose over a
+    * sliding window (B23's RANGE-frame sum trick is monoid-only), so
+    * the standard exact plan is coverage explosion: dedup to (user,
+    * day), explode each user-day into the ≤7 window-days it covers,
+    * dedup again, count. Work is ∝ 7·|distinct user-days| — the
+    * DEDUPED activity grid, never 7× the raw event log — through
+    * three keyed map-side-combinable shuffles. The observed-day frame
+    * is date-cardinality-sized (thousands of rows at ANY corpus
+    * scale) and broadcasts. For approximate WAU at extreme scale,
+    * per-day HLL sketches union across the window (A30's machinery);
+    * this is the exact oracle-checkable form.
+    */
+  def movingDistinct7d(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(expr("unix_micros(ts) DIV 86400000000").as("day_id"), col("user_id"))
+      .distinct()
+    val days = ud.select(col("day_id")).distinct()
+    val cover = ud
+      .select(explode(sequence(col("day_id"), col("day_id") + 6)).as("win_day"), col("user_id"))
+      .distinct()
+    cover
+      .join(broadcast(days), cover("win_day") === days("day_id"))
+      .groupBy(col("win_day").as("day_id"))
+      .agg(count(lit(1)).as("n_users_7d"))
+      .orderBy("day_id")
+  }
+
   /** B24: daily event counts pivoted to one column per event type.
     * The type list is explicit — `pivot(col)` without values would run
     * an extra distinct job over the full table to discover them, and a

@@ -289,6 +289,20 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("movingDistinct7d: hand-computed trailing distinct counts, observed days only") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def ts(day: Int): java.sql.Timestamp = new java.sql.Timestamp(day * 86400000L)
+    // day 0: users {1,2}; day 3: {2,3}; day 10: {1}; duplicate events collapse
+    val events = Seq((1L, ts(0)), (2L, ts(0)), (2L, ts(0)), (2L, ts(3)), (3L, ts(3)), (1L, ts(10)))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.movingDistinct7d(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // day 0 window {-6..0}: {1,2}=2 ; day 3 window {-3..3}: {1,2,3}=3 ;
+    // day 10 window {4..10}: {1}=1 — day 3's users age out
+    assert(got == Map(0L -> 2L, 3L -> 3L, 10L -> 1L))
+  }
+
   test("pivot: per-type columns sum back to the raw event count") {
     import graft.operators.TimeSeries
     val ev = graft.sources.Catalog.load(spark, sf, "events")

@@ -100,6 +100,70 @@ class CurationSpec extends SparkSpec {
     assert(sharded((1L, 5L)) == 0L)
   }
 
+  test("winnowFingerprints: MOSS guarantee, density, short-doc and sub-k rules") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // docs 1 and 2 share an 8-word run >= w+k-1 = 7, so the winnowing
+    // guarantee (Schleimer et al. 2003, thm 1) demands a shared fingerprint
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"prefix words sit here $shared and a tail"),
+      (2L, s"$shared completely different ending tokens follow now"),
+      (3L, "exactly four words here"), // k <= 4 words < k+w-1: short-doc rule, ONE fp
+      (4L, "two words")               // < k words: no shingles, no fingerprints
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4).collect()
+    val byDoc = fps.groupBy(_.getLong(0)).map { case (id, v) => id -> v.map(_.getString(1)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "a shared run of >= w+k-1 words must share a selected fingerprint")
+    assert(byDoc(3L).size == 1, s"short doc keeps its single global min: ${byDoc.get(3L)}")
+    assert(!byDoc.contains(4L), "doc shorter than k has no shingles")
+    // density: winnowing SELECTS — a long doc keeps fewer fingerprints
+    // than it has shingle positions
+    val d1Grams = docs.filter(col("doc_id") === 1L).select(col("text")).head().getString(0)
+      .split(" ").length - 3
+    assert(byDoc(1L).size < d1Grams)
+    // positions are real shingle offsets: doc 2's shared run starts at
+    // position 1, so some selected fingerprint must sit in 1..5
+    val d2Pos = fps.filter(_.getLong(0) == 2L).map(_.getLong(2))
+    assert(d2Pos.exists(p => p >= 1 && p <= 5))
+  }
+
+  test("sparseCosineJoin: identical docs cos=1 exactly, sub-threshold and df-capped pairs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark scala engine"), (2L, "spark scala engine"),   // identical -> cosine 1
+      (3L, "totally different words entirely"),
+      (4L, "common common common"), (5L, "common unrelated thing")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sparseCosineJoin(docs, "doc_id", "text", tauBp = 9000, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // identical docs: dot == na2 == nb2, so cos2_x1e8 is exactly 1e8
+    assert(got.toSeq == Seq((1L, 2L, 100000000L)),
+      s"only the identical pair passes tau=0.9; (4,5) shares one term at cos~0.33: ${got.toSeq}")
+    // df cap excludes the vector space itself: maxDf=1 kills every
+    // shared term, so NO pair survives even at tau~0
+    assert(Dedup.sparseCosineJoin(docs, "doc_id", "text", tauBp = 1, maxDf = 1L).count() == 0)
+  }
+
+  test("chunkOverlap: strided chunks with overlap, short tail, content-hash identity") {
+    import spark.implicits._
+    val words100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words100), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Curation.chunkOverlap(docs, "doc_id", "text", chunkTokens = 64, stride = 48).collect()
+    val d1 = got.filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // starts at 1, 49, 97: full 64, remainder 52, tail 4 — consecutive
+    // chunks overlap by chunkTokens - stride = 16 tokens
+    assert(d1.toSeq == Seq((0L, 1L, 64L), (1L, 49L, 52L), (2L, 97L, 4L)))
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(3) == 3L)
+    // the chunk hash is the md5 of the joined slice — doc 2's single
+    // chunk is the whole (normalized) text
+    val md5abc = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d2(0).getString(4) == md5abc)
+  }
+
   test("repetitionStats: known repetition fractions, bigram window correct") {
     import graft.operators.TextAnalysis
     // "a b a b a" -> words=5, top word 'a' x3; bigrams: "a b","b a","a b","b a" -> top rep 2 of 4

@@ -308,6 +308,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("parseGifMeta: real JDK-encoded GIF89a dims parsed; non-GIF rejected") {
+    val staged = Multimodal.encodeStagedGif(spark,
+      spark.range(1, 4).select(col("id").as("doc_id"),
+        (lit(8) + col("id") * 100).as("w"), (lit(8) + col("id") * 77).as("h")),
+      "doc_id", "w", "h").select(col("doc_id"), col("gif").as("payload"))
+    val junk = spark.range(9, 11)
+      .select(col("id").as("doc_id"), lit("GIF-ish but not").cast("binary").as("payload"))
+    val out = Multimodal.parseGifMeta(staged.unionByName(junk), "doc_id", "payload").collect()
+    (0 until 3).foreach { i =>
+      val id = i + 1
+      assert(out(i).getLong(1) == 1L && out(i).getLong(2) == 8 + id * 100 &&
+        out(i).getLong(3) == 8 + id * 77, out(i).toString)
+    }
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(2), "non-GIF bytes must report is_gif=0")
+    // the magic check is byte-exact: "GIF" prefix alone isn't enough
+    assert(out(4).getLong(1) == 0L)
+  }
+
   test("decodeFeatures: REAL round-trip — staged pattern's closed-form mean luminance recovered") {
     val staged = Multimodal.encodeStagedPng(
       spark,
