@@ -433,4 +433,37 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning(shard") <= 1, p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("chunk_overlap: pure projection — no join, no aggregate, no hash exchange") {
+    val p = planOf("chunk_overlap")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    // only the final presentation sort's range exchange is allowed
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("text_winnow_fp: doc-keyed window, no join anywhere") {
+    val p = planOf("text_winnow_fp")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("sparse_cosine_join: candidate + norm joins all keyed — no cartesian, no nested loop") {
+    val p = planOf("sparse_cosine_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("moving_distinct_7d: observed-day frame broadcasts; distincts are keyed aggs") {
+    val p = planOf("moving_distinct_7d")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("mm_gif_meta: header parse is a pure projection over the payload") {
+    val p = planOf("mm_gif_meta")
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
 }
