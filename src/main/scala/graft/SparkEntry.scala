@@ -985,6 +985,17 @@ object SparkEntry {
       Similarity.pqTopKRefined(s, dir, e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, shortlist = 50)
     }),
+    "sim_topk_ivfpq" -> ((s, d) => {
+      // C68: IVFADC (FAISS IVFx,PQy) — coarse cells + 8-byte RESIDUAL
+      // PQ codes, ADC shortlist + exact re-rank (rows-only:
+      // approximate by design, recall property-tested in EmbedOpsSpec)
+      val e = t(s, d, "embeddings")
+      val dir = s"target/ivfpq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.buildIvfPqIndexIfAbsent(s, e, "vec_id", "embedding", dim = 64,
+        nClusters = 16, indexDir = dir, m = 8, kCodes = 64)
+      Similarity.ivfPqTopKRefined(s, dir, e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nProbes = 4, shortlist = 50)
+    }),
     "sim_topk_ivf_sq8" -> ((s, d) => {
       // C42: IVF-SQ8 — int8-quantized cell-partitioned index probe
       // (rows-only: approximate by design, recall property-tested)

@@ -777,6 +777,21 @@ object Similarity {
   ): DataFrame = {
     val short = pqTopKIndexed(spark, indexDir, queries, idCol, vecCol, shortlist)
       .select(col("qid"), col("neighbor_id").as("id"))
+    exactRerank(short, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Shared exact-cosine re-rank for every shortlist-then-refine ANN
+    * path: ONLY shortlisted ids fetch their true vectors (id-keyed
+    * join, shortlist×queries rows — never a corpus scan).
+    */
+  private def exactRerank(
+      short: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
     val cvecs = corpus.select(col(idCol).as("id"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
     val qvecs = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm")))
     topKReduce(
@@ -787,6 +802,195 @@ object Similarity {
           (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"),
           col("id")),
       k)
+  }
+
+  /** C68: IVF-PQ index build — the full IVFADC shape (Jégou et al.
+    * 2011 §V, the FAISS `IVFx,PQy` workhorse): a coarse k-means
+    * quantizer partitions the corpus into cells (IVF — probes read
+    * only nProbes cells' bytes), and each vector stores ONLY an
+    * 8-byte PQ code of its RESIDUAL r = x − c(cell) (PQ — 32x
+    * smaller than float32). Residual encoding is what separates this
+    * from [[buildPqIndex]]+[[buildIvfIndex]] side by side: residuals
+    * concentrate near zero, so the SAME codebook budget quantizes
+    * them with far less error than raw vectors (the paper's central
+    * observation). Probing scores inner product exactly as
+    *   q·x̂ = q·c(cell) + q·r̂,
+    * one per-cell scalar plus an m-lookup ADC sum.
+    *
+    * Layout: `centroids` matches [[buildIvfIndex]], `codebooks`/
+    * `cells` match the PQ layout ([[loadPqBooks]] reads both), cells
+    * partition the (cid, code) pairs by `cell` so probe IO is bounded
+    * by probed cells. Codebooks train on a deterministic hash-sample
+    * of residuals (the [[buildPqIndex]] discipline, floor ≥ 1 ppm).
+    */
+  def buildIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nClusters: Int,
+      indexDir: String,
+      m: Int = 8,
+      kCodes: Int = 256
+  ): Unit = {
+    import spark.implicits._
+    require(m >= 1 && m <= 8, s"PQ m must be in [1,8]; got $m")
+    require(kCodes >= 1 && kCodes <= 256, s"PQ kCodes must be in [1,256]; got $kCodes")
+    require(dim % m == 0, s"PQ needs dim % m == 0; got dim=$dim m=$m")
+    val subDim = dim / m
+    val unit = normalized(candidates, idCol, vecCol)
+    val centers = fitCentroids(unit.select(col("__unit")), "__unit", nClusters)
+    centers.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val assigned =
+      if (centers.length > literalCentroidMax)
+        unit.select(col(idCol).as("cid"), col("__unit"))
+          .crossJoin(centersDf(spark, centers))
+          .withColumn("__d", sqDistExpr(col("__unit")))
+          .groupBy(col("cid"))
+          .agg(
+            first(col("__unit")).as("__unit"),
+            min(struct(col("__d"), col("__cell"))).getField("__cell").as("cell"))
+      else
+        unit.select(col(idCol).as("cid"), col("__unit"), cellOf(centers, col("__unit")).as("cell"))
+    // residual under the vector's own centroid — keyed broadcast join,
+    // never an nClusters-branch literal expression
+    val withRes = assigned
+      .join(centersDf(spark, centers).select(col("__cell").as("cell"), col("__center")), "cell")
+      .select(col("cid"), col("cell"),
+        zip_with(col("__unit"), col("__center"), (a, b) => (a - b).cast("float")).as("__res"))
+      .cache()
+    val trainTarget = kCodes.toLong * 256L
+    val total = withRes.count()
+    val trainBase =
+      if (total <= trainTarget) withRes
+      else withRes.filter(pmod(xxhash64(col("cid")), lit(10000L)) <
+        lit(math.max(1L, trainTarget * 10000L / total)))
+    val books: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      fitCentroids(
+        trainBase.select(slice(col("__res"), s * subDim + 1, subDim).as("sub")),
+        "sub", kCodes)
+    }.toArray
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, ci) => (s, ci, c.toSeq) }
+    }.toIndexedSeq
+      .toDF("sub", "code", "center")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    val flat = flatBooks(books, m, kCodes, subDim)
+    withRes
+      .select(col("cid"), col("cell"),
+        graft.functions.VecOps.pq_encode(col("__res"), flat, m, kCodes, subDim).as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    withRes.unpersist(blocking = false)
+  }
+
+  /** [[buildIvfPqIndex]] guarded by the same persisted data
+    * fingerprint as [[buildPqIndexIfAbsent]] — built once, probed
+    * many times; a rewritten corpus re-trains.
+    */
+  def buildIvfPqIndexIfAbsent(
+      spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nClusters: Int,
+      indexDir: String,
+      m: Int = 8,
+      kCodes: Int = 256
+  ): Boolean = {
+    val fp = graft.sources.Catalog.dataFingerprint(spark, candidates) +
+      s"#dim=$dim#nc=$nClusters#m=$m#k=$kCodes"
+    val fpPath = new org.apache.hadoop.fs.Path(s"$indexDir/_FINGERPRINT")
+    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(fpPath)) {
+        val buf = new Array[Byte](fs.getFileStatus(fpPath).getLen.toInt)
+        val in = fs.open(fpPath)
+        try { in.readFully(buf); Some(new String(buf, "UTF-8")) }
+        finally in.close()
+      } else None
+    if (current.contains(fp)) false
+    else {
+      buildIvfPqIndex(spark, candidates, idCol, vecCol, dim, nClusters, indexDir, m, kCodes)
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes("UTF-8"))
+      finally out.close()
+      true
+    }
+  }
+
+  /** C68 probe: nProbes nearest cells per query, ADC over each probed
+    * cell's 8-byte residual codes, score = q·c(cell) + q·r̂. Only the
+    * probed cells' (cid, code) pairs are read — IO ∝ probed-cell
+    * bytes at 1/32nd of float width; vectors never load.
+    */
+  def ivfPqTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int = 4
+  ): DataFrame = {
+    val centers = loadCentroids(spark, indexDir)
+    val (flat, m, kCodes, subDim) = loadPqBooks(spark, indexDir)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val unitQ = normalized(queries, idCol, vecCol)
+    val probed =
+      if (centers.length > literalCentroidMax) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("__d"), col("__cell"))
+        unitQ.select(col(idCol).as("qid"), col("__unit"))
+          .crossJoin(centersDf(spark, centers))
+          .withColumn("__d", sqDistExpr(col("__unit")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= nProbes)
+          .select(col("qid"), col("__unit"), col("__cell").as("cell"),
+            dot(col("__unit"), col("__center")).as("qc"))
+      } else
+        unitQ.select(col(idCol).as("qid"), col("__unit"),
+          explode(slice(cellsByDistance(centers, col("__unit")), 1, nProbes)).as("cell"))
+          .join(centersDf(spark, centers).select(col("__cell").as("cell"), col("__center")), "cell")
+          .select(col("qid"), col("__unit"), col("cell"),
+            dot(col("__unit"), col("__center")).as("qc"))
+    val qs = broadcast(probed.select(col("qid"), col("cell"), col("qc"),
+      graft.functions.VecOps.pq_query_table(col("__unit"), flat, m, kCodes, subDim).as("qtab")))
+    topKReduce(
+      cells
+        .join(qs, Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .select(
+          col("qid"),
+          (col("qc") + graft.functions.VecOps.pq_adc(col("code"), col("qtab"), m, kCodes)).as("score"),
+          col("cid").as("id")),
+      k)
+  }
+
+  /** C68 production probe: IVF-PQ ADC shortlist + exact re-rank on
+    * id-fetched vectors — the deployment shape FAISS calls
+    * IVFADC+refine.
+    */
+  def ivfPqTopKRefined(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int = 4,
+      shortlist: Int = 50
+  ): DataFrame = {
+    val short = ivfPqTopK(spark, indexDir, queries, idCol, vecCol, shortlist, nProbes)
+      .select(col("qid"), col("neighbor_id").as("id"))
+    exactRerank(short, corpus, queries, idCol, vecCol, k)
   }
 
   /** Bucket ids for `tables` independent hash tables (table t uses

@@ -295,6 +295,55 @@ class EmbedOpsSpec extends SparkSpec {
       "rewritten corpus must re-train")
   }
 
+  test("IVF-PQ: residual ADC probe has real recall; refine near-exact; deterministic rebuild") {
+    import graft.operators.Similarity
+    val dir = "target/ivfpq_unit"
+    Similarity.buildIvfPqIndex(spark, embs, "vec_id", "embedding", dim = 64,
+      nClusters = 16, indexDir = dir, m = 8, kCodes = 64)
+    // layout: cells carry ONLY (cid, code) under cell= partitions —
+    // probe IO is 8 bytes/vector in the probed cells, vectors never load
+    val cellsSchema = spark.read.parquet(s"$dir/cells").schema.fieldNames.toSet
+    assert(cellsSchema == Set("cid", "code", "cell"), cellsSchema.toString)
+    val brute = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // ADC-only over nProbes=8 of 16 cells: residual codes + q·c offset
+    val adc = Similarity.ivfPqTopK(spark, dir, embs.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10, nProbes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect adc).size.toDouble / brute.size
+    info(f"IVF-PQ ADC-only recall@10 vs brute at 500 vectors: $recall%.2f")
+    assert(recall >= 0.3, s"IVFADC shortlist quality collapsed: $recall")
+    // production probe: ADC shortlist + exact re-rank
+    val refined = Similarity.ivfPqTopKRefined(spark, dir, embs.filter(col("vec_id") < 20),
+      embs, "vec_id", "embedding", k = 10, nProbes = 8, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refRecall = (brute intersect refined).size.toDouble / brute.size
+    info(f"IVF-PQ refined recall@10: $refRecall%.2f")
+    // refine recovers everything the probed cells contain; nProbes=8
+    // of 16 caps recall below flat-PQ's (which scans every code) —
+    // 0.80 measured on current testdata, floor left slack for driver
+    // data regeneration
+    assert(refRecall >= 0.7, s"refined recall too low: $refRecall")
+    // determinism: rebuild reproduces cell assignment + codes exactly
+    val codes1 = spark.read.parquet(s"$dir/cells").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("cell"))).toSet
+    val dir2 = "target/ivfpq_unit2"
+    Similarity.buildIvfPqIndex(spark, embs, "vec_id", "embedding", dim = 64,
+      nClusters = 16, indexDir = dir2, m = 8, kCodes = 64)
+    val codes2 = spark.read.parquet(s"$dir2/cells").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("cell"))).toSet
+    assert(codes1 == codes2, "IVF-PQ cells/codes must be deterministic across rebuilds")
+    // fingerprint guard: unchanged corpus skips the re-train
+    val srcDir = "target/ivfpq_unit_src"
+    embs.write.mode("overwrite").parquet(srcDir)
+    val dir3 = "target/ivfpq_unit3"
+    assert(Similarity.buildIvfPqIndexIfAbsent(spark, spark.read.parquet(srcDir),
+      "vec_id", "embedding", 64, 16, dir3, 8, 64), "first build must train")
+    assert(!Similarity.buildIvfPqIndexIfAbsent(spark, spark.read.parquet(srcDir),
+      "vec_id", "embedding", 64, 16, dir3, 8, 64), "unchanged corpus must skip")
+  }
+
   test("pca top component: recovers a planted dominant direction, exactly reproducible") {
     import spark.implicits._
     import graft.operators.EmbedOps
