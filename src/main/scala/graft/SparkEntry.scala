@@ -651,6 +651,13 @@ object SparkEntry {
           min(col("spend_c")).as("min_spend_c"))
         .orderBy(col("decile"))
     }),
+    "equidepth_hist" -> ((s, d) =>
+      // B63: 16-bucket equi-depth histogram of lineitem price cents —
+      // the distribution profile profile_table can't see; exact ntile
+      // semantics through the distributed globalRowNumber rank
+      Analytics.equidepthHist(t(s, d, "lineitem"),
+        Analytics.cents(col("l_extendedprice")),
+        Seq(col("l_orderkey"), col("l_linenumber")), buckets = 16)),
     "cube_pricing" -> ((s, d) =>
       // B32: full CUBE grouping sets (completes ROLLUP in B7) — one
       // expand + one agg shuffle, Catalyst's native grouping-sets path
@@ -1047,6 +1054,16 @@ object SparkEntry {
       // C65: winnowing positional fingerprints (MOSS, SIGMOD 2003) —
       // window-min selection over k=4-word shingle hashes, w=4
       TextAnalysis.winnowFingerprints(t(s, d, "documents"), "doc_id", "text", k = 4, w = 4)),
+    "dedup_incr_winnow" -> ((s, d) => {
+      // C69: incremental winnow-overlap — decile-0 batch probed
+      // against the persisted fingerprint index of the rest; pairs
+      // sharing >= 2 distinct fingerprints (witnessed copied runs)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      TextAnalysis.winnowAgainstIndex(batch, "doc_id", "text",
+        TextAnalysis.buildWinnowIndex(corpus, "doc_id", "text"))
+    }),
     "sparse_cosine_join" -> ((s, d) =>
       // C66: inverted-index tf-idf cosine θ-join — integer weights,
       // squared-threshold compare, no floats anywhere
@@ -1621,6 +1638,24 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, substring(sel, 1, 32) AS fp_hash, CAST(substring(sel, 34, 10) AS BIGINT) AS fp_pos
         |FROM s WHERE pos >= 4 OR (n_grams < 4 AND pos = n_grams)
         |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin,
+    // the same winnowing selection, split decile-0 batch vs rest,
+    // joined on fingerprint hash — distinct shared hashes per pair
+    "dedup_incr_winnow" ->
+      """WITH wd AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) - 3 AS n_grams, unnest(range(1, len(ws) - 2)) AS pos, ws
+        |      FROM wd WHERE len(ws) >= 4),
+        |k AS (SELECT doc_id, n_grams, pos,
+        |        md5(array_to_string(ws[pos:pos+3], ' ')) || ':' || lpad(CAST(pos AS VARCHAR), 10, '0') AS key FROM g),
+        |s AS (SELECT doc_id, n_grams, pos,
+        |        min(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel FROM k),
+        |fp AS (SELECT DISTINCT doc_id, substring(sel, 1, 32) AS fp_hash
+        |       FROM s WHERE pos >= 4 OR (n_grams < 4 AND pos = n_grams)),
+        |b AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM fp WHERE doc_id % 10 <> 0)
+        |SELECT b.doc_id AS id_a, c.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM b JOIN c USING (fp_hash)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
     // integer tf-idf weights (tf*1000 // df, df-capped vector space),
     // HUGEINT squared-cosine threshold — replays the engine bit-for-bit
     "sparse_cosine_join" ->
@@ -2375,6 +2410,12 @@ object SparkEntry {
         |  CAST(sum(spend_c) AS BIGINT) AS decile_spend_c,
         |  CAST(min(spend_c) AS BIGINT) AS min_spend_c
         |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "equidepth_hist" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v_c, l_orderkey, l_linenumber FROM lineitem),
+        |r AS (SELECT v_c, ntile(16) OVER (ORDER BY v_c, l_orderkey, l_linenumber) AS bucket FROM v)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(min(v_c) AS BIGINT) AS lo_c, CAST(max(v_c) AS BIGINT) AS hi_c
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "grouping_sets_mix" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,

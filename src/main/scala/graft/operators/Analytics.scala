@@ -497,4 +497,30 @@ object Analytics {
                | / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))""".stripMargin.replace("\n", ""))
           .as("corr_qd"))
       .orderBy("l_returnflag")
+
+  /** B63: equi-depth histogram of a value column — the distribution
+    * profile [[profileTable]]'s min/max/ndv can't see (ANALYZE-style
+    * optimizer statistics, skew diagnosis, quantile-bucket boundaries
+    * for range partitioning / Z-order bucketing). Buckets hold equal
+    * ROW counts (SQL ntile semantics, exact), boundaries are real data
+    * values. Engine-reproducible because the tile order carries a
+    * unique tiebreak — and the rank is the distributed
+    * [[globalRowNumber]] bin plan, so millions of rows never serialize
+    * into one window task (the decile_spend discipline; a bare
+    * `ntile().over(Window.orderBy(...))` is the B33 anti-plan).
+    */
+  def equidepthHist(
+      df: DataFrame,
+      valueCol: Column,
+      tieCols: Seq[Column],
+      buckets: Int = 16
+  ): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val prepared = df.select((valueCol.cast("long").as("v_c") +: tieCols): _*)
+    globalRowNumber(prepared, col("v_c"), descending = false, tieCols)
+      .withColumn("bucket", ntileFromRank(col("rn"), col("n_total"), buckets))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v_c")).as("lo_c"), max(col("v_c")).as("hi_c"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -386,4 +386,49 @@ object TextAnalysis {
       .distinct()
       .orderBy(col(idCol), col("fp_pos"), col("fp_hash"))
   }
+
+  /** C69 index build: the persisted winnowing-fingerprint index — the
+    * positional pendant of Dedup's hash/MinHash/embedding indexes: a
+    * corpus is fingerprinted ONCE ([[winnowFingerprints]]) and stored
+    * as (id, fp_hash, fp_pos); arriving batches probe it without ever
+    * re-reading corpus text. ~2/(w+1) of shingle volume on disk.
+    */
+  def buildWinnowIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4
+  ): DataFrame = winnowFingerprints(corpus, idCol, textCol, k, w)
+
+  /** C69 probe: batch docs sharing >= `minShared` DISTINCT winnowing
+    * fingerprints with a corpus doc — the incremental form of the
+    * MOSS overlap report (shared fingerprints witness shared >=
+    * w+k−1-word runs, so n_shared ranks pairs by copied MATERIAL, not
+    * bag-of-words likeness). Fingerprint the BATCH only, join the
+    * (tiny, hash-keyed) fingerprint posting lists, count distinct
+    * shared hashes per pair: candidate volume scales with the batch's
+    * fingerprint count × posting density, never the corpus, and never
+    * doc×doc. Batch and corpus id spaces must be disjoint (self-pairs
+    * are dropped defensively).
+    */
+  def winnowAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Long = 2L
+  ): DataFrame = {
+    val bf = winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).as("id_a"), col("fp_hash")).distinct()
+    val cf = index.select(col(idCol).as("id_b"), col("fp_hash")).distinct()
+    bf.join(cf, Seq("fp_hash"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

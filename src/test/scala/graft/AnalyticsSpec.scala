@@ -289,6 +289,26 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("equidepthHist: exact ntile buckets with real-value boundaries") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // 32 distinct values over 16 buckets: exactly 2 rows per bucket,
+    // boundaries are the data values themselves
+    val df = (1L to 32L).map(i => (i, i * 10L)).toDF("id", "cents")
+    val got = Analytics.equidepthHist(df, col("cents"), Seq(col("id")), buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 16)
+    got.zipWithIndex.foreach { case ((b, n, lo, hi), i) =>
+      assert(b == i + 1 && n == 2L && lo == (2 * i + 1) * 10L && hi == (2 * i + 2) * 10L,
+        s"bucket $b: n=$n lo=$lo hi=$hi")
+    }
+    // uneven split follows SQL ntile: 5 rows over 2 buckets -> 3 + 2
+    val odd = (1L to 5L).map(i => (i, i)).toDF("id", "cents")
+    val g2 = Analytics.equidepthHist(odd, col("cents"), Seq(col("id")), buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g2.toSeq == Seq((1L, 3L), (2L, 2L)))
+  }
+
   test("movingDistinct7d: hand-computed trailing distinct counts, observed days only") {
     import spark.implicits._
     import graft.operators.TimeSeries

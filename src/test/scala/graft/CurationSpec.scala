@@ -129,6 +129,27 @@ class CurationSpec extends SparkSpec {
     assert(d2Pos.exists(p => p >= 1 && p <= 5))
   }
 
+  test("winnowAgainstIndex: planted copied run matched against the persisted index, batch-scaled") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, s"corpus document starts here $run and then some unique corpus tail"),
+      (11L, "a completely unrelated corpus document about other things entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"fresh batch words $run trailing batch material here"),
+      (101L, "novel batch content sharing nothing with anything stored")
+    ).toDF("doc_id", "text")
+    val idx = TextAnalysis.buildWinnowIndex(corpus, "doc_id", "text")
+    val got = TextAnalysis.winnowAgainstIndex(batch, "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 10-word copied run (>= w+k-1) forces shared fingerprints;
+    // with 7 shared shingle positions, >= 2 distinct mins survive
+    assert(got.length == 1 && got(0)._1 == 100L && got(0)._2 == 10L && got(0)._3 >= 2L,
+      got.mkString(","))
+  }
+
   test("sparseCosineJoin: identical docs cos=1 exactly, sub-threshold and df-capped pairs drop") {
     import spark.implicits._
     val docs = Seq(

@@ -466,4 +466,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
+
+  test("dedup_incr_winnow: fingerprint posting join is keyed — no cartesian, no nested loop") {
+    val p = planOf("dedup_incr_winnow")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("equidepth_hist: rank windows partition by bin — row-scale data never sorts in one task") {
+    val p = planOf("equidepth_hist")
+    // the only single-partition exchange allowed is over the
+    // bin-count frame (~4096 rows); the row-scale window partitions
+    // by __b
+    assert(p.contains("hashpartitioning(__b"), p.take(3000))
+  }
 }
