@@ -288,7 +288,10 @@ object Curation {
   ): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
       s"need 1 <= stride <= chunkTokens; got chunkTokens=$chunkTokens stride=$stride")
-    val ws = split(Dedup.normalize(col(textCol)), " ")
+    // materialized word-array column: a lambda referencing the raw
+    // split expression re-runs the regex split per chunk (the
+    // dup_ngram_mass defect class)
+    val ws = col("__ws")
     val chunks = transform(
       // n >= 1 always (normalize of "" still yields one empty token),
       // so sequence() never sees a descending range
@@ -301,7 +304,8 @@ object Curation {
           size(toks).cast("long").as("n_tokens"),
           md5(array_join(toks, " ").cast("binary")).as("chunk_hash"))
       })
-    df.select(col(idCol), explode(chunks).as("c"))
+    df.select(col(idCol), split(Dedup.normalize(col(textCol)), " ").as("__ws"))
+      .select(col(idCol), explode(chunks).as("c"))
       .select(col(idCol), col("c.chunk_id"), col("c.start_pos"), col("c.n_tokens"), col("c.chunk_hash"))
       .orderBy(col(idCol), col("chunk_id"))
   }

@@ -86,53 +86,43 @@ object GraphOps {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).cache()
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct().cache()
     var hubs = nodes.select(col("id"), lit(1000000L).as("h"))
-    var auths = nodes.select(col("id"), lit(0L).as("a"))
-    // cached frames from EARLIER rounds: once round i's max has been
-    // collected, round i−1's araw/hraw have been fully consumed (the
-    // current half-step's join read them) and can drop out of executor
-    // storage — otherwise 2·iters cached frames outlive the call.
-    var prevA: DataFrame = null
-    var prevH: DataFrame = null
+    var auths: DataFrame = null
+    // Per half-step: ONE keyed join+agg over the score frames that
+    // actually carry mass — nodes with no in-edges (no asum row) have
+    // score 0, contribute nothing to the next sum, and can never be
+    // the (non-negative) max, so the per-round LEFT join back onto
+    // the full node set is dropped entirely; zeros materialize once
+    // in the final projection. Each half-step localCheckpoints: the
+    // max collection reads materialized blocks, every round's plan
+    // stays constant-size (no lineage growth), and NOTHING enters
+    // CacheManager — unpersisting a cached subtree would re-compile
+    // (and empty) every dependent cached entry, which recomputed the
+    // whole loop inside the caller's first action in the cache()-based
+    // form (measured +2-4s at sf0.1). Checkpoint blocks are owned by
+    // their RDDs and GC-reclaimed; not fault-tolerant, which a
+    // recomputable derived score table tolerates.
     for (_ <- 0 until iters) {
-      // Each half-step: keyed join+agg, cache, ONE collected Long (the
-      // L∞ max — driver-scale by definition, the pageRank n-collection
-      // discipline), renormalize against the literal. Embedding the
-      // max as a broadcast-of-aggregate subtree instead nests a
-      // broadcast job inside every later round's plan — measured
-      // minutes at 500 nodes; collected scalars keep each round's
-      // plan shallow.
       val asum = e.join(hubs, e("src") === hubs("id"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
-      val araw = nodes.join(asum, nodes("id") === asum("dst"), "left")
-        .select(nodes("id"), coalesce(col("ar"), lit(0L)).as("ar"))
-        .cache()
-      val am = math.max(araw.agg(max(col("ar"))).head().getLong(0), 1L)
-      if (prevH != null) prevH.unpersist(blocking = false) // consumed by asum's join
-      auths = araw.select(col("id"), expr(s"(ar * 1000000L) DIV ${am}L").as("a"))
+        .localCheckpoint()
+      val amRow = asum.agg(max(col("ar"))).head()
+      val am = if (amRow.isNullAt(0)) 1L else math.max(amRow.getLong(0), 1L)
+      auths = asum.select(col("dst").as("id"), expr(s"(ar * 1000000L) DIV ${am}L").as("a"))
       val hsum = e.join(auths, e("dst") === auths("id"))
         .groupBy(col("src")).agg(sum(col("a")).as("hr"))
-      val hraw = nodes.join(hsum, nodes("id") === hsum("src"), "left")
-        .select(nodes("id"), coalesce(col("hr"), lit(0L)).as("hr"))
-        .cache()
-      val hm = math.max(hraw.agg(max(col("hr"))).head().getLong(0), 1L)
-      if (prevA != null) prevA.unpersist(blocking = false) // consumed by hsum's join
-      hubs = hraw.select(col("id"), expr(s"(hr * 1000000L) DIV ${hm}L").as("h"))
-      prevA = araw
-      prevH = hraw
+        .localCheckpoint()
+      val hmRow = hsum.agg(max(col("hr"))).head()
+      val hm = if (hmRow.isNullAt(0)) 1L else math.max(hmRow.getLong(0), 1L)
+      hubs = hsum.select(col("src").as("id"), expr(s"(hr * 1000000L) DIV ${hm}L").as("h"))
     }
-    // Materialize the node-scale result once, then release EVERY
-    // intermediate (last round's araw/hraw + e + nodes) — the caller
-    // gets one cached node-count-sized frame instead of 2·iters+2
-    // edge/node-scale leftovers pinned in executor storage.
     val out = nodes
-      .join(auths.select(col("id"), col("a")), "id")
-      .join(hubs.select(col("id"), col("h")), "id")
-      .select(col("id").as("node_id"), col("a").as("auth_fp"), col("h").as("hub_fp"))
+      .join(auths, Seq("id"), "left")
+      .join(hubs, Seq("id"), "left")
+      .select(col("id").as("node_id"),
+        coalesce(col("a"), lit(0L)).as("auth_fp"),
+        coalesce(col("h"), lit(0L)).as("hub_fp"))
       .orderBy("node_id")
-      .cache()
-    out.count()
-    if (prevA != null) prevA.unpersist(blocking = false)
-    if (prevH != null) prevH.unpersist(blocking = false)
+      .localCheckpoint()
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
@@ -200,15 +190,15 @@ object GraphOps {
       .join(ranked.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
     val credit = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    // node-scale result materialized once so the edge-scale `ranked`
-    // cache (read by both wedge sides + the closing join) can drop out
-    // of executor storage instead of outliving the call
+    // node-scale result localCheckpointed (lineage cut) so the
+    // edge-scale `ranked` cache can drop out of executor storage —
+    // unpersisting it under a cache()d result would re-compile and
+    // EMPTY that cache entry instead (the hits() lesson)
     val out = nodes
       .join(credit, Seq("id"), "left")
       .select(col("id").as("node_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .orderBy("node_id")
-      .cache()
-    out.count()
+      .localCheckpoint()
     ranked.unpersist(blocking = false)
     out
   }

@@ -359,7 +359,12 @@ object TextAnalysis {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1, s"winnow needs k,w >= 1; got k=$k w=$w")
-    val ws = words(col(textCol))
+    // the word array MUST materialize as its own column before the
+    // HOF: a lambda referencing the raw split(normalize(text))
+    // expression re-runs the regex split PER POSITION — O(words²)
+    // per document (the dup_ngram_mass defect class; measured 4.4s →
+    // sub-second at sf0.1)
+    val ws = col("__ws")
     // (pos, selection key) per shingle position; sequence() must be
     // guarded — Spark's sequence(1, n) DESCENDS for n < 1
     val grams = when(size(ws) >= k,
@@ -373,7 +378,8 @@ object TextAnalysis {
       .otherwise(array().cast("array<struct<pos:bigint,key:string>>"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
-    df.select(col(idCol), size(ws).cast("long").as("__n"), explode(grams).as("g"))
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), size(ws).cast("long").as("__n"), explode(grams).as("g"))
       .select(col(idCol), col("__n") - (k - 1) as "n_grams", col("g.pos").as("pos"), col("g.key").as("key"))
       .withColumn("sel", min(col("key")).over(win))
       // full windows only — except short docs (< w shingles), which

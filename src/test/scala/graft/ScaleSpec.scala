@@ -421,6 +421,64 @@ class ScaleSpec extends SparkSpec {
     assert(hits >= 17, s"PQ refined probe should find the exact twin first: $hits/${got.size}")
   }
 
+  test("winnow index probe at 100k docs: staged dups recovered, batch-scaled cost", Slow) {
+    import graft.operators.TextAnalysis
+    val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
+    val docs = spark.read.parquet(docsPath)
+    val truth = SyntheticCorpus.stagedPairs(100000).map { case (a, b) => (b, a) } // (batch, corpus)
+    // batch = the staged dup docs; corpus = everything else. Each dup
+    // shares its base's full 30-60-word body (>> w+k-1), so winnowing
+    // guarantees MANY shared fingerprints; unrelated docs share a
+    // 4-gram only by 500^4-space collision
+    val corpus = docs.filter(pmod(col("doc_id"), lit(20L)) =!= 19L)
+    val batch = docs.filter(pmod(col("doc_id"), lit(20L)) === 19L)
+    val idx = TextAnalysis.buildWinnowIndex(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.count() // index built once — probe time below excludes it
+    val (found, sec) = time {
+      TextAnalysis.winnowAgainstIndex(batch, "doc_id", "text", idx, minShared = 3L)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    }
+    idx.unpersist(blocking = false)
+    val pairs = found.map(_._1).toSet
+    info(f"winnow probe of 5k batch docs vs 95k-doc index: $sec%.1fs, ${pairs.size} pairs")
+    assert(truth.subsetOf(pairs),
+      s"staged dups must be recovered: missed ${(truth -- pairs).size} of ${truth.size}")
+    // staged pairs dominate: anything extra is a rare shingle-hash
+    // coincidence, not a systematic false-positive source
+    assert(pairs.size <= truth.size + truth.size / 100,
+      s"too many non-staged pairs: ${pairs.size - truth.size}")
+    // every staged pair shares a long run -> many witnessed fingerprints
+    val stagedShared = found.filter(f => truth.contains(f._1)).map(_._2)
+    assert(stagedShared.forall(_ >= 3L))
+  }
+
+  test("sparse cosine join at 50k docs: staged recovery via keyed posting joins", Slow) {
+    // tf-idf cosine needs a WIDE vocabulary (SyntheticCorpus's 500
+    // words make every term a stopword at 100k docs): 50k docs, 20
+    // doc-family-unique terms each — dup pairs share all 20 terms at
+    // tf 1, unrelated docs share nothing, df <= 2 everywhere
+    val n = 50000L
+    val docs = spark.range(n)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(20L)) === 19L, col("id") - 1).otherwise(col("id")).as("base_id"))
+      .select(col("doc_id"),
+        concat(
+          array_join(transform(sequence(lit(0), lit(19)),
+            j => concat(lit("t"), (col("base_id") * 20 + j).cast("string"))), " "),
+          // dups append one unique token (tiny cosine dent, far above 0.9)
+          when(col("doc_id") =!= col("base_id"),
+            concat(lit(" uniq"), col("doc_id").cast("string"))).otherwise(lit(""))).as("text"))
+    val truth = SyntheticCorpus.stagedPairs(n)
+    val (pairs, sec) = time {
+      Dedup.sparseCosineJoin(docs, "doc_id", "text", tauBp = 9000, maxDf = 1000L)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    info(f"sparse cosine over 50k docs (1M terms): $sec%.1fs, ${pairs.size} pairs (${truth.size} staged)")
+    assert(pairs == truth,
+      s"missed ${(truth -- pairs).size}, extra ${(pairs -- truth).size}")
+  }
+
   test("CMS heavy hitters at 100k docs: exact vocab recovery, light tail pruned pre-shuffle", Slow) {
     import graft.operators.TextAnalysis
     val (docsPath, _) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 100000, nVecs = 20000, dim = 32)
