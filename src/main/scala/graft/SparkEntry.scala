@@ -1182,6 +1182,10 @@ object SparkEntry {
       // C67: overlapping 64-token chunks at stride 48 (16-token
       // overlap), identified by content hash — zero-shuffle projection
       Curation.chunkOverlap(t(s, d, "documents"), "doc_id", "text", chunkTokens = 64, stride = 48)),
+    "text_clip_dedup" -> ((s, d) =>
+      // C70: Lee-et-al exact-substring clip-out — remove every token
+      // covered by an 8-token window an earlier doc already contains
+      Curation.clipDedup(t(s, d, "documents"), "doc_id", "text", n = 8)),
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.binaryMeta(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -2273,6 +2277,21 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(n_windows, 0) AS n_windows, coalesce(dup_windows, 0) AS dup_windows,
         |       coalesce(max_dup_run, 0) AS max_dup_run
         |FROM documents d LEFT JOIN a USING (doc_id) LEFT JOIN mr USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // clip-out replayed on string n-grams (hash-equivalent w.h.p. to
+    // the engine's 8-byte shingle kernel — the dup_span_stats trade)
+    "text_clip_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws FROM documents),
+        |x AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 8 + 1, 0))) AS pos FROM w),
+        |g AS (SELECT doc_id, pos, array_to_string(ws[pos + 1 : pos + 8], ' ') AS ng FROM x),
+        |f AS (SELECT ng, min(doc_id) AS first_id FROM g GROUP BY 1),
+        |sh AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (ng) WHERE f.first_id < g.doc_id),
+        |rm AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tpos FROM sh),
+        |rml AS (SELECT doc_id, list(tpos) AS rm, CAST(count(*) AS BIGINT) AS n_removed FROM rm GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |       coalesce(n_removed, 0) AS n_removed,
+        |       md5(coalesce(array_to_string([ws[i + 1] for i in range(0, len(ws))
+        |         if NOT list_contains(coalesce(rm, []), i)], ' '), '')) AS clean_hash
+        |FROM w LEFT JOIN rml USING (doc_id) ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """WITH b AS (SELECT doc_id, n_chars AS weight, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',

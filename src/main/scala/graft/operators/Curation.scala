@@ -264,6 +264,57 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** C70: exact-substring CLIP-OUT dedup (Lee et al. 2022,
+    * arXiv:2107.06499 §4 "ExactSubstr") — the TRANSFORM that
+    * [[dupSpanStats]] only measures: every token covered by an
+    * n-token window whose content an EARLIER doc already contains is
+    * removed, and the cleaned document (identified by hash — the
+    * text itself is reconstructable by re-running the projection) is
+    * reported with its removal counts. This is the dedup mode that
+    * keeps a document's unique prose while cutting the boilerplate /
+    * quoted material wholesale dedup would either miss or
+    * over-delete.
+    *
+    * Plan: shingle hashes (8-byte kernel output, never strings)
+    * through ONE first-seen window over the hash key, shared window
+    * starts explode into ≤ n covered token positions, one doc-keyed
+    * distinct + collect of removed positions (bounded by doc length,
+    * the sessionize state-size argument), and the kept-token
+    * reconstruction is a per-row indexed-lambda filter. Work ∝
+    * token volume; never doc×doc. First-seen via corpus-wide min
+    * doc id — the [[dupSpanStats]] convention, hash-equivalent
+    * w.h.p. to string comparison (2^-64-collision trade, documented
+    * there).
+    */
+  def clipDedup(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), split(Dedup.normalize(col(textCol)), " ").as("__ws"))
+    val exploded = docs
+      .select(col("id"),
+        when(size(col("__ws")) >= n,
+          graft.functions.VecOps.shingle_hashes(col("__ws"), n))
+          .otherwise(array().cast("array<long>")).as("shs"))
+      .select(col("id"), posexplode(col("shs")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
+    val removedPos = exploded
+      .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
+      .filter(col("first_id") < col("id"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tpos"))
+      .distinct()
+    val removed = removedPos.groupBy(col("id"))
+      .agg(collect_set(col("tpos")).as("rm"), count(lit(1)).as("n_removed"))
+    docs
+      .join(removed, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(array_join(
+          filter(col("__ws"), (_, i) =>
+            !array_contains(coalesce(col("rm"), array().cast("array<long>")), i.cast("long"))),
+          " ").cast("binary")).as("clean_hash"))
+      .orderBy(col(idCol))
+  }
+
   /** C67: overlapping-window document chunking — the context-window
     * segmentation step ahead of embedding/indexing or long-document
     * training (each chunk carries `overlap = chunkTokens − stride`

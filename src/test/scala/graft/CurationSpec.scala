@@ -167,6 +167,26 @@ class CurationSpec extends SparkSpec {
     assert(Dedup.sparseCosineJoin(docs, "doc_id", "text", tauBp = 1, maxDf = 1L).count() == 0)
   }
 
+  test("clipDedup: copied span clipped from the LATER doc only; unique prose kept verbatim") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val run8 = "a b c d e f g h" // exactly one 8-token window
+    val docs = Seq(
+      (1L, s"$run8 unique one tail"),
+      (2L, s"prefix two $run8 suffix bits"),
+      (3L, "wholly original words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = Curation.clipDedup(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 saw every window first: nothing clipped, hash of own text
+    assert(got(1L) == ((11L, 0L, md5hex(s"$run8 unique one tail"))))
+    // doc 2: only the verbatim run8 window (start 2) is shared ->
+    // tokens 2..9 clipped, surrounding unique prose survives
+    assert(got(2L) == ((12L, 8L, md5hex("prefix two suffix bits"))), got(2L).toString)
+    assert(got(3L)._2 == 0L)
+  }
+
   test("chunkOverlap: strided chunks with overlap, short tail, content-hash identity") {
     import spark.implicits._
     val words100 = (1 to 100).map(i => s"w$i").mkString(" ")

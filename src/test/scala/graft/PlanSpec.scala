@@ -473,6 +473,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("text_clip_dedup: first-seen + coverage joins all keyed — no cartesian, no nested loop") {
+    val p = planOf("text_clip_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("equidepth_hist: rank windows partition by bin — row-scale data never sorts in one task") {
     val p = planOf("equidepth_hist")
     // the only single-partition exchange allowed is over the
