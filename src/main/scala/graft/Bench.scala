@@ -36,7 +36,7 @@ object Bench {
     "dedup_passages", "dedup_semantic", "fuzzy_match_join",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_sq8", "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_quant", "embed_nearest_centroid",
     "embed_quantize", "embed_project", "embed_pca_top", "embed_kmeans", "embed_outliers", "graph_pagerank", "graph_triangles", "graph_hits", "dedup_incr_bloom", "domain_cap", "dedup_url",
-    "text_langid", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
+    "text_langid", "text_langid_ngram", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_rep_stats", "text_tfidf_top", "text_unigram_score", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters", "mix_allocate", "sample_weighted", "shuffle_shards", "dup_span_stats", "text_bigram_pmi",
     "pack_sequences", "curate_corpus", "dup_ngram_mass", "text_clip_dedup",

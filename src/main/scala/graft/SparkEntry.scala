@@ -1017,6 +1017,14 @@ object SparkEntry {
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")),
+    "text_langid_ngram" -> ((s, d) =>
+      // C71: character-trigram profile language ID (Cavnar-Trenkle
+      // shape) — works on text the stopword heuristic can't
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langIdNgram(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
@@ -1290,6 +1298,28 @@ object SparkEntry {
     * so the engines agree bit-for-bit; `//` and `DIV` both truncate
     * toward zero, verified on negatives).
     */
+  /** DuckDB twin of [[TextAnalysis.langIdNgram]], generated from the
+    * SAME TrigramProfiles constants so the two sides cannot drift:
+    * identical replace-trick occurrence counts, identical
+    * alphabetical-first argmax.
+    */
+  private def langidNgramOracleSql: String = {
+    val t = """' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' '"""
+    val langs = TextAnalysis.TrigramProfiles.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (lang, tris) =>
+      val sum = tris.map(p => s"(length(t) - length(replace(t, '$p', ''))) // 3").mkString(" + ")
+      s"($sum) AS s_$lang"
+    }.mkString(", ")
+    val names = langs.map("s_" + _._1)
+    val maxExpr = "greatest(" + names.mkString(", ") + ")"
+    val firstMax = langs.map { case (lang, _) => s"WHEN s_$lang = m THEN '$lang'" }.mkString(" ")
+    s"""WITH w AS (SELECT lang, $t AS t FROM documents),
+       |s AS (SELECT lang, $scoreCols FROM w),
+       |x AS (SELECT lang, $maxExpr AS m, ${names.mkString(", ")} FROM s)
+       |SELECT lang, CASE WHEN m = 0 THEN 'und' $firstMax END AS pred_lang, count(*) AS n
+       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private def pcaOracleSql(iters: Int): String = {
     val sb = new StringBuilder
     // AS MATERIALIZED: DuckDB inlines CTEs by default, which would
@@ -1792,6 +1822,7 @@ object SparkEntry {
         |             {'s': -s_fr, 'l': 'fr'},{'s': -s_zh, 'l': 'zh'}])[1].l END AS pred_lang,
         | count(*) AS n
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_langid_ngram" -> langidNgramOracleSql,
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

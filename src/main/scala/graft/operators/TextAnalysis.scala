@@ -42,6 +42,44 @@ object TextAnalysis {
     when(bestLang.getField("score") > 0, bestLang.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Distinctive character trigrams per language (space-padded so
+    * word boundaries count), hand-curated from public frequency
+    * tables — the profile data for [[langIdNgram]].
+    */
+  val TrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "he ", " th", "ing", "and", "nd ", " an", " of", "of ", "ion",
+      " to", "to ", "ed ", " in", "is ", "at ", "er ", "ent", " be", "on "),
+    "de" -> Seq("der", "er ", " de", "ie ", "die", "und", " un", "ein", "ich", "ch ",
+      "sch", "en ", "das", " da", "ung", " ge", "ber", "cht", "nde", "ges"),
+    "es" -> Seq(" de", "de ", "la ", " la", "os ", " el", "el ", "que", "ue ", " qu",
+      "es ", " es", "ado", "ar ", " co", "os.", "nte", " se", "ión", "dad"),
+    "fr" -> Seq(" de", "de ", "le ", " le", "ent", "nt ", " la", "et ", " et", "on ",
+      " pa", "ue ", "re ", " co", "eur", "les", " qu", "our", "ait", "une")
+  )
+
+  /** C71: character-trigram language ID — the profile-based
+    * classifier (Cavnar & Trenkle 1994 n-gram shape) that works where
+    * the stopword heuristic ([[langId]]) can't: text without
+    * dictionary words, inflected forms, short fragments. Score per
+    * language = Σ over profile trigrams of the trigram's OCCURRENCE
+    * COUNT in the space-padded text, counted with the replace trick
+    * `(len(t) − len(replace(t, p, ''))) / 3` — pure codegen string
+    * ops, integer-exact, identical non-overlapping-leftmost
+    * semantics in both engines, no arrays built. Argmax with
+    * alphabetical tiebreak; all-zero → "und".
+    */
+  def langIdNgram(c: Column): Column = {
+    val t = concat(lit(" "), Dedup.normalize(c), lit(" "))
+    val scored = TrigramProfiles.toSeq.sortBy(_._1).zipWithIndex.map { case ((lang, tris), rank) =>
+      val score = tris.map(p =>
+        floor((length(t) - length(replace(t, lit(p), lit("")))) / 3))
+        .reduce(_ + _)
+      struct(score.cast("long").as("score"), lit(-rank).as("tie"), lit(lang).as("lang"))
+    }
+    val bestLang = array_max(array(scored: _*))
+    when(bestLang.getField("score") > 0, bestLang.getField("lang")).otherwise(lit("und"))
+  }
+
   /** C9: quality signals, all integer: char count, word count,
     * punctuation count, stopword occurrences (en), and a 0-100 floored
     * stopword-ratio score.

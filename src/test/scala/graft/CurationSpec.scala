@@ -100,6 +100,27 @@ class CurationSpec extends SparkSpec {
     assert(sharded((1L, 5L)) == 0L)
   }
 
+  test("langIdNgram: trigram profiles classify real sentences; junk is und") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "en", "the quick brown fox is jumping over the lazy dog in the morning"),
+      (2L, "de", "der schnelle braune fuchs springt über den faulen hund und das ist schön"),
+      (3L, "es", "el zorro marrón salta sobre el perro perezoso que duerme en la casa"),
+      (4L, "fr", "le renard brun saute par dessus le chien paresseux dans une maison"),
+      (5L, "und", "zzz qqq xxx 12345")
+    ).toDF("doc_id", "expected", "text")
+    val got = rows.select(col("doc_id"), col("expected"),
+      TextAnalysis.langIdNgram(col("text")).as("pred"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.foreach { case (id, exp, pred) =>
+      assert(pred == exp, s"doc $id: expected $exp got $pred")
+    }
+    // determinism on ties: an empty-profile-overlap string always und
+    assert(rows.filter(col("doc_id") === 5L)
+      .select(TextAnalysis.langIdNgram(col("text"))).head().getString(0) == "und")
+  }
+
   test("winnowFingerprints: MOSS guarantee, density, short-doc and sub-k rules") {
     import spark.implicits._
     import graft.operators.TextAnalysis
