@@ -40,7 +40,7 @@ object Bench {
     "text_rep_stats", "text_tfidf_top", "text_unigram_score", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters", "mix_allocate", "sample_weighted", "shuffle_shards", "dup_span_stats", "text_bigram_pmi",
     "pack_sequences", "curate_corpus", "dup_ngram_mass", "text_clip_dedup",
-    "text_winnow_fp", "sparse_cosine_join", "chunk_overlap", "moving_distinct_7d",
+    "text_winnow_fp", "sparse_cosine_join", "chunk_overlap", "moving_distinct_7d", "cumulative_distinct",
     "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",
     "mm_byte_resize", "mm_png_meta", "mm_wav_meta", "mm_jpeg_meta", "mm_gif_meta",
     "events_props_agg", "length_histogram", "quality_gate_pctl", "text_bigrams_top",

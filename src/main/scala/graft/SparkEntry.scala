@@ -493,6 +493,10 @@ object SparkEntry {
       // via the coverage-explosion plan — distinct doesn't compose
       // over B23's RANGE frame
       TimeSeries.movingDistinct7d(t(s, d, "events"))),
+    "cumulative_distinct" -> ((s, d) =>
+      // B64: exact users-ever-seen by day via first-seen-day counts +
+      // a prefix sum — no coverage explosion, no expanding distinct
+      TimeSeries.cumulativeDistinctUsers(t(s, d, "events"))),
     "pivot_daily_events" -> ((s, d) =>
       // B24: daily counts pivoted to one column per event type
       TimeSeries.pivotDailyCounts(t(s, d, "events"),
@@ -2050,6 +2054,16 @@ object SparkEntry {
         |SELECT CAST(d.day_id AS BIGINT) AS day_id,
         |       CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
         |FROM days d JOIN ud u ON u.day_id BETWEEN d.day_id - 6 AND d.day_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle runs the naive O(days*users) expanding distinct the
+    // engine's first-seen-day plan avoids — same answer
+    "cumulative_distinct" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_id, user_id FROM events),
+        |d AS (SELECT DISTINCT day_id FROM e)
+        |SELECT CAST(d.day_id AS BIGINT) AS day_id,
+        |  CAST(count(DISTINCT CASE WHEN f.first_day = d.day_id THEN f.user_id END) AS BIGINT) AS n_new,
+        |  CAST(count(DISTINCT CASE WHEN f.first_day <= d.day_id THEN f.user_id END) AS BIGINT) AS n_users_cum
+        |FROM d CROSS JOIN (SELECT user_id, min(day_id) AS first_day FROM e GROUP BY 1) f
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pivot_daily_events" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

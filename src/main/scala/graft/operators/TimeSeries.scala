@@ -127,6 +127,29 @@ object TimeSeries {
       .orderBy("day_id")
   }
 
+  /** B64: EXACT cumulative distinct users by day ("users ever seen").
+    * The expanding-window sibling of [[movingDistinct7d]] with a
+    * fundamentally better plan available: an expanding DISTINCT needs
+    * no coverage explosion at all, because each user enters the count
+    * exactly once — on their FIRST day. One user-keyed min, one
+    * day-keyed count, and a prefix sum over the date-cardinality
+    * day series (thousands of rows at ANY corpus scale — the B23
+    * post-aggregation window discipline). Work ∝ |events| through two
+    * keyed map-side-combined shuffles; the naive per-day expanding
+    * COUNT DISTINCT the oracle runs is O(days·users).
+    */
+  def cumulativeDistinctUsers(events: DataFrame): DataFrame = {
+    val withDay = events.select(expr("unix_micros(ts) DIV 86400000000").as("day_id"), col("user_id"))
+    val newPerDay = withDay
+      .groupBy(col("user_id")).agg(min(col("day_id")).as("day_id"))
+      .groupBy(col("day_id")).agg(count(lit(1)).as("n_new"))
+    withDay.select(col("day_id")).distinct()
+      .join(newPerDay, Seq("day_id"), "left")
+      .select(col("day_id"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_users_cum", sum(col("n_new")).over(Window.orderBy(col("day_id"))))
+      .orderBy(col("day_id"))
+  }
+
   /** B24: daily event counts pivoted to one column per event type.
     * The type list is explicit — `pivot(col)` without values would run
     * an extra distinct job over the full table to discover them, and a

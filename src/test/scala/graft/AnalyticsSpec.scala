@@ -323,6 +323,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 3L -> 3L, 10L -> 1L))
   }
 
+  test("cumulativeDistinctUsers: first-seen-day plan equals hand-computed expanding distinct") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def ts(day: Int): java.sql.Timestamp = new java.sql.Timestamp(day * 86400000L)
+    // day 0: {1,2}; day 3: {2,3}; day 10: {1,4,4}
+    val events = Seq((1L, ts(0)), (2L, ts(0)), (2L, ts(3)), (3L, ts(3)),
+      (1L, ts(10)), (4L, ts(10)), (4L, ts(10))).toDF("user_id", "ts")
+    val got = TimeSeries.cumulativeDistinctUsers(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2L, 2L), (3L, 1L, 3L), (10L, 1L, 4L)))
+  }
+
   test("pivot: per-type columns sum back to the raw event count") {
     import graft.operators.TimeSeries
     val ev = graft.sources.Catalog.load(spark, sf, "events")
