@@ -335,7 +335,8 @@ object Curation {
       idCol: String,
       textCol: String,
       chunkTokens: Int = 64,
-      stride: Int = 48
+      stride: Int = 48,
+      sorted: Boolean = true // false for streaming inputs (no global sort on a stream)
   ): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
       s"need 1 <= stride <= chunkTokens; got chunkTokens=$chunkTokens stride=$stride")
@@ -355,10 +356,10 @@ object Curation {
           size(toks).cast("long").as("n_tokens"),
           md5(array_join(toks, " ").cast("binary")).as("chunk_hash"))
       })
-    df.select(col(idCol), split(Dedup.normalize(col(textCol)), " ").as("__ws"))
+    val base = df.select(col(idCol), split(Dedup.normalize(col(textCol)), " ").as("__ws"))
       .select(col(idCol), explode(chunks).as("c"))
       .select(col(idCol), col("c.chunk_id"), col("c.start_pos"), col("c.n_tokens"), col("c.chunk_hash"))
-      .orderBy(col(idCol), col("chunk_id"))
+    if (sorted) base.orderBy(col(idCol), col("chunk_id")) else base
   }
 
   def packSequences(

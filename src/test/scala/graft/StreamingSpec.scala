@@ -94,6 +94,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkOverlap runs unchanged on a stream; chunks equal the batch result") {
+    // C67 is a zero-shuffle projection, so the SAME code serves batch
+    // backfill and continuous ingest — sorted=false skips the
+    // presentation sort a stream can't do
+    val dir = tmpDir("graft_stream_chunks")
+    val batch = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    batch.repartition(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = operators.Curation.chunkOverlap(stream, "doc_id", "text", 64, 48, sorted = false)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chunk_stream_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_stream_out").orderBy("doc_id", "chunk_id").collect()
+      val expected = operators.Curation.chunkOverlap(batch, "doc_id", "text", 64, 48).collect()
+      assert(streamed.toSeq == expected.toSeq && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops cross-batch duplicates inside the watermark") {
     // stage a doc stream with known duplicates: each text appears 3x
     // under different ids/timestamps, spread across files/micro-batches
