@@ -52,6 +52,20 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A. migration / sync core ----
+    "src_format_orc" -> ((s, d) => {
+      // A36: lake-format matrix through the gate — documents round-trip
+      // through an ORC copy (lossless columnar like parquet), read back
+      // via the format-matrix loader, aggregated; the oracle computes
+      // the same aggregate from the parquet original, so any ORC
+      // write/read defect breaks the hash match
+      val orcDir = s"target/orc_docs_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      t(s, d, "documents").write.mode("overwrite").orc(orcDir)
+      Catalog.loadFormat(s, orcDir, "orc")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy(col("lang"))
+    }),
     "src_discovery" -> ((s, d) => {
       import s.implicits._
       Catalog.selectTables(s, d, "*tion,c*").toDF("table_name").orderBy("table_name")
@@ -1446,6 +1460,12 @@ object SparkEntry {
     "graph_hits" -> hitsOracleSql(iters = 4),
     "src_discovery" ->
       "SELECT * FROM (VALUES ('customer'),('nation')) AS t(table_name) ORDER BY 1",
+    // the oracle aggregates the parquet ORIGINAL — the engine's ORC
+    // round-trip must be byte-lossless for the hash to match
+    "src_format_orc" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_fields" ->
       """SELECT k AS field, count(*) AS n
         |FROM (SELECT unnest(json_keys(props)) AS k FROM events) GROUP BY 1 ORDER BY 1""".stripMargin,

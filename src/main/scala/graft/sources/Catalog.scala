@@ -65,6 +65,32 @@ object Catalog {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Source-format matrix: one loader for the lake formats a sync
+    * source can arrive in — parquet / ORC / CSV / JSONL — returning
+    * the same downstream DataFrame surface (`autoSyncTables`' source
+    * thunk composes with any of these, like it does with the ES and
+    * JDBC surfaces). Pass `schemaDdl` for text formats: a CSV/JSON
+    * read without a schema pays a full inference scan and infers
+    * strings/doubles — at 100 TB the schema IS part of the contract.
+    */
+  def loadFormat(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      schemaDdl: Option[String] = None
+  ): DataFrame = {
+    val r0 = spark.read
+    val r = schemaDdl.map(r0.schema).getOrElse(r0)
+    format match {
+      case "parquet"        => r.parquet(path)
+      case "orc"            => r.orc(path)
+      case "csv"            => r.option("header", "true").csv(path)
+      case "jsonl" | "json" => r.json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported source format: $other (parquet|orc|csv|jsonl)")
+    }
+  }
+
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = loadEventsRaw(spark, dir)

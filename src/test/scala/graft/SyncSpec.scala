@@ -73,6 +73,37 @@ class SyncSpec extends SparkSpec {
     assert(got == Map(1L -> "changed"))
   }
 
+  test("format matrix: CSV/JSONL/ORC sources load to the same rows; sync thunk composes") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha, with a comma", 10L),
+      (2L, "line\nbreak and \"quotes\"", 20L),
+      (3L, "plain", 30L)
+    ).toDF("id", "note", "v")
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    base.coalesce(1).write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(s"$dir/csv")
+    base.coalesce(1).write.mode("overwrite").json(s"$dir/jsonl")
+    base.coalesce(1).write.mode("overwrite").orc(s"$dir/orc")
+    val ddl = "id BIGINT, note STRING, v BIGINT"
+    val expect = base.orderBy("id").collect().toSeq
+    // CSV needs the matching escape option for embedded quotes/newlines
+    val csvBack = spark.read.schema(ddl).option("header", "true")
+      .option("escape", "\"").option("multiLine", "true").csv(s"$dir/csv")
+    assert(csvBack.orderBy("id").collect().toSeq == expect, "csv round-trip")
+    assert(Catalog.loadFormat(spark, s"$dir/jsonl", "jsonl", Some(ddl))
+      .orderBy("id").collect().toSeq == expect, "jsonl round-trip")
+    assert(Catalog.loadFormat(spark, s"$dir/orc", "orc")
+      .orderBy("id").collect().toSeq == expect, "orc round-trip")
+    // the sync loop is source-agnostic: its source thunk can serve any
+    // format the matrix loads (same contract the ES/JDBC surfaces use)
+    val thunk: () => org.apache.spark.sql.DataFrame =
+      () => Catalog.loadFormat(spark, s"$dir/orc", "orc")
+    assert(thunk().count() == 3)
+    // unsupported formats fail loudly at call time
+    intercept[IllegalArgumentException](Catalog.loadFormat(spark, dir, "xml"))
+  }
+
   test("auto mode: full sync first, then incremental upsert, restart-safe state") {
     val events = Catalog.load(spark, sf, "events")
     val cutoffUs = 1705276800000000L // 2024-01-15
