@@ -25,7 +25,7 @@ object Bench {
     "q19_disjunctive", "q20_part_promo", "q21_waiting",
     "median_price", "quartiles_price", "anomaly_days", "anomaly_mad", "events_twap", "events_ewma", "events_holt", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
     "grouping_sets_mix", "window_suite", "trend_slope", "corr_pairs", "cdc_apply",
-    "events_hourly_incr", "profile_table", "equidepth_hist", "dq_violations", "skew_report",
+    "events_hourly_incr", "profile_table", "equidepth_hist", "rfm_segments", "basket_lift", "dq_violations", "skew_report",
     "asof_last_click", "asof_within", "interval_join", "range_join_binned", "range_count_sweep",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state", "snapshot_diff", "scd2_intervals",

@@ -669,6 +669,14 @@ object SparkEntry {
           min(col("spend_c")).as("min_spend_c"))
         .orderBy(col("decile"))
     }),
+    "rfm_segments" -> ((s, d) =>
+      // B65: recency/frequency/monetary quintile coding, exact ntile
+      // semantics through the distributed rank (customers with orders)
+      Analytics.rfmSegments(t(s, d, "customer"), t(s, d, "orders"))),
+    "basket_lift" -> ((s, d) =>
+      // B66: co-ordered part pairs ranked by integer lift (C62's
+      // exact-ratio discipline on baskets)
+      Analytics.basketLift(t(s, d, "lineitem"), minCount = 3, topK = 20)),
     "equidepth_hist" -> ((s, d) =>
       // B63: 16-bucket equi-depth histogram of lineitem price cents —
       // the distribution profile profile_table can't see; exact ntile
@@ -2494,6 +2502,29 @@ object SparkEntry {
         |  CAST(sum(spend_c) AS BIGINT) AS decile_spend_c,
         |  CAST(min(spend_c) AS BIGINT) AS min_spend_c
         |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rfm_segments" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_c
+        |  FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |SELECT c_custkey, last_day, n_orders, spend_c,
+        |  CAST(ntile(5) OVER (ORDER BY last_day, c_custkey) AS BIGINT) AS r_code,
+        |  CAST(ntile(5) OVER (ORDER BY n_orders, c_custkey) AS BIGINT) AS f_code,
+        |  CAST(ntile(5) OVER (ORDER BY spend_c, c_custkey) AS BIGINT) AS m_code
+        |FROM base ORDER BY c_custkey""".stripMargin,
+    "basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+        |p AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pa, pb, n_ab, ia.c AS na, ib.c AS nb,
+        |  CAST((CAST(n.n_orders AS HUGEINT) * n_ab * 1000000) // (CAST(ia.c AS HUGEINT) * ib.c) AS BIGINT) AS lift_ppm
+        |FROM p JOIN ic ia ON p.pa = ia.pk JOIN ic ib ON p.pb = ib.pk, n
+        |ORDER BY lift_ppm DESC, pa, pb LIMIT 20""".stripMargin,
     "equidepth_hist" ->
       """WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v_c, l_orderkey, l_linenumber FROM lineitem),
         |r AS (SELECT v_c, ntile(16) OVER (ORDER BY v_c, l_orderkey, l_linenumber) AS bucket FROM v)

@@ -498,6 +498,65 @@ object Analytics {
           .as("corr_qd"))
       .orderBy("l_returnflag")
 
+  /** B65: RFM customer segmentation — the classic warehouse
+    * recency/frequency/monetary quintile coding (1..5 per dimension,
+    * 5 = most recent / most frequent / biggest spender). Exact SQL
+    * ntile semantics with a custkey tiebreak on every dimension, each
+    * rank through the distributed [[globalRowNumber]] bin plan (the
+    * B33/B63 discipline — a million customers never serialize into
+    * one window task). The customer-level aggregate is
+    * localCheckpointed once: three rank passes read materialized
+    * blocks with nothing entering CacheManager (the GraphOps.hits
+    * lesson), and the fact table is scanned exactly once.
+    */
+  def rfmSegments(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val base = customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("day"),
+        cents(col("o_totalprice")).as("p_c")),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("n_orders"), sum(col("p_c")).as("spend_c"))
+      .localCheckpoint()
+    def coded(df: DataFrame, valueCol: String, out: String): DataFrame =
+      globalRowNumber(df, col(valueCol), descending = false, Seq(col("c_custkey")), persistBase = false)
+        .withColumn(out, ntileFromRank(col("rn"), col("n_total"), 5))
+        .drop("rn", "n_total")
+    coded(coded(coded(base, "last_day", "r_code"), "n_orders", "f_code"), "spend_c", "m_code")
+      .select(col("c_custkey"), col("last_day"), col("n_orders"), col("spend_c"),
+        col("r_code"), col("f_code"), col("m_code"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** B66: market-basket pair mining by integer LIFT — which parts
+    * co-occur in orders beyond chance (N·n_ab·10⁶) DIV (n_a·n_b),
+    * the association-rule signal with C62's exact-ratio discipline
+    * (log-likelihood/confidence variants are monotone in the same
+    * counts). Candidate pairs come from an order-keyed self-join of
+    * the DISTINCT (order, part) grid — bounded by items-per-order²,
+    * never |parts|²; item and pair counts are keyed aggs; minCount
+    * prunes the hapax tail before the component joins (parts join
+    * KEYED — a web-scale catalog never broadcasts); top-k is
+    * TakeOrderedAndProject.
+    */
+  def basketLift(lineitem: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(col("ok")).distinct().count()
+    val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    items.alias("a")
+      .join(items.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(itemCounts.select(col("pk").as("pa"), col("c").as("na")), "pa")
+      .join(itemCounts.select(col("pk").as("pb"), col("c").as("nb")), "pb")
+      .select(col("pa"), col("pb"), col("n_ab"), col("na"), col("nb"),
+        expr(s"CAST((CAST($nOrders AS DECIMAL(38,0)) * n_ab * 1000000) DIV (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+      .limit(topK)
+  }
+
   /** B63: equi-depth histogram of a value column — the distribution
     * profile [[profileTable]]'s min/max/ndv can't see (ANALYZE-style
     * optimizer statistics, skew diagnosis, quantile-bucket boundaries

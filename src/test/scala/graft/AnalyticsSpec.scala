@@ -289,6 +289,43 @@ class AnalyticsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("rfmSegments: quintile codes reward recency, frequency and spend; deterministic") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // 10 customers; customer i has i orders of 100.00 each, last order
+    // on day 7000+i — so rank order on every dimension is c1 < ... < c10
+    val cust = (1L to 10L).map(i => Tuple1(i)).toDF("c_custkey")
+    val orders = (1L to 10L).flatMap { i =>
+      (1L to i).map(j => (i, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(7000 + i - (if (j == i) 0 else 1))), 100.0))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.rfmSegments(cust, orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // 10 rows over 5 tiles = 2 per tile on each dimension
+    assert(got(1L) == ((1L, 1L, 1L)) && got(2L) == ((1L, 1L, 1L)), got.toString)
+    assert(got(9L) == ((5L, 5L, 5L)) && got(10L) == ((5L, 5L, 5L)))
+    assert(got(5L) == ((3L, 3L, 3L)) && got(6L) == ((3L, 3L, 3L)))
+  }
+
+  test("basketLift: exclusive pair out-lifts the ubiquitous one; exact ppm values") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // 12 orders; parts 1,2 co-occur in exactly their 4 shared orders
+    // (exclusive pair); part 9 is in EVERY order (ubiquitous)
+    val rows =
+      (1L to 4L).flatMap(o => Seq((o, 1L), (o, 2L), (o, 9L))) ++
+      (5L to 12L).map(o => (o, 9L)) ++
+      (5L to 8L).map(o => (o, 3L))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val got = Analytics.basketLift(li, minCount = 3, topK = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    // lift(1,2) = 12*4*1e6/(4*4) = 3,000,000 ppm (perfect association)
+    assert(got((1L, 2L)) == 3000000L, got.toString)
+    // lift(1,9) = 12*4*1e6/(4*12) = 1,000,000 ppm (chance-level)
+    assert(got((1L, 9L)) == 1000000L)
+    // the exclusive pair ranks above every chance-level pair
+    assert(got((1L, 2L)) > got((1L, 9L)))
+  }
+
   test("equidepthHist: exact ntile buckets with real-value boundaries") {
     import spark.implicits._
     import graft.operators.Analytics

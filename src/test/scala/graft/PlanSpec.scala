@@ -479,6 +479,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("rfm_segments: every rank window partitions by bin — customers never sort in one task") {
+    val p = planOf("rfm_segments")
+    assert(p.contains("hashpartitioning(__b"), p.take(3000))
+    // BroadcastNestedLoopJoin appears ONLY as the 1-row stats-frame
+    // cross join inside globalRowNumber — benign by construction
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("basket_lift: order-keyed self-join + keyed count joins — no cartesian; top-k is TakeOrdered") {
+    val p = planOf("basket_lift")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("equidepth_hist: rank windows partition by bin — row-scale data never sorts in one task") {
     val p = planOf("equidepth_hist")
     // the only single-partition exchange allowed is over the
