@@ -1046,8 +1046,7 @@ object SparkEntry {
     "text_langid_ngram" -> ((s, d) =>
       // C71: character-trigram profile language ID (Cavnar-Trenkle
       // shape) — works on text the stopword heuristic can't
-      t(s, d, "documents")
-        .select(col("lang"), TextAnalysis.langIdNgram(col("text")).as("pred_lang"))
+      TextAnalysis.langIdNgram(t(s, d, "documents"), "text")
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")),
@@ -1326,21 +1325,24 @@ object SparkEntry {
     */
   /** DuckDB twin of [[TextAnalysis.langIdNgram]], generated from the
     * SAME TrigramProfiles constants so the two sides cannot drift:
-    * identical replace-trick occurrence counts, identical
-    * alphabetical-first argmax.
+    * identical positional trigram counts (every offset, overlaps
+    * included), identical alphabetical-first argmax.
     */
   private def langidNgramOracleSql: String = {
     val t = """' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' '"""
     val langs = TextAnalysis.TrigramProfiles.toSeq.sortBy(_._1)
     val scoreCols = langs.map { case (lang, tris) =>
-      val sum = tris.map(p => s"(length(t) - length(replace(t, '$p', ''))) // 3").mkString(" + ")
-      s"($sum) AS s_$lang"
+      val set = tris.map(p => s"'$p'").mkString("[", ", ", "]")
+      s"len([x FOR x IN tris IF list_contains($set, x)]) AS s_$lang"
     }.mkString(", ")
     val names = langs.map("s_" + _._1)
     val maxExpr = "greatest(" + names.mkString(", ") + ")"
     val firstMax = langs.map { case (lang, _) => s"WHEN s_$lang = m THEN '$lang'" }.mkString(" ")
     s"""WITH w AS (SELECT lang, $t AS t FROM documents),
-       |s AS (SELECT lang, $scoreCols FROM w),
+       |g AS (SELECT lang, CASE WHEN length(t) >= 3
+       |        THEN [substring(t, CAST(i AS INT), 3) FOR i IN range(1, length(t) - 1)]
+       |        ELSE [] END AS tris FROM w),
+       |s AS (SELECT lang, $scoreCols FROM g),
        |x AS (SELECT lang, $maxExpr AS m, ${names.mkString(", ")} FROM s)
        |SELECT lang, CASE WHEN m = 0 THEN 'und' $firstMax END AS pred_lang, count(*) AS n
        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

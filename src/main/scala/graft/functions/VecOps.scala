@@ -654,6 +654,42 @@ object VecOps {
   def member_count(words: Column, set: Seq[String]): Column =
     ColumnBridge.column(MemberCount(ColumnBridge.expression(words), set))
 
+  def trigram_profile_scores(text: Column, profiles: Seq[Seq[String]]): Column =
+    ColumnBridge.column(TrigramProfileScores(ColumnBridge.expression(text), profiles))
+
+  /** One code-point scan scoring a string against several trigram
+    * profiles at once: every 3-code-point window packs into one Long
+    * (21 bits/code point) and probes each profile's sorted pack array
+    * by binary search — no per-window string allocation, no repeated
+    * text scans (the declarative alternatives measured 14.5s [one
+    * replace-scan per profile trigram] and 30s [materialized trigram
+    * array] at sf1; this is one pass). Window positions advance per
+    * CODE POINT, matching `substring(t, i, 3)` semantics in both
+    * engines. Public static for codegen.
+    */
+  def trigramProfileScores(text: org.apache.spark.unsafe.types.UTF8String, packs: Array[Array[Long]]): ArrayData = {
+    val s = text.toString
+    val out = new Array[Long](packs.length)
+    var c0 = -1L // code point two back
+    var c1 = -1L // previous code point
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (c0 >= 0) {
+        val key = (c0 << 42) | (c1 << 21) | cp.toLong
+        var p = 0
+        while (p < packs.length) {
+          if (java.util.Arrays.binarySearch(packs(p), key) >= 0) out(p) += 1L
+          p += 1
+        }
+      }
+      c0 = c1
+      c1 = cp.toLong
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Elements of a string array contained in a fixed set — the kernel
     * form of `size(filter(w, x => array_contains(lit(set), x)))`,
     * which interprets |w|×|set| lambda compares per row. The set
@@ -1034,6 +1070,28 @@ case class MemberCount(child: Expression, set: Seq[String]) extends UnaryExpress
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.memberCountSet($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): MemberCount = copy(child = c)
+}
+
+case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]]) extends UnaryExpression {
+  @transient private lazy val packs: Array[Array[Long]] = profiles.map { tris =>
+    tris.map { t =>
+      val cps = t.codePoints().toArray
+      require(cps.length == 3, s"profile trigram must be exactly 3 code points: '$t'")
+      (cps(0).toLong << 42) | (cps(1).toLong << 21) | cps(2).toLong
+    }.toArray.sorted
+  }.toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"trigram_profile_scores needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.trigramProfileScores(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], packs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trigramPacks", packs, "long[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.trigramProfileScores($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): TrigramProfileScores = copy(child = c)
 }
 
 case class QuantizeI8(child: Expression) extends UnaryExpression {

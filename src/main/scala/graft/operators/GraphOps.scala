@@ -33,6 +33,14 @@ object GraphOps {
     * cluster scale the edge frame partitions by src once and every
     * round's join reuses that partitioning; the dst agg is the one
     * unavoidable shuffle per round.
+    *
+    * Cache lifetime: the returned frame is LAZY and every round of
+    * its plan references the cached edge/node frames — they must stay
+    * cached until the caller's action, so release is caller-owned
+    * (`spark.catalog.clearCache()` between queries, as Bench/Verify
+    * do). Unpersisting them here would make CacheManager
+    * re-compile-and-EMPTY each dependent cached entry (see [[hits]],
+    * which restructures onto localCheckpoint to avoid exactly that).
     */
   def pageRank(
       edges: DataFrame,

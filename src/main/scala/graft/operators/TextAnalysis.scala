@@ -61,23 +61,35 @@ object TextAnalysis {
     * classifier (Cavnar & Trenkle 1994 n-gram shape) that works where
     * the stopword heuristic ([[langId]]) can't: text without
     * dictionary words, inflected forms, short fragments. Score per
-    * language = Σ over profile trigrams of the trigram's OCCURRENCE
-    * COUNT in the space-padded text, counted with the replace trick
-    * `(len(t) − len(replace(t, p, ''))) / 3` — pure codegen string
-    * ops, integer-exact, identical non-overlapping-leftmost
-    * semantics in both engines, no arrays built. Argmax with
-    * alphabetical tiebreak; all-zero → "und".
+    * language = number of trigram POSITIONS (every offset of the
+    * space-padded text, overlaps included) whose trigram is in the
+    * language's profile.
+    *
+    * Plan: ONE code-point scan through the native
+    * `trigram_profile_scores` kernel — every 3-code-point window
+    * packs into a Long and probes all four profiles' sorted pack
+    * arrays; no per-window string is ever built and the text is
+    * never re-scanned per profile entry (the two declarative forms
+    * measured 14.5s [replace-scan per trigram, 80 passes/row] and
+    * 30s [materialized trigram array — allocation-bound] at sf1;
+    * the kernel is one pass). Argmax with alphabetical tiebreak;
+    * all-zero → "und". Per-doc projection, zero shuffles.
     */
-  def langIdNgram(c: Column): Column = {
-    val t = concat(lit(" "), Dedup.normalize(c), lit(" "))
-    val scored = TrigramProfiles.toSeq.sortBy(_._1).zipWithIndex.map { case ((lang, tris), rank) =>
-      val score = tris.map(p =>
-        floor((length(t) - length(replace(t, lit(p), lit("")))) / 3))
-        .reduce(_ + _)
-      struct(score.cast("long").as("score"), lit(-rank).as("tie"), lit(lang).as("lang"))
+  def langIdNgram(df: DataFrame, textCol: String, out: String = "pred_lang"): DataFrame = {
+    val langs = TrigramProfiles.toSeq.sortBy(_._1)
+    val scored = langs.zipWithIndex.map { case ((lang, _), rank) =>
+      struct(
+        element_at(col("__sc"), rank + 1).as("score"),
+        lit(-rank).as("tie"),
+        lit(lang).as("lang"))
     }
     val bestLang = array_max(array(scored: _*))
-    when(bestLang.getField("score") > 0, bestLang.getField("lang")).otherwise(lit("und"))
+    df.withColumn("__t", concat(lit(" "), Dedup.normalize(col(textCol)), lit(" ")))
+      .withColumn("__sc",
+        graft.functions.VecOps.trigram_profile_scores(col("__t"), langs.map(_._2)))
+      .withColumn(out,
+        when(bestLang.getField("score") > 0, bestLang.getField("lang")).otherwise(lit("und")))
+      .drop("__t", "__sc")
   }
 
   /** C9: quality signals, all integer: char count, word count,

@@ -110,15 +110,15 @@ class CurationSpec extends SparkSpec {
       (4L, "fr", "le renard brun saute par dessus le chien paresseux dans une maison"),
       (5L, "und", "zzz qqq xxx 12345")
     ).toDF("doc_id", "expected", "text")
-    val got = rows.select(col("doc_id"), col("expected"),
-      TextAnalysis.langIdNgram(col("text")).as("pred"))
+    val got = TextAnalysis.langIdNgram(rows, "text", "pred")
+      .select(col("doc_id"), col("expected"), col("pred"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     got.foreach { case (id, exp, pred) =>
       assert(pred == exp, s"doc $id: expected $exp got $pred")
     }
     // determinism on ties: an empty-profile-overlap string always und
-    assert(rows.filter(col("doc_id") === 5L)
-      .select(TextAnalysis.langIdNgram(col("text"))).head().getString(0) == "und")
+    assert(TextAnalysis.langIdNgram(rows.filter(col("doc_id") === 5L), "text")
+      .select(col("pred_lang")).head().getString(0) == "und")
   }
 
   test("winnowFingerprints: MOSS guarantee, density, short-doc and sub-k rules") {
