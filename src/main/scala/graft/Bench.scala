@@ -16,16 +16,16 @@ object Bench {
   private val headline: Seq[String] = Seq(
     "dedup_ngram_jaccard",
     "q1_pricing", "q3_topk_join", "q5_join5", "events_hourly", "events_hourly_skewed",
-    "window_rank", "sessionize",
+    "window_rank", "sessionize", "event_transitions",
     "rollup_pricing", "cube_pricing", "decile_spend", "brand_revenue", "supplier_balance", "distinct_users",
     "q6_filter_agg", "cust_no_orders", "q4_semi_join", "q18_large_orders",
     "q13_cust_dist", "q17_small_qty", "q22_idle_rich", "funnel_counts",
     "q2_min_cost", "q7_nation_volume", "q8_market_share", "q9_product_profit", "q10_returned",
     "q11_stock_value", "q12_late_lines", "q14_promo_share", "q15_top_supplier", "q16_supplier_cnt",
     "q19_disjunctive", "q20_part_promo", "q21_waiting",
-    "median_price", "quartiles_price", "anomaly_days", "anomaly_mad", "events_twap", "events_ewma", "events_holt", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
+    "median_price", "quartiles_price", "winsorize_stats", "anomaly_days", "anomaly_mad", "changepoint_cusum", "events_twap", "events_ewma", "events_holt", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
     "grouping_sets_mix", "window_suite", "trend_slope", "corr_pairs", "cdc_apply",
-    "events_hourly_incr", "profile_table", "equidepth_hist", "rfm_segments", "basket_lift", "dq_violations", "skew_report",
+    "events_hourly_incr", "profile_table", "equidepth_hist", "rfm_segments", "basket_lift", "dq_violations", "drift_report", "skew_report",
     "asof_last_click", "asof_within", "interval_join", "range_join_binned", "range_count_sweep",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state", "snapshot_diff", "scd2_intervals",
@@ -38,7 +38,7 @@ object Bench {
     "embed_quantize", "embed_project", "embed_pca_top", "embed_kmeans", "embed_outliers", "graph_pagerank", "graph_triangles", "graph_hits", "dedup_incr_bloom", "domain_cap", "dedup_url",
     "text_langid", "text_langid_ngram", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_rep_stats", "text_tfidf_top", "text_unigram_score", "text_model_score", "corpus_stats",
-    "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "heavy_hitters", "mix_allocate", "sample_weighted", "shuffle_shards", "dup_span_stats", "text_bigram_pmi",
+    "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "decontam_fuzzy", "heavy_hitters", "mix_allocate", "sample_weighted", "shuffle_shards", "dup_span_stats", "text_bigram_pmi",
     "pack_sequences", "curate_corpus", "dup_ngram_mass", "text_clip_dedup",
     "text_winnow_fp", "sparse_cosine_join", "chunk_overlap", "moving_distinct_7d", "cumulative_distinct",
     "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",

@@ -211,6 +211,10 @@ object SparkEntry {
         .orderBy(col("k_decade"), col("event_type"))),
     "window_rank" -> ((s, d) => Analytics.windowRank(t(s, d, "orders"))),
     "sessionize" -> ((s, d) => Analytics.sessionize(t(s, d, "events"))),
+    "event_transitions" -> ((s, d) =>
+      // B70: Markov transition matrix over per-user event sequences —
+      // counts + exact-ppm rates per (prev, cur) pair
+      TimeSeries.eventTransitions(t(s, d, "events"))),
     "q6_filter_agg" -> ((s, d) =>
       t(s, d, "lineitem")
         .filter(
@@ -445,6 +449,13 @@ object SparkEntry {
         DataQuality.fkViolations("orders_fk_customer", o, "o_custkey", c, "c_custkey"),
         DataQuality.dupKeyViolations("orders_pk_unique", o, Seq("o_orderkey"))))
     }),
+    "drift_report" -> ((s, d) =>
+      // B67: old-half vs new-half distribution drift of order totals —
+      // 16 equi-width bins, per-bin counts + exact-ppm rate shift
+      DataQuality.driftReport(
+        t(s, d, "orders"),
+        Analytics.cents(col("o_totalprice")),
+        unix_micros(col("o_orderdate").cast("timestamp")))),
     "recon_counts" -> ((s, d) => {
       // B27: post-sync reconciliation — the validation a migration tool
       // runs after a sync pass (the reference eyeballs row counts;
@@ -486,6 +497,39 @@ object SparkEntry {
           max(col("n")).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
+    "winsorize_stats" -> ((s, d) => {
+      // B69: per-brand winsorized revenue — P05/P95 cut points via the
+      // binned selection pass (groupedExactRanks, never a per-group
+      // full sort), broadcast back, outliers clamped in ONE re-scan's
+      // conditional sum. The robust-mean inputs (n, cuts, clamped sum)
+      // stay integer cents so the report is engine-exact.
+      val v = t(s, d, "lineitem")
+        .select(col("l_partkey"), Analytics.cents(col("l_extendedprice")).as("v_c"))
+        .join(
+          t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"), col("v_c"))
+      val cuts = Analytics
+        .groupedExactRanks(
+          v, "brand", col("v_c"),
+          Seq(
+            "p05" -> (n => ceil(n / lit(20.0))),
+            "p95" -> (n => ceil(n * lit(19) / lit(20.0)))))
+        .groupBy(col("brand"))
+        .agg(
+          min(when(col("rank_name") === "p05", col("value"))).as("p05_c"),
+          min(when(col("rank_name") === "p95", col("value"))).as("p95_c"))
+      v.join(broadcast(cuts), "brand")
+        .groupBy(col("brand"), col("p05_c"), col("p95_c"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(
+            when(col("v_c") < col("p05_c"), col("p05_c"))
+              .when(col("v_c") > col("p95_c"), col("p95_c"))
+              .otherwise(col("v_c"))).as("wins_sum_c"))
+        .select(col("brand"), col("n"), col("p05_c"), col("p95_c"), col("wins_sum_c"))
+        .orderBy(col("brand"))
+    }),
     "funnel_counts" -> ((s, d) =>
       // strict-order funnel over the event log: view -> click (after
       // the first view) -> purchase (after that click)
@@ -511,6 +555,10 @@ object SparkEntry {
       // B64: exact users-ever-seen by day via first-seen-day counts +
       // a prefix sum — no coverage explosion, no expanding distinct
       TimeSeries.cumulativeDistinctUsers(t(s, d, "events"))),
+    "changepoint_cusum" -> ((s, d) =>
+      // B68: integer-scaled CUSUM mean-shift changepoint over the
+      // daily event-count series; the peak-|cusum| day is flagged
+      TimeSeries.cusumChangepoint(t(s, d, "events"))),
     "pivot_daily_events" -> ((s, d) =>
       // B24: daily counts pivoted to one column per event type
       TimeSeries.pivotDailyCounts(t(s, d, "events"),
@@ -1204,6 +1252,15 @@ object SparkEntry {
       Curation.contaminationHits(
         docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
     }),
+    "decontam_fuzzy" -> ((s, d) => {
+      // C72: fuzzy decontamination — top-50 (corpus doc, eval doc)
+      // pairs by exact shingle-set Jaccard (ppm); eval = doc_id%97==0
+      val docs = t(s, d, "documents")
+      Curation.fuzzyContamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, topK = 50)
+    }),
     "pack_sequences" -> ((s, d) => {
       val toks = size(split(Dedup.normalize(col("text")), " ")).cast("long")
       Curation.packSequences(t(s, d, "documents"), "doc_id", toks, budget = 512L, shards = 8)
@@ -1620,6 +1677,25 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |p AS (SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1,2),
+        |r AS (SELECT prev, CAST(sum(n) AS BIGINT) AS row_n FROM p GROUP BY 1)
+        |SELECT p.prev, p.cur, p.n, CAST(p.n * 1000000 // r.row_n AS BIGINT) AS rate_ppm
+        |FROM p JOIN r ON p.prev = r.prev ORDER BY p.prev, p.cur""".stripMargin,
+    "changepoint_cusum" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day_id, CAST(count(*) AS BIGINT) AS n
+        |               FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS d FROM daily),
+        |c AS (SELECT day_id, n,
+        |        CAST(sum(n * tot.d - tot.t) OVER (ORDER BY day_id) AS BIGINT) AS cusum_scaled
+        |      FROM daily, tot),
+        |m AS (SELECT max(abs(cusum_scaled)) AS mx FROM c)
+        |SELECT CAST(day_id AS BIGINT) AS day_id, n, cusum_scaled,
+        |  CAST(CASE WHEN abs(cusum_scaled) = m.mx THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+        |FROM c, m ORDER BY day_id""".stripMargin,
     "incremental_by_id" ->
       """SELECT max(event_id) AS last_id, count(*) AS n_rows
         |FROM events WHERE event_id > 500""".stripMargin,
@@ -2026,6 +2102,38 @@ object SparkEntry {
         |UNION ALL SELECT 'orders_pk_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
         |  FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1) g
         |ORDER BY rule""".stripMargin,
+    "drift_report" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v_c,
+        |                  epoch_us(o_orderdate) AS d_us FROM orders),
+        |sp AS (SELECT (min(d_us) + max(d_us)) // 2 AS mid, min(v_c) AS lo, max(v_c) AS hi FROM o),
+        |b AS (SELECT CAST(((v_c - sp.lo) * 16) // (sp.hi - sp.lo + 1) AS BIGINT) AS bin,
+        |             CASE WHEN d_us <= sp.mid THEN 0 ELSE 1 END AS side
+        |      FROM o, sp),
+        |c AS (SELECT bin,
+        |        CAST(count(*) FILTER (WHERE side=0) AS BIGINT) AS n_ref,
+        |        CAST(count(*) FILTER (WHERE side=1) AS BIGINT) AS n_cur
+        |      FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM c)
+        |SELECT bin, n_ref, n_cur,
+        |  CAST(n_cur * 1000000 // tot.tc - n_ref * 1000000 // tot.tr AS BIGINT) AS rate_diff_ppm
+        |FROM c, tot ORDER BY bin""".stripMargin,
+    "winsorize_stats" ->
+      """WITH v AS (SELECT p.p_brand AS brand, CAST(round(l.l_extendedprice*100) AS BIGINT) AS v_c,
+        |                  l.l_orderkey, l.l_linenumber
+        |           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |rk AS (SELECT brand, v_c,
+        |         CAST(row_number() OVER (PARTITION BY brand ORDER BY v_c, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |         count(*) OVER (PARTITION BY brand) AS n
+        |       FROM v),
+        |cuts AS (SELECT brand,
+        |    min(CASE WHEN rn = CAST(ceil(n/20.0) AS BIGINT) THEN v_c END) AS p05_c,
+        |    min(CASE WHEN rn = CAST(ceil(n*19/20.0) AS BIGINT) THEN v_c END) AS p95_c
+        |  FROM rk GROUP BY 1)
+        |SELECT v.brand, CAST(count(*) AS BIGINT) AS n, c.p05_c, c.p95_c,
+        |  CAST(sum(CASE WHEN v.v_c < c.p05_c THEN c.p05_c
+        |                WHEN v.v_c > c.p95_c THEN c.p95_c ELSE v.v_c END) AS BIGINT) AS wins_sum_c
+        |FROM v JOIN cuts c ON v.brand = c.brand
+        |GROUP BY 1,3,4 ORDER BY 1""".stripMargin,
     "quartiles_price" ->
       """WITH r AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
         |  CAST(row_number() OVER (PARTITION BY o_orderpriority
@@ -2883,6 +2991,20 @@ object SparkEntry {
         |SELECT g.doc_id, CAST(len(list_intersect(g.sh, bench.bs)) AS BIGINT) AS n_shared
         |FROM g, bench WHERE g.doc_id >= 5 AND len(list_intersect(g.sh, bench.bs)) >= 1
         |ORDER BY g.doc_id""".stripMargin,
+    "decontam_fuzzy" ->
+      """WITH nrm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM nrm),
+        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS s FROM g),
+        |ex AS (SELECT doc_id, unnest(sh) AS h FROM g),
+        |co AS (SELECT a.doc_id, b.doc_id AS eval_id, CAST(count(*) AS BIGINT) AS shared
+        |       FROM ex a JOIN ex b ON a.h = b.h AND b.doc_id % 97 = 0 AND a.doc_id % 97 <> 0
+        |       GROUP BY 1,2)
+        |SELECT co.doc_id, co.eval_id, co.shared,
+        |  CAST((co.shared * 1000000) // (sa.s + sb.s - co.shared) AS BIGINT) AS jaccard_ppm
+        |FROM co JOIN sz sa ON co.doc_id = sa.doc_id JOIN sz sb ON co.eval_id = sb.doc_id
+        |ORDER BY jaccard_ppm DESC, co.doc_id, co.eval_id LIMIT 50""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS n_tokens,
         |                  doc_id % 8 AS shard FROM documents),

@@ -109,6 +109,49 @@ object Curation {
       .orderBy(col(idCol))
   }
 
+  /** C72: FUZZY benchmark decontamination — where [[contaminationHits]]
+    * counts shared n-grams, this ranks (corpus doc, eval doc) pairs by
+    * exact shingle-set Jaccard, the doc-level contamination score used
+    * when an eval item may appear lightly paraphrased (GPT-3 appendix-C
+    * style 13-gram overlap is the hit-count variant; this is the
+    * set-similarity variant). Jaccard is compared in exact ppm —
+    * `shared·10⁶ div (|A|+|B|−shared)` — so the ranking is
+    * engine-reproducible.
+    *
+    * Plan: the eval side is tiny by nature → its exploded shingle
+    * hashes broadcast; the corpus side is one explode + broadcast-hash
+    * join + (doc, eval)-keyed count. Candidate pairs are bounded by
+    * shared shingles (never |corpus|×|eval|), 8-byte hashes travel the
+    * shuffle instead of shingle text, and the top-k is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def fuzzyContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      topK: Int = 50
+  ): DataFrame = {
+    def shingled(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      array_distinct(Dedup.shingleHashSet(col(textCol), n)).as("sh"))
+    val cor = shingled(corpus, "doc_id")
+      .select(col("doc_id"), size(col("sh")).cast("long").as("sz_a"), explode(col("sh")).as("h"))
+    val ben = broadcast(
+      shingled(benchmark, "eval_id")
+        .select(col("eval_id"), size(col("sh")).cast("long").as("sz_b"), explode(col("sh")).as("h")))
+    cor
+      .join(ben, "h")
+      .groupBy(col("doc_id"), col("eval_id"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(
+        col("doc_id"), col("eval_id"), col("shared"),
+        expr("(shared * 1000000L) div (sz_a + sz_b - shared)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("doc_id"), col("eval_id"))
+      .limit(topK)
+  }
+
   /** C33: per-stratum percentile quality gate — keep documents at or
     * above the `keepBp` (basis-points) percentile of `valueCol`
     * WITHIN their stratum (per-source / per-language thresholds are

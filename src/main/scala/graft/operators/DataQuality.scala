@@ -63,4 +63,44 @@ object DataQuality {
   /** A full report: union the per-rule frames, ordered by rule name. */
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_)).orderBy(col("rule"))
+
+  /** B67: distribution-drift report between the older and newer half
+    * of a table (split at the midpoint of the time column): fixed
+    * equi-width bins over the full value range, per-bin reference and
+    * current counts, and the per-bin rate shift in exact ppm — the
+    * inputs a PSI/chi-square drift monitor consumes, kept integer so
+    * the report is engine-exact. Detects the "new data stopped looking
+    * like old data" failure a sync pipeline must alarm on before the
+    * warehouse serves it.
+    *
+    * Plan: one 1-row global aggregate (broadcast) to fix the split
+    * point and bin width, then ONE map-side-combined (bin) aggregation
+    * over the fact table — two linear scans, no shuffle wider than
+    * `bins` rows. `(v−lo)·bins div (hi−lo+1)` is always in [0, bins)
+    * so no edge bin is special-cased, and Long `div` (not `/`) keeps
+    * binning exact over the full cents range.
+    */
+  def driftReport(df: DataFrame, valueCents: Column, timeUs: Column, bins: Int = 16): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val o = df.select(valueCents.cast("long").as("v_c"), timeUs.cast("long").as("d_us"))
+    val sp = o.agg(
+      expr("(min(d_us) + max(d_us)) div 2L").as("mid"),
+      min(col("v_c")).as("lo"),
+      max(col("v_c")).as("hi"))
+    val c = o
+      .crossJoin(broadcast(sp))
+      .select(
+        expr(s"((v_c - lo) * ${bins.toLong}L) div (hi - lo + 1L)").as("bin"),
+        when(col("d_us") <= col("mid"), 0L).otherwise(1L).as("side"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("side") === 0L, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("n_cur"))
+    val tot = c.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    c.crossJoin(broadcast(tot))
+      .select(
+        col("bin"), col("n_ref"), col("n_cur"),
+        expr("(n_cur * 1000000L) div tc - (n_ref * 1000000L) div tr").as("rate_diff_ppm"))
+      .orderBy(col("bin"))
+  }
 }

@@ -427,4 +427,63 @@ object TimeSeries {
           s" (acc, x) -> ($keep * acc + $alphaPct * x) DIV 100)").as("ewma_milli"))
       .orderBy(col("user_id"))
   }
+
+  /** B68: CUSUM changepoint detection over the daily event-count
+    * series. The classic statistic is cusum_k = Σ_{i≤k}(x_i − mean);
+    * multiplying through by the day count D keeps it integer-exact:
+    * cusum_scaled_k = Σ_{i≤k}(x_i·D − T) = D·cusum_k, so the argmax is
+    * the same day and no float mean ever exists. The day where
+    * |cusum| peaks is the maximum-likelihood single changepoint of a
+    * mean-shift model (Page 1954's one-sided statistic, two-sided
+    * here).
+    *
+    * Plan: one map-side-combined day aggregation over the fact table;
+    * everything after it (the running sum, the global max, the flag)
+    * touches only day-count rows, so the unpartitioned window is
+    * metadata-sized at any corpus scale — same discipline as
+    * `cumulative_revenue`.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("unix_micros(ts) div 86400000000L").as("day_id"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum(col("n")).as("t"), count(lit(1)).as("d"))
+    val c = daily
+      .crossJoin(broadcast(tot))
+      .select(
+        col("day_id"), col("n"),
+        sum(col("n") * col("d") - col("t")).over(Window.orderBy(col("day_id"))).as("cusum_scaled"))
+    val m = c.agg(max(abs(col("cusum_scaled"))).as("mx"))
+    c.crossJoin(broadcast(m))
+      .select(
+        col("day_id"), col("n"), col("cusum_scaled"),
+        when(abs(col("cusum_scaled")) === col("mx"), 1L).otherwise(0L).as("is_peak"))
+      .orderBy(col("day_id"))
+  }
+
+  /** B70: first-order event-transition matrix (the Markov-chain view
+    * of user behavior): for every (previous event type → event type)
+    * pair, the transition count and its per-source-row rate in exact
+    * ppm. Consecutive events per user under (ts, event_id) order —
+    * the same deterministic sequencing `sessionize` uses.
+    *
+    * Plan: one user-keyed window for the lag, one (prev, cur)
+    * aggregation; the row-total frame is |event types|²-bounded so it
+    * broadcasts for free.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val p = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("cur"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = p.groupBy(col("prev")).agg(sum(col("n")).as("row_n"))
+    p.join(broadcast(rowTot), "prev")
+      .select(
+        col("prev"), col("cur"), col("n"),
+        expr("(n * 1000000L) div row_n").as("rate_ppm"))
+      .orderBy(col("prev"), col("cur"))
+  }
 }

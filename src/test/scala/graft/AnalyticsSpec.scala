@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.sources.Catalog
+
 class AnalyticsSpec extends SparkSpec {
 
   test("every declared query runs at sf0.001 and returns rows") {
@@ -540,5 +542,82 @@ class AnalyticsSpec extends SparkSpec {
     val r2 = operators.Analytics.corrPairs(df)
       .collect().map(x => x.getString(0) -> x.getDouble(2)).toMap
     assert(r2 == r, "corr must be bit-identical across runs")
+  }
+
+  test("cusumChangepoint: scaled statistic matches hand computation, peak flagged") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def ts(day: Int): java.sql.Timestamp = new java.sql.Timestamp(day * 86400000L)
+    // day 0: 3 events, day 1: 1, day 2: 2 -> T=6, D=3
+    // cusum_scaled: 3*3-6=3 ; 3+(1*3-6)=0 ; 0+(2*3-6)=0 -> peak at day 0
+    val events = Seq(ts(0), ts(0), ts(0), ts(1), ts(2), ts(2)).toDF("ts")
+    val got = TimeSeries.cusumChangepoint(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 3L, 3L, 1L), (1L, 1L, 0L, 0L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("eventTransitions: counts and exact-ppm rates over per-user sequences") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def ts(m: Int): java.sql.Timestamp = new java.sql.Timestamp(m * 60000L)
+    // user 1: view->click->click ; user 2: click->view
+    val events = Seq(
+      (1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "click"), (1L, ts(2), 3L, "click"),
+      (2L, ts(0), 4L, "click"), (2L, ts(5), 5L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = TimeSeries.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("click", "click", 1L, 500000L),
+      ("click", "view", 1L, 500000L),
+      ("view", "click", 1L, 1000000L)))
+  }
+
+  test("driftReport: bins, per-side counts and ppm shift on a hand-built split") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    // values 0..9 at times 0..9us; mid=4 -> ref {0..4}, cur {5..9};
+    // 2 bins over [0,9]: v*2 div 10 -> 0..4 in bin 0, 5..9 in bin 1
+    val df = (0 to 9).map(i => (i.toLong, i.toLong)).toDF("v", "tus")
+    val got = DataQuality.driftReport(df, col("v"), col("tus"), bins = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 5L, 0L, -1000000L), (1L, 0L, 5L, 1000000L)))
+  }
+
+  test("winsorize_stats entry: clamped sum bracketed by cut points and equal to a naive clamp") {
+    val out = SparkEntry.queries("winsorize_stats")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, p05, p95, ws) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p05 <= p95, s"cuts out of order for ${r.getString(0)}")
+      assert(ws >= n * p05 && ws <= n * p95, s"clamped sum outside bounds for ${r.getString(0)}")
+    }
+    // naive re-computation: full per-brand sort via window rank
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Analytics
+    val v = Catalog.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), Analytics.cents(col("l_extendedprice")).as("v_c"),
+        col("l_orderkey"), col("l_linenumber"))
+      .join(Catalog.load(spark, sf, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("v_c"), col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("brand")).orderBy(col("v_c"), col("l_orderkey"), col("l_linenumber"))
+    val rk = v.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("brand"))).cast("long"))
+    val cuts = rk.groupBy(col("brand")).agg(
+      min(when(col("rn") === ceil(col("n") / lit(20.0)), col("v_c"))).as("p05_c"),
+      min(when(col("rn") === ceil(col("n") * lit(19) / lit(20.0)), col("v_c"))).as("p95_c"))
+    val naive = v.join(cuts, "brand")
+      .groupBy(col("brand"), col("p05_c"), col("p95_c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v_c") < col("p05_c"), col("p05_c"))
+          .when(col("v_c") > col("p95_c"), col("p95_c"))
+          .otherwise(col("v_c"))).as("wins_sum_c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    out.foreach { r =>
+      val exp = naive(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == exp,
+        s"binned selection disagrees with naive window for ${r.getString(0)}")
+    }
   }
 }

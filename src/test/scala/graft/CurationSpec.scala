@@ -446,4 +446,21 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     a.foreach(r => assert(shardOf(r.getLong(0)) == r.getLong(1), "membership must follow the shard hash"))
   }
+
+  test("fuzzyContamination: exact Jaccard ppm on hand-built shingle overlaps") {
+    import spark.implicits._
+    // corpus doc 1 "a b c d" -> {abc,bcd}; doc 2 "x y z w" -> {xyz,yzw}
+    // eval doc 0 "a b c q" -> {abc,bcq}: doc1 shares 1 of 3 distinct
+    val corpus = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val eval_ = Seq((0L, "a b c q")).toDF("doc_id", "text")
+    val got = Curation.fuzzyContamination(corpus, eval_, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 1L, 333333L)))
+    // identical doc scores 1e6 exactly and outranks the partial match
+    val got2 = Curation
+      .fuzzyContamination(corpus.union(Seq((3L, "a b c q")).toDF("doc_id", "text")),
+        eval_, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got2.toSeq == Seq((3L, 1000000L), (1L, 333333L)))
+  }
 }
