@@ -96,8 +96,14 @@ object DataQuality {
       .agg(
         sum(when(col("side") === 0L, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("side") === 1L, 1L).otherwise(0L)).as("n_cur"))
-    val tot = c.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
-    c.crossJoin(broadcast(tot))
+    // totals via an unbounded window over the `bins`-row aggregate —
+    // a re-aggregating join branch would re-scan the fact table
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    c.select(
+        col("bin"), col("n_ref"), col("n_cur"),
+        sum(col("n_ref")).over(all).as("tr"),
+        sum(col("n_cur")).over(all).as("tc"))
       .select(
         col("bin"), col("n_ref"), col("n_cur"),
         expr("(n_cur * 1000000L) div tc - (n_ref * 1000000L) div tr").as("rate_diff_ppm"))

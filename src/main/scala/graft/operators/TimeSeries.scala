@@ -444,20 +444,26 @@ object TimeSeries {
     * `cumulative_revenue`.
     */
   def cusumChangepoint(events: DataFrame): DataFrame = {
+    // every frame past `daily` is day-cardinality, so the totals, the
+    // running sum and the peak flag are all unbounded windows over the
+    // SAME single metadata-sized partition — the fact table is scanned
+    // exactly once (a re-aggregating `agg` branch would re-scan it)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val daily = events
       .groupBy(expr("unix_micros(ts) div 86400000000L").as("day_id"))
       .agg(count(lit(1)).as("n"))
-    val tot = daily.agg(sum(col("n")).as("t"), count(lit(1)).as("d"))
     val c = daily
-      .crossJoin(broadcast(tot))
+      .select(
+        col("day_id"), col("n"),
+        sum(col("n")).over(all).as("t"),
+        count(lit(1)).over(all).as("d"))
       .select(
         col("day_id"), col("n"),
         sum(col("n") * col("d") - col("t")).over(Window.orderBy(col("day_id"))).as("cusum_scaled"))
-    val m = c.agg(max(abs(col("cusum_scaled"))).as("mx"))
-    c.crossJoin(broadcast(m))
-      .select(
+    c.select(
         col("day_id"), col("n"), col("cusum_scaled"),
-        when(abs(col("cusum_scaled")) === col("mx"), 1L).otherwise(0L).as("is_peak"))
+        when(abs(col("cusum_scaled")) === max(abs(col("cusum_scaled"))).over(all), 1L)
+          .otherwise(0L).as("is_peak"))
       .orderBy(col("day_id"))
   }
 
@@ -473,14 +479,18 @@ object TimeSeries {
     */
   def eventTransitions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // the row total is a window over the |event types|²-bounded pair
+    // aggregate — NOT a re-aggregating join branch, which would re-run
+    // the fact scan and the lag window a second time
     val p = events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("event_type").as("cur"))
       .agg(count(lit(1)).as("n"))
-    val rowTot = p.groupBy(col("prev")).agg(sum(col("n")).as("row_n"))
-    p.join(broadcast(rowTot), "prev")
+    p.select(
+        col("prev"), col("cur"), col("n"),
+        sum(col("n")).over(Window.partitionBy(col("prev"))).as("row_n"))
       .select(
         col("prev"), col("cur"), col("n"),
         expr("(n * 1000000L) div row_n").as("rate_ppm"))

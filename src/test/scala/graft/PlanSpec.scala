@@ -501,4 +501,50 @@ class PlanSpec extends SparkSpec {
     // by __b
     assert(p.contains("hashpartitioning(__b"), p.take(3000))
   }
+
+  test("drift_report: one scalar broadcast, totals windowed — the fact table scans exactly twice") {
+    val p = planOf("drift_report")
+    // the 1-row split/range frame joins the scan as broadcast
+    // nested-loop (that IS the broadcast of a scalar), never a
+    // shuffled cartesian; totals come from a window over the 16-row
+    // bin aggregate, NOT a re-aggregating branch (which would add a
+    // third fact scan)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(count(p, "BroadcastExchange") == 1, p.take(3000))
+    assert(count(p, "FileScan parquet") == 2, p.take(3000))
+  }
+
+  test("changepoint_cusum: single fact scan; all statistics window over the day aggregate") {
+    val p = planOf("changepoint_cusum")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(count(p, "FileScan parquet") == 1, p.take(3000))
+    // the windows sit ABOVE the day aggregate in the tree
+    val wIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate", wIdx)
+    assert(wIdx >= 0 && aggIdx > wIdx, p.take(3000))
+  }
+
+  test("winsorize_stats: cut points broadcast back; no per-group global sort of the fact rows") {
+    val p = planOf("winsorize_stats")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // groupedExactRanks bins: the row-scale rank window partitions by (g, b/r)
+    assert(p.contains("hashpartitioning(g"), p.take(3000))
+  }
+
+  test("decontam_fuzzy: eval shingles broadcast; top-k is TakeOrdered, never a global sort") {
+    val p = planOf("decontam_fuzzy")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("event_transitions: single fact scan; row totals window over the pair aggregate") {
+    val p = planOf("event_transitions")
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    assert(p.contains("hashpartitioning(prev"), p.take(3000))
+    assert(count(p, "FileScan parquet") == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
