@@ -35,14 +35,14 @@ object Bench {
     "dedup_clusters",
     "dedup_passages", "dedup_semantic", "fuzzy_match_join",
     "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_sq8", "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_quant", "embed_nearest_centroid",
-    "embed_quantize", "embed_project", "embed_pca_top", "embed_kmeans", "embed_outliers", "graph_pagerank", "graph_triangles", "graph_hits", "dedup_incr_bloom", "domain_cap", "dedup_url",
+    "embed_quantize", "embed_project", "embed_pca_top", "embed_kmeans", "embed_outliers", "graph_pagerank", "graph_triangles", "graph_hits", "graph_kcore", "dedup_incr_bloom", "domain_cap", "dedup_url",
     "text_langid", "text_langid_ngram", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_rep_stats", "text_tfidf_top", "text_unigram_score", "text_model_score", "corpus_stats",
     "text_scrub_pii", "text_strip_html", "sample_split", "sample_stratified", "decontam_overlap", "decontam_fuzzy", "heavy_hitters", "mix_allocate", "sample_weighted", "shuffle_shards", "dup_span_stats", "text_bigram_pmi",
-    "pack_sequences", "curate_corpus", "dup_ngram_mass", "text_clip_dedup",
+    "pack_sequences", "curate_corpus", "dup_ngram_mass", "text_clip_dedup", "text_novelty",
     "text_winnow_fp", "sparse_cosine_join", "chunk_overlap", "moving_distinct_7d", "cumulative_distinct",
     "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",
-    "mm_byte_resize", "mm_png_meta", "mm_wav_meta", "mm_jpeg_meta", "mm_gif_meta",
+    "mm_byte_resize", "mm_png_meta", "mm_wav_meta", "mm_jpeg_meta", "mm_gif_meta", "mm_tiff_meta",
     "events_props_agg", "length_histogram", "quality_gate_pctl", "text_bigrams_top",
     "src_discovery", "src_format_orc", "ddl_generate", "ddl_allstring", "schema_evolution", "type_mapping"
   )

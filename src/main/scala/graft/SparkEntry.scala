@@ -987,6 +987,22 @@ object SparkEntry {
           (col("doc_id") * 31 + 3) % n)).as("dst"))
       GraphOps.trianglesPerNode(edges)
     }),
+    "graph_kcore" -> ((s, d) => {
+      // C73: 10-round k-core peeling (k=7) on a heterogeneous-degree
+      // staged link graph — out-degree 2 + doc_id%7 (the uniform
+      // 3-out pagerank graph has a degenerate all-or-nothing core);
+      // bounded rounds are engine-exact, convergence spec-asserted
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val full = array(
+        (col("doc_id") * 7 + 1) % n, (col("doc_id") * 13 + 2) % n,
+        (col("doc_id") * 31 + 3) % n, (col("doc_id") * 37 + 4) % n,
+        (col("doc_id") * 41 + 5) % n, (col("doc_id") * 43 + 6) % n,
+        (col("doc_id") * 47 + 7) % n, (col("doc_id") * 53 + 8) % n)
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(slice(full, lit(1), lit(2) + col("doc_id") % 7)).as("dst"))
+      GraphOps.kcoreRounds(edges, k = 7, rounds = 10)
+    }),
     "trend_slope" -> ((s, d) =>
       // B56: per-brand OLS daily-revenue trend, integer-exact moments
       Analytics.trendSlope(t(s, d, "lineitem"), t(s, d, "part"))),
@@ -1370,7 +1386,26 @@ object SparkEntry {
       val tx = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.parseGifMeta(gf.unionByName(tx), "doc_id", "payload")
-    })
+    }),
+    "mm_tiff_meta" -> ((s, d) => {
+      // C75: REAL TIFF IFD parsing — 2/3 of docs carry genuine
+      // JDK-encoded TIFFs (big-endian header + tag directory +
+      // uncompressed strips), the rest non-TIFF text bytes; dims are
+      // SMALL (uncompressed format) and the oracle states them in
+      // closed form (mm_jpeg/mm_gif discipline)
+      val docs = t(s, d, "documents")
+      val tf = Multimodal.encodeStagedTiff(s,
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+          (lit(8) + col("doc_id") % 32).as("w"), (lit(8) + col("doc_id") % 24).as("h")),
+        "doc_id", "w", "h").select(col("doc_id"), col("tiff").as("payload"))
+      val tx = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.parseTiffMeta(tf.unionByName(tx), "doc_id", "payload")
+    }),
+    "text_novelty" -> ((s, d) =>
+      // C74: per-doc shingle novelty vs everything earlier in corpus
+      // order — first-witness assignment via one hash-keyed min
+      Curation.ngramNovelty(t(s, d, "documents"), "doc_id", "text", n = 5))
   )
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
@@ -1501,6 +1536,27 @@ object SparkEntry {
     * unrolled as MATERIALIZED CTEs, same integer renormalize — exact
     * Long arithmetic on both sides, bit-for-bit.
     */
+  /** DuckDB twin of [[graft.operators.GraphOps.kcoreRounds]]: the same
+    * bounded peel rounds unrolled into chained materialized CTEs.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH nn AS (SELECT count(*) AS n FROM documents),\n"
+    sb ++= "fl AS (SELECT doc_id, [(doc_id*7+1)%nn.n,(doc_id*13+2)%nn.n,(doc_id*31+3)%nn.n,(doc_id*37+4)%nn.n," +
+      "(doc_id*41+5)%nn.n,(doc_id*43+6)%nn.n,(doc_id*47+7)%nn.n,(doc_id*53+8)%nn.n] AS l FROM documents, nn),\n"
+    sb ++= "raw AS (SELECT doc_id AS src, unnest(l[1:2+doc_id%7]) AS dst FROM fl),\n"
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM raw WHERE src <> dst),\n"
+    for (r <- 1 to rounds) {
+      sb ++= s"al$r AS (SELECT id FROM (SELECT id, count(*) AS c FROM " +
+        s"(SELECT a AS id FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1) WHERE c >= $k),\n"
+      sb ++= s"e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e JOIN al$r x ON e.a = x.id JOIN al$r y ON e.b = y.id),\n"
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"\nSELECT CAST(id AS BIGINT) AS node_id, CAST(count(*) AS BIGINT) AS deg_core " +
+      s"FROM (SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1 ORDER BY 1"
+    sb.toString
+  }
+
   private def hitsOracleSql(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH nn AS (SELECT count(*) AS n FROM documents),\n"
@@ -1525,6 +1581,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_hits" -> hitsOracleSql(iters = 4),
+    "graph_kcore" -> kcoreOracleSql(k = 7, rounds = 10),
     "src_discovery" ->
       "SELECT * FROM (VALUES ('customer'),('nation')) AS t(table_name) ORDER BY 1",
     // the oracle aggregates the parquet ORIGINAL — the engine's ORC
@@ -3060,6 +3117,25 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 64 AS BIGINT) END AS width,
         |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 48 AS BIGINT) END AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_tiff_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS is_tiff,
+        |  CASE WHEN doc_id % 3 <> 0 THEN 'MM' END AS byte_order,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 32 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(8 + doc_id % 24 AS BIGINT) END AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_novelty" ->
+      """WITH nrm AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=5
+        |        THEN list_distinct([array_to_string(w[i:i+4],' ') for i in range(1,len(w)-3)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM nrm),
+        |ex AS (SELECT doc_id, unnest(sh) AS h FROM g),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ex GROUP BY 1),
+        |nv AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |       FROM (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY 1) GROUP BY 1)
+        |SELECT pd.doc_id, pd.n_shingles, CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(COALESCE(nv.n_novel, 0) * 1000000 // pd.n_shingles AS BIGINT) AS novelty_ppm
+        |FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id ORDER BY pd.doc_id""".stripMargin,
     "mm_png_meta" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -152,6 +152,35 @@ object Curation {
       .limit(topK)
   }
 
+  /** C74: per-document n-gram NOVELTY against everything earlier in
+    * the corpus order — the inverse view of dup_ngram_mass: what
+    * fraction of a doc's distinct shingles has no earlier witness?
+    * The curve curation teams use to decide corpus ordering and
+    * diminishing-returns cutoffs (novelty collapsing toward 0 means
+    * additional data is re-treading seen n-grams).
+    *
+    * Plan: a shingle is novel exactly in the doc where it FIRST
+    * appears, so one (hash)-keyed min-doc aggregation assigns each
+    * distinct shingle to its first doc; per-doc novel counts are then
+    * a doc-keyed count of that assignment — two map-side-combined
+    * shuffles over 8-byte hashes, never text, never doc×doc.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val sh = df.select(
+      col(idCol).cast("long").as("doc_id"),
+      explode(array_distinct(Dedup.shingleHashSet(col(textCol), n))).as("h"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc
+      .join(novel, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("(coalesce(n_novel, 0L) * 1000000L) div n_shingles").as("novelty_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C33: per-stratum percentile quality gate — keep documents at or
     * above the `keepBp` (basis-points) percentile of `valueCol`
     * WITHIN their stratum (per-source / per-language thresholds are

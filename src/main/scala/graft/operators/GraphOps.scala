@@ -210,4 +210,54 @@ object GraphOps {
     ranked.unpersist(blocking = false)
     out
   }
+
+  /** C73 (graph_kcore): k-core decomposition by BOUNDED-ROUND peeling —
+    * the density structure web-corpus curation keeps (the k-core) vs
+    * prunes (low-connectivity periphery), and the standard first step
+    * of community/degeneracy analysis.
+    *
+    * Semantics are exactly `rounds` peel iterations: each round drops
+    * every node with degree < k in the CURRENT subgraph, then edges
+    * with a dropped endpoint. Peeling is MONOTONE (the surviving set
+    * only shrinks, and once no node is below k nothing changes), so
+    * any `rounds` ≥ the graph's peel depth yields THE k-core, and the
+    * bounded form is engine-exact either way — both engines run the
+    * identical rounds, which is what makes a bit-for-bit oracle
+    * possible for an otherwise run-to-fixpoint algorithm (the
+    * pageRank/hits fixed-iteration discipline). Convergence at test
+    * scale is spec-asserted (round R−1 ≡ round R).
+    *
+    * Plan shape per round: one degree aggregation (explode both
+    * endpoints + keyed count) and two LEFT SEMI joins back onto the
+    * edge set — all keyed, never node×node. Each round
+    * localCheckpoints: constant-size plans, materialized blocks, no
+    * CacheManager entries (the hits() lesson). Returns the surviving
+    * nodes with their in-core degree.
+    */
+  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // canonical undirected simple graph: (lo, hi), self-loops dropped
+    var e = edges
+      .select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val alive = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("id"))
+      e = e
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    e.select(col("a").as("node_id")).unionAll(e.select(col("b").as("node_id")))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg_core"))
+      .orderBy(col("node_id"))
+  }
 }

@@ -261,6 +261,80 @@ object Multimodal {
     ), sorted, col(idCol))
   }
 
+  /** C75 (mm_tiff_meta): REAL TIFF header + IFD parsing — unlike the
+    * fixed-offset PNG/GIF headers, TIFF stores dimensions in a tag
+    * directory at a DYNAMIC offset, in EITHER byte order ("II"
+    * little-endian / "MM" big-endian, TIFF 6.0 §2): read the
+    * byte-order mark, check magic 42, follow the IFD pointer, scan up
+    * to `maxEntries` 12-byte directory entries for tags 256
+    * (ImageWidth) / 257 (ImageLength), and decode the inline
+    * SHORT(3)/LONG(4) value in the header's endianness — all pure
+    * codegen column expressions (a bounded HOF scan like the JPEG
+    * marker walk), no codec, no UDF. Proven on genuine JDK-encoded
+    * TIFFs ([[encodeStagedTiff]], which writes "MM") and on
+    * hand-built "II" files in spec; non-TIFF payloads report
+    * `is_tiff = 0` with NULL order/dims.
+    */
+  def parseTiffMeta(df: DataFrame, idCol: String, binCol: String, maxEntries: Int = 32, sorted: Boolean = true): DataFrame = {
+    val b = col(binCol)
+    def byteAt(pos: Column): Column = conv(hex(b.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    val isLE = hex(substring(b, 1, 2)) === "4949"
+    val isBE = hex(substring(b, 1, 2)) === "4D4D"
+    def u16(pos: Column): Column = when(isLE, byteAt(pos) + byteAt(pos + 1) * 256L)
+      .otherwise(byteAt(pos) * 256L + byteAt(pos + 1))
+    def u32(pos: Column): Column = when(isLE, u16(pos) + u16(pos + 2) * 65536L)
+      .otherwise(u16(pos) * 65536L + u16(pos + 2))
+    val isTiff = (isLE || isBE) && u16(lit(3L)) === 42L // magic at 1-based bytes 3-4
+    val ifd = u32(lit(5L)) // 0-based IFD offset from file start
+    val nEntries = u16(ifd + 1L)
+    // entry i (0-based) sits at 1-based position ifd + 3 + 12·i
+    def tagValue(tag: Long): Column = {
+      val cnt = least(nEntries, lit(maxEntries.toLong))
+      val hits = filter(
+        transform(sequence(lit(0L), cnt - 1L), i => {
+          val p = ifd + lit(3L) + i * 12L
+          when(u16(p) === tag,
+            when(u16(p + 2L) === 3L, u16(p + 8L)).otherwise(u32(p + 8L)))
+        }),
+        v => v.isNotNull)
+      // cnt >= 1 guards the descending-sequence edge (0 entries / short
+      // bytes); size guard keeps element_at in bounds under ANSI too
+      when(cnt >= 1L, when(size(hits) >= 1, element_at(hits, 1)))
+    }
+    gateSort(
+      df.select(
+        col(idCol),
+        when(isTiff, 1L).otherwise(0L).as("is_tiff"),
+        when(isTiff, when(isLE, lit("II")).otherwise(lit("MM"))).as("byte_order"),
+        when(isTiff, tagValue(256L)).as("width"),
+        when(isTiff, tagValue(257L)).as("height")),
+      sorted, col(idCol))
+  }
+
+  /** Stage REAL TIFF files through the JDK encoder (big-endian
+    * header, baseline IFD with SHORT width/height tags, uncompressed
+    * strips) so [[parseTiffMeta]] walks the directory an actual .tif
+    * carries — the same staging discipline as [[encodeStagedJpeg]].
+    */
+  def encodeStagedTiff(spark: SparkSession, df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)].mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color((id % 256).toInt, ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+          g.fillRect(0, 0, w, h)
+          g.dispose()
+          imageIoInit
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "tiff", baos)
+          (id, w, h, baos.toByteArray)
+        }
+      }
+    out.toDF(idCol, wCol, hCol, "tiff")
+  }
+
   /** Stage REAL GIF files through the JDK encoder (GIF89a + logical
     * screen descriptor + LZW image data) so [[parseGifMeta]] parses
     * the bytes an actual .gif carries — the same staging discipline

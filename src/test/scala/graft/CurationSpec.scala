@@ -447,6 +447,21 @@ class CurationSpec extends SparkSpec {
     a.foreach(r => assert(shardOf(r.getLong(0)) == r.getLong(1), "membership must follow the shard hash"))
   }
 
+  test("ngramNovelty: first doc owns every shingle, an exact copy scores zero") {
+    import spark.implicits._
+    // doc 1: 6 words -> 2 distinct 5-shingles; doc 2 identical -> 0 novel;
+    // doc 3 shares a 5-word suffix start -> partial novelty
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "b c d e f g")).toDF("doc_id", "text")
+    val got = Curation.ngramNovelty(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1 shingles {abcde, bcdef} both novel; doc2 {abcde, bcdef} none novel;
+    // doc3 {bcdef, cdefg}: bcdef seen in doc1, cdefg novel -> 500000 ppm
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1000000L), (2L, 2L, 0L, 0L), (3L, 2L, 1L, 500000L)))
+  }
+
   test("fuzzyContamination: exact Jaccard ppm on hand-built shingle overlaps") {
     import spark.implicits._
     // corpus doc 1 "a b c d" -> {abc,bcd}; doc 2 "x y z w" -> {xyz,yzw}

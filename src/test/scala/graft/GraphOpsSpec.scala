@@ -106,4 +106,42 @@ class GraphOpsSpec extends SparkSpec {
     val exp = ids.map(i => i -> counts(i)).toMap
     assert(got == exp, s"degree-ordered result diverges from brute force")
   }
+
+  test("kcore: triangle survives 2-core, tail peels; cascade removes chained nodes") {
+    import spark.implicits._
+    // triangle 1-2-3 plus tail 3-4-5: 2-core = the triangle (4 and 5
+    // peel in cascade: 5 first, then 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphOps.kcoreRounds(edges, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph
+    assert(GraphOps.kcoreRounds(edges, k = 4, rounds = 3).count() == 0L)
+    // direction and duplicate edges don't change the undirected core
+    val noisy = edges.union(Seq((2L, 1L), (3L, 2L), (1L, 1L)).toDF("src", "dst"))
+    val got2 = GraphOps.kcoreRounds(noisy, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
+  test("kcore: the staged query graph converges within the bounded rounds") {
+    // bounded-round semantics equal THE k-core only past the peel
+    // depth — prove rounds-1 ≡ rounds on the gate's staged graph
+    val r9 = SparkEntry.queries("graph_kcore")(spark, sf)
+    val edges = {
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.Catalog.load(spark, sf, "documents")
+      val n = docs.count()
+      val full = array(
+        (col("doc_id") * 7 + 1) % n, (col("doc_id") * 13 + 2) % n,
+        (col("doc_id") * 31 + 3) % n, (col("doc_id") * 37 + 4) % n,
+        (col("doc_id") * 41 + 5) % n, (col("doc_id") * 43 + 6) % n,
+        (col("doc_id") * 47 + 7) % n, (col("doc_id") * 53 + 8) % n)
+      docs.select(col("doc_id").as("src"),
+        explode(slice(full, lit(1), lit(2) + col("doc_id") % 7)).as("dst"))
+    }
+    val a = GraphOps.kcoreRounds(edges, k = 7, rounds = 9).collect().map(_.toSeq).toSeq
+    val b = r9.collect().map(_.toSeq).toSeq
+    assert(a == b, "peeling must have converged before the bounded round count")
+  }
 }

@@ -326,6 +326,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(4).getLong(1) == 0L)
   }
 
+  test("parseTiffMeta: JDK big-endian TIFF IFD walked; hand-built little-endian file too; junk rejected") {
+    import spark.implicits._
+    val staged = Multimodal.encodeStagedTiff(spark,
+      spark.range(1, 4).select(col("id").as("doc_id"),
+        (lit(8) + col("id") * 9).as("w"), (lit(8) + col("id") * 5).as("h")),
+      "doc_id", "w", "h").select(col("doc_id"), col("tiff").as("payload"))
+    // hand-built "II" (little-endian) TIFF: IFD at 8, two entries —
+    // tag 256 SHORT 300, tag 257 LONG 200
+    val le: Array[Byte] = (Seq(0x49, 0x49, 0x2A, 0x00, 0x08, 0x00, 0x00, 0x00) ++
+      Seq(0x02, 0x00) ++
+      Seq(0x00, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, 0x2C, 0x01, 0x00, 0x00) ++
+      Seq(0x01, 0x01, 0x04, 0x00, 0x01, 0x00, 0x00, 0x00, 0xC8, 0x00, 0x00, 0x00) ++
+      Seq(0x00, 0x00, 0x00, 0x00)).map(_.toByte).toArray
+    val extra = Seq((7L, le), (9L, "not a tiff at all".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.parseTiffMeta(staged.unionByName(extra), "doc_id", "payload").collect()
+    (0 until 3).foreach { i =>
+      val id = i + 1
+      assert(out(i).getLong(1) == 1L && out(i).getString(2) == "MM" &&
+        out(i).getLong(3) == 8 + id * 9 && out(i).getLong(4) == 8 + id * 5, out(i).toString)
+    }
+    assert(out(3).getLong(1) == 1L && out(3).getString(2) == "II" &&
+      out(3).getLong(3) == 300L && out(3).getLong(4) == 200L, out(3).toString)
+    assert(out(4).getLong(1) == 0L && out(4).isNullAt(2) && out(4).isNullAt(3), out(4).toString)
+  }
+
   test("decodeFeatures: REAL round-trip — staged pattern's closed-form mean luminance recovered") {
     val staged = Multimodal.encodeStagedPng(
       spark,

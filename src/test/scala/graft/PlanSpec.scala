@@ -540,6 +540,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("graph_kcore: every peel round's degree agg and semi joins are keyed — no cartesian") {
+    val p = planOf("graph_kcore")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("text_novelty: shingle hashes shuffle by hash key; no cartesian, no text through the exchange") {
+    val p = planOf("text_novelty")
+    assert(p.contains("hashpartitioning(h"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("mm_tiff_meta: IFD walk is a pure projection over the payload") {
+    val p = planOf("mm_tiff_meta")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // no aggregate anywhere in the parse path (the union + sort are
+    // gate plumbing); the parse itself is Project-only
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("event_transitions: single fact scan; row totals window over the pair aggregate") {
     val p = planOf("event_transitions")
     assert(p.contains("hashpartitioning(user_id"), p.take(3000))
