@@ -257,6 +257,18 @@ object SparkEntry {
         .lastWithin(purchases, clicks, "user_id", "ts_us", "ts_us", "ts_us", tolerance = 3600000000L)
         .orderBy(col("event_id"))
     }),
+    "asof_nearest" -> ((s, d) => {
+      // B71: nearest as-of — the click closest in time to each purchase
+      // in EITHER direction within 30 minutes (QuestDB/Polars `nearest`
+      // strategy); equal-distance ties take the backward row
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts_us")
+      val clicks = ev.filter(col("event_type") === "click").select("user_id", "ts_us")
+      AsOfJoin
+        .nearestWithin(purchases, clicks, "user_id", "ts_us", "ts_us", "ts_us", tolerance = 1800000000L)
+        .orderBy(col("event_id"))
+    }),
     "incremental_by_id" -> ((s, d) =>
       // MongoDB-variant incremental sync: monotone `_id` watermark
       // (mongodb_to_bytehouse.py:579-679) — filter + new-state in one agg
@@ -1946,6 +1958,28 @@ object SparkEntry {
         |       CASE WHEN p.ts_us - c.ts_us <= 3600000000 THEN c.ts_us END AS asof_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
         |ORDER BY p.event_id""".stripMargin,
+    // nearest as-of: two DuckDB ASOF passes (backward <=, forward >=)
+    // give the exact candidates; the nearest/tolerance/tie decision is
+    // the same per-row CASE the engine projects
+    "asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+        |b AS (SELECT p.event_id, c.ts_us AS b_ts FROM p ASOF LEFT JOIN c
+        |      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us),
+        |f AS (SELECT p.event_id, c.ts_us AS f_ts FROM p ASOF LEFT JOIN c
+        |      ON p.user_id = c.user_id AND p.ts_us <= c.ts_us),
+        |k AS (SELECT p.user_id, p.event_id, p.ts_us, b.b_ts, f.f_ts,
+        |        (b.b_ts IS NOT NULL AND p.ts_us - b.b_ts <= 1800000000) AS b_ok,
+        |        (f.f_ts IS NOT NULL AND f.f_ts - p.ts_us <= 1800000000) AS f_ok
+        |      FROM p LEFT JOIN b ON p.event_id = b.event_id
+        |             LEFT JOIN f ON p.event_id = f.event_id)
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN b_ok AND (NOT f_ok OR ts_us - b_ts <= f_ts - ts_us) THEN b_ts
+        |       WHEN f_ok THEN f_ts END AS asof_ts_us,
+        |  CASE WHEN b_ok AND (NOT f_ok OR ts_us - b_ts <= f_ts - ts_us) THEN -(ts_us - b_ts)
+        |       WHEN f_ok THEN f_ts - ts_us END AS asof_dt
+        |FROM k ORDER BY event_id""".stripMargin,
     "q6_filter_agg" ->
       """SELECT
         | CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,

@@ -94,7 +94,9 @@ object GraphOps {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).cache()
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct().cache()
     var hubs = nodes.select(col("id"), lit(1000000L).as("h"))
-    var auths: DataFrame = null
+    // zero-initialized so iters = 0 degrades to all-zero authorities
+    // instead of an NPE at the final join
+    var auths: DataFrame = nodes.select(col("id"), lit(0L).as("a"))
     // Per half-step: ONE keyed join+agg over the score frames that
     // actually carry mass — nodes with no in-edges (no asum row) have
     // score 0, contribute nothing to the next sum, and can never be

@@ -84,7 +84,11 @@ object Catalog {
     format match {
       case "parquet"        => r.parquet(path)
       case "orc"            => r.orc(path)
-      case "csv"            => r.option("header", "true").csv(path)
+      case "csv"            =>
+        // escape + multiLine mirror Spark's own CSV writer defaults so a
+        // loadFormat round-trip survives embedded quotes and newlines
+        r.option("header", "true").option("escape", "\"")
+          .option("multiLine", "true").csv(path)
       case "jsonl" | "json" => r.json(path)
       case other => throw new IllegalArgumentException(
         s"unsupported source format: $other (parquet|orc|csv|jsonl)")

@@ -55,6 +55,39 @@ class AnalyticsSpec extends SparkSpec {
       (1L, Some("fresh")), (2L, Some("edge")), (3L, None), (4L, None)), got.mkString(","))
   }
 
+  test("nearest as-of: backward, forward, tie-to-backward, tolerance clamp, both-sides pick") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq(
+      (1L, 100L), // backward-only: right at 95 (dt -5), nothing after
+      (2L, 100L), // forward-only: right at 104 (dt +4), nothing before
+      (3L, 100L), // tie: 95 and 105 both at distance 5 — backward wins
+      (4L, 100L), // both sides: 80 (d=20) vs 103 (d=3) — forward nearer
+      (5L, 100L), // out of tolerance both ways (60 and 150, tol=10)
+      (6L, 100L)  // no right rows at all
+    ).toDF("k", "t")
+    val right = Seq(
+      (1L, 95L, "b1"),
+      (2L, 104L, "f2"),
+      (3L, 95L, "b3"), (3L, 105L, "f3"),
+      (4L, 80L, "b4"), (4L, 103L, "f4"),
+      (5L, 60L, "b5"), (5L, 150L, "f5")
+    ).toDF("k", "t", "v")
+    val got = AsOfJoin.nearestWithin(left, right, "k", "t", "t", "v", tolerance = 10L)
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some("b1"), Some(-5L)),
+      (2L, Some("f2"), Some(4L)),
+      (3L, Some("b3"), Some(-5L)),
+      (4L, Some("f4"), Some(3L)),
+      (5L, None, None),
+      (6L, None, None)
+    ), got.mkString(","))
+  }
+
   test("groupedExactRanks equals the window-sort formulation bit-for-bit") {
     import graft.operators.Analytics
     import org.apache.spark.sql.expressions.Window

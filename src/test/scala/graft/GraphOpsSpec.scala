@@ -57,6 +57,11 @@ class GraphOpsSpec extends SparkSpec {
     val r2 = GraphOps.hits(star, iters = 3)
       .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
     assert(r2 == r, "integer HITS must be bit-identical across runs")
+    // iters = 0 degrades to the initial state (zero auth, unit hub),
+    // never an NPE
+    val r0 = GraphOps.hits(star, iters = 0)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r0.values.forall(_ == ((0L, 1000000L))), s"iters=0 must be the initial state: $r0")
   }
 
   test("HITS: a node linking to two authorities out-hubs one linking to one") {
