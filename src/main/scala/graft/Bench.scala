@@ -26,7 +26,7 @@ object Bench {
     "median_price", "quartiles_price", "winsorize_stats", "anomaly_days", "anomaly_mad", "changepoint_cusum", "events_twap", "events_ewma", "events_holt", "recon_counts", "retention_cohorts", "resample_gapfill", "moving_7d", "cumulative_revenue", "pivot_daily_events",
     "grouping_sets_mix", "window_suite", "trend_slope", "corr_pairs", "cdc_apply",
     "events_hourly_incr", "profile_table", "equidepth_hist", "rfm_segments", "basket_lift", "dq_violations", "drift_report", "skew_report",
-    "asof_last_click", "asof_within", "interval_join", "range_join_binned", "range_count_sweep",
+    "asof_last_click", "asof_within", "asof_nearest", "interval_join", "range_join_binned", "range_count_sweep",
     "flatten_json", "stringify_all", "incremental_read", "incremental_by_id", "incremental_by_oid",
     "incremental_or", "sync_state", "snapshot_diff", "scd2_intervals",
     "upsert_latest", "scan_fields", "multi_table_union",

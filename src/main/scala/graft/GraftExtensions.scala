@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, CmsEstimate, Fingerprint64, MaxWordRep, MinHashSig, QuantizeI8, RandProject, RepStats, SimHash64Expr, VecDot, VecDotInt}
+import graft.functions.{BloomMightContain, CmsEstimate, Fingerprint64, MaxWordRep, MinHashSig, QuantizeI8, RandProject, RepStats, SimHash64Expr, TiffMetaExpr, VecDot, VecDotInt}
 
 /** SQL-surface registration of graft's native expressions, injected
   * via SparkSessionExtensions (usable with
@@ -93,6 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("bloom_might_contain"),
         info("bloom_might_contain", "bloom_might_contain(bloom, key) - probe a serialized bloom filter"),
         (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("tiff_meta"),
+        info("tiff_meta", "tiff_meta(bytes, maxEntries) - [is_tiff, byte_order, width, height] from a TIFF header/IFD (-1 = null)"),
+        (exprs: Seq[Expression]) =>
+          TiffMetaExpr(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
       )
     )
     e.injectFunction(

@@ -1376,11 +1376,17 @@ object SparkEntry {
       // of docs carry genuine JDK-encoded JPEGs (variable-length
       // APP0/DQT chain ahead of SOF0), the rest non-JPEG text bytes;
       // the oracle knows the staged dims in closed form
+      // payloads are staged to parquet ONCE per scale dir (fingerprint
+      // guard) so the repeated runs measure the marker-walk parse, not
+      // the per-row JDK ImageIO encode
       val docs = t(s, d, "documents")
-      val jp = Multimodal.encodeStagedJpeg(s,
-        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
-          (lit(8) + col("doc_id") % 32).as("w"), (lit(8) + col("doc_id") % 24).as("h")),
-        "doc_id", "w", "h").select(col("doc_id"), col("jpeg").as("payload"))
+      val jp = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_jpeg_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v1") {
+        Multimodal.encodeStagedJpeg(s,
+          docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+            (lit(8) + col("doc_id") % 32).as("w"), (lit(8) + col("doc_id") % 24).as("h")),
+          "doc_id", "w", "h").select(col("doc_id"), col("jpeg").as("payload"))
+      }
       val tx = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.parseJpegMeta(jp.unionByName(tx), "doc_id", "payload")
@@ -1390,11 +1396,15 @@ object SparkEntry {
       // JDK-encoded GIF89a payloads (logical screen descriptor +
       // LZW image data), the rest non-GIF text bytes; the oracle
       // states the staged dims in closed form (mm_jpeg discipline)
+      // staged once per scale dir; repeated runs measure the parse
       val docs = t(s, d, "documents")
-      val gf = Multimodal.encodeStagedGif(s,
-        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
-          (lit(8) + col("doc_id") % 64).as("w"), (lit(8) + col("doc_id") % 48).as("h")),
-        "doc_id", "w", "h").select(col("doc_id"), col("gif").as("payload"))
+      val gf = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_gif_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v1") {
+        Multimodal.encodeStagedGif(s,
+          docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+            (lit(8) + col("doc_id") % 64).as("w"), (lit(8) + col("doc_id") % 48).as("h")),
+          "doc_id", "w", "h").select(col("doc_id"), col("gif").as("payload"))
+      }
       val tx = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.parseGifMeta(gf.unionByName(tx), "doc_id", "payload")
@@ -1405,11 +1415,15 @@ object SparkEntry {
       // uncompressed strips), the rest non-TIFF text bytes; dims are
       // SMALL (uncompressed format) and the oracle states them in
       // closed form (mm_jpeg/mm_gif discipline)
+      // staged once per scale dir; repeated runs measure the IFD walk
       val docs = t(s, d, "documents")
-      val tf = Multimodal.encodeStagedTiff(s,
-        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
-          (lit(8) + col("doc_id") % 32).as("w"), (lit(8) + col("doc_id") % 24).as("h")),
-        "doc_id", "w", "h").select(col("doc_id"), col("tiff").as("payload"))
+      val tf = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_tiff_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v1") {
+        Multimodal.encodeStagedTiff(s,
+          docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+            (lit(8) + col("doc_id") % 32).as("w"), (lit(8) + col("doc_id") % 24).as("h")),
+          "doc_id", "w", "h").select(col("doc_id"), col("tiff").as("payload"))
+      }
       val tx = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.parseTiffMeta(tf.unionByName(tx), "doc_id", "payload")

