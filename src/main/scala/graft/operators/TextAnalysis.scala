@@ -457,6 +457,27 @@ object TextAnalysis {
       w: Int = 4
   ): DataFrame = winnowFingerprints(corpus, idCol, textCol, k, w)
 
+  /** C69 index maintenance: fold a processed batch's accepted docs
+    * into the persisted winnow index. Fingerprint rows are per-doc
+    * independent (id, fp_hash, fp_pos), so append IS the merge — the
+    * buildMinhashIndex/buildEmbeddingIndex discipline, no keyed merge
+    * step. The one invariant to keep is id-uniqueness: an id anti-join
+    * against the index skips docs already indexed, so a replayed batch
+    * (at-least-once delivery) cannot double its posting lists — spec
+    * proves probe-after-append ≡ probe-after-rebuild and idempotence.
+    */
+  def updateWinnowIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4
+  ): DataFrame =
+    index.unionByName(
+      winnowFingerprints(batch, idCol, textCol, k, w)
+        .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti"))
+
   /** C69 probe: batch docs sharing >= `minShared` DISTINCT winnowing
     * fingerprints with a corpus doc — the incremental form of the
     * MOSS overlap report (shared fingerprints witness shared >=

@@ -652,6 +652,25 @@ class PipelineSpec extends SparkSpec {
     assert(probe == Seq((5L, 1L, 10L), (20L, 1L, 20L)))
   }
 
+  test("winnow index: probe-after-append equals rebuild; replayed batch folds in idempotently") {
+    import graft.operators.TextAnalysis
+    val corpusA = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") < 200)
+    val batchB = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") >= 200 && col("doc_id") < 300)
+    val probeC = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 300)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idxA = TextAnalysis.buildWinnowIndex(corpusA, "doc_id", "text")
+    val appended = TextAnalysis.updateWinnowIndex(idxA, batchB, "doc_id", "text")
+    val rebuilt = TextAnalysis.buildWinnowIndex(corpusA.unionByName(batchB), "doc_id", "text")
+    val viaAppend = asSet(TextAnalysis.winnowAgainstIndex(probeC, "doc_id", "text", appended))
+    val viaRebuild = asSet(TextAnalysis.winnowAgainstIndex(probeC, "doc_id", "text", rebuilt))
+    assert(viaAppend == viaRebuild, s"append drifted from rebuild: ${viaAppend.diff(viaRebuild)} / ${viaRebuild.diff(viaAppend)}")
+    assert(viaAppend.nonEmpty, "probe found no overlaps — the fixture stopped exercising the join")
+    // at-least-once delivery: replaying the SAME batch adds nothing
+    val replayed = TextAnalysis.updateWinnowIndex(appended, batchB, "doc_id", "text")
+    assert(replayed.count() == appended.count(), "replayed batch doubled posting lists")
+  }
+
   test("embedding index probe: persisted index round-trips to identical pairs") {
     val e = embs.select(col("vec_id"), col("embedding"))
     val live = Dedup.buildEmbeddingIndex(e, "vec_id", "embedding", dim = 64)
