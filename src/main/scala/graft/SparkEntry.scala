@@ -1242,6 +1242,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("lang"))
     }),
+    "curate_corpus_v2" -> ((s, d) =>
+      // C76: the END-TO-END curation pipeline as ONE plan — clip-out
+      // dedup (C70) → fuzzy decontam vs eval docs (C72) → per-source
+      // quality gate on cleaned length (C33) → sqrt-temperature
+      // allocation (C55) → deterministic down-select → shard manifest
+      // (C60); the card's order-sensitive checksums witness every
+      // stage's membership. The doc-level signal frame localCheckpoints
+      // — the final plan re-reads no fact table (plan-locked)
+      Curation.curatePipeline(t(s, d, "documents"), "doc_id", "text", "source",
+        evalCol = col("doc_id") % 97 === 0)),
     "text_scrub_pii" -> ((s, d) =>
       // the corpus has no natural PII, so it is staged deterministically
       // per doc (email/phone/IP derived from doc_id) — the oracle runs
@@ -3065,6 +3075,59 @@ object SparkEntry {
         |  AND length(d.text) >= 50
         |  AND len(string_split(trim(regexp_replace(lower(d.text),'\s+',' ','g')),' ')) >= 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C76: the five pipeline stages as one CTE chain — clip first-seen
+    // (string n-grams, hash-equivalent to the engine's 8-byte shingle
+    // hashes w.h.p.), fuzzy-Jaccard decontam, percentile gate on
+    // cleaned length, largest-remainder sqrt allocation, md5-ranked
+    // down-select, and the order-sensitive shard card
+    "curate_corpus_v2" ->
+      """WITH w AS (SELECT doc_id, source, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS ws FROM documents),
+        |x AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws) - 7, 0))) AS pos FROM w WHERE doc_id % 97 <> 0),
+        |g8 AS (SELECT doc_id, pos, array_to_string(ws[pos + 1 : pos + 8], ' ') AS ng FROM x),
+        |f8 AS (SELECT ng, min(doc_id) AS first_id FROM g8 GROUP BY 1),
+        |shm AS (SELECT g8.doc_id, g8.pos FROM g8 JOIN f8 USING (ng) WHERE f8.first_id < g8.doc_id),
+        |rm AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tpos FROM shm),
+        |clip AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rm GROUP BY 1),
+        |g3 AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |        THEN list_distinct([array_to_string(ws[i:i+2],' ') for i in range(1, len(ws)-1)])
+        |        ELSE [array_to_string(ws,' ')] END AS sh FROM w),
+        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS s FROM g3),
+        |ex AS (SELECT doc_id, unnest(sh) AS h FROM g3),
+        |co AS (SELECT a.doc_id, b.doc_id AS eval_id, CAST(count(*) AS BIGINT) AS shared
+        |       FROM ex a JOIN ex b ON a.h = b.h AND b.doc_id % 97 = 0 AND a.doc_id % 97 <> 0 GROUP BY 1,2),
+        |bad AS (SELECT DISTINCT co.doc_id FROM co JOIN sz sa ON co.doc_id = sa.doc_id JOIN sz sb ON co.eval_id = sb.doc_id
+        |        WHERE co.shared * 1000000 >= 150000 * (sa.s + sb.s - co.shared)),
+        |sig AS (SELECT w.doc_id, w.source, CAST(len(ws) AS BIGINT) - coalesce(clip.n_removed, 0) AS kept_tokens
+        |        FROM w LEFT JOIN clip USING (doc_id)
+        |        WHERE w.doc_id % 97 <> 0 AND w.doc_id NOT IN (SELECT doc_id FROM bad)),
+        |gate AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY kept_tokens, doc_id) AS BIGINT) AS rnk,
+        |               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns FROM sig),
+        |kept AS (SELECT doc_id, source, kept_tokens FROM gate WHERE 10000 * (rnk - 1) >= 2000 * (ns - 1)),
+        |c AS (SELECT source AS stratum, count(*) AS docs, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w2 FROM kept GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(w2) AS BIGINT) AS tw FROM c),
+        |b AS (SELECT stratum, CAST((200 * w2) // tw AS BIGINT) AS base, CAST((200 * w2) % tw AS BIGINT) AS rem FROM c, t2),
+        |l AS (SELECT CAST(200 - sum(base) AS BIGINT) AS r FROM b),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rn FROM b),
+        |alloc AS (SELECT stratum, CAST(base + CASE WHEN rn <= l.r THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM rk, l),
+        |selr AS (SELECT k.doc_id, k.kept_tokens, k.source,
+        |           row_number() OVER (PARTITION BY k.source ORDER BY
+        |             list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |               substring(md5(CAST(k.doc_id AS VARCHAR) || ':m'), i, 1)) - 1 AS BIGINT))), (a,x) -> a*16+x), k.doc_id) AS srn
+        |         FROM kept k),
+        |sel AS (SELECT selr.doc_id, selr.kept_tokens FROM selr JOIN alloc ON selr.source = alloc.stratum WHERE srn <= alloc.alloc),
+        |h AS (SELECT doc_id, kept_tokens,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |          substring(md5(CAST(doc_id AS VARCHAR) || ':s'), i, 1)) - 1 AS BIGINT))), (a,x) -> a*16+x) % 8 AS shard,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |          substring(md5(CAST(doc_id AS VARCHAR) || ':p'), i, 1)) - 1 AS BIGINT))), (a,x) -> a*16+x) AS pos
+        |      FROM sel),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY pos, doc_id) AS BIGINT) AS rn,
+        |             count(*) OVER (PARTITION BY shard) AS cnt FROM h)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(kept_tokens) AS BIGINT) AS total_size,
+        |       min(CASE WHEN rn = 1 THEN doc_id END) AS first_id,
+        |       min(CASE WHEN rn = cnt THEN doc_id END) AS last_id,
+        |       CAST(sum(rn * (doc_id % 1000003)) AS BIGINT) AS order_checksum
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "text_scrub_pii" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  text || ' contact user' || doc_id || '@example.com or +1 555-867-5309 at 10.0.' || (doc_id % 256) || '.7',

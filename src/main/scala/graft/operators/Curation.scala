@@ -612,6 +612,110 @@ object Curation {
     * so a shard fits an executor (docs/nShards rows), and the card
     * aggregation is map-side-combined per shard.
     */
+  /** C76 (curate_corpus_v2): the END-TO-END curation pipeline as ONE
+    * plan — the composition a real training-data run actually
+    * executes, threading the suite's own stages in production order:
+    * exact-substring clip-out dedup (C70, Lee et al. §4) → fuzzy
+    * decontamination against the eval set (C72) → per-stratum
+    * quality gate on the CLEANED length (C33 — the gate reads what
+    * dedup left, not raw length) → sqrt-temperature mixture
+    * allocation over the survivors (C55) → deterministic per-stratum
+    * down-selection to the allocation → shard shuffle manifest (C60).
+    * The output is the per-shard training-manifest card; its
+    * order-sensitive checksums witness the doc-id SET every stage
+    * produced, so membership drift anywhere in the pipeline fails the
+    * oracle.
+    *
+    * Plan: the three text-derived signals (token counts, clip-removed
+    * counts, contamination flags) each read ONE pruned column scan of
+    * the source and fold straight into per-doc longs; their join — the
+    * doc-count-sized signal frame of (id, stratum, kept_tokens) — is
+    * localCheckpointed, so every stage after it (gate, allocation,
+    * selection, shard card) reads materialized 24-byte rows and the
+    * FINAL executed plan contains zero parquet scans (plan-locked).
+    * Materializing the signals rather than the shingle arrays is
+    * deliberate: the shingles are ~16 bytes/word (≈3× the compressed
+    * text) and checkpointing them measured SLOWER than re-scanning the
+    * column store per signal — the signals are 3 longs/doc at any
+    * corpus size. Clip first-seen is one hash-keyed window over
+    * exploded 8-byte shingle hashes; decontamination broadcasts the
+    * eval side (never corpus×eval); the allocation frame is
+    * strata-sized and broadcasts back; the shard card aggregation is
+    * map-side combined.
+    */
+  def curatePipeline(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      evalCol: Column,
+      clipN: Int = 8,
+      decontamN: Int = 3,
+      decontamTauPpm: Long = 150000L,
+      keepBp: Int = 2000,
+      budget: Long = 200L,
+      nShards: Int = 8
+  ): DataFrame = {
+    val ws = split(Dedup.normalize(col(textCol)), " ")
+    val corpus = df.filter(!evalCol)
+    // C70: tokens covered by a window an earlier doc already contains;
+    // short docs carry no clip windows (clipDedup's convention)
+    val removed = corpus
+      .select(col(idCol).cast("long").as("id"),
+        when(size(ws) >= clipN, graft.functions.VecOps.shingle_hashes(ws, clipN))
+          .otherwise(array().cast("array<long>")).as("sh_clip"))
+      .select(col("id"), posexplode(col("sh_clip")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
+      .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
+      .filter(col("first_id") < col("id"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (clipN - 1))).as("tpos"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_removed"))
+    // C72: any eval doc within the fuzzy-Jaccard radius contaminates;
+    // short docs carry a whole-text shingle (shingleHashSet's convention)
+    def dcShingled(src: DataFrame, as: String) = src.select(
+      col(idCol).cast("long").as(as),
+      array_distinct(Dedup.shingleHashSet(col(textCol), decontamN)).as("sh"))
+    val ben = broadcast(dcShingled(df.filter(evalCol), "eval_id")
+      .select(col("eval_id"), size(col("sh")).cast("long").as("sz_b"), explode(col("sh")).as("h")))
+    val contaminated = dcShingled(corpus, "id")
+      .select(col("id"), size(col("sh")).cast("long").as("sz_a"), explode(col("sh")).as("h"))
+      .join(ben, "h")
+      .groupBy(col("id"), col("eval_id"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") * 1000000L >= lit(decontamTauPpm) * (col("sz_a") + col("sz_b") - col("shared")))
+      .select(col("id"))
+      .distinct()
+    val sig = corpus
+      .select(col(idCol).cast("long").as("id"), col(strataCol).as("stratum"),
+        size(ws).cast("long").as("n_tokens"))
+      .join(removed, Seq("id"), "left")
+      .join(contaminated, Seq("id"), "left_anti")
+      .select(col("id"), col("stratum"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("kept_tokens"))
+      .localCheckpoint()
+    // C33 on the cleaned length; C55 over what the gate kept
+    val kept = percentileGate(sig, "id", "stratum", "kept_tokens", keepBp)
+      .filter(col("keep") === 1L)
+      .select(col("id"), col("stratum"), col("kept_tokens"))
+    val alloc = temperatureAllocate(kept, "stratum", budget)
+      .select(col("stratum"), col("alloc"))
+    // deterministic per-stratum down-selection to the allocation: rank
+    // by an id-derived hash (stratifiedSample discipline, never rand())
+    val hm = conv(substring(md5(concat(col("id").cast("string"), lit(":m"))), 1, 8), 16, 10)
+      .cast("long")
+    val sel = kept
+      .withColumn("hm", hm)
+      .withColumn("srn",
+        row_number().over(Window.partitionBy(col("stratum")).orderBy(col("hm"), col("id"))).cast("long"))
+      .join(broadcast(alloc), Seq("stratum"))
+      .filter(col("srn") <= col("alloc"))
+      .select(col("id"), col("kept_tokens"))
+    // C60: the shard manifest of the final selection
+    shuffleShards(sel, "id", "kept_tokens", nShards)
+  }
+
   def shuffleShards(
       df: DataFrame,
       idCol: String,
