@@ -1,0 +1,155 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal Elasticsearch REST client over the JDK `HttpClient` — the
+  * reference's protocol surface, endpoint for endpoint: index
+  * discovery via `GET /_cat/indices/<pattern>?format=json`
+  * (es_to_bytehouse.py:238-258), mapping fetch + nested-`properties`
+  * flatten via `GET /<index>/_mapping` (260-294), and the
+  * scroll-search cursor loop `POST /<index>/_search?scroll=…` →
+  * `POST /_search/scroll` → `DELETE /_search/scroll`
+  * (577-673 full sync, 825-961 incremental). Bodies come from
+  * [[EsSourceConfig]] (full / incremental search DSL), so the bytes
+  * on the wire are the unit-tested contract strings.
+  *
+  * Role split: THIS client is the single-cursor path — it proves the
+  * protocol end-to-end (EsLiveParitySpec runs it against an
+  * ES-speaking HTTP stub) and serves driver-sized administrative
+  * reads (discovery, mapping, sampling). Bulk data movement at scale
+  * goes through `EsSourceConfig.reader` (the es-hadoop connector's
+  * partition-per-shard parallel scan); pages here stream through
+  * `onPage` so the driver holds ONE scroll page at a time, exactly
+  * like the reference's cursor.
+  *
+  * Jackson (bundled with Spark) parses responses; no extra
+  * dependency.
+  */
+class EsRestClient(host: String, user: String = "", password: String = "") {
+
+  private val http = HttpClient.newHttpClient()
+  private val om = new ObjectMapper()
+
+  private def send(method: String, path: String, body: Option[String]): JsonNode = {
+    val b = HttpRequest
+      .newBuilder(URI.create(s"$host$path"))
+      .header("Content-Type", "application/json")
+    val withAuth =
+      if (user.nonEmpty)
+        b.header(
+          "Authorization",
+          "Basic " + java.util.Base64.getEncoder
+            .encodeToString(s"$user:$password".getBytes("UTF-8")))
+      else b
+    val req = method match {
+      case "GET"    => withAuth.GET()
+      case "POST"   => withAuth.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("")))
+      case "DELETE" =>
+        // ES's scroll cleanup is DELETE-with-body (ref:388); the JDK
+        // builder supports it via the generic method(...)
+        body.fold(withAuth.DELETE())(x =>
+          withAuth.method("DELETE", HttpRequest.BodyPublishers.ofString(x)))
+      case other => throw new IllegalArgumentException(s"unsupported method $other")
+    }
+    val resp = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
+    require(
+      resp.statusCode() >= 200 && resp.statusCode() < 300,
+      s"ES $method $path -> HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    om.readTree(resp.body())
+  }
+
+  /** User indices matching `pattern` — system ('.'-prefixed) indices
+    * filtered client-side like the reference (ref:249-253), sorted
+    * for determinism.
+    */
+  def catIndices(pattern: String = "*"): Seq[String] = {
+    val arr = send("GET", s"/_cat/indices/$pattern?format=json&h=index,docs.count,store.size", None)
+    (0 until arr.size())
+      .map(arr.get(_).path("index").asText(""))
+      .filterNot(_.startsWith("."))
+      .sorted
+  }
+
+  /** Flattened (field → ES type) from the index mapping: nested
+    * `properties` recurse with `_`-joined names, `.`/`-` sanitized to
+    * `_` and `@` dropped — the reference's `flatten_mapping`
+    * (ref:275-294) byte-for-byte. Feed through
+    * `graft.operators.TypeMapper.esType` for Spark types or the
+    * all-String mode for the reference's own DDL.
+    */
+  def mappingFields(index: String): Map[String, String] = {
+    val root = send("GET", s"/$index/_mapping", None)
+    val it = root.fields()
+    if (!it.hasNext) Map.empty
+    else flattenProps(it.next().getValue.path("mappings").path("properties"), "")
+  }
+
+  private def flattenProps(node: JsonNode, prefix: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    node.fields().asScala.flatMap { e =>
+      val raw = if (prefix.isEmpty) e.getKey else s"${prefix}_${e.getKey}"
+      val name = raw.replace(".", "_").replace("-", "_").replace("@", "")
+      val cfg = e.getValue
+      if (cfg.has("properties")) flattenProps(cfg.get("properties"), name)
+      else if (cfg.has("type")) Map(name -> cfg.get("type").asText())
+      else Map.empty[String, String]
+    }.toMap
+  }
+
+  /** The scroll cursor loop (ref:577-673): open with `body` (use
+    * [[EsSourceConfig.fullSearchBody]] /
+    * [[EsSourceConfig.incrementalSearchBody]]), stream each page of
+    * (doc `_id`, `_source` JSON) through `onPage` — batch-at-a-time
+    * like the reference's `insert_batch` sink — continue until an
+    * empty page, then DELETE the scroll (ref:386-388) even on error.
+    * Returns the number of documents fetched.
+    */
+  def scrollPages(index: String, body: String, scrollTimeout: String = "5m")(
+      onPage: Seq[(String, String)] => Unit): Long = {
+    var data = send("POST", s"/$index/_search?scroll=$scrollTimeout", Some(body))
+    var scrollId = data.path("_scroll_id").asText("")
+    var total = 0L
+    try {
+      var hits = data.path("hits").path("hits")
+      while (hits.size() > 0) {
+        val page = (0 until hits.size()).map { i =>
+          val h = hits.get(i)
+          (h.path("_id").asText(""), om.writeValueAsString(h.path("_source")))
+        }
+        onPage(page)
+        total += page.size
+        data = send(
+          "POST",
+          "/_search/scroll",
+          Some(s"""{"scroll":"$scrollTimeout","scroll_id":"$scrollId"}"""))
+        scrollId = data.path("_scroll_id").asText(scrollId)
+        hits = data.path("hits").path("hits")
+      }
+    } finally if (scrollId.nonEmpty)
+      send("DELETE", "/_search/scroll", Some(s"""{"scroll_id":"$scrollId"}"""))
+    total
+  }
+
+  /** Convenience full fetch of one (driver-sized) index into a
+    * DataFrame of (`_id`, `doc`) rows — compose with
+    * `JsonIngest.parseAndFlatten` for the reference's flattened
+    * all-string row surface, or a `SyncRunner` source thunk. Buffers
+    * the index on the driver by construction: use only for
+    * admin-scale reads and tests; bulk movement is es-hadoop's job.
+    */
+  def fetchIndex(
+      spark: SparkSession,
+      index: String,
+      cfg: EsSourceConfig,
+      query: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val body = query.getOrElse(EsSourceConfig.fullSearchBody(cfg.scrollSize))
+    scrollPages(index, body, cfg.scrollTimeout)(page => buf ++= page)
+    buf.toSeq.toDF("_id", "doc")
+  }
+}

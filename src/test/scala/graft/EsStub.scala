@@ -1,0 +1,156 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ArrayNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import scala.collection.mutable
+
+/** In-process ES-compatible HTTP stub for EsLiveParitySpec — the
+  * same move as the live-Derby JDBC spec (A29b): a real server
+  * speaking the real protocol so the client's full discovery → map →
+  * sync → incremental flow runs over actual HTTP. Implements the
+  * endpoints the reference consumes: `_cat/indices` (glob pattern,
+  * format=json), `<index>/_mapping` (nested properties), and the
+  * scroll-search trio (`_search?scroll`, `_search/scroll`,
+  * `DELETE _search/scroll`) with real query-DSL evaluation —
+  * match_all, `bool.filter[range gt]`, and the insert-or-update
+  * `bool.should[range,range] minimum_should_match:1` — plus
+  * single-field ascending sort and scroll paging, the exact DSL
+  * subset es_to_bytehouse.py issues. Every request is logged for
+  * byte-exact contract assertions.
+  */
+class EsStub(indices: Map[String, Seq[String]], mappings: Map[String, String]) {
+
+  private val om = new ObjectMapper()
+  private val docs: Map[String, Seq[(String, JsonNode)]] = indices.map { case (idx, rows) =>
+    idx -> rows.zipWithIndex.map { case (json, i) => ((i + 1).toString, om.readTree(json)) }
+  }
+  private val scrolls = mutable.Map[String, mutable.Queue[Seq[(String, JsonNode)]]]()
+  private var nextScroll = 0
+  val requests = mutable.ArrayBuffer[(String, String, String)]() // (method, path+query, body)
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(null)
+
+  def start(): Int = { server.start(); server.getAddress.getPort }
+  def stop(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+    requests.synchronized { requests += ((method, s"$path${if (query.nonEmpty) "?" + query else ""}", body)) }
+    try {
+      (method, path) match {
+        case ("GET", p) if p.startsWith("/_cat/indices/") =>
+          val pattern = p.stripPrefix("/_cat/indices/")
+          val re = ("^" + java.util.regex.Pattern.quote(pattern).replace("*", "\\E.*\\Q") + "$").r
+          val rows = docs.keys.toSeq.sorted.filter(i => re.findFirstIn(i).isDefined).map(i =>
+            s"""{"index":"$i","docs.count":"${docs(i).size}","store.size":"1kb"}""")
+          respond(ex, 200, rows.mkString("[", ",", "]"))
+        case ("GET", p) if p.endsWith("/_mapping") =>
+          val idx = p.stripPrefix("/").stripSuffix("/_mapping")
+          mappings.get(idx) match {
+            case Some(m) => respond(ex, 200, s"""{"$idx":{"mappings":{"properties":$m}}}""")
+            case None    => respond(ex, 404, s"""{"error":"no such index [$idx]"}""")
+          }
+        case ("POST", "/_search/scroll") =>
+          val sid = om.readTree(body).path("scroll_id").asText("")
+          scrolls.synchronized {
+            scrolls.get(sid) match {
+              case Some(q) =>
+                val page = if (q.nonEmpty) q.dequeue() else Seq.empty
+                respond(ex, 200, pageJson(sid, page, -1))
+              case None => respond(ex, 404, """{"error":"scroll not found"}""")
+            }
+          }
+        case ("DELETE", "/_search/scroll") =>
+          val sid = om.readTree(body).path("scroll_id").asText("")
+          scrolls.synchronized { scrolls.remove(sid) }
+          respond(ex, 200, """{"succeeded":true,"num_freed":1}""")
+        case ("POST", p) if p.endsWith("/_search") =>
+          val idx = p.stripPrefix("/").stripSuffix("/_search")
+          docs.get(idx) match {
+            case None => respond(ex, 404, s"""{"error":"no such index [$idx]"}""")
+            case Some(rows) =>
+              val req = om.readTree(body)
+              val size = req.path("size").asInt(10)
+              val matched = rows.filter { case (_, d) => matches(req.path("query"), d) }
+              val sorted = sortField(req) match {
+                case Some(f) => matched.sortBy { case (_, d) => d.path(f).asText("") }
+                case None    => matched
+              }
+              val sid = scrolls.synchronized { nextScroll += 1; s"scroll-$nextScroll" }
+              val pages = mutable.Queue(sorted.grouped(size).toSeq: _*)
+              val first = if (pages.nonEmpty) pages.dequeue() else Seq.empty
+              scrolls.synchronized { scrolls(sid) = pages }
+              respond(ex, 200, pageJson(sid, first, sorted.size))
+          }
+        case _ => respond(ex, 400, s"""{"error":"unhandled $method $path"}""")
+      }
+    } catch {
+      case e: Throwable => respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
+    }
+  }
+
+  private def sortField(req: JsonNode): Option[String] = {
+    val s = req.path("sort")
+    if (s.isArray && s.size() > 0) {
+      val it = s.get(0).fields()
+      if (it.hasNext) Some(it.next().getKey) else None
+    } else None
+  }
+
+  /** match_all | bool.filter[range gt] | bool.should[...] min_should 1 —
+    * numeric compare when both sides parse as numbers, else string.
+    */
+  private def matches(q: JsonNode, doc: JsonNode): Boolean = {
+    if (q.isMissingNode || q.has("match_all")) true
+    else if (q.has("bool")) {
+      val b = q.get("bool")
+      val filters = asSeq(b.path("filter"))
+      val shoulds = asSeq(b.path("should"))
+      val filterOk = filters.forall(matches(_, doc))
+      val shouldOk = shoulds.isEmpty || shoulds.exists(matches(_, doc))
+      filterOk && shouldOk
+    } else if (q.has("range")) {
+      val it = q.get("range").fields()
+      if (!it.hasNext) true
+      else {
+        val e = it.next()
+        val field = e.getKey
+        val gt = e.getValue.path("gt").asText("")
+        val v = doc.path(field)
+        if (v.isMissingNode || v.isNull) false
+        else if (v.isNumber && gt.nonEmpty && gt.forall(c => c.isDigit || c == '.' || c == '-'))
+          v.asDouble() > gt.toDouble
+        else v.asText("") > gt
+      }
+    } else false
+  }
+
+  private def asSeq(n: JsonNode): Seq[JsonNode] = n match {
+    case a: ArrayNode => (0 until a.size()).map(a.get)
+    case _            => Seq.empty
+  }
+
+  private def pageJson(sid: String, page: Seq[(String, JsonNode)], total: Int): String = {
+    val hits = page
+      .map { case (id, d) => s"""{"_id":"$id","_source":${om.writeValueAsString(d)}}""" }
+      .mkString("[", ",", "]")
+    val tot = if (total >= 0) s""""total":{"value":$total,"relation":"eq"},""" else ""
+    s"""{"_scroll_id":"$sid","hits":{$tot"hits":$hits}}"""
+  }
+}
