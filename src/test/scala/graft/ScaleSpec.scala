@@ -586,6 +586,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("connected components at 2.3M edges: size-adaptive strategy picks the distributed loop itself; exact staged components within O(log diameter) rounds", Slow) {
+    // The giant-component test above FORCES the distributed path with
+    // driverMaxEdges = 0; this one crosses the DEFAULT 1M-edge
+    // threshold (2.3M symmetric edges), so the size-adaptive strategy
+    // itself must choose the label-propagation loop. 1000 staged
+    // components of 600 nodes each: a 100-node chain hanging off the
+    // hub (true diameter ~100 — pointer jumping must earn its keep; a
+    // 1-hop-only propagation would need ~100 rounds), a 500-node star,
+    // and 600 modular density edges for power-law-ish degrees.
+    // maxIters = 12 IS the round assertion: convergence within 12
+    // rounds ≈ log2(diameter) + slack, and connectedComponents throws
+    // if the label sum is still falling at the cap.
+    val comps = 1000L
+    val size = 600L
+    val ids = spark.range(0, comps * size)
+    val base = expr(s"(id div $size) * $size")
+    val k = col("id") % size
+    val chain = ids.filter(k < 99).select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    val star = ids.filter(k >= 100).select(base.as("id_a"), col("id").as("id_b"))
+    val extra = ids.select(col("id").as("id_a"), (base + 100L + (k * 7L) % 500L).as("id_b"))
+    val pairs = chain.union(star).union(extra)
+    val (labels, sec) = time {
+      val l = Dedup.connectedComponents(pairs, maxIters = 12).persist()
+      l.count()
+      l
+    }
+    assert(labels.count() == comps * size)
+    // exactness: every node labels to its component hub (the min id)
+    val wrong = labels.filter(col("cluster_id") =!= expr(s"(id div $size) * $size")).count()
+    assert(wrong == 0L, s"$wrong of ${comps * size} nodes mislabeled")
+    info(f"distributed components over 2.3M symmetric edges in $sec%.1f s, converged <= 12 rounds (diameter ~100)")
+    labels.unpersist()
+  }
+
   test("pagerank on a mega-hub graph at 200k nodes: hot dst key absorbed by partial agg", Slow) {
     import spark.implicits._
     import graft.operators.GraphOps
