@@ -44,7 +44,7 @@ object Bench {
     "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",
     "mm_byte_resize", "mm_png_meta", "mm_wav_meta", "mm_jpeg_meta", "mm_gif_meta", "mm_tiff_meta",
     "events_props_agg", "length_histogram", "quality_gate_pctl", "text_bigrams_top",
-    "src_discovery", "src_format_orc", "ddl_generate", "ddl_allstring", "schema_evolution", "type_mapping"
+    "src_discovery", "src_format_orc", "json_path_census", "ddl_generate", "ddl_allstring", "schema_evolution", "type_mapping"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

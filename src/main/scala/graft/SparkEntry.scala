@@ -71,6 +71,28 @@ object SparkEntry {
       Catalog.selectTables(s, d, "*tion,c*").toDF("table_name").orderBy("table_name")
     }),
     "scan_fields" -> ((s, d) => JsonIngest.scanFields(t(s, d, "events"), "props")),
+    "json_path_census" -> ((s, d) => {
+      // A37: recursive path+type census at DEPTH over staged nested
+      // JSON — depth-3 objects, arrays-of-objects with varying length
+      // (mod-4 docs carry two elements), optional fields (mod-2 tags,
+      // mod-3 src); the oracle states every (path, type, count) in
+      // closed form from the same modular classes
+      val staged = t(s, d, "documents").select(
+        col("doc_id"),
+        to_json(struct(
+          col("doc_id").as("id"),
+          struct(col("lang").as("lang"), col("n_chars").as("chars")).as("meta"),
+          when(col("doc_id") % 2 === 0,
+            when(col("doc_id") % 4 === 0,
+              array(
+                struct(col("source").as("s"), (col("doc_id") % 7).as("rank")),
+                struct(col("source").as("s"), (col("doc_id") % 5).as("rank"))))
+              .otherwise(array(struct(col("source").as("s"), (col("doc_id") % 7).as("rank")))))
+            .as("tags"),
+          when(col("doc_id") % 3 === 0, col("source")).as("src")
+        )).as("doc"))
+      JsonIngest.pathCensus(staged, "doc_id", "doc")
+    }),
     "flatten_json" -> ((s, d) =>
       JsonIngest
         .parseAndFlatten(s, t(s, d, "events").select("event_id", "props"), "props")
@@ -1631,6 +1653,27 @@ object SparkEntry {
         |FROM (SELECT unnest(json_keys(props)) AS k FROM events) GROUP BY 1 ORDER BY 1""".stripMargin,
     "flatten_json" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS props_k FROM events ORDER BY event_id",
+    // A37: the staged nesting makes every (path, type, count) a
+    // closed-form function of the modular classes — no JSON functions
+    // needed oracle-side
+    "json_path_census" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        |  FROM documents)
+        |SELECT path, jtype, n_values, n_docs FROM (
+        |  SELECT '$' AS path, 'object' AS jtype, n_all AS n_values, n_all AS n_docs FROM n
+        |  UNION ALL SELECT '$.id', 'number', n_all, n_all FROM n
+        |  UNION ALL SELECT '$.meta', 'object', n_all, n_all FROM n
+        |  UNION ALL SELECT '$.meta.chars', 'number', n_all, n_all FROM n
+        |  UNION ALL SELECT '$.meta.lang', 'string', n_all, n_all FROM n
+        |  UNION ALL SELECT '$.src', 'string', n3, n3 FROM n
+        |  UNION ALL SELECT '$.tags', 'array', n2, n2 FROM n
+        |  UNION ALL SELECT '$.tags[]', 'object', n2 + n4, n2 FROM n
+        |  UNION ALL SELECT '$.tags[].rank', 'number', n2 + n4, n2 FROM n
+        |  UNION ALL SELECT '$.tags[].s', 'string', n2 + n4, n2 FROM n
+        |) ORDER BY path, jtype""".stripMargin,
     "stringify_all" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, CAST(o_custkey AS VARCHAR) AS o_custkey,
         | o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR) AS o_totalprice,

@@ -85,6 +85,68 @@ object JsonIngest {
     addTimestampUs.fold(stringified)(us => graft.operators.Incremental.addSyncTimestamp(stringified, us))
   }
 
+  /** A37 (`json_path_census`): recursive JSON path + type census at
+    * DEPTH — the generalization of the reference's `scan_all_fields`
+    * (es_to_bytehouse.py:338-395 walks sampled docs in Python and
+    * records flattened field names) to arbitrarily nested
+    * arrays-of-objects: every node in every document contributes
+    * (path, json type), with `[]` marking array descent, and the
+    * census reports value + containing-document counts per (path,
+    * type). This is the schema-on-read profile a data-lake user runs
+    * BEFORE committing to a schema: which paths exist, how deep, how
+    * typed, how often — heterogeneous typing shows up as the same
+    * path under two types.
+    *
+    * Plan: breadth-first over depth as ONE declarative plan on
+    * Spark 4's VARIANT type — `parse_json` once at the root, then each
+    * level is a `variant_explode` generator over the previous level's
+    * container nodes (type-preserving at every depth — a
+    * `map<string,string>` reparse would strip the quotes off string
+    * leaves and make "123" indistinguishable from 123), with
+    * `schema_of_variant` naming each node's type; the level unions
+    * feed a single keyed aggregation. No shuffle before the final
+    * groupBy, work ∝ total node count, depth bounded by `maxDepth`
+    * (deeper nodes are censored, not errored — the reference's sample
+    * bound discipline).
+    */
+  def pathCensus(df: DataFrame, idCol: String, jsonCol: String, maxDepth: Int = 8): DataFrame = {
+    def typed(frame: DataFrame): DataFrame = frame
+      .withColumn("st", schema_of_variant(col("v")))
+      .withColumn(
+        "jtype",
+        when(col("st").startsWith("OBJECT"), "object")
+          .when(col("st").startsWith("ARRAY"), "array")
+          .when(col("st") === "STRING", "string")
+          .when(col("st") === "BOOLEAN", "boolean")
+          .when(col("st") === "VOID", "null")
+          .otherwise("number"))
+    val spark = df.sparkSession
+    var frontier = typed(
+      df.select(col(idCol).as("id"), lit("$").as("path"), parse_json(col(jsonCol)).as("v"))
+        .filter(col(jsonCol).isNotNull))
+    var out = frontier.select(col("id"), col("path"), col("jtype"))
+    for (_ <- 2 to maxDepth) {
+      val kids = frontier
+        .filter(col("jtype").isin("object", "array"))
+        .select(col("id"), col("path"), col("jtype").as("ptype"), col("v"))
+        // variant_explode is a table-valued generator: lateral-join it
+        // against each container node (Spark 4's tvf + outer-reference
+        // API), yielding (pos, key, value) per child
+        .lateralJoin(spark.tvf.variant_explode(col("v").outer()))
+        .select(
+          col("id"),
+          when(col("ptype") === "object", concat(col("path"), lit("."), col("key")))
+            .otherwise(concat(col("path"), lit("[]"))).as("path"),
+          col("value").as("v"))
+      frontier = typed(kids)
+      out = out.unionByName(frontier.select(col("id"), col("path"), col("jtype")))
+    }
+    out
+      .groupBy(col("path"), col("jtype"))
+      .agg(count(lit(1)).as("n_values"), countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("path"), col("jtype"))
+  }
+
   /** Corrupt-row quarantine — the parse-side pendant of the sink's
     * row-level fallback (the reference logs-and-skips malformed docs
     * per batch; a pipeline at scale must also KEEP them for triage,

@@ -40,6 +40,31 @@ class MigrationSpec extends SparkSpec {
     assert(r.getAs[String]("doc_n") == "7")
   }
 
+  test("pathCensus: heterogeneous types surface per path; string digits stay strings; depth is censored") {
+    val df = Seq(
+      (1L, """{"a": 1, "b": {"c": [{"d": "x"}, {"d": 2}]}}"""),
+      (2L, """{"a": "1", "b": {"c": []}}"""), // "1" is a STRING — quote-stripping reparses would call it a number
+      (3L, """{"a": true, "deep": {"l2": {"l3": {"l4": 9}}}}""")
+    ).toDF("id", "doc")
+    val rows = JsonIngest.pathCensus(df, "id", "doc", maxDepth = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // one path, three types — the heterogeneity signal
+    assert(rows(("$.a", "number")) == ((1L, 1L)))
+    assert(rows(("$.a", "string")) == ((1L, 1L)))
+    assert(rows(("$.a", "boolean")) == ((1L, 1L)))
+    assert(rows(("$.b.c", "array")) == ((2L, 2L))) // the empty array still reports as a node
+    // maxDepth = 3 censors level-4 nodes: $.b.c[] (depth 4) and $.deep.l2.l3 contents are cut
+    assert(!rows.keySet.exists(_._1.startsWith("$.b.c[]")), rows.keySet.toString)
+    assert(rows.contains(("$.deep.l2", "object")) && !rows.keySet.exists(_._1.contains("l3")))
+    // full depth recovers them, typed per element
+    val deep = JsonIngest.pathCensus(df, "id", "doc", maxDepth = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(deep(("$.b.c[]", "object")) == ((2L, 1L)))
+    assert(deep(("$.b.c[].d", "string")) == ((1L, 1L)))
+    assert(deep(("$.b.c[].d", "number")) == ((1L, 1L)))
+    assert(deep(("$.deep.l2.l3.l4", "number")) == ((1L, 1L)))
+  }
+
   test("expandArray: indexed array-of-struct expansion (reference compat)") {
     val df = Seq((1L, Seq((10, "a"), (20, "b")))).toDF("id", "items")
       .withColumn("items", col("items").cast("array<struct<v:int,s:string>>"))
