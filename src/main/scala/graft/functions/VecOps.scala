@@ -882,6 +882,247 @@ object VecOps {
 
   def pq_adc(code: Column, table: Column, m: Int, kCodes: Int): Column =
     ColumnBridge.column(PqAdcScore(ColumnBridge.expression(code), ColumnBridge.expression(table), m, kCodes))
+
+  // --- PII-scrub / markup-strip byte kernels ---------------------------
+  // The C15/C16 regexp_replace chains are the suite's largest honest
+  // text floor (text_scrub_pii 39s at sf10): three java.util.regex
+  // passes each convert UTF8String→String, run a backtracking matcher,
+  // and re-encode. These kernels reproduce the chains' output EXACTLY —
+  // same leftmost-match, greedy/backtracking, and \b semantics as
+  // java.util.regex on these specific patterns (derived case-by-case in
+  // the per-pass comments; KernelParity spec asserts equality against
+  // the regex chain on adversarial overlap cases and corpus rows) —
+  // as single allocation-free byte scans. All character classes are
+  // pure ASCII, so UTF-8 bytes >= 0x80 are "not in class" for the
+  // kernel precisely as the corresponding code points are for the
+  // regex engine; \b is the one construct that must look at full code
+  // points (see isWordBefore below).
+
+  private def isLocalB(b: Byte): Boolean = // [A-Za-z0-9._%+-]
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') ||
+      b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+  private def isDomainB(b: Byte): Boolean = // [A-Za-z0-9.-]
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') || b == '.' || b == '-'
+  private def isAlphaB(b: Byte): Boolean = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  private def isDigitB(b: Byte): Boolean = b >= '0' && b <= '9'
+  private def isWordB(b: Byte): Boolean = isAlphaB(b) || isDigitB(b) || b == '_'
+
+  // java.util.regex quirk the fuzz test caught: \b's word class is
+  // `ch == '_' || Character.isLetterOrDigit(ch)` — UNICODE-aware even
+  // without UNICODE_CHARACTER_CLASS (unlike \w, which stays ASCII). So
+  // a boundary check next to a non-ASCII byte must decode the adjacent
+  // code point. Decode failures (truncated sequences) yield U+FFFD,
+  // which is not letter-or-digit — boundary, same as the regex engine
+  // treats a lone surrogate.
+  private def codePointAt(b: Array[Byte], s: Int, n: Int): Int = {
+    val c = b(s) & 0xff
+    if (c < 0x80) c
+    else if ((c & 0xe0) == 0xc0 && s + 1 < n) ((c & 0x1f) << 6) | (b(s + 1) & 0x3f)
+    else if ((c & 0xf0) == 0xe0 && s + 2 < n)
+      ((c & 0x0f) << 12) | ((b(s + 1) & 0x3f) << 6) | (b(s + 2) & 0x3f)
+    else if ((c & 0xf8) == 0xf0 && s + 3 < n)
+      ((c & 0x07) << 18) | ((b(s + 1) & 0x3f) << 12) | ((b(s + 2) & 0x3f) << 6) | (b(s + 3) & 0x3f)
+    else 0xfffd
+  }
+  private def isWordBefore(b: Array[Byte], i: Int, n: Int): Boolean = {
+    val p = b(i - 1)
+    if (p >= 0) isWordB(p)
+    else {
+      var s = i - 1
+      while (s > 0 && (b(s) & 0xc0) == 0x80) s -= 1
+      val cp = codePointAt(b, s, n)
+      cp == '_' || Character.isLetterOrDigit(cp)
+    }
+  }
+  private def isWordAt(b: Array[Byte], i: Int, n: Int): Boolean = {
+    val c = b(i)
+    if (c >= 0) isWordB(c)
+    else {
+      val cp = codePointAt(b, i, n)
+      cp == '_' || Character.isLetterOrDigit(cp)
+    }
+  }
+  private def isWsB(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+  private def isPhoneMidB(b: Byte): Boolean = // [\d\s()-]
+    isDigitB(b) || isWsB(b) || b == '(' || b == ')' || b == '-'
+
+  private val EmailTok = "<EMAIL>".getBytes
+  private val IpTok = "<IP>".getBytes
+  private val PhoneTok = "<PHONE>".getBytes
+
+  /** Pass 1: `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}` → <EMAIL>.
+    * Matches anchor on '@' (not in either class, so every attempt spans
+    * exactly one '@'): the leftmost successful attempt starts at the
+    * maximal local-run extension backward from '@' (clamped at the
+    * previous match's end — find() resumes there); the domain side is
+    * the maximal domain-run forward, backtracked to the RIGHTMOST dot
+    * followed by ≥2 alphas (greedy `+` gives back from the right, and
+    * the trailing `[A-Za-z]{2,}` re-extends greedily), which is where
+    * the match ends — trailing junk in the run is left unconsumed,
+    * exactly java.util.regex. An '@' whose domain analysis fails can
+    * anchor no match at any start position, so the scan moves to the
+    * next '@'. */
+  private def emailPass(b: Array[Byte], n: Int, out: Array[Byte]): Int = {
+    var o = 0; var seg = 0; var i = 0
+    while (i < n) {
+      if (b(i) == '@') {
+        var s = i
+        while (s > seg && isLocalB(b(s - 1))) s -= 1
+        if (s < i) {
+          val d = i + 1
+          var e = d
+          while (e < n && isDomainB(b(e))) e += 1
+          var j = e - 3
+          var dot = -1
+          while (j >= d + 1 && dot < 0) {
+            if (b(j) == '.' && isAlphaB(b(j + 1)) && isAlphaB(b(j + 2))) dot = j else j -= 1
+          }
+          if (dot >= 0) {
+            var k = dot + 3
+            while (k < e && isAlphaB(b(k))) k += 1
+            System.arraycopy(b, seg, out, o, s - seg); o += s - seg
+            System.arraycopy(EmailTok, 0, out, o, EmailTok.length); o += EmailTok.length
+            seg = k
+            i = k - 1
+          }
+        }
+      }
+      i += 1
+    }
+    System.arraycopy(b, seg, out, o, n - seg)
+    o + (n - seg)
+  }
+
+  /** Pass 2: `\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b` → <IP>. A group's
+    * digit run is maximal and '.' is outside `\d`, so `\d{1,3}` matches
+    * iff the whole run has length 1-3 and the separator follows it (no
+    * shorter backtrack can expose a '.' inside a digit run); the final
+    * group additionally needs a non-word byte (or end) after it. \b at
+    * the match start reads the ORIGINAL byte before it even directly
+    * after a replacement — java.util.regex find() keeps the full input
+    * as boundary context. */
+  private def ipPass(b: Array[Byte], n: Int, out: Array[Byte]): Int = {
+    var o = 0; var seg = 0; var i = 0
+    while (i < n) {
+      if (isDigitB(b(i)) && (i == 0 || !isWordBefore(b, i, n))) {
+        var p = i; var g = 0; var ok = true
+        while (g < 3 && ok) {
+          var r = 0
+          while (p + r < n && isDigitB(b(p + r))) r += 1
+          if (r >= 1 && r <= 3 && p + r < n && b(p + r) == '.') p += r + 1 else ok = false
+          g += 1
+        }
+        if (ok) {
+          var r = 0
+          while (p + r < n && isDigitB(b(p + r))) r += 1
+          if (r >= 1 && r <= 3 && (p + r == n || !isWordAt(b, p + r, n))) {
+            System.arraycopy(b, seg, out, o, i - seg); o += i - seg
+            System.arraycopy(IpTok, 0, out, o, IpTok.length); o += IpTok.length
+            seg = p + r
+            i = seg - 1
+          }
+        }
+      }
+      i += 1
+    }
+    System.arraycopy(b, seg, out, o, n - seg)
+    o + (n - seg)
+  }
+
+  /** Pass 3: `\+?\d[\d\s()-]{6,}\d` → <PHONE>. After the lead digit the
+    * middle class run is maximal; greedy `{6,}` backtracks until the
+    * final `\d` lands on a digit, i.e. the match ends after the LAST
+    * digit at offset ≥ 6 within the run. `\+?` never needs a second
+    * branch: if `\d` fails with '+' consumed it also fails on '+'
+    * itself. Attempts can only start on '+' or a digit. */
+  private def phonePass(b: Array[Byte], n: Int, out: Array[Byte]): Int = {
+    var o = 0; var seg = 0; var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '+' || isDigitB(c)) {
+        var q = if (c == '+') i + 1 else i
+        if (q < n && isDigitB(b(q))) {
+          q += 1
+          val m0 = q
+          var e = q
+          while (e < n && isPhoneMidB(b(e))) e += 1
+          var j = e - 1
+          var last = -1
+          while (j >= m0 + 6 && last < 0) { if (isDigitB(b(j))) last = j else j -= 1 }
+          if (last >= 0) {
+            System.arraycopy(b, seg, out, o, i - seg); o += i - seg
+            System.arraycopy(PhoneTok, 0, out, o, PhoneTok.length); o += PhoneTok.length
+            seg = last + 1
+            i = seg - 1
+          }
+        }
+      }
+      i += 1
+    }
+    System.arraycopy(b, seg, out, o, n - seg)
+    o + (n - seg)
+  }
+
+  /** C15 kernel: the email → IP → phone scrub chain as three byte
+    * scans over raw UTF-8 (order is the contract — see
+    * [[graft.operators.Curation.scrubPii]]). Worst-case growth is
+    * "<EMAIL>" (7 bytes) for a 6-byte a@b.co, so n + n/4 headroom
+    * bounds every pass. Public static for codegen. */
+  def scrubPiiAscii(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val b0 = text.getBytes
+    val buf1 = new Array[Byte](b0.length + (b0.length >> 2) + 8)
+    val n1 = emailPass(b0, b0.length, buf1)
+    val buf2 = new Array[Byte](n1 + 8)
+    val n2 = ipPass(buf1, n1, buf2)
+    val buf3 = new Array[Byte](n2 + 8)
+    val n3 = phonePass(buf2, n2, buf3)
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(buf3, 0, n3)
+  }
+
+  /** C16 kernel: `trim(regexp_replace(regexp_replace(s, "<[^>]*>", " "),
+    * "\s+", " "))` as ONE output pass. `[^>]*` cannot cross a '>', so a
+    * tag is exactly '<' to the next '>' (an unclosed '<' fails at every
+    * start and stays literal); the replacement space merges with
+    * adjacent whitespace under the same pending-space collapse as
+    * [[normalizeWs]], and leading/trailing runs are dropped, which is
+    * what trim leaves after every \s+ run became a single ' '. Public
+    * static for codegen. */
+  def stripMarkupWs(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val b = text.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c == '<') {
+        var j = i + 1
+        while (j < n && b(j) != '>') j += 1
+        if (j < n) {
+          if (o > 0) pendingSpace = true
+          i = j + 1
+        } else {
+          if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+          out(o) = c; o += 1; i += 1
+        }
+      } else if (isWsB(c)) {
+        if (o > 0) pendingSpace = true
+        i += 1
+      } else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = c; o += 1; i += 1
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
+  }
+
+  def scrub_pii_ascii(text: Column): Column =
+    ColumnBridge.column(ScrubPiiKernel(ColumnBridge.expression(text)))
+
+  def strip_markup_ws(text: Column): Column =
+    ColumnBridge.column(StripMarkupKernel(ColumnBridge.expression(text)))
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
@@ -1287,4 +1528,30 @@ case class NearestCentroidLL(child: Expression, cents: Array[Long], d: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.nearestCentroidLL($c, $ref, $d)")
   }
   override protected def withNewChildInternal(c: Expression): NearestCentroidLL = copy(child = c)
+}
+
+case class ScrubPiiKernel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"scrub_pii_ascii needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.scrubPiiAscii(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.scrubPiiAscii($c)")
+  override protected def withNewChildInternal(c: Expression): ScrubPiiKernel = copy(child = c)
+}
+
+case class StripMarkupKernel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"strip_markup_ws needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.stripMarkupWs(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.stripMarkupWs($c)")
+  override protected def withNewChildInternal(c: Expression): StripMarkupKernel = copy(child = c)
 }

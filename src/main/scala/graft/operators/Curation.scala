@@ -24,7 +24,14 @@ object Curation {
     * must not look like phones), then IPs (dotted digits must not feed
     * the phone pattern), then phones.
     */
-  def scrubPii(c: Column): Column = {
+  def scrubPii(c: Column): Column = graft.functions.VecOps.scrub_pii_ascii(c)
+
+  /** The same chain as three regexp_replace passes — the semantic
+    * reference [[graft.functions.VecOps.scrubPiiAscii]] must equal
+    * byte-for-byte (CurationSpec's kernel-parity test), and the shape
+    * the DuckDB oracle runs.
+    */
+  def scrubPiiRegex(c: Column): Column = {
     val noEmail = regexp_replace(c, EmailRe, "<EMAIL>")
     val noIp = regexp_replace(noEmail, IpRe, "<IP>")
     regexp_replace(noIp, PhoneRe, "<PHONE>")
@@ -34,7 +41,11 @@ object Curation {
     * collapsed — the boilerplate-removal front of a web-scrape
     * pipeline (one codegen'd projection, linear scan).
     */
-  def stripMarkup(c: Column): Column =
+  def stripMarkup(c: Column): Column = graft.functions.VecOps.strip_markup_ws(c)
+
+  /** Regex reference for [[stripMarkup]]'s kernel (spec parity + the
+    * oracle's shape). */
+  def stripMarkupRegex(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
 
   /** Deterministic corpus split: bucket 0-99 from the first 8 hex

@@ -41,6 +41,51 @@ class CurationSpec extends SparkSpec {
     assert(rows(4) == "no pii here at all")
   }
 
+  test("kernel parity: scrubPii/stripMarkup byte kernels equal the regexp_replace chains") {
+    // Adversarial cases for every backtracking/boundary subtlety the
+    // kernels hand-derive: email local/phone overlap, domain-side
+    // backtracking and trailing junk, \b against replaced text and
+    // multi-byte neighbors, phone middle-class give-back, unclosed
+    // and nested-looking tags, mixed whitespace.
+    val adversarial = Seq(
+      "123 45678-90a@b.co",       // email local eats what phone would have
+      "a@b.co1", "a@b.coX@d.co", "x@y z@a.com", "a@b@c.com",
+      "a@b.c", "@x.com", "a@.com", "a@..com", "a@-.-xy tail",
+      "1234.5.6.7", "1.2.3.4567", "1.2.3.41.2.3.4", "a1.2.3.4",
+      "_1.2.3.4", "-1.2.3.4x", "é1.2.3.4", "1.2.3.4é", "1.2.3.4",
+      "++12345678", "+1 (555) 867-5309", "1234567", "12345678",
+      "12345678- tail", "123456789ab", "1 2 3 4 5 6 7 8",
+      "+((1)) 23-45-67-89", "12 34567 a@b.co",
+      "user123@example.com or +1 555-867-5309 at 10.0.36.7",
+      "<a href=x>hi</a>", "a < b > c", "x<unclosed tag", "<<a>>",
+      "\t\n x  y \r\n", " <p> lead</p>tag ", "", "<>", "><",
+      "naïve café über — ünïcode 100.200.300.4000 text"
+    )
+    // plus fuzz: random soup dense in the trigger characters
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "ab2567.@+- ()\t<>_%xé9"
+    val fuzz = Seq.fill(4000)((0 until (1 + rnd.nextInt(60))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (adversarial ++ fuzz).toDF("t")
+    val scrub = df.select(
+      Curation.scrubPii(col("t")).as("k"), Curation.scrubPiiRegex(col("t")).as("r"), col("t"))
+      .collect()
+    for (row <- scrub)
+      assert(row.getString(0) == row.getString(1), s"scrub mismatch on ${row.getString(2)}")
+    val strip = df.select(
+      Curation.stripMarkup(col("t")).as("k"), Curation.stripMarkupRegex(col("t")).as("r"), col("t"))
+      .collect()
+    for (row <- strip)
+      assert(row.getString(0) == row.getString(1), s"strip mismatch on ${row.getString(2)}")
+    // and the staged corpus shape the oracle actually runs
+    val staged = docs.select(concat(
+      col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-867-5309 at 10.0."),
+      col("doc_id") % 256, lit(".7")).as("t"))
+    val corpus = staged.select(
+      Curation.scrubPii(col("t")).as("k"), Curation.scrubPiiRegex(col("t")).as("r"))
+      .filter(col("k") =!= col("r")).count()
+    assert(corpus == 0L)
+  }
+
   test("stripMarkup: tags removed, whitespace collapsed, text preserved") {
     val r = Seq("""<html><body><h1 class="t">Hi</h1><p>a  b</p><br/>c</body></html>""")
       .toDF("t").select(Curation.stripMarkup(col("t")).as("s")).as[String].collect()(0)
