@@ -1360,22 +1360,34 @@ object SparkEntry {
       // REAL javax.imageio decode — frame f = pixel row f*4, exact
       // Long channel sums the oracle integrates in closed form from
       // the staged pattern (r=(id%200)+y, g=(id%100)+x, b=x+y).
-      val staged = Multimodal.encodeStagedPng(
-        s,
-        t(s, d, "documents").select(col("doc_id"),
-          (lit(8) + col("doc_id") % 9).as("w"), (lit(8) + col("doc_id") % 5).as("h")),
-        "doc_id", "w", "h")
+      // Payloads parquet-staged once per scale dir, same discipline as
+      // mm_jpeg/gif/tiff: the benched query measures the DECODE, not
+      // the per-row zlib PNG encode that stages it.
+      val docs = t(s, d, "documents")
+      val staged = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_frame_png_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v1") {
+        Multimodal.encodeStagedPng(
+          s,
+          docs.select(col("doc_id"),
+            (lit(8) + col("doc_id") % 9).as("w"), (lit(8) + col("doc_id") % 5).as("h")),
+          "doc_id", "w", "h").select(col("doc_id"), col("png"))
+      }
       Multimodal.decodeFrameSample(s, staged, "doc_id", "png", rowStride = 4, maxFrames = 4)
     }),
     "mm_pixel_resize" -> ((s, d) => {
       // C22 pixel form: real decode + exact box-filter downsample to a
       // 2x2 grid (block channel sums — the integer-exact numerators of
-      // the box average).
-      val staged = Multimodal.encodeStagedPng(
-        s,
-        t(s, d, "documents").select(col("doc_id"),
-          (lit(8) + (col("doc_id") % 5) * 2).as("w"), (lit(8) + (col("doc_id") % 3) * 4).as("h")),
-        "doc_id", "w", "h")
+      // the box average). Payloads parquet-staged once per scale dir
+      // (see mm_frame_sample).
+      val docs = t(s, d, "documents")
+      val staged = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_resize_png_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v1") {
+        Multimodal.encodeStagedPng(
+          s,
+          docs.select(col("doc_id"),
+            (lit(8) + (col("doc_id") % 5) * 2).as("w"), (lit(8) + (col("doc_id") % 3) * 4).as("h")),
+          "doc_id", "w", "h").select(col("doc_id"), col("png"))
+      }
       Multimodal.decodePixelResize(s, staged, "doc_id", "png", outW = 2, outH = 2)
     }),
     "mm_wav_meta" -> ((s, d) => {

@@ -1118,6 +1118,97 @@ object VecOps {
     org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
   }
 
+  /** C65/C69 kernel: winnowing fingerprint selection (Schleimer-
+    * Wilkerson-Aiken) in ONE partition-local pass. The windowed
+    * formulation explodes every k-shingle into a per-doc window sort —
+    * ~100M rows through a full shuffle at sf10 for a ~2/(w+1)-density
+    * output. But the window min is a per-document sliding minimum, so
+    * a monotonic deque computes the identical selection during the
+    * shingle scan: same md5 key material (hex ++ ':' ++ lpad(pos)
+    * collapses to unsigned-128 hash order with ascending-pos
+    * tiebreak), same full-window emission (pos ≥ w, plus the single
+    * global min for docs with < w shingles), same per-doc distinct (a
+    * (hash,pos) winner's reign is one consecutive window range, so
+    * skip-if-same-as-last IS distinct). Returns
+    * array<struct<fp_hash,fp_pos>> ready to explode — no shuffle
+    * anywhere. Public static for codegen.
+    */
+  // one MD5 instance per executor thread — getInstance per row is a
+  // provider lookup + allocation on the hot path
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def winnowFps(ws: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = ws.numElements()
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val wordBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { wordBytes(i) = ws.getUTF8String(i).getBytes; i += 1 }
+    val md = md5Local.get()
+    val hi = new Array[Long](nGrams)
+    val lo = new Array[Long](nGrams)
+    i = 0
+    while (i < nGrams) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wordBytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      var h = 0L; var l = 0L; var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      while (b < 16) { l = (l << 8) | (d(b) & 0xffL); b += 1 }
+      hi(i) = h; lo(i) = l
+      i += 1
+    }
+    // deque of candidate indices, increasing key order; smaller
+    // (hash, pos) wins — positions are distinct so the order is total
+    def beats(a: Int, c: Int): Boolean = {
+      val c1 = java.lang.Long.compareUnsigned(hi(a), hi(c))
+      if (c1 != 0) c1 < 0
+      else {
+        val c2 = java.lang.Long.compareUnsigned(lo(a), lo(c))
+        if (c2 != 0) c2 < 0 else a < c
+      }
+    }
+    val dq = new Array[Int](nGrams)
+    var head = 0; var tail = 0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastEmitted = -1
+    def emit(idx: Int): Unit =
+      if (idx != lastEmitted) {
+        lastEmitted = idx
+        val hex = new Array[Byte](32)
+        var b2 = 0
+        while (b2 < 32) {
+          val nib = (if (b2 < 16) hi(idx) >>> ((15 - b2) * 4) else lo(idx) >>> ((31 - b2) * 4)) & 0xf
+          hex(b2) = (if (nib < 10) '0' + nib else 'a' + nib - 10).toByte
+          b2 += 1
+        }
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(hex), (idx + 1).toLong)
+      }
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && beats(i, dq(tail - 1))) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) < i - w + 1) head += 1
+      if (i >= w - 1) emit(dq(head))
+      i += 1
+    }
+    if (nGrams < w) emit(dq(head))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
+  def winnow_fps(ws: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFps(ColumnBridge.expression(ws), k, w))
+
   def scrub_pii_ascii(text: Column): Column =
     ColumnBridge.column(ScrubPiiKernel(ColumnBridge.expression(text)))
 
@@ -1554,4 +1645,19 @@ case class StripMarkupKernel(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.stripMarkupWs($c)")
   override protected def withNewChildInternal(c: Expression): StripMarkupKernel = copy(child = c)
+}
+
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("fp_hash", StringType, nullable = false),
+      StructField("fp_pos", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"winnow_fps needs array<string>, k,w >= 1; got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.winnowFps(v.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.winnowFps($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
 }

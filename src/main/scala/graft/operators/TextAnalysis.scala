@@ -394,13 +394,33 @@ object TextAnalysis {
     * Documents with fewer than w shingles keep their single global
     * minimum (the standard short-document rule).
     *
-    * Plan: one per-row HOF projection builds (pos, hash) pairs
-    * (explode ∝ token count), ONE doc-keyed window pass selects, and
-    * the distinct is a (doc, fingerprint)-keyed agg — work ∝ corpus
-    * token volume, never doc×doc; per-doc window partitions stay
-    * document-sized at any corpus scale.
+    * Plan: the window min is a PER-DOCUMENT sliding minimum, so the
+    * whole selection runs inside one codegen'd projection
+    * ([[graft.functions.VecOps.winnowFps]], a monotonic-deque scan
+    * over the shingle hashes) and only the selected ~2/(w+1) density
+    * explodes — no shuffle at all before the caller's join/agg. The
+    * windowed-SQL formulation below ([[winnowFingerprintsWindowed]])
+    * is the semantic reference the kernel must equal row-for-row
+    * (TextAnalysisSpec parity test) and the shape the DuckDB oracle
+    * runs; at sf10 it pushed ~100M exploded shingle rows through a
+    * doc-keyed window sort for a 29s floor the kernel removes.
     */
   def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4
+  ): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow needs k,w >= 1; got k=$k w=$w")
+    df.select(col(idCol), explode(graft.functions.VecOps.winnow_fps(words(col(textCol)), k, w)).as("fp"))
+      .select(col(idCol), col("fp.fp_hash").as("fp_hash"), col("fp.fp_pos").as("fp_pos"))
+      .orderBy(col(idCol), col("fp_pos"), col("fp_hash"))
+  }
+
+  /** The explode → doc-keyed window → distinct reference formulation
+    * of [[winnowFingerprints]] (spec parity + the oracle's shape). */
+  private[graft] def winnowFingerprintsWindowed(
       df: DataFrame,
       idCol: String,
       textCol: String,

@@ -195,6 +195,34 @@ class CurationSpec extends SparkSpec {
     assert(d2Pos.exists(p => p >= 1 && p <= 5))
   }
 
+  test("winnow kernel parity: deque selection equals the windowed-SQL reference row-for-row") {
+    import graft.operators.TextAnalysis
+    // adversarial shapes for the kernel's hand-derived rules: hash
+    // ties from repeated shingles (ascending-pos tiebreak), runs of
+    // one repeated word, docs at every boundary of k and w, and the
+    // real corpus
+    val tricky = Seq(
+      (101L, "a a a a a a a a a a a a"),            // all shingles identical: max tie pressure
+      (102L, "x y x y x y x y x y"),                 // period-2 ties
+      (103L, "one two three four"),                  // exactly k words -> 1 shingle
+      (104L, "one two three four five six"),         // nGrams < w: short-doc rule
+      (105L, "one two three four five six seven"),   // nGrams == w
+      (106L, ""), (107L, "sub k words")              // degenerate
+    ).toDF("doc_id", "text")
+    for ((kk, ww) <- Seq((4, 4), (3, 5), (2, 2), (5, 1))) {
+      val kern = TextAnalysis.winnowFingerprints(tricky, "doc_id", "text", kk, ww)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val ref = TextAnalysis.winnowFingerprintsWindowed(tricky, "doc_id", "text", kk, ww)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(kern == ref, s"kernel != windowed reference at k=$kk w=$ww")
+    }
+    val kernC = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val refC = TextAnalysis.winnowFingerprintsWindowed(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(kernC == refC, "kernel != windowed reference on the corpus")
+  }
+
   test("winnowAgainstIndex: planted copied run matched against the persisted index, batch-scaled") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -442,10 +442,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
-  test("text_winnow_fp: doc-keyed window, no join anywhere") {
+  test("text_winnow_fp: selection is one codegen'd projection — no window, no join, no hash exchange") {
     val p = planOf("text_winnow_fp")
     assert(!p.contains("Join"), p.take(2000))
-    assert(p.contains("Window"), p.take(2000))
+    // the deque kernel replaced the doc-keyed window sort: nothing
+    // shuffles before the final presentation sort's range exchange
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
   test("sparse_cosine_join: candidate + norm joins all keyed — no cartesian, no nested loop") {
