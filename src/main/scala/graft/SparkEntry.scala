@@ -1475,7 +1475,51 @@ object SparkEntry {
     "text_novelty" -> ((s, d) =>
       // C74: per-doc shingle novelty vs everything earlier in corpus
       // order — first-witness assignment via one hash-keyed min
-      Curation.ngramNovelty(t(s, d, "documents"), "doc_id", "text", n = 5))
+      Curation.ngramNovelty(t(s, d, "documents"), "doc_id", "text", n = 5)),
+    "acf_lags" -> ((s, d) =>
+      // B72: daily-revenue autocorrelation at lags 1..7 (seasonality
+      // diagnostic; bit-reproducible Pearson per lag, day arithmetic)
+      Analytics.acfDaily(t(s, d, "lineitem"), maxLag = 7)),
+    "dow_seasonality" -> ((s, d) =>
+      // B73: day-of-week seasonal index in exact basis points,
+      // engine-neutral epoch-day-mod-7 weekday key
+      Analytics.dowSeasonality(t(s, d, "lineitem"))),
+    "state_durations" -> ((s, d) =>
+      // B74: per-event-type dwell times until the user's next event
+      // (right-censored last events excluded)
+      TimeSeries.stateDurations(t(s, d, "events"))),
+    "text_bigram_lm" -> ((s, d) =>
+      // C77: bigram-LM conditional-probability quality scoring — the
+      // integer CCNet-perplexity stand-in (unigramScore's sibling)
+      TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")),
+    "domain_quality" -> ((s, d) =>
+      // C78: per-domain curation report: size, short-doc share, and
+      // corpus-global duplicate share attributed per domain
+      Curation.domainQualityReport(t(s, d, "documents"), "doc_id", "source", "text")),
+    "mm_mp4_meta" -> ((s, d) => {
+      // C79: REAL MP4/ISO-BMFF box-walk parsing — 2/3 of docs carry
+      // byte-faithful ftyp+moov[mvhd+trak...] containers built per
+      // ISO/IEC 14496-12 (closed-form fields, so no staging step is
+      // needed — the builder is a pure hex-concat projection), the
+      // rest non-MP4 text bytes; the oracle states the fields in
+      // closed form (mm_png/mm_wav discipline)
+      val payloads = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 =!= 0,
+          Multimodal.mp4Bytes(
+            lit(600L) + (col("doc_id") % 5) * 600L,
+            (col("doc_id") % 100000L) * 100L + 1000L,
+            lit(1L) + col("doc_id") % 3))
+          .otherwise(col("text").cast("binary")).as("payload"))
+      Multimodal.parseMp4Meta(payloads, "doc_id", "payload")
+    }),
+    "sim_range_search" -> ((s, d) => {
+      // C80: exact cosine range search (FAISS range_search) — every
+      // corpus vector within tau of each query; queries broadcast, one
+      // corpus scan, cost Θ(N·|Q|·dim) — never all-pairs
+      val e = t(s, d, "embeddings")
+      Similarity.rangeSearch(e, e.filter(col("vec_id") < 16), "vec_id", "embedding", tau = 0.4)
+    })
   )
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
@@ -3364,6 +3408,87 @@ object SparkEntry {
         |  bw * bh * (doc_id % 100) + bh * (bw * (bx * bw) + bw * (bw - 1) // 2) AS sum_g,
         |  bh * (bw * (bx * bw) + bw * (bw - 1) // 2)
         |    + bw * (bh * (by * bh) + bh * (bh - 1) // 2) AS sum_b
-        |FROM blocks ORDER BY doc_id, by, bx""".stripMargin
+        |FROM blocks ORDER BY doc_id, by, bx""".stripMargin,
+    // Yule-Walker lag-k AR slope in milli-units over exact HUGEINT
+    // moments (trend_slope pattern) — Pearson r is NOT used because
+    // DuckDB's >2^53 HUGEINT->DOUBLE cast is one ulp off correctly
+    // rounded (measured), so r's sqrt tail can't bit-match; lag pairs
+    // on DAY arithmetic so gaps drop pairs
+    "acf_lags" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT l.lag AS lag, a.x AS x, b.x AS y
+        |      FROM (SELECT unnest(range(1, 8)) AS lag) l
+        |      CROSS JOIN daily a JOIN daily b ON b.day = a.day - l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |             sum(CAST(y AS HUGEINT) * y) AS syy FROM p GROUP BY 1)
+        |SELECT lag, n,
+        |  CAST((1000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+        |       // (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) AS BIGINT) AS ar_slope_md
+        |FROM m ORDER BY lag""".stripMargin,
+    "dow_seasonality" ->
+      """WITH b AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c FROM lineitem),
+        |p AS (SELECT day % 7 AS dow, CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+        |             CAST(sum(rev_c) AS BIGINT) AS rev_c FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_days) AS BIGINT) AS ndt, CAST(sum(rev_c) AS BIGINT) AS rct FROM p)
+        |SELECT dow, n_days, rev_c,
+        |  CAST((10000 * CAST(rev_c AS HUGEINT) * ndt) // (CAST(n_days AS HUGEINT) * rct) AS BIGINT) AS index_bp
+        |FROM p CROSS JOIN t ORDER BY dow""".stripMargin,
+    "state_durations" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           - epoch_us(ts) AS d_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_spells,
+        |       CAST(sum(d_us // 1000000) AS BIGINT) AS total_dwell_s,
+        |       CAST(max(d_us // 1000000) AS BIGINT) AS max_dwell_s
+        |FROM s WHERE d_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM ws),
+        |tf AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+        |cbt AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS cb FROM tf GROUP BY 1),
+        |cht AS (SELECT string_split(bigram, ' ')[1] AS head, CAST(sum(cb) AS BIGINT) AS ch FROM cbt GROUP BY 1)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(tf * (cb * 1000000 // ch)) // sum(tf) AS BIGINT) AS mean_cond_ppm,
+        |       CAST(10000 * sum(CASE WHEN cb <= 2 THEN tf ELSE 0 END) // sum(tf) AS BIGINT) AS rare_bp
+        |FROM tf JOIN cbt USING (bigram) JOIN cht ON string_split(bigram, ' ')[1] = cht.head
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // duplicate identity = whitespace-normalized text, first witness =
+    // min(doc_id) — the dedup_exact convention, attributed per domain
+    "domain_quality" ->
+      """WITH b AS (SELECT doc_id AS id, source AS domain, CAST(length(text) AS BIGINT) AS n_chars,
+        |                  md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) AS h FROM documents),
+        |f AS (SELECT h, min(id) AS first_id FROM b GROUP BY 1)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+        |       CAST(10000 * sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS short_bp,
+        |       CAST(10000 * sum(CASE WHEN id != first_id THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS dup_bp
+        |FROM b JOIN f USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // staged containers are deterministic functions of doc_id, so the
+    // oracle states every parsed field in closed form (mm_png/mm_wav
+    // discipline); %3==0 docs carry text bytes -> is_mp4 = 0, NULLs
+    "mm_mp4_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END AS BIGINT) AS is_mp4,
+        |  CASE WHEN doc_id % 3 != 0 THEN 'isom' END AS major_brand,
+        |  CAST(CASE WHEN doc_id % 3 != 0 THEN 600 + (doc_id % 5) * 600 END AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN doc_id % 3 != 0 THEN (doc_id % 100000) * 100 + 1000 END AS BIGINT) AS duration,
+        |  CAST(CASE WHEN doc_id % 3 != 0 THEN 1 + doc_id % 3 END AS BIGINT) AS n_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact range search: the oracle is the same threshold scan; tau
+    // sits far from this corpus's cosine mass (dedup_embedding's
+    // boundary argument applies unchanged)
+    "sim_range_search" ->
+      """SELECT q.vec_id AS qid, c.vec_id AS vec_id
+        |FROM embeddings q JOIN embeddings c ON q.vec_id < 16 AND c.vec_id != q.vec_id
+        |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.4
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -770,6 +770,86 @@ object VecOps {
   def tiff_meta(payload: Column, maxEntries: Int): Column =
     ColumnBridge.column(TiffMetaExpr(ColumnBridge.expression(payload), maxEntries))
 
+  /** mm_mp4_meta kernel: ISO BMFF (MP4, ISO/IEC 14496-12) box walk
+    * over raw bytes — the video-container pendant of [[tiffMeta]].
+    * Boxes are [u32-BE size][4-char type][payload...]; the file is
+    * MP4 when the FIRST box is `ftyp` (§4.3). The walk reads the
+    * major brand from ftyp, scans top-level boxes for `moov`, then
+    * scans moov's children for `mvhd` (timescale + duration — version
+    * 0 has 32-bit times, version 1 64-bit, §8.2.2) and counts `trak`
+    * children (the movie's track count). Size escapes are honored:
+    * size 0 = box extends to end of file, size 1 = 64-bit largesize
+    * followed. `maxBoxes` bounds EACH walk, so work per blob is
+    * constant — blobs whose moov sits past the bound (e.g.
+    * faststart-less files with mdat first and a huge box count)
+    * report header fields only, never scan megabytes.
+    *
+    * Result is `[is_mp4, brand, timescale, duration, n_traks]` with
+    * −1 sentinels for NULL (brand is the big-endian u32 of the 4
+    * ASCII brand chars; a desynced/overrunning box size stops that
+    * walk, keeping whatever parsed before it — the [[tiffMeta]]
+    * truncation convention).
+    */
+  def mp4Meta(bytes: Array[Byte], maxBoxes: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = bytes.length.toLong
+    val out = Array(0L, -1L, -1L, -1L, -1L)
+    def u32(i: Long): Long =
+      if (i < 0 || i + 3 >= n) -1L
+      else ((bytes(i.toInt) & 0xffL) << 24) | ((bytes(i.toInt + 1) & 0xffL) << 16) |
+        ((bytes(i.toInt + 2) & 0xffL) << 8) | (bytes(i.toInt + 3) & 0xffL)
+    // 64-bit reads cap at Long.MaxValue semantics: a value with the top
+    // bit set (an 8-EiB+ box/duration) comes back negative and is
+    // treated as unreadable — irrelevant below astronomic sizes
+    def u64(i: Long): Long = {
+      val hi = u32(i); val lo = u32(i + 4)
+      if (hi < 0 || lo < 0) -1L else (hi << 32) | lo
+    }
+    if (n < 12 || u32(4) != 0x66747970L) return new GenericArrayData(out) // "ftyp"
+    out(0) = 1L
+    out(1) = u32(8) // major brand
+    // end offset of the box at `off`, bounded by `limit`; -1 = desync
+    def boxEnd(off: Long, limit: Long): Long = {
+      val sz = u32(off)
+      val end =
+        if (sz == 0L) limit // §4.2: size 0 = to end of enclosing space
+        else if (sz == 1L) { val l = u64(off + 8); if (l < 16L) -1L else off + l }
+        else if (sz < 8L) -1L
+        else off + sz
+      if (end < 0 || end > limit) -1L else end
+    }
+    var off = 0L; var hops = 0; var moovOff = -1L; var moovEnd = -1L
+    var ok = true
+    while (ok && off + 8 <= n && hops < maxBoxes && moovOff < 0) {
+      val end = boxEnd(off, n)
+      if (end < 0) ok = false
+      else {
+        if (u32(off + 4) == 0x6D6F6F76L) { moovOff = off; moovEnd = end } // "moov"
+        off = end; hops += 1
+      }
+    }
+    if (moovOff < 0) return new GenericArrayData(out)
+    var c = moovOff + 8L; var traks = 0L; hops = 0; ok = true
+    while (ok && c + 8 <= moovEnd && hops < maxBoxes) {
+      val end = boxEnd(c, moovEnd)
+      if (end < 0) ok = false
+      else {
+        val typ = u32(c + 4)
+        if (typ == 0x6D766864L) { // "mvhd"
+          val v = if (c + 8 < n) bytes((c + 8).toInt) & 0xff else -1
+          if (v == 0) { out(2) = u32(c + 20); out(3) = u32(c + 24) }
+          else if (v == 1) { out(2) = u32(c + 28); out(3) = u64(c + 32) }
+        } else if (typ == 0x7472616BL) traks += 1L // "trak"
+        c = end; hops += 1
+      }
+    }
+    out(4) = traks
+    new GenericArrayData(out)
+  }
+
+  def mp4_meta(payload: Column, maxBoxes: Int): Column =
+    ColumnBridge.column(Mp4MetaExpr(ColumnBridge.expression(payload), maxBoxes))
+
   def shingle_hashes(words: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
@@ -1259,6 +1339,19 @@ case class TiffMetaExpr(child: Expression, maxEntries: Int) extends UnaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.tiffMeta($c, $maxEntries)")
   override protected def withNewChildInternal(c: Expression): TiffMetaExpr = copy(child = c)
+}
+
+case class Mp4MetaExpr(child: Expression, maxBoxes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"mp4_meta needs binary, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.mp4Meta(v.asInstanceOf[Array[Byte]], maxBoxes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.mp4Meta($c, $maxBoxes)")
+  override protected def withNewChildInternal(c: Expression): Mp4MetaExpr = copy(child = c)
 }
 
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {

@@ -582,4 +582,98 @@ object Analytics {
       .agg(count(lit(1)).as("n_rows"), min(col("v_c")).as("lo_c"), max(col("v_c")).as("hi_c"))
       .orderBy(col("bucket"))
   }
+
+  /** B72: lag-k autocorrelation structure of the daily revenue series
+    * at lags 1..maxLag — the seasonality/memory diagnostic a
+    * forecasting pipeline runs before fitting anything (a strong lag-7
+    * says weekly cycle; slow decay across all lags says trend —
+    * difference first). Lag is DAY arithmetic (day t pairs with day
+    * t-k), so calendar gaps drop pairs rather than silently
+    * mis-aligning the series.
+    *
+    * The reported statistic is the Yule-Walker lag-k AR slope in
+    * milli-units — cov(x_t, x_{t−k}) / var(x_{t−k}) as the single
+    * integer expression (1000·(n·Σxy − ΣxΣy)) DIV (n·Σyy − (Σy)²)
+    * over exact integer-cents moments in DECIMAL(38,0)/HUGEINT (the
+    * [[trendSlope]] pattern) — NOT Pearson r: r's σ_x·σ_y denominator
+    * needs two sqrt over ~2^73-bit moments, and a >2^53 128-bit→double
+    * cast is not correctly rounded in DuckDB (measured: one ulp off at
+    * sf0.01), so r is not cross-engine bit-reproducible here. The AR
+    * slope carries the same diagnostic (β_k ≈ r_k for a
+    * covariance-stationary series, σ_t ≈ σ_{t−k}) and is exact —
+    * the C62 PMI→lift / B56 slope discipline.
+    *
+    * Plan: ONE fact scan into a day-cardinality aggregate (map-side
+    * partial → ~2.5k rows), localCheckpointed so the per-lag self-join
+    * reads materialized blocks instead of rescanning the fact table
+    * (the rfmSegments discipline); lags arrive as a broadcast k-row
+    * frame; everything after the first agg is day-cardinality work.
+    */
+  def acfDaily(lineitem: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = lineitem
+      .select(
+        unix_date(to_date(col("l_shipdate"))).cast("long").as("day"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+      .groupBy(col("day"))
+      .agg(sum(col("rev_c")).as("x"))
+      .localCheckpoint()
+    val lags = daily.sparkSession.range(1, maxLag + 1).select(col("id").as("lag"))
+    daily
+      .crossJoin(broadcast(lags))
+      .join(
+        daily.select(col("day").as("day_lag"), col("x").as("y")),
+        col("day_lag") === col("day") - col("lag"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(
+        col("lag"), col("n"),
+        // zero predictor variance (a single pair, or a constant series)
+        // -> NULL, matching DuckDB's NULL-on-zero-divisor `//` (ANSI
+        // Spark throws without the guard)
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy = 0 THEN NULL
+               | ELSE CAST((1000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+               | DIV (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy) AS BIGINT) END""".stripMargin.replace("\n", ""))
+          .as("ar_slope_md"))
+      .orderBy(col("lag"))
+  }
+
+  /** B73: day-of-week seasonal index of daily revenue — mean revenue
+    * on each weekday vs the overall daily mean, in exact integer basis
+    * points: index_bp = ⌊10000 · (s_d/n_d) / (S/N)⌋ computed as the
+    * single integer expression (10000·s_d·N) DIV (n_d·S), carried in
+    * DECIMAL(38,0)/HUGEINT (the product crosses 2^63 at sf1). The
+    * weekday key is engine-neutral INTEGER arithmetic — epoch-day mod
+    * 7 (0 = Thursday, since day 0 = 1970-01-01) — not a locale- or
+    * engine-dependent DAYOFWEEK().
+    *
+    * Plan: one fact scan into a 7-group aggregate (n_d is a distinct
+    * day count per group — exact); the grand totals ride back as a
+    * 1-row broadcast. No window, no join beyond the broadcast.
+    */
+  def dowSeasonality(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      unix_date(to_date(col("l_shipdate"))).cast("long").as("day"),
+      cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+    val perDow = base
+      .groupBy((col("day") % 7).as("dow"))
+      .agg(
+        countDistinct(col("day")).as("n_days"),
+        sum(col("rev_c")).as("rev_c"))
+    val totals = perDow.agg(
+      sum(col("n_days")).as("n_days_total"),
+      sum(col("rev_c")).as("rev_c_total"))
+    perDow
+      .crossJoin(broadcast(totals))
+      .select(
+        col("dow"), col("n_days"), col("rev_c"),
+        expr("""CAST((10000 * CAST(rev_c AS DECIMAL(38,0)) * n_days_total)
+               | DIV (CAST(n_days AS DECIMAL(38,0)) * rev_c_total) AS BIGINT)""".stripMargin.replace("\n", ""))
+          .as("index_bp"))
+      .orderBy(col("dow"))
+  }
 }

@@ -749,4 +749,46 @@ object Curation {
         sum(col("rn") * (col(idCol) % 1000003L)).as("order_checksum"))
       .orderBy("shard")
   }
+
+  /** C78: per-domain curation report — the table a data-quality owner
+    * reads before deciding which sources to keep, cap ([[domainCap]])
+    * or drop: docs, size, short-doc share, and the CORPUS-GLOBAL
+    * duplicate share attributed per domain (a copy counts as dup even
+    * when its first witness lives in another domain — domain-local
+    * dup rates systematically undercount mirror sites). Identity is
+    * the whitespace-normalized text, first witness = min(doc id), the
+    * [[Dedup.exact]] convention; shares are exact integer basis
+    * points.
+    *
+    * Plan: one corpus scan projects (id, domain, len, norm-hash);
+    * first witnesses come from one hash-keyed aggregate joined back
+    * KEYED on the hash (two shuffles of slim rows — the 16-byte
+    * dedup-index row shape, never the text); the report itself is a
+    * |domains|-bounded aggregate. Text leaves the scan only as a
+    * 16-byte md5.
+    */
+  def domainQualityReport(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      textCol: String,
+      shortMaxChars: Long = 200L
+  ): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      col(domainCol).as("domain"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      md5(Dedup.normalize(col(textCol))).as("h"))
+    val first = base.groupBy(col("h")).agg(min(col("id")).as("first_id"))
+    base.join(first, Seq("h"))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("sum(n_chars) DIV count(1)").as("mean_chars"),
+        expr(s"10000 * sum(CASE WHEN n_chars <= $shortMaxChars THEN 1 ELSE 0 END) DIV count(1)")
+          .as("short_bp"),
+        expr("10000 * sum(CASE WHEN id != first_id THEN 1 ELSE 0 END) DIV count(1)").as("dup_bp"))
+      .orderBy(col("domain"))
+  }
 }

@@ -298,6 +298,71 @@ object Multimodal {
       sorted, col(idCol))
   }
 
+  /** C79 (mm_mp4_meta): REAL MP4/ISO-BMFF container parsing — the
+    * video pendant of [[parseTiffMeta]]: a bounded box walk (u32-BE
+    * size + 4-char type per box, ISO/IEC 14496-12) finds `ftyp`
+    * (major brand), `moov`, then `mvhd` (timescale + duration,
+    * version 0 and 1 layouts) and counts `trak` children — all in the
+    * native kernel [[graft.functions.VecOps.mp4Meta]] (one call per
+    * row, a primitive loop; the TIFF lesson: spelling dynamic-offset
+    * byte reads as `conv(hex(substr))` HOF trees allocates thousands
+    * of strings per row). At 100 TB this is the metadata pass a video
+    * pipeline runs BEFORE deciding what to transcode: a linear scan
+    * emitting a few ints per blob, full predicate pushdown on the
+    * results. Non-MP4 payloads report `is_mp4 = 0` with NULL fields;
+    * duration is NULL when mvhd sits past the walk bound or carries
+    * the 64-bit unknown sentinel.
+    */
+  def parseMp4Meta(df: DataFrame, idCol: String, binCol: String, maxBoxes: Int = 32, sorted: Boolean = true): DataFrame = {
+    val m = graft.functions.VecOps.mp4_meta(col(binCol), maxBoxes)
+    def f(i: Int): Column = element_at(col("__m"), i)
+    gateSort(
+      df.select(col(idCol), m.as("__m"))
+        .select(
+          col(idCol),
+          f(1).as("is_mp4"),
+          // brand u32 -> 4 ASCII chars ("isom", "mp42", ...)
+          when(f(2) >= 0L, decode(unhex(lpad(hex(f(2)), 8, "0")), "UTF-8")).as("major_brand"),
+          when(f(3) >= 0L, f(3)).as("timescale"),
+          when(f(4) >= 0L, f(4)).as("duration"),
+          // -1 = no moov found (e.g. ftyp-only prefix): NULL, not a count
+          when(f(5) >= 0L, f(5)).as("n_tracks")),
+      sorted, col(idCol))
+  }
+
+  /** Deterministic synthetic MP4 bytes (ftyp + moov[mvhd + n trak
+    * stubs]) — byte-faithful to ISO/IEC 14496-12 (version-0 mvhd with
+    * the full 108-byte layout: rate/volume/matrix/next-track-id), so
+    * [[parseMp4Meta]] takes the same walk a real .mp4 header does.
+    * Spec fixtures additionally cover version-1 mvhd, free-box
+    * prefixes, largesize and truncation (hand-built there).
+    */
+  def mp4Bytes(timescale: Column, duration: Column, nTracks: Column): Column = {
+    def be32(v: Column): Column = lpad(hex(v.cast("long")), 8, "0")
+    val mvhd = concat(
+      lit("0000006C6D766864"), // size 108 + "mvhd"
+      lit("00000000"),         // version 0 + flags
+      lit("0000000000000000"), // creation + modification time
+      be32(timescale),
+      be32(duration),
+      lit("00010000"), lit("0100"), // rate 1.0, volume 1.0
+      lit("0" * 20),                // 10 reserved bytes
+      // unity matrix (§8.2.2.3)
+      lit("000100000000000000000000" + "000000000001000000000000" + "000000000000000040000000"),
+      lit("0" * 48),                // 6x4 pre_defined
+      lit("00000001"))              // next_track_id
+    val moovSize = lit(8L) + lit(108L) + nTracks.cast("long") * 8L
+    unhex(concat(
+      lit("0000001866747970"),     // ftyp size 24
+      lit("69736F6D"),             // major brand "isom"
+      lit("00000200"),             // minor version
+      lit("69736F6D6D703432"),     // compatible: "isom", "mp42"
+      be32(moovSize), lit("6D6F6F76"), // moov header
+      mvhd,
+      repeat(lit("000000087472616B"), nTracks.cast("int")) // 8-byte trak stubs
+    ))
+  }
+
   /** Persist a deterministic staged-payload frame to parquet ONCE per
     * (source data, version) and serve every later call from the stored
     * bytes — the similarity-index build-once discipline applied to the

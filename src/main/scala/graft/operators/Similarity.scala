@@ -91,6 +91,37 @@ object Similarity {
     )
   }
 
+  /** C80: exact cosine RANGE search — every corpus vector within
+    * cosine ≥ tau of each query (radius search, FAISS
+    * `IndexFlat.range_search`): the retrieval mode dedup thresholds
+    * and near-match audits need, where top-k's fixed cutoff either
+    * truncates dense neighborhoods or pads sparse ones. Exact by
+    * construction — cost is one corpus scan per batch of queries, the
+    * right tool when the query set is small (an IVF probe bounds the
+    * scan when it isn't — [[ivfSearch]]).
+    *
+    * Plan: queries BROADCAST against the corpus scan — Θ(N·|Q|·dim)
+    * multiply-adds inside one codegen stage ([[dot]] is the native
+    * kernel), zero shuffle of the corpus; the id-pair output shuffles
+    * only for the gate sort. Self-matches are excluded (a corpus
+    * vector is trivially within any radius of itself).
+    */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double
+  ): DataFrame = {
+    val cands = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+    val qs = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm")))
+    cands
+      .join(qs, col("vec_id") =!= col("qid"))
+      .filter(dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm")) >= tau)
+      .select(col("qid"), col("vec_id"))
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
   /** C27: nearest-centroid assignment — per-label mean centroids, then
     * every vector assigned to its closest centroid (squared L2, label
     * tiebreak). The classifier form of embedding clustering: centroid

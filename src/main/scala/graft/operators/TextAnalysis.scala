@@ -378,6 +378,50 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** C77: bigram-LM quality scoring — [[unigramScore]]'s conditional
+    * sibling and the integer stand-in for CCNet-style LM perplexity
+    * filtering: per adjacent word pair, the corpus conditional
+    * P(w₂|w₁) as exact ppm — c(w₁w₂)·10⁶ DIV c(w₁·) with c(w₁·) the
+    * count of w₁ as a bigram HEAD (so the conditionals per head sum to
+    * ~10⁶) — then per doc the tf-weighted mean conditional and the
+    * rare-bigram fraction. Log-perplexity itself is a log-sum — not
+    * cross-engine bit-reproducible — but filtering thresholds are
+    * monotone in these ratio statistics (the C62 PMI-vs-lift
+    * discipline), so the ppm frame carries the same decisions.
+    *
+    * Plan: ONE explode feeds everything — per-doc bigram tf is the
+    * base aggregate; corpus bigram counts roll up FROM tf (never a
+    * second corpus scan) and head counts roll up from those. Both
+    * model joins are KEYED on bigram/head — a web-scale vocabulary
+    * never broadcasts (the C51/C62 discipline). Docs with fewer than
+    * two words have no bigrams and drop out, the standard LM rule.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String, rareMaxC: Long = 2L): DataFrame = {
+    val w = words(col(textCol))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b)
+    )
+    val tf = df
+      .select(col(idCol), explode(bigrams).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cb"))
+    val ch = cb
+      .groupBy(element_at(split(col("bigram"), " ", 2), 1).as("head"))
+      .agg(sum(col("cb")).as("ch"))
+    tf.join(cb, Seq("bigram"))
+      .join(ch, element_at(split(col("bigram"), " ", 2), 1) === col("head"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        expr("sum(tf * (cb * 1000000L DIV ch)) DIV sum(tf)").as("mean_cond_ppm"),
+        expr(s"10000 * sum(CASE WHEN cb <= $rareMaxC THEN tf ELSE 0 END) DIV sum(tf)").as("rare_bp")
+      )
+      .orderBy(col(idCol))
+  }
+
   /** C65: winnowing document fingerprints (Schleimer, Wilkerson &
     * Aiken, SIGMOD 2003 — the MOSS local fingerprinting algorithm):
     * hash every k-word shingle, slide a w-position window over the

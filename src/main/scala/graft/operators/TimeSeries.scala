@@ -496,4 +496,33 @@ object TimeSeries {
         expr("(n * 1000000L) div row_n").as("rate_ppm"))
       .orderBy(col("prev"), col("cur"))
   }
+
+  /** B74: per-state dwell times — for each event type, how long users
+    * sit in that state before their NEXT event (the "time in state"
+    * summary behind session heatmaps, cart-abandonment timers, SLA
+    * dashboards). A spell is an event with a successor for the same
+    * user; dwell = successor ts − event ts, floored to whole seconds
+    * with integer microsecond division (exact in both engines — no
+    * float datetime math). Each user's LAST event is right-censored
+    * and excluded, the standard survival-analysis convention.
+    *
+    * Plan: one fact scan, one user-keyed lead window (same exchange
+    * shape as [[eventTransitions]] — (ts, event_id) ordering makes
+    * equal-timestamp spells deterministic), then an |event types|-
+    * bounded aggregate. No joins.
+    */
+  def stateDurations(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dwell_s", expr("(next_us - unix_micros(ts)) DIV 1000000L"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_spells"),
+        sum(col("dwell_s")).as("total_dwell_s"),
+        max(col("dwell_s")).as("max_dwell_s"))
+      .orderBy(col("event_type"))
+  }
 }

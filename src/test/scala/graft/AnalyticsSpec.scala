@@ -653,4 +653,47 @@ class AnalyticsSpec extends SparkSpec {
         s"binned selection disagrees with naive window for ${r.getString(0)}")
     }
   }
+
+  test("acfDaily: perfectly linear daily series gives AR slope exactly 1000 md per lag; n=1 lag is NULL") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // days 1..5 of 1970-01, revenue 100t cents (price t dollars, no discount):
+    // x_t = x_{t-k} + 100k exactly, so the Yule-Walker slope is 1.000 at every
+    // lag with >= 2 pairs; lag 4 has a single pair (zero variance) -> NULL
+    val li = (1 to 5).map(t =>
+      (java.sql.Timestamp.valueOf(s"1970-01-0$t 00:00:00"), t.toDouble, 0.0))
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+    val got = Analytics.acfDaily(li, maxLag = 7).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.filter(_.getLong(1) >= 2).forall(_.getLong(2) == 1000L), got.mkString(","))
+    val lag4 = got.find(_.getLong(0) == 4L).get
+    assert(lag4.getLong(1) == 1L && lag4.isNullAt(2))
+  }
+
+  test("dowSeasonality: flat weekdays at 7777 bp, the 3x day at 23333 bp (exact integer floors)") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // epoch days 0..6 (1970-01-01..07), one day per dow key; dow 6 has 3x revenue
+    val li = (0 to 6).map { d =>
+      (java.sql.Timestamp.valueOf(s"1970-01-0${d + 1} 00:00:00"), if (d == 6) 3.0 else 1.0, 0.0)
+    }.toDF("l_shipdate", "l_extendedprice", "l_discount")
+    val got = Analytics.dowSeasonality(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // S = 900c over N = 7 days; index_bp = (10000 * s_d * 7) DIV (1 * 900)
+    assert(got.toSeq == (0 to 5).map(d => (d.toLong, 1L, 100L, 7777L)) :+ ((6L, 1L, 300L, 23333L)))
+  }
+
+  test("stateDurations: dwell until next event per type; last events censored; ties ordered by event_id") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, ts(0), 1L, "A"), (1L, ts(10), 2L, "B"), (1L, ts(25), 3L, "A"), // A 10s, B 15s, last A censored
+      (2L, ts(0), 4L, "B"), (2L, ts(7), 5L, "B"),                         // B 7s
+      (3L, ts(5), 6L, "C"), (3L, ts(5), 7L, "D")                          // tie: C before D by id -> C dwell 0
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = TimeSeries.stateDurations(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("A", 1L, 10L, 10L), ("B", 2L, 22L, 15L), ("C", 1L, 0L, 0L)))
+  }
 }

@@ -755,4 +755,79 @@ class PipelineSpec extends SparkSpec {
     assert(probed == full)
     assert(probed.nonEmpty, "cross-split near-dups should exist in the test corpus")
   }
+
+  test("bigramLmScore: hand-computed conditionals, tf-weighted mean, rare share; <2-word docs drop") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cb: "a b"=3, "b a"=1, "b c"=1; head counts: a->3, b->2
+    // cond ppm: "a b"=1000000, "b a"=500000, "b c"=500000
+    assert(got.toSeq == Seq(
+      (1L, 3L, 833333L, 3333L), // (2*1e6 + 1*5e5) DIV 3; rare: "b a" (cb<=2), 1 of 3
+      (2L, 2L, 750000L, 5000L))) // rare: "b c", 1 of 2; doc 3 has no bigrams
+  }
+
+  test("domainQualityReport: corpus-global dup attribution, short share, exact integer stats") {
+    import graft.operators.Curation
+    val d = Seq(
+      (1L, "d1", "hello world"),
+      (2L, "d1", "Hello   WORLD"), // dup of 1 after whitespace normalize
+      (3L, "d2", "hello world"),   // CROSS-domain dup of 1 — still counted for d2
+      (4L, "d2", "x" * 300),
+      (5L, "d2", "short")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.domainQualityReport(d, "doc_id", "source", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("d1", 2L, 24L, 12L, 10000L, 5000L),
+      ("d2", 3L, 316L, 105L, 6666L, 3333L)))
+  }
+
+  test("parseMp4Meta: builder round-trip; v1 mvhd 64-bit duration behind free/largesize boxes; junk") {
+    val built = spark.range(1, 6).select(col("id").as("doc_id"),
+      Multimodal.mp4Bytes(lit(600L) + col("id") * 600L, col("id") * 1000L, lit(1L) + col("id") % 3)
+        .as("payload"))
+    val out = Multimodal.parseMp4Meta(built, "doc_id", "payload").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      val id = i + 1L
+      assert(r.getLong(1) == 1L && r.getString(2) == "isom" &&
+        r.getLong(3) == 600 + id * 600 && r.getLong(4) == id * 1000 &&
+        r.getLong(5) == 1 + id % 3, r.toString)
+    }
+    // hand-built: minimal ftyp("mp42") + free box + LARGESIZE free box +
+    // moov[mvhd v1 (64-bit times; duration 2^32+104 exercises the u64
+    // read) + 2 trak stubs]
+    def be32(v: Long) = Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def fourcc(s: String) = s.getBytes("US-ASCII").map(_.toLong & 0xff).toSeq
+    val dur = (1L << 32) + 104L
+    val mvhd = be32(120) ++ fourcc("mvhd") ++ Seq(1L, 0L, 0L, 0L) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(dur) ++ Seq.fill(80)(0L)
+    val moov = be32(8 + 120 + 16) ++ fourcc("moov") ++ mvhd ++
+      be32(8) ++ fourcc("trak") ++ be32(8) ++ fourcc("trak")
+    val v1 = (be32(16) ++ fourcc("ftyp") ++ fourcc("mp42") ++ be32(0) ++
+      be32(8) ++ fourcc("free") ++
+      be32(1) ++ fourcc("free") ++ be64(16) ++
+      moov).map(_.toByte).toArray
+    // ftyp-only prefix: container recognized, moov fields all NULL
+    val ftypOnly = (be32(16) ++ fourcc("ftyp") ++ fourcc("isom") ++ be32(0)).map(_.toByte).toArray
+    val extra = Seq((100L, v1), (101L, "definitely not an mp4".getBytes), (102L, ftypOnly))
+      .toDF("doc_id", "payload")
+    val o2 = Multimodal.parseMp4Meta(extra, "doc_id", "payload").collect()
+    assert(o2(0).getLong(1) == 1L && o2(0).getString(2) == "mp42" &&
+      o2(0).getLong(3) == 90000L && o2(0).getLong(4) == dur && o2(0).getLong(5) == 2L, o2(0).toString)
+    assert(o2(1).getLong(1) == 0L && o2(1).isNullAt(2) && o2(1).isNullAt(3) && o2(1).isNullAt(5), o2(1).toString)
+    assert(o2(2).getLong(1) == 1L && o2(2).getString(2) == "isom" &&
+      o2(2).isNullAt(3) && o2(2).isNullAt(4) && o2(2).isNullAt(5), o2(2).toString)
+  }
+
+  test("rangeSearch: exact cosine threshold pairs, self-match excluded") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 1f)), (3L, Array(2f, 0f)), (4L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.rangeSearch(vecs, vecs.filter(col("vec_id") === 1), "vec_id", "embedding", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // cos(1,3) = 1 >= 0.9; cos(1,2) ~ 0.707, cos(1,4) = 0; id 1 itself excluded
+    assert(got.toSeq == Seq((1L, 3L)))
+  }
 }
