@@ -1519,6 +1519,68 @@ object SparkEntry {
       // corpus scan, cost Θ(N·|Q|·dim) — never all-pairs
       val e = t(s, d, "embeddings")
       Similarity.rangeSearch(e, e.filter(col("vec_id") < 16), "vec_id", "embedding", tau = 0.4)
+    }),
+    "seasonal_decompose" -> ((s, d) =>
+      // B75: 7-day centered-MA trend, per-weekday mean residual —
+      // exact integer cents, complete windows only
+      Analytics.seasonalDecompose(t(s, d, "lineitem"))),
+    "funnel_latency" -> ((s, d) =>
+      // B76: exact p50/p90 hop durations over the strict-order funnel
+      // (B19's completion times), selected via the binned rank pass
+      Analytics.funnelLatency(
+        t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+    "mm_wav_rms" -> ((s, d) => {
+      // C81: REAL PCM sample decode — signal moments over staged
+      // 16-bit ramp-pattern WAVs (closed-form oracle); payloads
+      // parquet-staged once per scale dir so repeated runs measure
+      // the sample-decode kernel, not the per-sample hex staging
+      val docs = t(s, d, "documents")
+      val staged = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_wavpcm_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v1") {
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"),
+          Multimodal.wavPcmBytes(col("doc_id"), lit(200L) + col("doc_id") % 57).as("payload"))
+      }
+      val tx = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.parseWavPcmStats(staged.unionByName(tx), "doc_id", "payload")
+    }),
+    "mm_exif_meta" -> ((s, d) => {
+      // C82: EXIF orientation + dims via the APP1 marker walk + the
+      // embedded-TIFF IFD walk — 2/3 of docs carry spec-built EXIF
+      // JPEGs (closed-form fields, pure hex-concat builder — no
+      // staging step needed), the rest non-JPEG text bytes
+      val payloads = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 =!= 0,
+          Multimodal.exifJpegBytes(
+            lit(1L) + col("doc_id") % 8,
+            lit(16L) + col("doc_id") % 4000,
+            lit(16L) + col("doc_id") % 3000))
+          .otherwise(col("text").cast("binary")).as("payload"))
+      Multimodal.parseExifMeta(payloads, "doc_id", "payload")
+    }),
+    "mm_phash_dedup" -> ((s, d) => {
+      // C83: perceptual-hash (aHash) image dedup over REAL decoded
+      // pixels — 40 distinct staged patterns shared across the corpus;
+      // docs with the same pattern are visual duplicates. Encoding is
+      // O(patterns) and staged once per scale dir; decode is the
+      // per-doc cost, exactly as a real image corpus pays it
+      val docs = t(s, d, "documents")
+      val staged = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_phash_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v2") {
+        val pats = docs.select((col("doc_id") % 40).as("pk")).distinct()
+        Multimodal.encodeStagedPngStripes(s,
+          pats.select(col("pk"), (lit(8) + (col("pk") % 2) * 8).as("w"), lit(8).as("h")),
+          "pk", "w", "h").select(col("pk"), col("png"))
+      }
+      val payloads = docs.select(col("doc_id"), (col("doc_id") % 40).as("pk"))
+        .join(staged, "pk")
+      Multimodal.imageAHash(s, payloads, "doc_id", "png")
+        .groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_dups"))
+        .select(col("kept_id"), col("n_dups"), col("phash"))
+        .orderBy(col("kept_id"))
     })
   )
 
@@ -3489,6 +3551,87 @@ object SparkEntry {
       """SELECT q.vec_id AS qid, c.vec_id AS vec_id
         |FROM embeddings q JOIN embeddings c ON q.vec_id < 16 AND c.vec_id != q.vec_id
         |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.4
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    // centered 7-day RANGE window over day VALUES (gaps shrink the
+    // window below 7 and the completeness filter drops it); trunc-
+    // toward-zero residual means match Spark DIV
+    "seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT day, x, count(*) OVER w AS cnt, sum(x) OVER w AS s7
+        |      FROM daily WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT day % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(x - s7 // 7) // count(*) AS BIGINT) AS seasonal_c
+        |FROM t WHERE cnt = 7 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same strict-order funnel CTEs as funnel_counts; the quantile is
+    // value-at-rank (p50 lower median, p90 ceil(0.9n)) — duplicate
+    // durations make the selected value tie-order-free
+    "funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type='view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, s0.t0, min(CASE WHEN e.us > s0.t0 THEN e.us END) AS t1
+        |       FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.event_type='click' GROUP BY 1,2),
+        |s2 AS (SELECT s1.user_id, s1.t0, s1.t1, min(CASE WHEN e.us > s1.t1 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type='purchase' GROUP BY 1,2,3),
+        |durs AS (
+        |  SELECT '1:view->click' AS step, (t1 - t0) // 1000000 AS dur_s FROM s1 WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT '2:click->purchase', (t2 - t1) // 1000000 FROM s2 WHERE t2 IS NOT NULL),
+        |r AS (SELECT step, dur_s, row_number() OVER (PARTITION BY step ORDER BY dur_s) AS rk,
+        |             count(*) OVER (PARTITION BY step) AS n FROM durs)
+        |SELECT step, rank_name, dur_s, n_users FROM (
+        |  SELECT step, 'p50' AS rank_name, dur_s, CAST(n AS BIGINT) AS n_users, rk, (n + 1) // 2 AS k FROM r
+        |  UNION ALL
+        |  SELECT step, 'p90', dur_s, CAST(n AS BIGINT), rk, CAST(ceil(n * 9 / 10.0) AS BIGINT) FROM r) q
+        |WHERE rk = k ORDER BY step, rank_name""".stripMargin,
+    // staged ramp samples are a closed-form function of (doc_id, i):
+    // stored u16 = (doc_id*31 + i*7) mod 2^16, signed interpretation
+    "mm_wav_rms" ->
+      """WITH base AS (SELECT doc_id, 200 + doc_id % 57 AS n FROM documents WHERE doc_id % 3 != 0),
+        |s AS (SELECT doc_id, n, unnest(range(0, CAST(n AS BIGINT))) AS i FROM base),
+        |v AS (SELECT doc_id, n, CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS smp
+        |      FROM (SELECT doc_id, n, (doc_id * 31 + i * 7) % 65536 AS m FROM s) q)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS is_pcm16, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(sum(smp) AS BIGINT) AS sum_s, CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+        |       CAST(max(abs(smp)) AS BIGINT) AS max_abs
+        |FROM v GROUP BY doc_id, n
+        |UNION ALL
+        |SELECT doc_id, 0, NULL, NULL, NULL, NULL FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+    // spec-built EXIF fields are a closed form of doc_id (builder
+    // writes big-endian TIFF); %3==0 docs carry text -> has_exif 0
+    "mm_exif_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END AS BIGINT) AS has_exif,
+        |  CASE WHEN doc_id % 3 != 0 THEN 'MM' END AS byte_order,
+        |  CAST(CASE WHEN doc_id % 3 != 0 THEN 1 + doc_id % 8 END AS BIGINT) AS orientation,
+        |  CAST(CASE WHEN doc_id % 3 != 0 THEN 16 + doc_id % 4000 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 != 0 THEN 16 + doc_id % 3000 END AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle reproduces the aHash bits from the staged stripe
+    // pattern at PIXEL level (the pattern is a closed form of the
+    // pattern key): gray(x,y) = stripe(200|20) + 3x + 5y, blocks of
+    // equal size bw x 1, bit = blockSum·64 > total (the mean compare
+    // as an exact integer cross-multiplication)
+    "mm_phash_dedup" ->
+      """WITH pks AS (SELECT DISTINCT doc_id % 40 AS pk FROM documents),
+        |geo AS (SELECT pk, 8 * (1 + pk % 2) AS w FROM pks),
+        |px AS (SELECT pk, w, xs.x AS x, ys.y AS y
+        |       FROM geo, (SELECT unnest(range(0, 16)) AS x) xs, (SELECT unnest(range(0, 8)) AS y) ys
+        |       WHERE xs.x < w),
+        |gr AS (SELECT pk, x // (w // 8) AS bx, y AS by,
+        |              (CASE WHEN (x * (1 + pk % 5) + y * (1 + pk % 3)) % 4 < 2 THEN 200 ELSE 20 END)
+        |                + x * 3 + y * 5 AS v
+        |       FROM px),
+        |blocks AS (SELECT pk, bx, by, sum(v) AS v FROM gr GROUP BY 1, 2, 3),
+        |tot AS (SELECT pk, sum(v) AS tv FROM blocks GROUP BY 1),
+        |bits AS (SELECT blocks.pk AS pk, by, CAST(sum(CASE WHEN v * 64 > tv THEN 1 << bx ELSE 0 END) AS BIGINT) AS rb
+        |         FROM blocks JOIN tot ON blocks.pk = tot.pk GROUP BY 1, 2),
+        |ph AS (SELECT pk, lower(string_agg(lpad(to_hex(rb), 2, '0'), '' ORDER BY by)) AS phash FROM bits GROUP BY 1),
+        |assign AS (SELECT d.doc_id, ph.phash FROM documents d JOIN ph ON d.doc_id % 40 = ph.pk)
+        |SELECT min(doc_id) AS kept_id, CAST(count(*) AS BIGINT) AS n_dups, phash
+        |FROM assign GROUP BY phash ORDER BY kept_id""".stripMargin
   )
 }

@@ -850,6 +850,133 @@ object VecOps {
   def mp4_meta(payload: Column, maxBoxes: Int): Column =
     ColumnBridge.column(Mp4MetaExpr(ColumnBridge.expression(payload), maxBoxes))
 
+  /** mm_wav_rms kernel: decode the PCM sample data of a canonical
+    * 16-bit WAV (RIFF/WAVE/fmt leading layout, "data" chunk directly
+    * after the 16-byte fmt chunk — what encoders including the JDK
+    * write) and fold signal statistics in one primitive pass:
+    * `[is_pcm16, n_samples, sum, sum_sq, max_abs]` over signed
+    * little-endian s16 samples, −1 sentinels for NULL. This is the
+    * step BEYOND header parsing ([[graft.operators.Multimodal
+    * .parseWavMeta]]): actual sample decode — silence/clipping
+    * detection, loudness normalization inputs — as a linear byte scan
+    * with a few longs out, the audio pendant of the PNG pixel decode.
+    * A declared-but-truncated data chunk folds the samples present
+    * (truncation convention); `maxSamples` bounds work per blob so a
+    * malformed gigabyte payload can't own a task.
+    */
+  def wavPcmStats(bytes: Array[Byte], maxSamples: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = bytes.length
+    val out = Array(0L, -1L, -1L, -1L, -1L)
+    def at(i: Int): Int = bytes(i) & 0xff
+    // RIFF + WAVE + fmt signatures, PCM(1), 16-bit, "data" at 36
+    val ok = n >= 44 &&
+      at(0) == 0x52 && at(1) == 0x49 && at(2) == 0x46 && at(3) == 0x46 &&
+      at(8) == 0x57 && at(9) == 0x41 && at(10) == 0x56 && at(11) == 0x45 &&
+      at(12) == 0x66 && at(13) == 0x6d && at(14) == 0x74 && at(15) == 0x20 &&
+      (at(20) | (at(21) << 8)) == 1 &&
+      (at(34) | (at(35) << 8)) == 16 &&
+      at(36) == 0x64 && at(37) == 0x61 && at(38) == 0x74 && at(39) == 0x61
+    if (!ok) return new GenericArrayData(out)
+    out(0) = 1L
+    val declared = (at(40).toLong | (at(41).toLong << 8) | (at(42).toLong << 16) | (at(43).toLong << 24)) / 2L
+    val avail = (n - 44) / 2L
+    val cnt = math.min(math.min(declared, avail), maxSamples.toLong)
+    var i = 0L; var sum = 0L; var sq = 0L; var mx = 0L
+    while (i < cnt) {
+      val p = 44 + 2 * i.toInt
+      val s = ((at(p) | (at(p + 1) << 8)) << 16) >> 16 // sign-extend s16le
+      sum += s; sq += s.toLong * s
+      val a = math.abs(s.toLong); if (a > mx) mx = a
+      i += 1
+    }
+    out(1) = cnt; out(2) = sum; out(3) = sq; out(4) = mx
+    new GenericArrayData(out)
+  }
+
+  def wav_pcm_stats(payload: Column, maxSamples: Int): Column =
+    ColumnBridge.column(WavPcmStatsExpr(ColumnBridge.expression(payload), maxSamples))
+
+  /** mm_exif_meta kernel: EXIF orientation/dimensions from a JPEG —
+    * the composition of the two walks this library already does: the
+    * bounded T.81 marker walk (the [[graft.operators.Multimodal
+    * .parseJpegMeta]] shape) locates the APP1 segment, its
+    * `Exif\0\0` header is checked, and then a TIFF 6.0 IFD walk (the
+    * [[tiffMeta]] shape, offsets RELATIVE to the embedded TIFF base
+    * as EXIF requires) scans for tags 274 (Orientation), 256/257
+    * (dimensions) in either byte order. Orientation is what every
+    * image pipeline must read before resizing — a 90°-rotated photo
+    * has swapped logical dims. Result `[has_exif, byte_order,
+    * orientation, width, height]`, −1 sentinels for NULL; APP1-less
+    * JPEGs and non-JPEGs report has_exif = 0. `maxHops`/`maxEntries`
+    * bound both walks ([[mp4Meta]] discipline).
+    */
+  def exifMeta(bytes: Array[Byte], maxHops: Int, maxEntries: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = bytes.length
+    val out = Array(0L, -1L, -1L, -1L, -1L)
+    def at(i: Long): Int = if (i < 0 || i >= n) -1 else bytes(i.toInt) & 0xff
+    def be16(i: Long): Long = { val a = at(i); val b = at(i + 1); if (a < 0 || b < 0) -1L else a * 256L + b }
+    if (n < 4 || at(0) != 0xff || at(1) != 0xd8) return new GenericArrayData(out)
+    // marker walk for APP1 (FF E1); stop at SOS/EOI — entropy data follows
+    var off = 2L; var hops = 0; var app1 = -1L
+    var walking = true
+    while (walking && app1 < 0 && hops < maxHops && off + 1 < n) {
+      val m0 = at(off); val m1 = at(off + 1)
+      if (m0 != 0xff) walking = false
+      else if (m1 == 0xff) off += 1 // fill byte: slide
+      else if (m1 == 0xe1) app1 = off
+      else if (m1 == 0x01 || (m1 >= 0xd0 && m1 <= 0xd7)) off += 2 // TEM/RSTn
+      else if (m1 == 0xd9 || m1 == 0xda) walking = false // EOI/SOS
+      else {
+        val len = be16(off + 2)
+        if (len < 2) walking = false else { off = off + 2 + len; hops += 1 }
+      }
+    }
+    if (app1 < 0) return new GenericArrayData(out)
+    // "Exif\0\0" header after the length field
+    val e = app1 + 4
+    if (!(at(e) == 0x45 && at(e + 1) == 0x78 && at(e + 2) == 0x69 &&
+          at(e + 3) == 0x66 && at(e + 4) == 0 && at(e + 5) == 0))
+      return new GenericArrayData(out)
+    val base = e + 6 // embedded TIFF: all IFD offsets are relative to here
+    val b0 = at(base); val b1 = at(base + 1)
+    val le = b0 == 0x49 && b1 == 0x49
+    val be = b0 == 0x4d && b1 == 0x4d
+    if (!le && !be) return new GenericArrayData(out)
+    def u16(i: Long): Long = {
+      val a = at(base + i); val b = at(base + i + 1)
+      if (a < 0 || b < 0) -1L else if (le) a + b * 256L else a * 256L + b
+    }
+    def u32(i: Long): Long = {
+      val lo = u16(i); val hi = u16(i + 2)
+      if (lo < 0 || hi < 0) -1L else if (le) lo + hi * 65536L else lo * 65536L + hi
+    }
+    if (u16(2) != 42L) return new GenericArrayData(out)
+    out(0) = 1L
+    out(1) = if (le) 0L else 1L
+    val ifd = u32(4)
+    if (ifd < 0) return new GenericArrayData(out)
+    val nEntries = u16(ifd)
+    val cnt = if (nEntries < 0) 0L else math.min(nEntries, maxEntries.toLong)
+    var i = 0L
+    while (i < cnt) {
+      val p = ifd + 2L + i * 12L
+      val tag = u16(p)
+      if (tag == 274L || tag == 256L || tag == 257L) {
+        val typ = u16(p + 2)
+        val v = if (typ == 3L) u16(p + 8) else u32(p + 8)
+        val slot = if (tag == 274L) 2 else if (tag == 256L) 3 else 4
+        if (v >= 0 && out(slot) < 0) out(slot) = v
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def exif_meta(payload: Column, maxHops: Int, maxEntries: Int): Column =
+    ColumnBridge.column(ExifMetaExpr(ColumnBridge.expression(payload), maxHops, maxEntries))
+
   def shingle_hashes(words: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
@@ -1352,6 +1479,32 @@ case class Mp4MetaExpr(child: Expression, maxBoxes: Int) extends UnaryExpression
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.mp4Meta($c, $maxBoxes)")
   override protected def withNewChildInternal(c: Expression): Mp4MetaExpr = copy(child = c)
+}
+
+case class ExifMetaExpr(child: Expression, maxHops: Int, maxEntries: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"exif_meta needs binary, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.exifMeta(v.asInstanceOf[Array[Byte]], maxHops, maxEntries)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.exifMeta($c, $maxHops, $maxEntries)")
+  override protected def withNewChildInternal(c: Expression): ExifMetaExpr = copy(child = c)
+}
+
+case class WavPcmStatsExpr(child: Expression, maxSamples: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"wav_pcm_stats needs binary, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.wavPcmStats(v.asInstanceOf[Array[Byte]], maxSamples)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.wavPcmStats($c, $maxSamples)")
+  override protected def withNewChildInternal(c: Expression): WavPcmStatsExpr = copy(child = c)
 }
 
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {

@@ -154,10 +154,34 @@ object Analytics {
       tsCol: String,
       stages: Seq[String]
   ): DataFrame = {
+    val reached = funnelReached(events, userCol, typeCol, tsCol, stages)
+    val counts = stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i"))
+    // unpivot the 1-row count aggregate with stack() — stays a lazy
+    // plan end to end, no driver materialization
+    val stacked = stages.indices.map(i => s"CAST($i AS BIGINT), '${stages(i)}', n$i").mkString(", ")
+    reached
+      .agg(counts.head, counts.tail: _*)
+      .selectExpr(s"stack(${stages.length}, $stacked) AS (stage_idx, stage, n_users)")
+  }
+
+  /** Per-user strict-order funnel completion times: t0 = earliest
+    * stages(0) event, t_i = earliest stages(i) event strictly after
+    * t_{i-1} (NULL once a stage is missed). One keyed aggregation per
+    * stage, every pass reusing the user-key partitioning; each stage's
+    * events are filtered before their aggregate. Shared by
+    * [[funnelCounts]] (how many reach each stage) and
+    * [[funnelLatency]] (how long each hop takes).
+    */
+  private def funnelReached(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.forall(_.matches("[A-Za-z0-9_-]+")), "stage names must be simple identifiers")
     val us = unix_micros(col(tsCol).cast("timestamp"))
-    // t0 = earliest stage-0 event per user
     var reached = events
       .filter(col(typeCol) === stages.head)
       .groupBy(col(userCol))
@@ -172,13 +196,83 @@ object Analytics {
         .groupBy(col(userCol) +: carried.map(col): _*)
         .agg(min(when(col("__ts") > col(s"t${i - 1}"), col("__ts"))).as(s"t$i"))
     }
-    val counts = stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i"))
-    // unpivot the 1-row count aggregate with stack() — stays a lazy
-    // plan end to end, no driver materialization
-    val stacked = stages.indices.map(i => s"CAST($i AS BIGINT), '${stages(i)}', n$i").mkString(", ")
     reached
-      .agg(counts.head, counts.tail: _*)
-      .selectExpr(s"stack(${stages.length}, $stacked) AS (stage_idx, stage, n_users)")
+  }
+
+  /** B76: funnel hop latency — for each consecutive stage pair, how
+    * long converting users take (the time-to-convert distribution
+    * behind "where does the funnel stall"): exact p50/p90 whole-second
+    * durations over [[funnelReached]]'s strict-order completion times.
+    * Quantiles are value-at-rank selections (p50 = lower median at
+    * rank ⌊(n+1)/2⌋, p90 at rank ⌈9n/10⌉, duplicate durations make the
+    * selected VALUE tie-order-free) through [[groupedExactRanks]]'s
+    * binned pass — per-hop user populations are corpus-scale, so a
+    * per-group sort window is the B33 anti-plan. Durations floor to
+    * whole seconds by integer microsecond DIV.
+    */
+  def funnelLatency(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.length >= 2, "funnel latency needs at least two stages")
+    val reached = funnelReached(events, userCol, typeCol, tsCol, stages)
+    val durs = (1 until stages.length)
+      .map { i =>
+        reached
+          .filter(col(s"t$i").isNotNull)
+          .select(
+            lit(s"$i:${stages(i - 1)}->${stages(i)}").as("step"),
+            expr(s"(t$i - t${i - 1}) DIV 1000000L").as("dur_s"))
+      }
+      .reduce(_ unionByName _)
+    groupedExactRanks(
+      durs, "step", col("dur_s"),
+      Seq(
+        "p50" -> (n => floor((n + lit(1)) / lit(2.0))),
+        "p90" -> (n => ceil(n * lit(9) / lit(10.0)))))
+      .select(col("step"), col("rank_name"), col("value").as("dur_s"), col("n").as("n_users"))
+      .orderBy(col("step"), col("rank_name"))
+  }
+
+  /** B75: classical seasonal decomposition of daily revenue — a 7-day
+    * CENTERED moving-average trend (only complete windows, the
+    * textbook rule), residual = day − trend, and the seasonal
+    * component as the mean residual per weekday — all exact integer
+    * cents (trend = Σ7 DIV 7; negative residual means truncate toward
+    * zero in BOTH engines, verified). The weekday key is epoch-day
+    * mod 7 (the B73 convention). Against B73's raw index this
+    * separates "Saturdays are big" from "revenue is growing".
+    *
+    * Plan: one fact scan into the day-cardinality daily aggregate;
+    * the centered window is a RANGE frame over DAY VALUES (calendar
+    * gaps shrink the window below 7 and the completeness filter drops
+    * it, rather than silently averaging across a gap). The window runs
+    * unpartitioned — over a series bounded by the CALENDAR (~2.5k
+    * rows/decade), invariant in data volume, so the one-task window is
+    * a constant-size tail, not a scale risk.
+    */
+  def seasonalDecompose(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .select(
+        unix_date(to_date(col("l_shipdate"))).cast("long").as("day"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+      .groupBy(col("day"))
+      .agg(sum(col("rev_c")).as("x"))
+    val w = Window.orderBy(col("day")).rangeBetween(-3, 3)
+    daily
+      .select(
+        col("day"), col("x"),
+        count(lit(1)).over(w).as("cnt"), sum(col("x")).over(w).as("s7"))
+      .filter(col("cnt") === 7)
+      .select(col("day"), (col("x") - expr("s7 DIV 7")).as("resid_c"))
+      .groupBy((col("day") % 7).as("dow"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr("sum(resid_c) DIV count(1)").as("seasonal_c"))
+      .orderBy(col("dow"))
   }
 
   /** B49: per-column statistics profile — the ANALYZE TABLE surface a

@@ -189,6 +189,192 @@ object Multimodal {
       leHex(bits, 2)
     ))
 
+  /** C81 (mm_wav_rms): REAL PCM sample decode + signal statistics —
+    * the step BEYOND [[parseWavMeta]]'s header fields: the 16-bit
+    * little-endian samples of the data chunk are decoded and folded
+    * into (n, Σs, Σs², max|s|) — the silence/clipping/loudness
+    * screen an audio pipeline runs before transcoding, expressed as
+    * ONE native-kernel call per row ([[graft.functions.VecOps
+    * .wavPcmStats]], a primitive byte loop — the TIFF lesson applies
+    * doubly here: thousands of per-sample HOF reads would allocate
+    * strings per BYTE). RMS/dBFS are one double op away from the
+    * exact integer moments; the moments themselves stay engine-exact.
+    * Non-WAV / non-PCM16 payloads report `is_pcm16 = 0` with NULLs.
+    */
+  def parseWavPcmStats(df: DataFrame, idCol: String, binCol: String, maxSamples: Int = 65536, sorted: Boolean = true): DataFrame = {
+    val m = graft.functions.VecOps.wav_pcm_stats(col(binCol), maxSamples)
+    def f(i: Int): Column = element_at(col("__m"), i)
+    gateSort(
+      df.select(col(idCol), m.as("__m"))
+        .select(
+          col(idCol),
+          f(1).as("is_pcm16"),
+          // sum_s can be ANY long (negative included), so every field
+          // gates on the is_pcm16 flag, not on a -1 sentinel
+          when(f(1) === 1L, f(2)).as("n_samples"),
+          when(f(1) === 1L, f(3)).as("sum_s"),
+          when(f(1) === 1L, f(4)).as("sum_sq"),
+          when(f(1) === 1L, f(5)).as("max_abs")),
+      sorted, col(idCol))
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV (canonical header + data
+    * chunk) — sample i is the signed interpretation of
+    * (seed·31 + i·7) mod 2^16, a full-range ramp pattern with a
+    * closed-form oracle, stored little-endian exactly as a real
+    * encoder writes it. Staged to parquet once per scale dir (the
+    * per-sample hex concat here is the expensive staging step the
+    * parse kernel must not pay on every run).
+    */
+  def wavPcmBytes(seed: Column, nSamples: Column): Column = {
+    val n = nSamples.cast("long")
+    val samples = array_join(
+      transform(sequence(lit(0L), n - 1L), i => {
+        val u = (seed.cast("long") * 31L + i * 7L) % 65536L
+        concat(
+          lpad(hex(u.bitwiseAND(lit(255L))), 2, "0"),
+          lpad(hex(shiftright(u, 8)), 2, "0"))
+      }),
+      "")
+    unhex(concat(
+      lit("52494646"), lit("00000000"), // "RIFF" + size (unused)
+      lit("57415645"), lit("666D7420"), // "WAVE" + "fmt "
+      lit("10000000"), lit("0100"),     // fmt size 16 LE, PCM = 1
+      lit("0100"),                      // 1 channel
+      leHex(lit(16000L), 4),            // sample rate
+      lit("00000000"), lit("0000"),     // byte rate + block align (unused)
+      lit("1000"),                      // 16 bits LE
+      lit("64617461"),                  // "data"
+      leHex(n * 2L, 4),                 // data chunk byte size
+      samples))
+  }
+
+  /** C82 (mm_exif_meta): EXIF orientation + dimensions from JPEG —
+    * the composition of the marker walk (C61) and the IFD walk (C75):
+    * APP1 located, `Exif\0\0` checked, then a TIFF 6.0 directory scan
+    * with EXIF's RELATIVE offsets for tags 274/256/257 in either byte
+    * order, one native-kernel call per row
+    * ([[graft.functions.VecOps.exifMeta]]). Orientation is the field
+    * an image pipeline MUST read before any resize — values 5–8 mean
+    * the logical dims are the stored dims swapped. JPEGs without APP1
+    * (e.g. bare JFIF) and non-JPEGs report `has_exif = 0`.
+    */
+  def parseExifMeta(df: DataFrame, idCol: String, binCol: String, maxHops: Int = 12, maxEntries: Int = 32, sorted: Boolean = true): DataFrame = {
+    val m = graft.functions.VecOps.exif_meta(col(binCol), maxHops, maxEntries)
+    def f(i: Int): Column = element_at(col("__m"), i)
+    gateSort(
+      df.select(col(idCol), m.as("__m"))
+        .select(
+          col(idCol),
+          f(1).as("has_exif"),
+          when(f(1) === 1L,
+            when(f(2) === 0L, lit("II")).otherwise(lit("MM"))).as("byte_order"),
+          when(f(3) >= 0L, f(3)).as("orientation"),
+          when(f(4) >= 0L, f(4)).as("width"),
+          when(f(5) >= 0L, f(5)).as("height")),
+      sorted, col(idCol))
+  }
+
+  /** Deterministic synthetic EXIF JPEG bytes: SOI + APP1 carrying a
+    * big-endian TIFF IFD with Orientation/ImageWidth/ImageLength
+    * SHORT entries + EOI — byte-faithful to EXIF 2.3 §4.5.2, so
+    * [[parseExifMeta]] takes the walk a camera JPEG does. Spec covers
+    * a little-endian hand-built twin and APP0-before-APP1 layouts.
+    */
+  def exifJpegBytes(orientation: Column, width: Column, height: Column): Column = {
+    def be16(v: Column): Column = lpad(hex(v.cast("long")), 4, "0")
+    def shortEntry(tag: String, v: Column): Column =
+      concat(lit(tag), lit("0003"), lit("00000001"), be16(v), lit("0000"))
+    unhex(concat(
+      lit("FFD8"),                         // SOI
+      lit("FFE1"), lit("003A"),            // APP1, length 58
+      lit("457869660000"),                 // "Exif\0\0"
+      lit("4D4D002A"), lit("00000008"),    // TIFF: "MM", 42, IFD at +8
+      lit("0003"),                         // 3 directory entries
+      shortEntry("0100", width),           // ImageWidth
+      shortEntry("0101", height),          // ImageLength
+      shortEntry("0112", orientation),     // Orientation
+      lit("00000000"),                     // next IFD: none
+      lit("FFD9")))                        // EOI
+  }
+
+  /** Staged PNG encoder with STRUCTURED content: diagonal stripes
+    * whose direction/frequency depend on the id — unlike
+    * [[encodeStagedPng]]'s smooth gradient (which any mean-relative
+    * hash maps to one bitmap — aHash is brightness-invariant BY
+    * DESIGN, so gradient images all collide), stripe geometry varies
+    * the aHash bit pattern per id. Channel values stay < 256 for
+    * w ≤ 16, h ≤ 8.
+    */
+  def encodeStagedPngStripes(spark: SparkSession, df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)].mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          require(w >= 1 && w <= 16 && h >= 1 && h <= 8,
+            s"striped staged PNG dims must be in [1,16]x[1,8]; got ${w}x$h")
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val phase = (x * (1 + (id % 5).toInt) + y * (1 + (id % 3).toInt)) % 4
+              val r = if (phase < 2) 200 else 20
+              val g = x * 3
+              val b = y * 5
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          imageIoInit
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, w, h, baos.toByteArray)
+        }
+      }
+    out.toDF(idCol, wCol, hCol, "png")
+  }
+
+  /** C83 (mm_phash_dedup): perceptual-hash image dedup over REAL
+    * decoded pixels — the visual near-dup signal a multimodal corpus
+    * dedups on when byte hashes miss re-encoded copies: the classic
+    * aHash (average hash) over an 8×8 box-resize grid of the DECODED
+    * image ([[decodePixelResize]], genuine `javax.imageio` pixels),
+    * bit = block gray-sum above the image mean — the comparison is
+    * gray·64 > total, exact integers, no float mean — assembled into
+    * a 16-hex-char hash (8 row bytes, built by conditional
+    * aggregation, never an order-sensitive collect_list).
+    *
+    * Plan: decode is one partition-parallel pass; the per-image fold
+    * (total, bits, row bytes, hash) runs under image-keyed
+    * aggregations — 64 rows per image, map-side combinable. Cost is
+    * Θ(pixels); nothing quadratic anywhere — equal hashes group
+    * directly, the same keyed-agg shape as exact dedup.
+    */
+  def imageAHash(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String
+  ): DataFrame = {
+    val blocks = decodePixelResize(spark, df, idCol, binCol, outW = 8, outH = 8, sorted = false)
+    val gray = blocks.select(
+      col(idCol), col("bx"), col("by"),
+      (col("sum_r") + col("sum_g") + col("sum_b")).as("v"))
+    val withTotal = gray.select(
+      col(idCol), col("bx"), col("by"), col("v"),
+      sum(col("v")).over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))).as("tv"))
+    val rowBytes = withTotal
+      .groupBy(col(idCol), col("by"))
+      .agg(sum(expr("CASE WHEN v * 64 > tv THEN shiftleft(1L, CAST(bx AS INT)) ELSE 0L END")).as("rb"))
+    rowBytes
+      .groupBy(col(idCol))
+      .agg(concat(
+        (0 until 8).map(by =>
+          lpad(lower(hex(max(when(col("by") === by, col("rb"))))), 2, "0")): _*).as("phash"))
+  }
+
   /** C61: REAL JPEG dimension parsing — unlike PNG/WAV, JPEG has no
     * fixed-offset header: the SOF frame segment sits behind a
     * variable-length marker chain (APPn/DQT/COM...), so the parse is

@@ -683,6 +683,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == (0 to 5).map(d => (d.toLong, 1L, 100L, 7777L)) :+ ((6L, 1L, 300L, 23333L)))
   }
 
+  test("seasonalDecompose: spike day isolated in its weekday residual; incomplete windows dropped") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // epoch days 1..10 (1970-01-02..11), 70c/day except 140c on day 5;
+    // complete centered windows exist for days 4..7 only, each summing
+    // 560c -> trend 80c; residual 60c on the spike day, -10c elsewhere
+    val li = (1 to 10).map { d =>
+      (java.sql.Timestamp.valueOf(s"1970-01-${"%02d".format(d + 1)} 00:00:00"),
+        if (d == 5) 1.40 else 0.70, 0.0)
+    }.toDF("l_shipdate", "l_extendedprice", "l_discount")
+    val got = Analytics.seasonalDecompose(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, -10L), (4L, 1L, -10L), (5L, 1L, 60L), (6L, 1L, -10L)))
+  }
+
+  test("funnelLatency: exact p50/p90 hop durations; non-converting and out-of-order users excluded") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(70), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(30), "click"),
+      (3L, ts(0), "view"),
+      (4L, ts(5), "click") // click with no prior view: not in the funnel
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.funnelLatency(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // view->click durs [10,30]: p50 = rank 1 -> 10, p90 = rank 2 -> 30
+    // click->purchase durs [60]: both ranks -> 60
+    assert(got.toSeq == Seq(
+      ("1:view->click", "p50", 10L, 2L), ("1:view->click", "p90", 30L, 2L),
+      ("2:click->purchase", "p50", 60L, 1L), ("2:click->purchase", "p90", 60L, 1L)))
+  }
+
   test("stateDurations: dwell until next event per type; last events censored; ties ordered by event_id") {
     import spark.implicits._
     import graft.operators.TimeSeries

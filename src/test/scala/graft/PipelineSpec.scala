@@ -821,6 +821,108 @@ class PipelineSpec extends SparkSpec {
       o2(2).isNullAt(3) && o2(2).isNullAt(4) && o2(2).isNullAt(5), o2(2).toString)
   }
 
+  test("parseWavPcmStats: closed-form moments recovered; truncated data folds what's present; junk rejected") {
+    def sample(seed: Long, i: Long): Long = {
+      val m = (seed * 31 + i * 7) % 65536
+      if (m >= 32768) m - 65536 else m
+    }
+    def expect(seed: Long, n: Long): (Long, Long, Long) = {
+      val ss = (0L until n).map(sample(seed, _))
+      (ss.sum, ss.map(s => s * s).sum, ss.map(math.abs).max)
+    }
+    val built = spark.range(1, 4).select(col("id").as("doc_id"),
+      Multimodal.wavPcmBytes(col("id") * 1100L, lit(5L) + col("id")).as("payload"))
+    val out = Multimodal.parseWavPcmStats(built, "doc_id", "payload").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      val id = i + 1L
+      val (s, sq, mx) = expect(id * 1100L, 5L + id)
+      assert(r.getLong(1) == 1L && r.getLong(2) == 5 + id &&
+        r.getLong(3) == s && r.getLong(4) == sq && r.getLong(5) == mx, r.toString)
+    }
+    // seed 35000 makes early samples negative: sum_s < 0 must survive
+    // the sentinel decode (fields gate on is_pcm16, not on -1)
+    val neg = Seq((9L, 35000L)).toDF("doc_id", "seed")
+      .select(col("doc_id"), Multimodal.wavPcmBytes(col("seed"), lit(3L)).as("payload"))
+    val rn = Multimodal.parseWavPcmStats(neg, "doc_id", "payload").collect()(0)
+    val (s9, sq9, mx9) = expect(35000L, 3L)
+    assert(s9 < 0 && rn.getLong(3) == s9 && rn.getLong(4) == sq9 && rn.getLong(5) == mx9, rn.toString)
+    // truncated payload: declared 8 samples, 3 bytes cut -> 6 decodable
+    val full = neg.select(col("doc_id"),
+      Multimodal.wavPcmBytes(lit(35000L), lit(8L)).as("p"))
+      .select(col("doc_id"), expr("substring(p, 1, length(p) - 3)").as("payload"))
+    val rt = Multimodal.parseWavPcmStats(full, "doc_id", "payload").collect()(0)
+    assert(rt.getLong(1) == 1L && rt.getLong(2) == 6L, rt.toString)
+    // maxSamples bounds the walk
+    val capped = Multimodal.parseWavPcmStats(
+      neg, "doc_id", "payload", maxSamples = 2).collect()(0)
+    assert(capped.getLong(2) == 2L, capped.toString)
+    // junk
+    val junk = Seq((11L, "not audio at all".getBytes)).toDF("doc_id", "payload")
+    val rj = Multimodal.parseWavPcmStats(junk, "doc_id", "payload").collect()(0)
+    assert(rj.getLong(1) == 0L && rj.isNullAt(2) && rj.isNullAt(3), rj.toString)
+  }
+
+  test("parseExifMeta: builder round-trip; hand-built little-endian twin; APP0-first layout; no-APP1 JPEG") {
+    val built = spark.range(1, 5).select(col("id").as("doc_id"),
+      Multimodal.exifJpegBytes(lit(1L) + col("id") % 8, lit(100L) + col("id"), lit(200L) + col("id"))
+        .as("payload"))
+    val out = Multimodal.parseExifMeta(built, "doc_id", "payload").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      val id = i + 1L
+      assert(r.getLong(1) == 1L && r.getString(2) == "MM" && r.getLong(3) == 1 + id % 8 &&
+        r.getLong(4) == 100 + id && r.getLong(5) == 200 + id, r.toString)
+    }
+    // hand-built LITTLE-endian EXIF (orientation 6, 320x240), with a
+    // JFIF APP0 segment BEFORE the APP1 (the common camera layout)
+    def b(xs: Int*): Seq[Int] = xs
+    val app0 = b(0xFF, 0xE0, 0x00, 0x10) ++ "JFIF".getBytes.map(_.toInt & 0xff) ++ Seq.fill(10)(0)
+    val tiffLe = b(0x49, 0x49, 0x2A, 0x00, 0x08, 0x00, 0x00, 0x00, 0x03, 0x00) ++
+      b(0x00, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, 0x40, 0x01, 0x00, 0x00) ++ // 256 = 320
+      b(0x01, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, 0xF0, 0x00, 0x00, 0x00) ++ // 257 = 240
+      b(0x12, 0x01, 0x03, 0x00, 0x01, 0x00, 0x00, 0x00, 0x06, 0x00, 0x00, 0x00) ++ // 274 = 6
+      b(0x00, 0x00, 0x00, 0x00)
+    val app1 = b(0xFF, 0xE1) ++ b((tiffLe.length + 8) >> 8, (tiffLe.length + 8) & 0xff) ++
+      "Exif".getBytes.map(_.toInt & 0xff) ++ b(0, 0) ++ tiffLe
+    val le = (b(0xFF, 0xD8) ++ app0 ++ app1 ++ b(0xFF, 0xD9)).map(_.toByte).toArray
+    // JDK JPEG: APP0/DQT/SOF chain, never an APP1 -> has_exif 0
+    val plain = Multimodal.encodeStagedJpeg(spark,
+      Seq((50L, 8, 8)).toDF("doc_id", "w", "h"), "doc_id", "w", "h")
+      .select(col("doc_id"), col("jpeg").as("payload"))
+    val extra = Seq((60L, le), (61L, "not a jpeg".getBytes)).toDF("doc_id", "payload")
+      .unionByName(plain)
+    val o2 = Multimodal.parseExifMeta(extra, "doc_id", "payload").collect()
+    assert(o2(0).getLong(1) == 0L && o2(0).isNullAt(3), o2(0).toString) // id 50: no APP1
+    assert(o2(1).getLong(1) == 1L && o2(1).getString(2) == "II" && o2(1).getLong(3) == 6L &&
+      o2(1).getLong(4) == 320L && o2(1).getLong(5) == 240L, o2(1).toString)
+    assert(o2(2).getLong(1) == 0L && o2(2).isNullAt(2), o2(2).toString)
+  }
+
+  test("imageAHash: hand-computed stripe hash; byte-identical images collide; brightness shift is invariant") {
+    // stripes pattern, pk = 7: w = 8 (bw 1), phase = (x*3 + y*2) % 4
+    def gray(x: Int, y: Int): Long =
+      (if ((x * 3 + y * 2) % 4 < 2) 200L else 20L) + x * 3 + y * 5
+    val tot = (for (y <- 0 until 8; x <- 0 until 8) yield gray(x, y)).sum
+    val expected = (0 until 8).map { y =>
+      val rb = (0 until 8).map(x => if (gray(x, y) * 64 > tot) 1L << x else 0L).sum
+      f"$rb%02x"
+    }.mkString
+    val staged = Multimodal.encodeStagedPngStripes(spark,
+      Seq((7L, 8, 8), (22L, 8, 8)).toDF("pk", "w", "h"), "pk", "w", "h")
+      .select(col("pk").as("doc_id"), col("png"))
+    val got = Multimodal.imageAHash(spark, staged, "doc_id", "png")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(7L) == expected, s"${got(7L)} != $expected")
+    assert(got(22L) == expected, "22 == 7 mod lcm(5,3): same stripe pattern must collide")
+    // brightness invariance: the GRADIENT pattern differs only by a
+    // constant channel offset between ids 3 and 103 (same 8x8 geometry)
+    val grad = Multimodal.encodeStagedPng(spark,
+      Seq((3L, 8, 8), (103L, 8, 8)).toDF("pk", "w", "h"), "pk", "w", "h")
+      .select(col("pk").as("doc_id"), col("png"))
+    val gh = Multimodal.imageAHash(spark, grad, "doc_id", "png")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(gh(3L) == gh(103L), "aHash must be invariant to a constant brightness shift")
+  }
+
   test("rangeSearch: exact cosine threshold pairs, self-match excluded") {
     val vecs = Seq(
       (1L, Array(1f, 0f)), (2L, Array(1f, 1f)), (3L, Array(2f, 0f)), (4L, Array(0f, 1f))
