@@ -1581,7 +1581,18 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_dups"))
         .select(col("kept_id"), col("n_dups"), col("phash"))
         .orderBy(col("kept_id"))
-    })
+    }),
+    "session_stats" -> ((s, d) =>
+      // B77: corpus-level engagement card over B6's sessions — bounce
+      // share in exact bp, mean duration by integer division
+      Analytics.sessionStats(t(s, d, "events"))),
+    "sim_dim_truncate" -> ((s, d) =>
+      // C84: Matryoshka-style truncation evaluation — overlap@10
+      // between full-dim and 16-dim-prefix cosine rankings, exact bp
+      Similarity.dimTruncateRecall(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, dims = 16))
   )
 
   /** DuckDB-equivalent SQL per query (driver's correctness oracle). */
@@ -3632,6 +3643,48 @@ object SparkEntry {
         |ph AS (SELECT pk, lower(string_agg(lpad(to_hex(rb), 2, '0'), '' ORDER BY by)) AS phash FROM bits GROUP BY 1),
         |assign AS (SELECT d.doc_id, ph.phash FROM documents d JOIN ph ON d.doc_id % 40 = ph.pk)
         |SELECT min(doc_id) AS kept_id, CAST(count(*) AS BIGINT) AS n_dups, phash
-        |FROM assign GROUP BY phash ORDER BY kept_id""".stripMargin
+        |FROM assign GROUP BY phash ORDER BY kept_id""".stripMargin,
+    // same 30-min-gap session rule as `sessionize` (B6), folded to the
+    // one-row engagement card
+    "session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT user_id, ts_us,
+        |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+        |      FROM e),
+        |b AS (SELECT user_id, ts_us,
+        |             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM l),
+        |sid AS (SELECT user_id, ts_us,
+        |              sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |       FROM b),
+        |s AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |             min(ts_us) AS start_us, max(ts_us) AS end_us
+        |      FROM sid GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |       CAST(10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS bounce_bp,
+        |       CAST(sum(n_events) AS BIGINT) AS total_events,
+        |       CAST((sum(end_us - start_us) // count(*)) // 1000000 AS BIGINT) AS mean_dur_s
+        |FROM s""".stripMargin,
+    // both rankings are the sim_topk_brute deterministic order; the
+    // truncated side slices the embedding list to its 16-dim prefix
+    "sim_dim_truncate" ->
+      """WITH f AS (SELECT qid, cid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) x WHERE rn <= 10),
+        |t AS (SELECT qid, cid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding[1:16], c.embedding[1:16]) DESC, c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) y WHERE rn <= 10),
+        |o AS (SELECT f.qid, CAST(count(*) AS BIGINT) AS n_common
+        |      FROM f JOIN t ON f.qid = t.qid AND f.cid = t.cid GROUP BY 1)
+        |SELECT q.vec_id AS qid, CAST(coalesce(o.n_common, 0) AS BIGINT) AS n_common,
+        |       CAST(coalesce(o.n_common, 0) * 1000 AS BIGINT) AS recall_bp
+        |FROM embeddings q LEFT JOIN o ON q.vec_id = o.qid
+        |WHERE q.vec_id < 10 ORDER BY qid""".stripMargin
   )
 }

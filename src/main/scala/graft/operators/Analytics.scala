@@ -136,6 +136,23 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B77: corpus-level session summary — the engagement card on top of
+    * [[sessionize]]'s per-session frame (same gap rule, same window):
+    * session count, bounce share (single-event sessions) in exact
+    * basis points, total events, and mean session duration floored to
+    * whole seconds by integer division. One user-keyed window + the
+    * per-session aggregate + a 1-row global fold — map-side combined,
+    * nothing corpus-sized past the session aggregate.
+    */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        expr("10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) DIV count(1)").as("bounce_bp"),
+        sum(col("n_events")).as("total_events"),
+        expr("(sum(end_us - start_us) DIV count(1)) DIV 1000000L").as("mean_dur_s"))
+
   /** B19: ordered funnel analysis — per user, stage i completes at the
     * EARLIEST event of type stages(i) strictly after the stage i-1
     * completion time (the standard strict-order funnel). Returns one

@@ -122,6 +122,45 @@ object Similarity {
       .orderBy(col("qid"), col("vec_id"))
   }
 
+  /** C84: truncated-dimension retrieval recall — the Matryoshka /
+    * dimension-reduction evaluation an embedding pipeline runs before
+    * cutting storage: top-k neighbors by full-dimension cosine vs
+    * top-k by a PREFIX of the dimensions (MRL-style truncation), per
+    * query the overlap as exact basis points. Both rankings are
+    * [[bruteForceTopK]]'s deterministic (score desc, id) order, so
+    * overlap@k is well-defined; queries with zero overlap still
+    * report (LEFT join from the query set).
+    *
+    * Plan: two broadcast-query corpus scans (full + sliced — the
+    * slice prunes the dot-product work to `dims` components), the
+    * overlap a (query, neighbor)-keyed join of two k·|Q| frames —
+    * everything after the scans is k·|Q|-bounded.
+    */
+  def dimTruncateRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int
+  ): DataFrame = {
+    val full = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("qid"), col("neighbor_id"))
+    def truncate(df: DataFrame): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    val trunc = bruteForceTopK(truncate(corpus), truncate(queries), idCol, vecCol, k)
+      .select(col("qid"), col("neighbor_id"))
+    val common = full.join(trunc, Seq("qid", "neighbor_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+    queries.select(col(idCol).as("qid"))
+      .join(common, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr(s"CAST(coalesce(n_common, 0L) * 10000L DIV $k AS BIGINT)").as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
   /** C27: nearest-centroid assignment — per-label mean centroids, then
     * every vector assigned to its closest centroid (squared L2, label
     * tiebreak). The classifier form of embedding clustering: centroid

@@ -718,6 +718,20 @@ class AnalyticsSpec extends SparkSpec {
       ("2:click->purchase", "p50", 60L, 1L), ("2:click->purchase", "p90", 60L, 1L)))
   }
 
+  test("sessionStats: bounce share and mean duration over gap-rule sessions, exact integers") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(600)),  // session of 2 events, 600s
+      (1L, 3L, ts(4000)),                  // gap 3400s > 30min: bounce
+      (2L, 4L, ts(0))                      // bounce
+    ).toDF("user_id", "event_id", "ts")
+    val got = Analytics.sessionStats(events).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4)) ==
+      ((3L, 2L, 6666L, 4L, 200L))) // mean dur = (600+0+0) DIV 3
+  }
+
   test("stateDurations: dwell until next event per type; last events censored; ties ordered by event_id") {
     import spark.implicits._
     import graft.operators.TimeSeries

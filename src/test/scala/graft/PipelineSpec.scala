@@ -923,6 +923,20 @@ class PipelineSpec extends SparkSpec {
     assert(gh(3L) == gh(103L), "aHash must be invariant to a constant brightness shift")
   }
 
+  test("dimTruncateRecall: prefix-dim ranking diverges from full-dim where the tail carries the signal") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),    // query
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0.5f, 0f, 2f, 0f)),  // tail-heavy: trunc cos 1.0, full cos 0.24
+      (4L, Array(0.8f, 0.05f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dimTruncateRecall(
+      vecs, vecs.filter(col("vec_id") === 1), "vec_id", "embedding", k = 2, dims = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // full top2 = {4 (.998), 2 (.994)}; trunc top2 = {3 (1.0), 4} -> overlap {4}
+    assert(got.toSeq == Seq((1L, 1L, 5000L)))
+  }
+
   test("rangeSearch: exact cosine threshold pairs, self-match excluded") {
     val vecs = Seq(
       (1L, Array(1f, 0f)), (2L, Array(1f, 1f)), (3L, Array(2f, 0f)), (4L, Array(0f, 1f))
