@@ -762,24 +762,26 @@ object Analytics {
     * 7 (0 = Thursday, since day 0 = 1970-01-01) — not a locale- or
     * engine-dependent DAYOFWEEK().
     *
-    * Plan: one fact scan into a 7-group aggregate (n_d is a distinct
-    * day count per group — exact); the grand totals ride back as a
-    * 1-row broadcast. No window, no join beyond the broadcast.
+    * Plan: ONE fact scan into a 7-group aggregate (n_d is a distinct
+    * day count per group — exact); the grand totals come from an
+    * unpartitioned window over those 7 rows — NOT a re-aggregating
+    * cross-join branch, which would scan the fact table a second
+    * time (the drift_report discipline).
     */
   def dowSeasonality(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(
       unix_date(to_date(col("l_shipdate"))).cast("long").as("day"),
       cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
-    val perDow = base
+    val all = Window.partitionBy()
+    base
       .groupBy((col("day") % 7).as("dow"))
       .agg(
         countDistinct(col("day")).as("n_days"),
         sum(col("rev_c")).as("rev_c"))
-    val totals = perDow.agg(
-      sum(col("n_days")).as("n_days_total"),
-      sum(col("rev_c")).as("rev_c_total"))
-    perDow
-      .crossJoin(broadcast(totals))
+      .select(
+        col("dow"), col("n_days"), col("rev_c"),
+        sum(col("n_days")).over(all).as("n_days_total"),
+        sum(col("rev_c")).over(all).as("rev_c_total"))
       .select(
         col("dow"), col("n_days"), col("rev_c"),
         expr("""CAST((10000 * CAST(rev_c AS DECIMAL(38,0)) * n_days_total)

@@ -582,4 +582,96 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "FileScan parquet") == 1, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("acf_lags: fact table materialized once — the per-lag self-join reads zero parquet scans") {
+    val p = planOf("acf_lags")
+    // the daily aggregate is localCheckpointed; both join sides read
+    // materialized blocks, so the final plan carries no fact scan
+    assert(count(p, "FileScan parquet") == 0, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("dow_seasonality: ONE fact scan; grand totals window over the 7-row aggregate") {
+    val p = planOf("dow_seasonality")
+    assert(count(p, "FileScan parquet") == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(p.indexOf("Window") >= 0 && p.indexOf("Window") < aggIdx, p.take(3000))
+  }
+
+  test("seasonal_decompose: ONE fact scan; trend window sits above the day aggregate") {
+    val p = planOf("seasonal_decompose")
+    assert(count(p, "FileScan parquet") == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0 && p.indexOf("HashAggregate", wIdx) > wIdx, p.take(3000))
+  }
+
+  test("state_durations: single fact scan, user-keyed lead window, no joins") {
+    val p = planOf("state_durations")
+    assert(count(p, "FileScan parquet") == 1, p.take(3000))
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("session_stats: single fact scan through the session window into the global fold") {
+    val p = planOf("session_stats")
+    assert(count(p, "FileScan parquet") == 1, p.take(3000))
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("funnel_latency: rank windows partition by bin; stage joins keyed — no cartesian") {
+    val p = planOf("funnel_latency")
+    assert(p.contains("hashpartitioning(__b") || p.contains("hashpartitioning(g"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("text_bigram_lm: model joins keyed on bigram/head — a web-scale vocabulary never broadcasts or crosses") {
+    val p = planOf("text_bigram_lm")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("domain_quality: text leaves the scan as a 16-byte hash; joins keyed") {
+    val p = planOf("domain_quality")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // no exchange carries the text column — only ids/hash/len shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("text"), exchanges)
+  }
+
+  test("mm_mp4_meta / mm_exif_meta: container walks are pure projections over the payload") {
+    Seq("mm_mp4_meta", "mm_exif_meta").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("HashAggregate"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("mm_wav_rms: sample decode is a pure projection over the staged payload") {
+    val p = planOf("mm_wav_rms")
+    assert(!p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("sim_range_search: queries broadcast against ONE corpus scan — never a shuffled cartesian") {
+    val p = planOf("sim_range_search")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // 16-row query side, by design
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("sim_dim_truncate: both rankings broadcast the query side; the overlap join is keyed") {
+    val p = planOf("sim_dim_truncate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("mm_phash_dedup: pattern payloads join keyed/broadcast; hash groups are keyed aggs — nothing quadratic") {
+    val p = planOf("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
