@@ -1478,7 +1478,8 @@ object SparkEntry {
       Curation.ngramNovelty(t(s, d, "documents"), "doc_id", "text", n = 5)),
     "acf_lags" -> ((s, d) =>
       // B72: daily-revenue autocorrelation at lags 1..7 (seasonality
-      // diagnostic; bit-reproducible Pearson per lag, day arithmetic)
+      // diagnostic; Yule-Walker AR slope per lag in exact integer
+      // basis points — Pearson r would not be cross-engine-stable)
       Analytics.acfDaily(t(s, d, "lineitem"), maxLag = 7)),
     "dow_seasonality" -> ((s, d) =>
       // B73: day-of-week seasonal index in exact basis points,

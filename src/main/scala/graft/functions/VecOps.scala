@@ -819,17 +819,21 @@ object VecOps {
       if (end < 0 || end > limit) -1L else end
     }
     var off = 0L; var hops = 0; var moovOff = -1L; var moovEnd = -1L
+    var moovHdr = 8L // 16 when moov uses the size==1 largesize escape
     var ok = true
     while (ok && off + 8 <= n && hops < maxBoxes && moovOff < 0) {
       val end = boxEnd(off, n)
       if (end < 0) ok = false
       else {
-        if (u32(off + 4) == 0x6D6F6F76L) { moovOff = off; moovEnd = end } // "moov"
+        if (u32(off + 4) == 0x6D6F6F76L) { // "moov"
+          moovOff = off; moovEnd = end
+          if (u32(off) == 1L) moovHdr = 16L
+        }
         off = end; hops += 1
       }
     }
     if (moovOff < 0) return new GenericArrayData(out)
-    var c = moovOff + 8L; var traks = 0L; hops = 0; ok = true
+    var c = moovOff + moovHdr; var traks = 0L; hops = 0; ok = true
     while (ok && c + 8 <= moovEnd && hops < maxBoxes) {
       val end = boxEnd(c, moovEnd)
       if (end < 0) ok = false
@@ -918,14 +922,22 @@ object VecOps {
     def at(i: Long): Int = if (i < 0 || i >= n) -1 else bytes(i.toInt) & 0xff
     def be16(i: Long): Long = { val a = at(i); val b = at(i + 1); if (a < 0 || b < 0) -1L else a * 256L + b }
     if (n < 4 || at(0) != 0xff || at(1) != 0xd8) return new GenericArrayData(out)
-    // marker walk for APP1 (FF E1); stop at SOS/EOI — entropy data follows
+    // marker walk for an APP1 carrying "Exif\0\0"; stop at SOS/EOI —
+    // entropy data follows. An APP1 with a different payload (XMP is
+    // the common one, and often precedes the Exif segment) is skipped
+    // by its declared length like any other marker segment.
+    def isExifApp1(off: Long): Boolean = {
+      val e = off + 4
+      at(e) == 0x45 && at(e + 1) == 0x78 && at(e + 2) == 0x69 &&
+        at(e + 3) == 0x66 && at(e + 4) == 0 && at(e + 5) == 0
+    }
     var off = 2L; var hops = 0; var app1 = -1L
     var walking = true
     while (walking && app1 < 0 && hops < maxHops && off + 1 < n) {
       val m0 = at(off); val m1 = at(off + 1)
       if (m0 != 0xff) walking = false
       else if (m1 == 0xff) off += 1 // fill byte: slide
-      else if (m1 == 0xe1) app1 = off
+      else if (m1 == 0xe1 && isExifApp1(off)) app1 = off
       else if (m1 == 0x01 || (m1 >= 0xd0 && m1 <= 0xd7)) off += 2 // TEM/RSTn
       else if (m1 == 0xd9 || m1 == 0xda) walking = false // EOI/SOS
       else {
@@ -934,11 +946,7 @@ object VecOps {
       }
     }
     if (app1 < 0) return new GenericArrayData(out)
-    // "Exif\0\0" header after the length field
     val e = app1 + 4
-    if (!(at(e) == 0x45 && at(e + 1) == 0x78 && at(e + 2) == 0x69 &&
-          at(e + 3) == 0x66 && at(e + 4) == 0 && at(e + 5) == 0))
-      return new GenericArrayData(out)
     val base = e + 6 // embedded TIFF: all IFD offsets are relative to here
     val b0 = at(base); val b1 = at(base + 1)
     val le = b0 == 0x49 && b1 == 0x49

@@ -245,11 +245,15 @@ object Analytics {
             expr(s"(t$i - t${i - 1}) DIV 1000000L").as("dur_s"))
       }
       .reduce(_ unionByName _)
+    // persistBase: the durs upstream is one groupBy+join per stage over
+    // the events fact table — without it the rank selection's multi-pass
+    // (stats, histogram, in-bin) would re-execute that chain ~3x.
     groupedExactRanks(
       durs, "step", col("dur_s"),
       Seq(
         "p50" -> (n => floor((n + lit(1)) / lit(2.0))),
-        "p90" -> (n => ceil(n * lit(9) / lit(10.0)))))
+        "p90" -> (n => ceil(n * lit(9) / lit(10.0)))),
+      persistBase = true)
       .select(col("step"), col("rank_name"), col("value").as("dur_s"), col("n").as("n_users"))
       .orderBy(col("step"), col("rank_name"))
   }

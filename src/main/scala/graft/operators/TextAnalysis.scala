@@ -408,11 +408,17 @@ object TextAnalysis {
       slice(w, lit(2), size(w) - 1),
       (a, b) => concat(a, lit(" "), b)
     )
+    // localCheckpoint rather than persist: the tf frame feeds three
+    // consumers (cb, ch, the final join) so it must materialize once,
+    // but a bare persist would pin a corpus-bigram-cardinality cache
+    // block for the life of the session (no hook to unpersist after a
+    // lazily-returned result). Checkpointed blocks are released by the
+    // ContextCleaner once the frame is unreferenced.
     val tf = df
       .select(col(idCol), explode(bigrams).as("bigram"))
       .groupBy(col(idCol), col("bigram"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val cb = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cb"))
     val ch = cb
       .groupBy(substring_index(col("bigram"), " ", 1).as("head"))

@@ -811,7 +811,17 @@ class PipelineSpec extends SparkSpec {
       moov).map(_.toByte).toArray
     // ftyp-only prefix: container recognized, moov fields all NULL
     val ftypOnly = (be32(16) ++ fourcc("ftyp") ++ fourcc("isom") ++ be32(0)).map(_.toByte).toArray
-    val extra = Seq((100L, v1), (101L, "definitely not an mp4".getBytes), (102L, ftypOnly))
+    // moov ITSELF using the size==1 largesize escape: 16-byte header,
+    // so the child scan must start at moov+16, not moov+8 (a +8 scan
+    // would misread the largesize field as the first child box)
+    val mvhdV0 = be32(108) ++ fourcc("mvhd") ++ Seq(0L, 0L, 0L, 0L) ++ be32(0) ++ be32(0) ++
+      be32(48000) ++ be32(7777) ++ Seq.fill(80)(0L)
+    val moovLarge = be32(1) ++ fourcc("moov") ++ be64(16 + 108 + 8) ++
+      mvhdV0 ++ be32(8) ++ fourcc("trak")
+    val vLarge = (be32(16) ++ fourcc("ftyp") ++ fourcc("mp42") ++ be32(0) ++ moovLarge)
+      .map(_.toByte).toArray
+    val extra = Seq((100L, v1), (101L, "definitely not an mp4".getBytes), (102L, ftypOnly),
+      (103L, vLarge))
       .toDF("doc_id", "payload")
     val o2 = Multimodal.parseMp4Meta(extra, "doc_id", "payload").collect()
     assert(o2(0).getLong(1) == 1L && o2(0).getString(2) == "mp42" &&
@@ -819,6 +829,8 @@ class PipelineSpec extends SparkSpec {
     assert(o2(1).getLong(1) == 0L && o2(1).isNullAt(2) && o2(1).isNullAt(3) && o2(1).isNullAt(5), o2(1).toString)
     assert(o2(2).getLong(1) == 1L && o2(2).getString(2) == "isom" &&
       o2(2).isNullAt(3) && o2(2).isNullAt(4) && o2(2).isNullAt(5), o2(2).toString)
+    assert(o2(3).getLong(1) == 1L && o2(3).getString(2) == "mp42" &&
+      o2(3).getLong(3) == 48000L && o2(3).getLong(4) == 7777L && o2(3).getLong(5) == 1L, o2(3).toString)
   }
 
   test("parseWavPcmStats: closed-form moments recovered; truncated data folds what's present; junk rejected") {
@@ -888,13 +900,23 @@ class PipelineSpec extends SparkSpec {
     val plain = Multimodal.encodeStagedJpeg(spark,
       Seq((50L, 8, 8)).toDF("doc_id", "w", "h"), "doc_id", "w", "h")
       .select(col("doc_id"), col("jpeg").as("payload"))
-    val extra = Seq((60L, le), (61L, "not a jpeg".getBytes)).toDF("doc_id", "payload")
+    // an XMP APP1 BEFORE the Exif APP1 (many camera/editor pipelines
+    // emit this order): the marker walk must skip the non-Exif APP1 by
+    // its length and still find the Exif segment behind it
+    val xmpBody = "http://ns.adobe.com/xap/1.0/ <x:xmpmeta/>".getBytes("US-ASCII")
+      .map(_.toInt & 0xff).toSeq
+    val xmpApp1 = b(0xFF, 0xE1) ++ b((xmpBody.length + 2) >> 8, (xmpBody.length + 2) & 0xff) ++ xmpBody
+    val xmpThenExif = (b(0xFF, 0xD8) ++ xmpApp1 ++ app1 ++ b(0xFF, 0xD9)).map(_.toByte).toArray
+    val extra = Seq((60L, le), (61L, "not a jpeg".getBytes), (62L, xmpThenExif))
+      .toDF("doc_id", "payload")
       .unionByName(plain)
     val o2 = Multimodal.parseExifMeta(extra, "doc_id", "payload").collect()
     assert(o2(0).getLong(1) == 0L && o2(0).isNullAt(3), o2(0).toString) // id 50: no APP1
     assert(o2(1).getLong(1) == 1L && o2(1).getString(2) == "II" && o2(1).getLong(3) == 6L &&
       o2(1).getLong(4) == 320L && o2(1).getLong(5) == 240L, o2(1).toString)
     assert(o2(2).getLong(1) == 0L && o2(2).isNullAt(2), o2(2).toString)
+    assert(o2(3).getLong(1) == 1L && o2(3).getString(2) == "II" && o2(3).getLong(3) == 6L &&
+      o2(3).getLong(4) == 320L && o2(3).getLong(5) == 240L, o2(3).toString)
   }
 
   test("imageAHash: hand-computed stripe hash; byte-identical images collide; brightness shift is invariant") {
