@@ -95,6 +95,41 @@ object ClickHouseDdl {
       "`updated_at` DateTime64(3) DEFAULT now64(3)) " +
       "ENGINE = CnchMergeTree() ORDER BY (index_name)"
 
+  /** The CH-flow variant of the `_sync_state` table
+    * (clickhouse_to_bytehouse.py:158-173): keyed by TABLE name (not
+    * index), with an unsigned row count and a server-defaulted
+    * `sync_time` row version — newest row per table wins via
+    * `max()` on read ([[lastSyncTimeSql]]).
+    */
+  def syncStateTableSqlCh(db: String, table: String = "_sync_state"): String =
+    s"CREATE TABLE IF NOT EXISTS `$db`.`${Flatten.sanitizeName(table)}` (" +
+      "`table_name` String, `last_sync_time` String, " +
+      "`last_update_time` String DEFAULT '', `sync_count` UInt64, " +
+      "`sync_time` DateTime DEFAULT now()) " +
+      "ENGINE = CnchMergeTree() ORDER BY (`table_name`, `sync_time`)"
+
+  /** CH-flow bootstrap: database, then the CH-variant state table
+    * (clickhouse_to_bytehouse.py:139-149 connect_target order).
+    */
+  def bootstrapSqlCh(db: String, stateTable: String = "_sync_state"): Seq[String] =
+    Seq(createDatabaseSql(db), syncStateTableSqlCh(db, stateTable))
+
+  /** Watermark read (clickhouse_to_bytehouse.py:178-186
+    * `get_last_sync_time`): max over BOTH watermark columns — string
+    * watermarks compare lexicographically in ISO form, so max() is
+    * the newest row without needing the `sync_time` version column.
+    */
+  def lastSyncTimeSql(db: String, table: String, stateTable: String = "_sync_state"): String =
+    s"SELECT max(`last_sync_time`), max(`last_update_time`) FROM `$db`.`${Flatten.sanitizeName(stateTable)}` " +
+      s"WHERE `table_name` = '${table.replace("\\", "\\\\").replace("'", "\\'")}'"
+
+  /** State append (clickhouse_to_bytehouse.py:197-205
+    * `update_sync_state`) — INSERT-only bookkeeping, never UPDATE:
+    * MergeTree-family tables want append + newest-wins reads.
+    */
+  def insertSyncStateSqlCh(db: String, stateTable: String = "_sync_state"): String =
+    insertSql(db, stateTable, Seq("table_name", "last_sync_time", "last_update_time", "sync_count"))
+
   def insertSql(db: String, table: String, columns: Seq[String]): String = {
     val cols = columns.map(c => s"`${Flatten.sanitizeName(c)}`").mkString(", ")
     s"INSERT INTO `$db`.`${Flatten.sanitizeName(table)}` ($cols) VALUES"

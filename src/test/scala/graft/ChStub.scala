@@ -1,0 +1,217 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import scala.collection.mutable
+
+import graft.sinks.ChHttp
+
+/** In-process ClickHouse-HTTP-interface stub for ChLiveParitySpec —
+  * the EsStub move for the TARGET side: a real HTTP server accepting
+  * SQL-over-POST on an ephemeral :8123-shaped endpoint, with a toy
+  * table store behind it, so the generated DDL/INSERT surface
+  * ([[graft.sinks.ClickHouseDdl]]) and the live client
+  * ([[graft.sinks.ChHttpClient]]) execute end-to-end over a socket
+  * instead of being string-asserted. Understands exactly the SQL the
+  * reference flow issues (clickhouse_to_bytehouse.py:106-371):
+  * SELECT 1, CREATE DATABASE/TABLE IF NOT EXISTS, SHOW TABLES,
+  * DESCRIBE TABLE, COUNT(*), star-SELECT with ORDER/LIMIT/OFFSET,
+  * the `max(watermark)` state read, and multi-row VALUES INSERTs.
+  * Every request is logged for byte-exact contract assertions;
+  * `rejectMarker` injects deterministic insert failures to exercise
+  * the batch → row-at-a-time fallback on the wire.
+  */
+class ChStub {
+
+  final class Table(val schema: Seq[(String, String)]) {
+    val rows = mutable.ArrayBuffer[Seq[String]]() // cells in schema order, null = SQL NULL
+  }
+
+  val databases = mutable.Set[String]()
+  val tables = mutable.Map[(String, String), Table]() // (db, table)
+  val requests = mutable.ArrayBuffer[String]() // raw SQL bodies
+  /** Any INSERT whose VALUES contain this literal cell fails with 500. */
+  @volatile var rejectMarker: Option[String] = None
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  /** Set by [[start]]. */
+  @volatile var endpoint: String = _
+
+  def start(): String = {
+    server.start()
+    endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/"
+    endpoint
+  }
+  def stop(): Unit = server.stop(0)
+
+  /** Test-side seeding for the SOURCE role. */
+  def seed(db: String, table: String, schema: Seq[(String, String)], rows: Seq[Seq[String]]): Unit = {
+    databases += db
+    val t = new Table(schema)
+    t.rows ++= rows
+    tables((db, table)) = t
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length.toLong)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val sql = new String(ex.getRequestBody.readAllBytes(), "UTF-8").trim
+    requests.synchronized { requests += sql }
+    try {
+      val out = ChStub.this.synchronized(dispatch(sql.stripSuffix("FORMAT TabSeparated").trim))
+      respond(ex, 200, out)
+    } catch {
+      case e: Exception => respond(ex, 500, s"Code: 62. DB::Exception: ${e.getMessage}")
+    }
+  }
+
+  private val ident = "`([^`]+)`"
+  private val CreateDb = s"(?s)CREATE DATABASE IF NOT EXISTS $ident".r
+  private val CreateTable = s"(?s)CREATE TABLE IF NOT EXISTS $ident\\.$ident \\((.*)\\) ENGINE = .*".r
+  private val ShowTables = s"SHOW TABLES FROM $ident".r
+  private val Describe = s"DESCRIBE TABLE $ident\\.$ident".r
+  private val CountStar = s"SELECT COUNT\\(\\*\\) FROM $ident\\.$ident".r
+  private val SelectPage =
+    s"SELECT \\* FROM $ident\\.$ident(?: ORDER BY $ident)? LIMIT (\\d+) OFFSET (\\d+)".r
+  private val MaxState =
+    s"SELECT max\\($ident\\), max\\($ident\\) FROM $ident\\.$ident WHERE $ident = '((?:[^'\\\\]|\\\\.)*)'".r
+  private val Insert = s"(?s)INSERT INTO $ident\\.$ident \\(([^)]*)\\) VALUES (.*)".r
+
+  private def table(db: String, t: String): Table =
+    tables.getOrElse((db, t), throw new IllegalArgumentException(s"Table $db.$t does not exist"))
+
+  private def dispatch(sql: String): String = sql match {
+    case "SELECT 1" => "1\n"
+    case CreateDb(db) =>
+      databases += db; ""
+    case CreateTable(db, t, colsDef) =>
+      if (!databases.contains(db)) throw new IllegalArgumentException(s"Database $db does not exist")
+      if (!tables.contains((db, t))) {
+        val cols = splitTopLevel(colsDef).map { cd =>
+          val m = s"$ident (.*)".r.findFirstMatchIn(cd.trim)
+            .getOrElse(throw new IllegalArgumentException(s"bad column def: $cd"))
+          // type stops at DEFAULT if present
+          val typ = m.group(2).split(" DEFAULT ")(0).trim
+          (m.group(1), typ)
+        }
+        tables((db, t)) = new Table(cols)
+      }
+      ""
+    case ShowTables(db) =>
+      tables.keys.toSeq.filter(_._1 == db).map(_._2).sorted.map(_ + "\n").mkString
+    case Describe(db, t) =>
+      table(db, t).schema.map { case (n, ty) => s"$n\t$ty\n" }.mkString
+    case CountStar(db, t) =>
+      s"${table(db, t).rows.size}\n"
+    case SelectPage(db, t, order, limit, offset) =>
+      val tb = table(db, t)
+      val base = Option(order) match {
+        case Some(c) =>
+          val i = tb.schema.indexWhere(_._1 == c)
+          require(i >= 0, s"no column $c")
+          tb.rows.sortBy(r => Option(r(i)).getOrElse(""))
+        case None => tb.rows
+      }
+      base.slice(offset.toInt, offset.toInt + limit.toInt)
+        .map(_.map(ChHttp.escapeTsv).mkString("", "\t", "\n")).mkString
+    case MaxState(c1, c2, db, t, keyCol, keyVal) =>
+      val tb = table(db, t)
+      val ki = tb.schema.indexWhere(_._1 == keyCol)
+      val i1 = tb.schema.indexWhere(_._1 == c1)
+      val i2 = tb.schema.indexWhere(_._1 == c2)
+      require(ki >= 0 && i1 >= 0 && i2 >= 0, s"bad columns in: $sql")
+      val key = keyVal.replace("\\'", "'").replace("\\\\", "\\")
+      val hits = tb.rows.filter(r => r(ki) == key)
+      def mx(i: Int): String = {
+        val vs = hits.flatMap(r => Option(r(i)))
+        if (vs.isEmpty) "" else vs.max
+      }
+      s"${ChHttp.escapeTsv(mx(i1))}\t${ChHttp.escapeTsv(mx(i2))}\n"
+    case Insert(db, t, colList, valuesPart) =>
+      val tb = table(db, t)
+      val cols = colList.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      val idx = cols.map { c =>
+        val i = tb.schema.indexWhere(_._1 == c)
+        require(i >= 0, s"no column $c in $db.$t"); i
+      }
+      val tuples = parseTuples(valuesPart)
+      rejectMarker.foreach { m =>
+        if (tuples.exists(_.contains(m)))
+          throw new IllegalArgumentException(s"rejected: marker '$m' present")
+      }
+      tuples.foreach { tup =>
+        require(tup.size == cols.size, s"arity mismatch: ${tup.size} vs ${cols.size}")
+        val row = Array.fill[String](tb.schema.size)(null)
+        idx.zip(tup).foreach { case (i, v) => row(i) = v }
+        tb.rows += row.toSeq
+      }
+      ""
+    case other => throw new IllegalArgumentException(s"unhandled statement: ${other.take(120)}")
+  }
+
+  /** Split a column-def list on commas not inside parens. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse `(lit, lit, …), (…)` — numbers, NULL, \'-escaped strings. */
+  private def parseTuples(s: String): Seq[Seq[String]] = {
+    val out = mutable.ArrayBuffer[Seq[String]]()
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def parseString(): String = {
+      // at opening quote
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '\'') {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(s.charAt(i)); i += 1 }
+      }
+      require(i < s.length, "unterminated string literal")
+      i += 1
+      sb.toString
+    }
+    while ({ skipWs(); i < s.length }) {
+      require(s.charAt(i) == '(', s"expected '(' at $i in: ${s.take(80)}")
+      i += 1
+      val tup = mutable.ArrayBuffer[String]()
+      var done = false
+      while (!done) {
+        skipWs()
+        if (s.charAt(i) == '\'') tup += parseString()
+        else {
+          val start = i
+          while (i < s.length && s.charAt(i) != ',' && s.charAt(i) != ')') i += 1
+          val tok = s.substring(start, i).trim
+          tup += (if (tok == "NULL") null else tok)
+        }
+        skipWs()
+        if (s.charAt(i) == ',') i += 1
+        else if (s.charAt(i) == ')') { i += 1; done = true }
+        else throw new IllegalArgumentException(s"bad tuple at $i")
+      }
+      out += tup.toSeq
+      skipWs()
+      if (i < s.length && s.charAt(i) == ',') i += 1
+    }
+    out.toSeq
+  }
+}
