@@ -1521,6 +1521,15 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.rangeSearch(e, e.filter(col("vec_id") < 16), "vec_id", "embedding", tau = 0.4)
     }),
+    "sim_range_ivf" -> ((s, d) => {
+      // C80b: IVF-bounded range search — cells pruned by the angular
+      // triangle inequality, still EXACT (same oracle as the brute
+      // scan): probe cost is surviving (cell, query) pairs, not one
+      // full corpus scan per query batch
+      val e = t(s, d, "embeddings")
+      Similarity.rangeSearchIvf(e, e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        tau = 0.4, nClusters = 16)
+    }),
     "seasonal_decompose" -> ((s, d) =>
       // B75: 7-day centered-MA trend, per-weekday mean residual —
       // exact integer cents, complete windows only
@@ -1582,6 +1591,28 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("n_dups"))
         .select(col("kept_id"), col("n_dups"), col("phash"))
         .orderBy(col("kept_id"))
+    }),
+    "mm_phash_incr" -> ((s, d) => {
+      // C85: incremental perceptual dedup — the decile-0 image batch
+      // probed against the persisted phash index of the pattern<20
+      // corpus (C28 discipline on the visual signal). Batch pattern 30
+      // is a genuine cross-key perceptual dup (stripe geometry repeats
+      // mod 30, so pk 30 renders pixel-identical to pk 0); pattern 20
+      // is visually new. Probe cost is batch decode + a hash join —
+      // the corpus images are never re-decoded
+      val docs = t(s, d, "documents")
+      val staged = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_phash_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v2") {
+        val pats = docs.select((col("doc_id") % 40).as("pk")).distinct()
+        Multimodal.encodeStagedPngStripes(s,
+          pats.select(col("pk"), (lit(8) + (col("pk") % 2) * 8).as("w"), lit(8).as("h")),
+          "pk", "w", "h").select(col("pk"), col("png"))
+      }
+      val withPk = docs.select(col("doc_id"), (col("doc_id") % 40).as("pk"))
+      val corpus = withPk.filter(col("doc_id") % 10 =!= 0 && col("pk") < 20).join(staged, "pk")
+      val batch = withPk.filter(col("doc_id") % 10 === 0).join(staged, "pk")
+      Multimodal.phashAgainstIndex(s, batch, "doc_id", "png",
+        Multimodal.buildPhashIndex(s, corpus, "doc_id", "png"))
     }),
     "session_stats" -> ((s, d) =>
       // B77: corpus-level engagement card over B6's sessions — bounce
@@ -3564,6 +3595,14 @@ object SparkEntry {
         |FROM embeddings q JOIN embeddings c ON q.vec_id < 16 AND c.vec_id != q.vec_id
         |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
+    // IDENTICAL oracle to sim_range_search: the IVF cell prune is
+    // exact by the triangle-inequality bound, so the hash must match
+    // the brute-force scan bit-for-bit
+    "sim_range_ivf" ->
+      """SELECT q.vec_id AS qid, c.vec_id AS vec_id
+        |FROM embeddings q JOIN embeddings c ON q.vec_id < 16 AND c.vec_id != q.vec_id
+        |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
     // centered 7-day RANGE window over day VALUES (gaps shrink the
     // window below 7 and the completeness filter drops it); trunc-
     // toward-zero residual means match Spark DIV
@@ -3645,6 +3684,32 @@ object SparkEntry {
         |assign AS (SELECT d.doc_id, ph.phash FROM documents d JOIN ph ON d.doc_id % 40 = ph.pk)
         |SELECT min(doc_id) AS kept_id, CAST(count(*) AS BIGINT) AS n_dups, phash
         |FROM assign GROUP BY phash ORDER BY kept_id""".stripMargin,
+    // same aHash CTE as mm_phash_dedup; index = min corpus id per
+    // hash, probe = left join of the decile-0 batch on the hash
+    "mm_phash_incr" ->
+      """WITH pks AS (SELECT DISTINCT doc_id % 40 AS pk FROM documents),
+        |geo AS (SELECT pk, 8 * (1 + pk % 2) AS w FROM pks),
+        |px AS (SELECT pk, w, xs.x AS x, ys.y AS y
+        |       FROM geo, (SELECT unnest(range(0, 16)) AS x) xs, (SELECT unnest(range(0, 8)) AS y) ys
+        |       WHERE xs.x < w),
+        |gr AS (SELECT pk, x // (w // 8) AS bx, y AS by,
+        |              (CASE WHEN (x * (1 + pk % 5) + y * (1 + pk % 3)) % 4 < 2 THEN 200 ELSE 20 END)
+        |                + x * 3 + y * 5 AS v
+        |       FROM px),
+        |blocks AS (SELECT pk, bx, by, sum(v) AS v FROM gr GROUP BY 1, 2, 3),
+        |tot AS (SELECT pk, sum(v) AS tv FROM blocks GROUP BY 1),
+        |bits AS (SELECT blocks.pk AS pk, by, CAST(sum(CASE WHEN v * 64 > tv THEN 1 << bx ELSE 0 END) AS BIGINT) AS rb
+        |         FROM blocks JOIN tot ON blocks.pk = tot.pk GROUP BY 1, 2),
+        |ph AS (SELECT pk, lower(string_agg(lpad(to_hex(rb), 2, '0'), '' ORDER BY by)) AS phash FROM bits GROUP BY 1),
+        |corpus AS (SELECT d.doc_id, ph.phash FROM documents d JOIN ph ON d.doc_id % 40 = ph.pk
+        |           WHERE d.doc_id % 10 != 0 AND d.doc_id % 40 < 20),
+        |idx AS (SELECT phash, min(doc_id) AS kept_id FROM corpus GROUP BY 1),
+        |batch AS (SELECT d.doc_id, ph.phash FROM documents d JOIN ph ON d.doc_id % 40 = ph.pk
+        |          WHERE d.doc_id % 10 = 0)
+        |SELECT b.doc_id,
+        |       CAST(CASE WHEN idx.kept_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |       idx.kept_id AS dup_of
+        |FROM batch b LEFT JOIN idx ON b.phash = idx.phash ORDER BY doc_id""".stripMargin,
     // same 30-min-gap session rule as `sessionize` (B6), folded to the
     // one-row engagement card
     "session_stats" ->

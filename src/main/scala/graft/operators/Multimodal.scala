@@ -375,6 +375,68 @@ object Multimodal {
           lpad(lower(hex(max(when(col("by") === by, col("rb"))))), 2, "0")): _*).as("phash"))
   }
 
+  /** C85 index build: one row per distinct perceptual hash in the
+    * image corpus with its canonical (minimum) id — [[imageAHash]]
+    * over decoded pixels, then the [[graft.operators.Dedup
+    * .buildHashIndex]] shape (C28 discipline). The persisted index is
+    * (16-hex-char phash, kept_id): ~24 bytes per distinct VISUAL, so
+    * probes of later batches never re-decode or re-shuffle the corpus
+    * images — the production form of batch [[imageAHash]] dedup.
+    */
+  def buildPhashIndex(spark: SparkSession, corpus: DataFrame, idCol: String, binCol: String): DataFrame =
+    imageAHash(spark, corpus, idCol, binCol)
+      .groupBy(col("phash"))
+      .agg(min(col(idCol).cast("long")).as("kept_id"))
+
+  private def requirePhashIndex(index: DataFrame): Unit =
+    require(index.columns.toSet == Set("phash", "kept_id"),
+      s"not a phash index: ${index.columns.mkString(",")}")
+
+  /** C85 probe: decode + hash ONLY the batch, then one hash-keyed
+    * left join against the index — batch-shaped cost (Θ(batch
+    * pixels) decode + a join that shuffles 16-char hashes, AQE
+    * broadcasts whichever side is small). Output (idCol, is_dup,
+    * dup_of) for every batch row, the [[graft.operators.Dedup
+    * .exactAgainstIndex]] contract on the visual signal.
+    */
+  def phashAgainstIndex(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      index: DataFrame
+  ): DataFrame = {
+    requirePhashIndex(index)
+    imageAHash(spark, batch, idCol, binCol)
+      .select(col(idCol).cast("long").as("__bid"), col("phash"))
+      .join(index, Seq("phash"), "left")
+      .select(
+        col("__bid").as(idCol),
+        when(col("kept_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("kept_id").as("dup_of"))
+      .orderBy(col(idCol))
+  }
+
+  /** C85 state advance: fold a processed batch into the phash index,
+    * FIRST-SEEN-WINS like [[graft.operators.Dedup.updateHashIndex]] —
+    * hashes already indexed keep their canonical id (anti-join drops
+    * them from the batch side), so replaying the same batch is
+    * idempotent and canonical ids never churn. The returned frame
+    * REPLACES the old index (write-new-then-promote).
+    */
+  def updatePhashIndex(
+      index: DataFrame,
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String
+  ): DataFrame = {
+    requirePhashIndex(index)
+    index.unionByName(
+      buildPhashIndex(spark, batch, idCol, binCol)
+        .join(index.select(col("phash")), Seq("phash"), "left_anti"))
+  }
+
   /** C61: REAL JPEG dimension parsing — unlike PNG/WAV, JPEG has no
     * fixed-offset header: the SOF frame segment sits behind a
     * variable-length marker chain (APPn/DQT/COM...), so the parse is

@@ -122,6 +122,96 @@ object Similarity {
       .orderBy(col("qid"), col("vec_id"))
   }
 
+  /** C80b: IVF-BOUNDED range search — [[rangeSearch]]'s scale path
+    * for large query sets, and still EXACT: cells are pruned by the
+    * spherical triangle inequality, never by a fixed nProbes. At
+    * build, each cell records its angular radius `rad = max angle
+    * (member, centroid)`; a query q must probe cell c only if
+    * `angle(q, c) ≤ arccos(τ) + rad_c` — any member x with
+    * cos(q, x) ≥ τ has angle(q,x) ≤ arccos τ, and angle(q,c) ≤
+    * angle(q,x) + angle(x,c) bounds the rest. A 1e-9 slack absorbs
+    * float rounding in the arccos, so no true match is ever pruned
+    * (the final exact-cosine filter kills the extra candidates) —
+    * output is bit-identical to [[rangeSearch]], same oracle.
+    *
+    * Plan: assignment + radii are one broadcast-centroid pass over
+    * the corpus (built once; with [[buildIvfIndex]]'s partitioned
+    * layout they persist and probes read only matching cells'
+    * directories). The probe frame is |Q|·nClusters rows pre-prune —
+    * tiny — and the scoring join touches only surviving (cell, query)
+    * pairs: probed-cell IO, not corpus IO, while tight clusters and
+    * high τ prune most of the sphere.
+    */
+  def rangeSearchIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      nClusters: Int = 16
+  ): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, s"tau must be in (-1, 1], got $tau")
+    val centers = fitCentroids(corpus, vecCol, nClusters)
+    val cands = candidateCellsJoin(corpus, centers, idCol, vecCol)
+    val qs = rangeProbeFrame(cands, queries, centers, idCol, vecCol, tau)
+    cands
+      .join(broadcast(qs), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .filter(dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm")) >= tau)
+      .select(col("qid"), col("cid").as("vec_id"))
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
+  /** The pruned (qid, qvec, qnrm, cell) probe frame for
+    * [[rangeSearchIvf]] — package-visible so specs can assert the
+    * prune is doing work (probe pairs ≪ |Q|·nClusters) independently
+    * of result correctness. `cands` must be a cell-assigned corpus
+    * frame (cid, cvec, cnrm, cell).
+    */
+  private[graft] def rangeProbeFrame(
+      cands: DataFrame,
+      queries: DataFrame,
+      centers: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      tau: Double
+  ): DataFrame = {
+    val cd = centersDf(queries.sparkSession, centers)
+    def clampCos(c: Column): Column = least(lit(1.0), greatest(lit(-1.0), c))
+    val radii = cands
+      .join(cd, col("cell") === col("__cell"))
+      .select(col("cell"),
+        acos(clampCos(dot(col("cvec"), col("__center")) / (col("cnrm") * sqrt(col("__cnorm2"))))).as("ang"))
+      .groupBy(col("cell"))
+      .agg(max(col("ang")).as("rad"))
+    queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+      .crossJoin(cd)
+      .select(col("qid"), col("qvec"), col("qnrm"), col("__cell").as("cell"),
+        acos(clampCos(dot(col("qvec"), col("__center")) / (col("qnrm") * sqrt(col("__cnorm2"))))).as("qang"))
+      .join(broadcast(radii), Seq("cell"))
+      .filter(col("qang") <= lit(math.acos(tau) + 1e-9) + col("rad"))
+      .select(col("qid"), col("qvec"), col("qnrm"), col("cell"))
+  }
+
+  /** (qid, cell) pairs [[rangeSearchIvf]] would score, for specs that
+    * measure the prune (pairs ≪ |Q|·nClusters) independently of
+    * result correctness.
+    */
+  private[graft] def rangeProbePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      nClusters: Int
+  ): DataFrame = {
+    val centers = fitCentroids(corpus, vecCol, nClusters)
+    val cands = candidateCellsJoin(corpus, centers, idCol, vecCol)
+    rangeProbeFrame(cands, queries, centers, idCol, vecCol, tau)
+      .select(col("qid"), col("cell"))
+  }
+
   /** C84: truncated-dimension retrieval recall — the Matryoshka /
     * dimension-reduction evaluation an embedding pipeline runs before
     * cutting storage: top-k neighbors by full-dimension cosine vs

@@ -945,6 +945,38 @@ class PipelineSpec extends SparkSpec {
     assert(gh(3L) == gh(103L), "aHash must be invariant to a constant brightness shift")
   }
 
+  test("phash index: probe-after-append equals rebuild; replay idempotent; cross-key perceptual dup") {
+    val pats = spark.range(0, 40).select(col("id").as("pk"),
+      (lit(8) + (col("id") % 2) * 8).cast("int").as("w"), lit(8).as("h"))
+    val pngs = Multimodal.encodeStagedPngStripes(spark, pats, "pk", "w", "h")
+      .select(col("pk"), col("png")).cache()
+    def imgs(ids: Seq[Long]) = ids.toDF("doc_id")
+      .select(col("doc_id"), (col("doc_id") % 40).as("pk"))
+      .join(pngs, "pk").select(col("doc_id"), col("png"))
+    val corpusA = imgs(Seq(1L, 2L, 3L, 30L))
+    val batchB = imgs(Seq(41L, 5L, 90L)) // pk 1 (known), pk 5 + pk 10 (new)
+    // pk 0 probes as a CROSS-KEY dup: stripe geometry repeats mod 30,
+    // so pk 0 renders pixel-identical to corpus pk 30
+    val probeC = imgs(Seq(81L, 45L, 100L, 40L)) // pks 1, 5, 20, 0
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val idxA = Multimodal.buildPhashIndex(spark, corpusA, "doc_id", "png")
+    val appended = Multimodal.updatePhashIndex(idxA, spark, batchB, "doc_id", "png")
+    val rebuilt = Multimodal.buildPhashIndex(spark, corpusA.unionByName(batchB), "doc_id", "png")
+    val viaAppend = asSet(Multimodal.phashAgainstIndex(spark, probeC, "doc_id", "png", appended))
+    assert(viaAppend == asSet(Multimodal.phashAgainstIndex(spark, probeC, "doc_id", "png", rebuilt)))
+    assert(viaAppend == Set(
+      (81L, 1L, 1L),   // pk 1: first-seen corpus id, not batch id 41
+      (45L, 1L, 5L),   // pk 5: visible only after the append
+      (100L, 0L, -1L), // pk 20: genuinely new
+      (40L, 1L, 30L)), // pk 0 == pk 30 visually
+      viaAppend.toString)
+    // at-least-once delivery: replaying the SAME batch adds nothing
+    val replayed = Multimodal.updatePhashIndex(appended, spark, batchB, "doc_id", "png")
+    assert(replayed.count() == appended.count(), "replayed batch duplicated index keys")
+    pngs.unpersist()
+  }
+
   test("dimTruncateRecall: prefix-dim ranking diverges from full-dim where the tail carries the signal") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),    // query

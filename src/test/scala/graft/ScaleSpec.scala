@@ -178,6 +178,48 @@ class ScaleSpec extends SparkSpec {
     assert(hits >= (lsh.size * 0.95).toInt, s"LSH missed staged twins: $hits/${lsh.size}")
   }
 
+  test("IVF range search at 100k clustered vectors: bit-identical to brute scan, prune collapses probed cells", Slow) {
+    import spark.implicits._
+    val dim = 8
+    val nAnchors = 64
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.fill(nAnchors)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val anchorsDf = broadcast(
+      anchors.zipWithIndex.map { case (a, i) => (i.toLong, a.map(_.toFloat)) }.toIndexedSeq
+        .toDF("aid", "avec"))
+    // 100k members in 64 tight clusters: anchor + hash noise (±0.05)
+    val vecs = spark.range(0, 100000)
+      .select(col("id").as("vec_id"), pmod(col("id"), lit(nAnchors.toLong)).as("aid"))
+      .join(anchorsDf, "aid")
+      .select(col("vec_id"),
+        zip_with(col("avec"), sequence(lit(0), lit(dim - 1)), (x, i) =>
+          (x + ((pmod(xxhash64(col("vec_id"), i), lit(201L)) - 100L) / lit(2000.0))).cast("float"))
+          .as("embedding"))
+      .persist()
+    val queries = vecs.filter(col("vec_id") < 8)
+    val tau = 0.995
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (exact, bruteSec) = time {
+      asPairs(Similarity.rangeSearch(vecs, queries, "vec_id", "embedding", tau))
+    }
+    val (viaIvf, ivfSec) = time {
+      asPairs(Similarity.rangeSearchIvf(vecs, queries, "vec_id", "embedding", tau, nClusters = nAnchors))
+    }
+    info(f"range search 100k x 8 queries: brute $bruteSec%.1fs, ivf $ivfSec%.1fs, |result|=${exact.size}")
+    assert(exact.nonEmpty, "tau gate empty — fixture stopped exercising the search")
+    assert(viaIvf == exact,
+      s"IVF prune dropped/added matches: missing=${exact.diff(viaIvf).take(5)} extra=${viaIvf.diff(exact).take(5)}")
+    // the prune is the point: probed (query, cell) pairs must be a
+    // small fraction of the unpruned |Q| x nClusters fan-out — this is
+    // probed-cell IO, not corpus IO
+    val probed = Similarity.rangeProbePairs(vecs, queries, "vec_id", "embedding", tau, nAnchors).count()
+    val unpruned = 8L * nAnchors
+    info(s"probed pairs: $probed / $unpruned")
+    assert(probed <= unpruned / 4, s"prune did no work: $probed of $unpruned (cells not tight?)")
+    vecs.unpersist()
+  }
+
   test("IVF append at 100k vectors: late batch searchable, fit paid once", Slow) {
     val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 100000, dim = 32)
     val vecs = spark.read.parquet(vecsPath)
