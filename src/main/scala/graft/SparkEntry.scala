@@ -571,6 +571,12 @@ object SparkEntry {
         .funnelCounts(t(s, d, "events"), "user_id", "event_type", "ts",
           Seq("view", "click", "purchase"))
         .orderBy("stage_idx")),
+    "funnel_attrib" -> ((s, d) =>
+      // B78: first-touch conversion attribution over the strict-order
+      // funnel — channel = props.k % 4 of the user's earliest view
+      Analytics.funnelAttribution(t(s, d, "events"), "user_id", "event_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("ch"))),
     "retention_cohorts" -> ((s, d) =>
       // B21: weekly signup-cohort retention
       TimeSeries.retentionCohorts(t(s, d, "events"), "signup")),
@@ -919,6 +925,21 @@ object SparkEntry {
           when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")
       )
       Dedup.embeddingPairsLsh(
+        e.unionByName(pert), "vec_id", "embedding",
+        tau = 0.99, dim = 64, planes = 8, tables = 8)
+    }),
+    "dedup_embedding_simhash" -> ((s, d) => {
+      // C86: the C5b fixture through the SimHash-sketch-prefiltered
+      // path — candidates are Hamming-screened on 8-byte sign codes
+      // before any vector fetch; exact cosine verifies survivors, so
+      // the oracle is the same exact pair set as the blocked path
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = e.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")
+      )
+      Dedup.embeddingPairsLshSketch(
         e.unionByName(pert), "vec_id", "embedding",
         tau = 0.99, dim = 64, planes = 8, tables = 8)
     }),
@@ -2477,6 +2498,23 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'click', CAST(count(t1) AS BIGINT) FROM s2
         |  UNION ALL SELECT 2, 'purchase', CAST(count(t2) AS BIGINT) FROM s2
         |) ORDER BY stage_idx""".stripMargin,
+    // same reached CTEs as funnel_counts; first touch via a
+    // (ts, event_id)-ordered row_number over head-stage events
+    "funnel_attrib" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS ch FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type='view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, s0.t0, min(CASE WHEN e.us > s0.t0 THEN e.us END) AS t1
+        |       FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.event_type='click' GROUP BY 1,2),
+        |s2 AS (SELECT s1.user_id, s1.t0, s1.t1, min(CASE WHEN e.us > s1.t1 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type='purchase' GROUP BY 1,2,3),
+        |ft AS (SELECT user_id, ch FROM (
+        |         SELECT user_id, ch, row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+        |         FROM e WHERE event_type='view') x WHERE rn = 1)
+        |SELECT ft.ch AS channel, CAST(count(*) AS BIGINT) AS n_entered,
+        |       CAST(count(t2) AS BIGINT) AS n_converted,
+        |       CAST(10000 * count(t2) // count(*) AS BIGINT) AS conv_bp
+        |FROM s2 JOIN ft ON s2.user_id = ft.user_id GROUP BY 1 ORDER BY 1""".stripMargin,
     "retention_cohorts" ->
       """WITH s AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
         |           FROM events WHERE event_type='signup' GROUP BY 1)
@@ -3161,6 +3199,17 @@ object SparkEntry {
         |FROM batch b JOIN e c ON list_cosine_similarity(b.v, c.embedding) >= 0.99
         |ORDER BY 1, 2""".stripMargin,
     "dedup_embedding_blocked" ->
+      """WITH u AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |         list_concat([embedding[1] + 0.05], embedding[2:]) FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM u a JOIN u b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99 ORDER BY 1,2""".stripMargin,
+    // IDENTICAL oracle to dedup_embedding_blocked: the sketch pass
+    // only prunes candidates; exact cosine decides membership
+    "dedup_embedding_simhash" ->
       """WITH u AS (
         |  SELECT vec_id AS id, embedding AS v FROM embeddings
         |  UNION ALL

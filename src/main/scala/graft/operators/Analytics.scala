@@ -258,6 +258,53 @@ object Analytics {
       .orderBy(col("step"), col("rank_name"))
   }
 
+  /** B78: first-touch funnel attribution — which acquisition channel
+    * the conversions came from, the question the funnel family's
+    * counts (B19) and latencies (B76) feed into. Each user's funnel
+    * is attributed to the channel of their FIRST head-stage event
+    * (earliest timestamp, event-id tie-break — deterministic under
+    * same-microsecond events), then per channel: users entered,
+    * users converted (final stage reached in strict order), and the
+    * conversion rate in exact basis points.
+    *
+    * Plan: one [[funnelReached]] chain (per-stage groupBy+join over
+    * the fact table) plus ONE more head-stage aggregation for the
+    * first-touch channel — `min(struct(ts, id, ch))` is map-side
+    * combinable, no per-user window — joined user-keyed and folded to
+    * |channels| rows. Channel extraction is any Column (typically a
+    * codegen'd `get_json_object` on the props payload), evaluated
+    * only on head-stage rows.
+    */
+  def funnelAttribution(
+      events: DataFrame,
+      userCol: String,
+      eventIdCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      channelCol: Column
+  ): DataFrame = {
+    require(stages.length >= 2, "funnel attribution needs at least two stages")
+    val reached = funnelReached(events, userCol, typeCol, tsCol, stages)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val firstTouch = events
+      .filter(col(typeCol) === stages.head)
+      .select(col(userCol),
+        struct(us.as("us"), col(eventIdCol).as("eid"), channelCol.as("ch")).as("s"))
+      .groupBy(col(userCol))
+      .agg(min(col("s")).as("s"))
+      .select(col(userCol), col("s.ch").as("channel"))
+    val last = s"t${stages.length - 1}"
+    reached
+      .join(firstTouch, Seq(userCol))
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_entered"),
+        count(col(last)).as("n_converted"),
+        expr(s"10000 * count($last) DIV count(1)").as("conv_bp"))
+      .orderBy(col("channel"))
+  }
+
   /** B75: classical seasonal decomposition of daily revenue — a 7-day
     * CENTERED moving-average trend (only complete windows, the
     * textbook rule), residual = day − trend, and the seasonal

@@ -523,6 +523,107 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** C86: [[embeddingPairsLsh]] with a SimHash-over-embeddings
+    * PREFILTER between candidate generation and exact verification —
+    * the "second pass over the pair stream" ruled unnecessary at
+    * moderate volumes (see the comment there), implemented for the
+    * corpora where it pays: when bucket collisions are dominated by
+    * mid-similarity pairs (dense label clusters, billions of
+    * candidates), an 8-byte sign sketch rejects most of them by
+    * popcount(xor) BEFORE the candidate pair joins back to its two
+    * `dim`-float vectors — the prefilter joins move 8-byte codes,
+    * the expensive vector fetch only sees sketch survivors.
+    *
+    * Sketch: 56 sign bits from [[graft.functions.VecOps.tableCodes]]'
+    * SECOND table (planes 56..111 — mostly disjoint from the bucket
+    * planes; partial overlap only biases the estimate optimistic,
+    * harmless for a prefilter). For cos ≥ τ the expected differing
+    * bits are 56·arccos(τ)/π; `slackBits` over that (default 6 ≈ 4σ
+    * of the binomial tail) keeps true pairs: on the staged fixture
+    * recall is exact and the result matches [[embeddingPairsLsh]]
+    * bit-for-bit — same oracle.
+    */
+  def embeddingPairsLshSketch(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      dim: Int,
+      planes: Int = 8,
+      tables: Int = 4,
+      slackBits: Int = 6
+  ): DataFrame = {
+    val hmax = math.ceil(56.0 * math.acos(tau) / math.Pi).toLong + slackBits
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"), Similarity.norm(col(vecCol)).as("nrm"),
+        element_at(Similarity.tableBuckets(col(vecCol), dim, 56, 2), 2).as("sk"))
+      .persist()
+    val n = base.count()
+    val (planesEff, tablesEff) = lshSizing(n, tau, planes, tables)
+    val bucketed = base.select(
+      col("id"),
+      explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb")
+    )
+    val cands = bucketed
+      .alias("a")
+      .join(bucketed.alias("b"), col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sketches = base.select(col("id"), col("sk"))
+    val prefiltered = cands
+      .join(sketches.select(col("id").as("id_a"), col("sk").as("sk_a")), "id_a")
+      .join(sketches.select(col("id").as("id_b"), col("sk").as("sk_b")), "id_b")
+      .filter(expr("bit_count(sk_a ^ sk_b)") <= lit(hmax))
+      .select(col("id_a"), col("id_b"))
+    prefiltered
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Candidate-volume instrumentation for
+    * [[embeddingPairsLshSketch]]: (n_candidates, n_after_sketch) —
+    * the measurement that decides whether the sketch pass pays at a
+    * given corpus shape (it pays when the second number is much
+    * smaller: every rejected candidate saves a 2×dim-float fetch).
+    */
+  private[graft] def sketchPrefilterStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      dim: Int,
+      planes: Int = 8,
+      tables: Int = 4,
+      slackBits: Int = 6
+  ): (Long, Long) = {
+    val hmax = math.ceil(56.0 * math.acos(tau) / math.Pi).toLong + slackBits
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        element_at(Similarity.tableBuckets(col(vecCol), dim, 56, 2), 2).as("sk"))
+      .persist()
+    val n = base.count()
+    val (planesEff, tablesEff) = lshSizing(n, tau, planes, tables)
+    val bucketed = base.select(
+      col("id"), explode(Similarity.tableBuckets(col("v"), dim, planesEff, tablesEff)).as("tb"))
+    val cands = bucketed.alias("a")
+      .join(bucketed.alias("b"), col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sketches = base.select(col("id"), col("sk"))
+    val withSk = cands
+      .join(sketches.select(col("id").as("id_a"), col("sk").as("sk_a")), "id_a")
+      .join(sketches.select(col("id").as("id_b"), col("sk").as("sk_b")), "id_b")
+      .select(when(expr("bit_count(sk_a ^ sk_b)") <= lit(hmax), 1L).otherwise(0L).as("keep"))
+      .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
+      .collect()(0)
+    base.unpersist()
+    (withSk.getLong(0), withSk.getLong(1))
+  }
+
   /** C44: semantic dedup — the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): partition the embedding space into clusters,
     * then prune near-duplicates only WITHIN each cluster, so the

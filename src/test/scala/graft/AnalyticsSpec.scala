@@ -718,6 +718,27 @@ class AnalyticsSpec extends SparkSpec {
       ("2:click->purchase", "p50", 60L, 1L), ("2:click->purchase", "p90", 60L, 1L)))
   }
 
+  test("funnelAttribution: first-touch channel, same-timestamp tie by event_id, exact conv_bp") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      // user 1: two views at the SAME ts — channel from event_id 10 (ch 7), converts
+      (1L, 10L, ts(0), "view", 7L), (1L, 11L, ts(0), "view", 9L),
+      (1L, 12L, ts(5), "click", 0L), (1L, 13L, ts(9), "purchase", 0L),
+      // user 2: ch 7, enters but does not convert (click only)
+      (2L, 20L, ts(0), "view", 7L), (2L, 21L, ts(3), "click", 0L),
+      // user 3: ch 5, converts
+      (3L, 30L, ts(0), "view", 5L), (3L, 31L, ts(1), "click", 0L), (3L, 32L, ts(2), "purchase", 0L),
+      // user 4: never views — not in the funnel at all
+      (4L, 40L, ts(0), "click", 3L)
+    ).toDF("user_id", "event_id", "ts", "event_type", "ch")
+    val got = Analytics.funnelAttribution(events, "user_id", "event_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), col("ch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((5L, 1L, 1L, 10000L), (7L, 2L, 1L, 5000L)), got.mkString(","))
+  }
+
   test("sessionStats: bounce share and mean duration over gap-rule sessions, exact integers") {
     import spark.implicits._
     import graft.operators.Analytics

@@ -51,6 +51,52 @@ class ScaleSpec extends SparkSpec {
     assert(lshSec < 0.25 * exactSec, f"LSH-blocked not sublinear: $lshSec%.1fs vs exact $exactSec%.1fs")
   }
 
+  test("simhash sketch prefilter at 20k clustered vectors: same pairs as LSH path, mid-sim candidates rejected pre-fetch", Slow) {
+    import spark.implicits._
+    val dim = 16
+    val nAnchors = 50
+    val rnd = new scala.util.Random(23)
+    val anchors = Array.fill(nAnchors)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val anchorsDf = broadcast(
+      anchors.zipWithIndex.map { case (a, i) => (i.toLong, a.map(_.toFloat)) }.toIndexedSeq
+        .toDF("aid", "avec"))
+    // loose clusters: within-cluster cos ~0.75-0.85 — the shape that
+    // floods LSH buckets with candidates BELOW tau, where the sketch
+    // prefilter earns its keep; every 20th vector gets a near-twin
+    val vecs = spark.range(0, 20000)
+      .select(col("id").as("vec_id"), pmod(col("id"), lit(nAnchors.toLong)).as("aid"))
+      .join(anchorsDf, "aid")
+      .select(col("vec_id"),
+        zip_with(col("avec"), sequence(lit(0), lit(dim - 1)), (x, i) =>
+          (x + ((pmod(xxhash64(col("vec_id"), i), lit(1601L)) - 800L) / lit(1000.0))).cast("float"))
+          .as("embedding"))
+    val twins = vecs.filter(pmod(col("vec_id"), lit(20L)) === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding"))
+    val corpus = vecs.unionByName(twins).persist()
+    corpus.count()
+    def asPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tau = 0.99
+    val (viaLsh, lshSec) = time {
+      asPairs(Dedup.embeddingPairsLsh(corpus, "vec_id", "embedding", tau, dim, planes = 8, tables = 8))
+    }
+    val (viaSketch, skSec) = time {
+      asPairs(Dedup.embeddingPairsLshSketch(corpus, "vec_id", "embedding", tau, dim, planes = 8, tables = 8))
+    }
+    assert(viaSketch == viaLsh,
+      s"sketch path drifted: missing=${viaLsh.diff(viaSketch).take(5)} extra=${viaSketch.diff(viaLsh).take(5)}")
+    // every staged twin recovered through the sketch gate
+    val twinPairs = (0L until 20000L by 20L).map(i => (i, i + 100000L)).toSet
+    assert(twinPairs.subsetOf(viaSketch), s"missing twins: ${twinPairs.diff(viaSketch).take(5)}")
+    val (total, kept) = Dedup.sketchPrefilterStats(corpus, "vec_id", "embedding", tau, dim, planes = 8, tables = 8)
+    info(f"lsh $lshSec%.1fs, sketch $skSec%.1fs; candidates $total -> $kept after sketch (${100.0 * kept / total}%.1f%% kept)")
+    // the measurement the operator exists for: most mid-similarity
+    // candidates never reach the vector fetch
+    assert(total > 0 && kept * 2 <= total, s"sketch rejected too little: $kept of $total")
+    corpus.unpersist()
+  }
+
   test("semantic dedup at 20k vectors: co-clustered twins all pruned, decisions exact", Slow) {
     val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 20000, dim = 32)
     // 64 sign-structured labels (sign bits of dims 1-6): centroids are
