@@ -577,9 +577,20 @@ object SparkEntry {
       Analytics.funnelAttribution(t(s, d, "events"), "user_id", "event_id", "event_type", "ts",
         Seq("view", "click", "purchase"),
         (get_json_object(col("props"), "$.k").cast("long") % 4).as("ch"))),
+    "attribution_linear" -> ((s, d) =>
+      // B79: linear multi-touch attribution — converted users' credit
+      // split equally over all pre-conversion head-stage touches,
+      // remainder to the earliest touch (sums exact per user)
+      Analytics.funnelAttributionLinear(t(s, d, "events"), "user_id", "event_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        (get_json_object(col("props"), "$.k").cast("long") % 4).as("ch"))),
     "retention_cohorts" -> ((s, d) =>
       // B21: weekly signup-cohort retention
       TimeSeries.retentionCohorts(t(s, d, "events"), "signup")),
+    "cohort_ltv" -> ((s, d) =>
+      // B80: first-order-month cohort x calendar month-age revenue
+      // matrix in exact cents — the LTV curve card
+      TimeSeries.cohortLtv(t(s, d, "orders"))),
     "resample_gapfill" -> ((s, d) =>
       // B22: per-user daily grid over the corpus span, zero-filled
       TimeSeries.gapFillDaily(t(s, d, "events"), "error", maxUserId = 8L)),
@@ -811,6 +822,10 @@ object SparkEntry {
         .orderBy(col("n_name"))),
     // ---- C. LLM-data-pipeline ----
     "dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_soft" -> ((s, d) =>
+      // C88: SoftDeDup reweighting — every duplicate kept at weight
+      // 1e6 DIV cluster_size ppm; hard dedup recoverable via is_canonical
+      Dedup.softDedup(t(s, d, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, tauPct = 80)),
     "dedup_containment" -> ((s, d) =>
@@ -2515,6 +2530,22 @@ object SparkEntry {
         |       CAST(count(t2) AS BIGINT) AS n_converted,
         |       CAST(10000 * count(t2) // count(*) AS BIGINT) AS conv_bp
         |FROM s2 JOIN ft ON s2.user_id = ft.user_id GROUP BY 1 ORDER BY 1""".stripMargin,
+    "attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS ch FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type='view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, s0.t0, min(CASE WHEN e.us > s0.t0 THEN e.us END) AS t1
+        |       FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.event_type='click' GROUP BY 1,2),
+        |s2 AS (SELECT s1.user_id, s1.t0, s1.t1, min(CASE WHEN e.us > s1.t1 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type='purchase' GROUP BY 1,2,3),
+        |tch AS (SELECT e.user_id, e.us, e.event_id, e.ch FROM e
+        |        JOIN s2 ON e.user_id = s2.user_id AND s2.t2 IS NOT NULL
+        |        WHERE e.event_type='view' AND e.us <= s2.t2),
+        |pu AS (SELECT user_id, count(*) AS n, min(row(us, event_id)) AS fk FROM tch GROUP BY 1)
+        |SELECT tch.ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(1000000 // pu.n +
+        |                CASE WHEN row(tch.us, tch.event_id) = pu.fk THEN 1000000 % pu.n ELSE 0 END) AS BIGINT) AS credit_ppm
+        |FROM tch JOIN pu ON tch.user_id = pu.user_id GROUP BY 1 ORDER BY 1""".stripMargin,
     "retention_cohorts" ->
       """WITH s AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
         |           FROM events WHERE event_type='signup' GROUP BY 1)
@@ -2523,6 +2554,16 @@ object SparkEntry {
         |       count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN s USING (user_id)
         |WHERE date_trunc('week', e.ts) >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cohort_ltv" ->
+      """WITH c AS (SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort_m
+        |           FROM orders GROUP BY 1)
+        |SELECT epoch_us(cohort_m) AS cohort_month_us,
+        |       CAST((year(date_trunc('month', o.o_orderdate)) - year(cohort_m)) * 12 +
+        |            (month(date_trunc('month', o.o_orderdate)) - month(cohort_m)) AS BIGINT) AS age_months,
+        |       count(DISTINCT o.o_custkey) AS n_buyers,
+        |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders o JOIN c USING (o_custkey)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "resample_gapfill" ->
       """WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
@@ -3027,6 +3068,13 @@ object SparkEntry {
       """SELECT min(doc_id) AS kept_id, count(*) AS n_dups
         |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM documents) x
         |GROUP BY norm ORDER BY kept_id""".stripMargin,
+    "dedup_soft" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS norm FROM documents),
+        |c AS (SELECT norm, count(*) AS cluster_size, min(doc_id) AS keep FROM n GROUP BY 1)
+        |SELECT n.doc_id, c.cluster_size,
+        |       CAST(1000000 // c.cluster_size AS BIGINT) AS weight_ppm,
+        |       CAST(CASE WHEN n.doc_id = c.keep THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+        |FROM n JOIN c ON n.norm = c.norm ORDER BY n.doc_id""".stripMargin,
     // exact-pairs oracle is valid for the LSH pipeline because banded
     // MinHash loses nothing on this corpus (recall=1 property-tested in
     // PipelineSpec) and candidate verification is the same integer

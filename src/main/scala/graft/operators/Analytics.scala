@@ -305,6 +305,60 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** B79: LINEAR multi-touch attribution — the complementary card to
+    * [[funnelAttribution]]'s first-touch rule: a converted user's
+    * conversion credit (exactly 10^6 ppm per user) is split EQUALLY
+    * across ALL of their head-stage touches at or before the
+    * conversion instant, so channels that assist mid-journey are
+    * visible instead of the first channel taking everything. Per
+    * channel: touch count and total credit in ppm. Integer-exact
+    * apportionment: each touch gets 10^6 DIV n and the REMAINDER goes
+    * to the user's earliest touch ((us, event_id) min — deterministic,
+    * no RNG), so Σ credit over channels == 10^6 · n_converted exactly
+    * (spec-asserted invariant).
+    *
+    * Plan: one [[funnelReached]] chain, head-stage touches of
+    * converted users filtered by `us <= t_last` (attribution windows
+    * close at conversion — later touches earn nothing), then ONE
+    * user-keyed aggregate for (n_touches, min touch key) joined back —
+    * no per-user window — and a |channels|-row fold. Touch rows carry
+    * (user, us, eid, channel): ~32 bytes through both exchanges.
+    */
+  def funnelAttributionLinear(
+      events: DataFrame,
+      userCol: String,
+      eventIdCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      channelCol: Column
+  ): DataFrame = {
+    require(stages.length >= 2, "funnel attribution needs at least two stages")
+    val reached = funnelReached(events, userCol, typeCol, tsCol, stages)
+    val last = s"t${stages.length - 1}"
+    val converted = reached.filter(col(last).isNotNull).select(col(userCol), col(last))
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val touches = events
+      .filter(col(typeCol) === stages.head)
+      .select(col(userCol),
+        us.as("us"), col(eventIdCol).as("eid"), channelCol.as("channel"))
+      .join(converted, Seq(userCol))
+      .filter(col("us") <= col(last))
+    val perUser = touches
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_touches"),
+        min(struct(col("us"), col("eid"))).as("first_k"))
+    touches
+      .join(perUser, Seq(userCol))
+      .select(col("channel"),
+        (expr("1000000 DIV n_touches") +
+          when(struct(col("us"), col("eid")) === col("first_k"),
+            expr("1000000 % n_touches")).otherwise(lit(0L))).as("credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit")).as("credit_ppm"))
+      .orderBy(col("channel"))
+  }
+
   /** B75: classical seasonal decomposition of daily revenue — a 7-day
     * CENTERED moving-average trend (only complete windows, the
     * textbook rule), residual = day − trend, and the seasonal

@@ -82,6 +82,43 @@ object Dedup {
       .select(col("kept_id"), col("n_dups"))
       .orderBy(col("kept_id"))
 
+  /** C88: SOFT dedup — reweight duplicates instead of dropping them
+    * (SoftDeDup, Xue et al. 2024; also the "count-normalize" option in
+    * CCNet-style pipelines): every member of an exact-duplicate
+    * cluster keeps a training weight of 1/cluster_size, so the
+    * CONTENT's total contribution to the loss is constant no matter
+    * how many copies crawl brought in, while intra-cluster variation
+    * upstream normalization erased (casing, whitespace) still
+    * surfaces. The hard-dedup decision (C1) is recoverable from the
+    * output: keep rows with is_canonical = 1.
+    *
+    * Returns per input doc: (idCol, cluster_size, weight_ppm =
+    * 10^6 DIV cluster_size — exact integer, no float weights in a
+    * result contract, sums reconstruct corpus mass to ±1ppm/doc,
+    * is_canonical = 1 on the min-id member).
+    *
+    * Plan shape: one keyed agg on the 128-bit content hash (map-side
+    * combined — the shuffle carries 16-byte hashes + two longs, never
+    * text) and one hash-keyed join back to the (id, hash) frame.
+    * Cluster sizes are corpus-global, so this can't be a window over
+    * anything smaller; at 100 TB both exchanges move |corpus| × ~32
+    * bytes, the same bound as exact dedup itself.
+    */
+  def softDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), contentHash(col(textCol)).as("__h"))
+    val clusters = hashed
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("__keep"))
+    hashed
+      .join(clusters, Seq("__h"))
+      .select(
+        col(idCol),
+        col("cluster_size"),
+        expr("1000000 DIV cluster_size").as("weight_ppm"),
+        when(col(idCol) === col("__keep"), lit(1L)).otherwise(lit(0L)).as("is_canonical"))
+      .orderBy(col(idCol))
+  }
+
   /** C24: corpus-level exact passage dedup — the practical form of
     * exact-substring deduplication a pre-training pipeline runs: chop
     * every document into consecutive NON-overlapping `window`-word

@@ -42,6 +42,38 @@ object TimeSeries {
       .orderBy(col("cohort_week_us"), col("weeks_since"))
   }
 
+  /** B80: cohort LTV matrix — the revenue companion to [[retentionCohorts]]:
+    * customers grouped by their FIRST-order month (the acquisition
+    * cohort), then each cohort's revenue tracked by month age, the
+    * "how much is a January customer worth by month 6" curve behind
+    * LTV/CAC decisions. Per (cohort_month, age_months): active buyer
+    * count and revenue in exact cents.
+    *
+    * Month age is calendar-exact (12·Δyear + Δmonth — never ⌊days/30⌋,
+    * which drifts across month lengths). Plan: one customer-keyed
+    * min-aggregate for cohorts (map-side combined), one keyed join
+    * back to orders, one (cohort, age) fold — cohort cardinality is
+    * months × months, so the final agg is tiny at any corpus size and
+    * the join shuffles (custkey, month, cents) only.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val om = date_trunc("month", col("o_orderdate"))
+    val cohorts = orders
+      .groupBy(col("o_custkey"))
+      .agg(min(om).as("cohort_m"))
+    orders
+      .select(col("o_custkey"), om.as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(cohorts, Seq("o_custkey"))
+      .groupBy(
+        unix_micros(col("cohort_m")).as("cohort_month_us"),
+        ((year(col("m")) - year(col("cohort_m"))) * 12 +
+          (month(col("m")) - month(col("cohort_m")))).cast("long").as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("cohort_month_us"), col("age_months"))
+  }
+
   /** B22: gap-filled daily resample — per-user daily event counts over
     * the FULL corpus date span, missing days emitted as zero rows (the
     * "resample to a regular grid" step every downstream time-series

@@ -739,6 +739,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((5L, 1L, 1L, 10000L), (7L, 2L, 1L, 5000L)), got.mkString(","))
   }
 
+  test("funnelAttributionLinear: equal split with remainder to earliest touch; credit conserves per user") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      // user 1 converts at t=9 with THREE pre-conversion views (ch 7, 9, 7)
+      // and one post-conversion view (ch 1) that must earn nothing
+      (1L, 10L, ts(0), "view", 7L), (1L, 11L, ts(2), "view", 9L), (1L, 12L, ts(4), "view", 7L),
+      (1L, 13L, ts(5), "click", 0L), (1L, 14L, ts(9), "purchase", 0L), (1L, 15L, ts(20), "view", 1L),
+      // user 2 enters on ch 9 but never converts — zero credit anywhere
+      (2L, 20L, ts(0), "view", 9L), (2L, 21L, ts(3), "click", 0L),
+      // user 3 converts with a single ch-5 touch — full 10^6
+      (3L, 30L, ts(0), "view", 5L), (3L, 31L, ts(1), "click", 0L), (3L, 32L, ts(2), "purchase", 0L)
+    ).toDF("user_id", "event_id", "ts", "event_type", "ch")
+    val got = Analytics.funnelAttributionLinear(events, "user_id", "event_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), col("ch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // user 1: 1e6 DIV 3 = 333333 each, remainder 1 to the earliest (event 10, ch 7)
+    assert(got.toSeq == Seq((5L, 1L, 1000000L), (7L, 2L, 666667L), (9L, 1L, 333333L)), got.mkString(","))
+    assert(got.map(_._3).sum == 2000000L, "credit conserves: 10^6 per converted user")
+  }
+
   test("sessionStats: bounce share and mean duration over gap-rule sessions, exact integers") {
     import spark.implicits._
     import graft.operators.Analytics

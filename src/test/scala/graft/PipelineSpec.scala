@@ -26,6 +26,21 @@ class PipelineSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
   }
 
+  test("softDedup: weights split a cluster's mass, canonical flags recover hard dedup") {
+    val dupped = docs.limit(20).select(col("doc_id"), col("text"))
+      .unionAll(docs.limit(7).select(col("doc_id") + 100000, col("text")))
+    val w = Dedup.softDedup(dupped, "doc_id", "text").collect()
+    assert(w.length == 27, "every input doc keeps a row — nothing is dropped")
+    val bySize = w.groupBy(_.getLong(1))
+    // 7 clusters of size 2 (both members), the rest singletons at full weight
+    assert(bySize(2L).length == 14 && bySize(2L).forall(_.getLong(2) == 500000L))
+    assert(bySize(1L).forall(_.getLong(2) == 1000000L))
+    // hard dedup recoverable: canonical count == distinct-content count,
+    // and the canonical member is the min id of its cluster
+    val canon = w.filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    assert(canon.size == 20 && canon.forall(_ < 100000L))
+  }
+
   test("simhash: identical docs collide, near-dups are close in Hamming space") {
     val sig = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
     // deterministic across evaluations
