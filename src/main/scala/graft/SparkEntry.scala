@@ -995,6 +995,17 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
+    "sim_rrf_fusion" -> ((s, d) => {
+      // C89: hybrid retrieval — reciprocal-rank fusion of the
+      // inverted-index lexical arm and the cosine vector arm over the
+      // jointly-keyed documents/embeddings corpus (doc_id = vec_id)
+      val docs = t(s, d, "documents")
+      val embs = t(s, d, "embeddings")
+      Similarity.rrfFusionTopK(
+        docs, docs.filter(col("doc_id") < 10), "doc_id", "text",
+        embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        kEach = 20, k = 10, rrfK = 60)
+    }),
     "embed_nearest_centroid" -> ((s, d) =>
       // C27: per-label centroids + nearest-centroid assignment
       Similarity.nearestCentroid(t(s, d, "embeddings"), "vec_id", "embedding", "label")),
@@ -1549,6 +1560,22 @@ object SparkEntry {
             lit(1L) + col("doc_id") % 3))
           .otherwise(col("text").cast("binary")).as("payload"))
       Multimodal.parseMp4Meta(payloads, "doc_id", "payload")
+    }),
+    "mm_webp_meta" -> ((s, d) => {
+      // C90: REAL WebP container parsing — docs cycle through the
+      // three bitstream variants (VP8 lossy / VP8L lossless / VP8X
+      // extended, doc_id % 4 == 3 carries non-WebP text bytes); the
+      // builder is a pure hex-concat projection (mp4Bytes discipline)
+      // and the oracle states the fields in closed form
+      val payloads = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 4 =!= 3,
+          Multimodal.webpBytes(
+            col("doc_id") % 4,
+            lit(16L) + col("doc_id") % 1024L,
+            lit(16L) + col("doc_id") % 512L))
+          .otherwise(col("text").cast("binary")).as("payload"))
+      Multimodal.parseWebpMeta(payloads, "doc_id", "payload")
     }),
     "sim_range_search" -> ((s, d) => {
       // C80: exact cosine range search (FAISS range_search) — every
@@ -3320,6 +3347,30 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rn
         | FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id) x
         |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+    // RRF fusion: both arms' rankings are reproduced rank-for-rank
+    // (lexical integer scores exactly; vector cosine order is stable
+    // on this corpus — the sim_topk_brute precedent), fused integer
+    // contributions are exact in both engines
+    "sim_rrf_fusion" ->
+      """WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |tf AS (SELECT doc_id AS cid, term, count(*) AS tf FROM (SELECT doc_id, unnest(w) AS term FROM n) GROUP BY 1,2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |qt AS (SELECT doc_id AS qid, unnest(list_distinct(w)) AS term FROM n WHERE doc_id < 10),
+        |ls AS (SELECT qt.qid, tf.cid, sum(tf.tf * (1000000 // dfq.df)) AS s
+        |       FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+        |       WHERE tf.cid != qt.qid GROUP BY 1,2),
+        |lrk AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS r FROM ls),
+        |vrk AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |        row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS r
+        |        FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |l AS (SELECT qid, cid, 1000000 // (60 + r) AS c FROM lrk WHERE r <= 20),
+        |v AS (SELECT qid, cid, 1000000 // (60 + r) AS c FROM vrk WHERE r <= 20),
+        |f AS (SELECT coalesce(l.qid, v.qid) AS qid, coalesce(l.cid, v.cid) AS cid,
+        |             coalesce(l.c, 0) + coalesce(v.c, 0) AS rrf_ppm
+        |      FROM l FULL OUTER JOIN v ON l.qid = v.qid AND l.cid = v.cid)
+        |SELECT qid, CAST(rn AS BIGINT) AS rank, cid AS neighbor_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_ppm DESC, cid) AS rn FROM f) x
+        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
     // per-(label,dim) mean in double precision; the assignment argmin
     // is stable across engines because the smallest best-vs-second
     // centroid gap in this corpus (8e-6) is ~7 orders of magnitude
@@ -3683,6 +3734,13 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 3 != 0 THEN 600 + (doc_id % 5) * 600 END AS BIGINT) AS timescale,
         |  CAST(CASE WHEN doc_id % 3 != 0 THEN (doc_id % 100000) * 100 + 1000 END AS BIGINT) AS duration,
         |  CAST(CASE WHEN doc_id % 3 != 0 THEN 1 + doc_id % 3 END AS BIGINT) AS n_tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_webp_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 != 3 THEN 1 ELSE 0 END AS BIGINT) AS is_webp,
+        |  CASE doc_id % 4 WHEN 0 THEN 'VP8' WHEN 1 THEN 'VP8L' WHEN 2 THEN 'VP8X' END AS variant,
+        |  CAST(CASE WHEN doc_id % 4 != 3 THEN 16 + doc_id % 1024 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 != 3 THEN 16 + doc_id % 512 END AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     // exact range search: the oracle is the same threshold scan; tau
     // sits far from this corpus's cosine mass (dedup_embedding's

@@ -174,6 +174,86 @@ object Multimodal {
     concat((0 until nBytes).map(i =>
       lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
 
+  /** C90 (mm_webp_meta): REAL WebP container parsing — the modern
+    * web-image format whose THREE bitstream variants store dimensions
+    * three different ways (RIFF container spec + VP8 RFC 6386 §9.1 +
+    * WebP lossless/extended format docs): after the RIFF/"WEBP"
+    * signature, the first chunk's fourcc selects the decode —
+    * `VP8 ` (lossy): 3-byte frame tag, the 9D 01 2A sync code, then
+    * 14-bit width/height in two LE16s; `VP8L` (lossless): the 0x2F
+    * signature byte, then width−1 and height−1 as back-to-back 14-bit
+    * fields of one LE32; `VP8X` (extended): canvas width−1/height−1
+    * as LE24s after the flag byte. All pure codegen column
+    * expressions over fixed offsets ([[leUint]] + bitwise masks — the
+    * variant dispatch is a CASE, not a walk), no codec, no UDF.
+    * Non-WebP payloads report `is_webp = 0` with NULL variant/dims.
+    */
+  def parseWebpMeta(df: DataFrame, idCol: String, binCol: String, sorted: Boolean = true): DataFrame = {
+    val b = col(binCol)
+    val isWebp = hex(substring(b, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(b, 9, 4)) === "57454250"               // "WEBP"
+    val fourcc = hex(substring(b, 13, 4))
+    val vp8 = fourcc === "56503820"  // "VP8 "
+    val vp8l = fourcc === "5650384C" // "VP8L"
+    val vp8x = fourcc === "56503858" // "VP8X"
+    val vp8Sync = hex(substring(b, 24, 3)) === "9D012A"
+    val lSig = hex(substring(b, 21, 1)) === "2F"
+    val lBits = leUint(b, 22, 4)
+    val variant = when(vp8, "VP8").when(vp8l, "VP8L").when(vp8x, "VP8X")
+    val width = when(vp8 && vp8Sync, leUint(b, 27, 2).bitwiseAND(lit(0x3FFFL)))
+      .when(vp8l && lSig, lBits.bitwiseAND(lit(0x3FFFL)) + 1L)
+      .when(vp8x, leUint(b, 25, 3) + 1L)
+    val height = when(vp8 && vp8Sync, leUint(b, 29, 2).bitwiseAND(lit(0x3FFFL)))
+      .when(vp8l && lSig, shiftright(lBits, 14).bitwiseAND(lit(0x3FFFL)) + 1L)
+      .when(vp8x, leUint(b, 28, 3) + 1L)
+    gateSort(df.select(
+      col(idCol),
+      when(isWebp, 1L).otherwise(0L).as("is_webp"),
+      when(isWebp, variant).as("variant"),
+      when(isWebp, width).as("width"),
+      when(isWebp, height).as("height")
+    ), sorted, col(idCol))
+  }
+
+  /** Byte-faithful synthetic WebP files for [[parseWebpMeta]] — the
+    * mp4Bytes discipline: a pure hex-concat projection (closed-form
+    * fields, no staging pass needed) emitting the exact container an
+    * encoder writes for each of the three variants. `variant` 0 =
+    * lossy `VP8 ` (zeroed key-frame tag + sync code + 14-bit LE16
+    * dims), 1 = lossless `VP8L` (0x2F + the packed 14+14-bit LE32,
+    * odd-sized chunk padded to even per RIFF), 2 = extended `VP8X`
+    * (flag byte + LE24 canvas dims − 1). Dims must fit 14 bits.
+    */
+  def webpBytes(variant: Column, width: Column, height: Column): Column = {
+    val w = width.cast("long")
+    val h = height.cast("long")
+    // "VP8 " lossy: 10-byte payload -> RIFF size 4 + 8 + 10 = 22
+    val lossy = concat(
+      lit("56503820"), leHex(lit(10L), 4), // "VP8 " + chunk size 10
+      lit("000000"),                       // key-frame tag (type 0)
+      lit("9D012A"),                       // sync code
+      leHex(w, 2), leHex(h, 2))
+    // "VP8L": 5-byte payload + 1 RIFF pad byte -> size 4 + 8 + 5 + 1 = 18
+    val lossless = concat(
+      lit("5650384C"), leHex(lit(5L), 4),  // "VP8L" + chunk size 5
+      lit("2F"),
+      leHex((w - 1L) + shiftleft(h - 1L, 14), 4), // 14+14 bits, version 0
+      lit("00"))                           // RIFF even-alignment pad
+    // "VP8X": 10-byte payload -> size 4 + 8 + 10 = 22
+    val extended = concat(
+      lit("56503858"), leHex(lit(10L), 4), // "VP8X" + chunk size 10
+      lit("00"), lit("000000"),            // flags + reserved
+      leHex(w - 1L, 3), leHex(h - 1L, 3))
+    val body = when(variant === 0L, lossy)
+      .when(variant === 1L, lossless)
+      .otherwise(extended)
+    val riffSize = when(variant === 1L, lit(18L)).otherwise(lit(22L))
+    unhex(concat(
+      lit("52494646"), leHex(riffSize, 4), // "RIFF" + size
+      lit("57454250"),                     // "WEBP"
+      body))
+  }
+
   /** Deterministic synthetic WAV header bytes (RIFF + canonical PCM
     * fmt chunk) — byte-faithful, so [[parseWavMeta]] takes the same
     * parse path a real .wav file does.

@@ -91,6 +91,78 @@ object Similarity {
     )
   }
 
+  /** C89: hybrid retrieval by RECIPROCAL-RANK FUSION (Cormack,
+    * Clarke & Buettcher 2009) — the standard way production search
+    * combines a lexical and a vector ranking without score
+    * calibration: each arm contributes 10^6 DIV (rrfK + rank) for the
+    * documents in its top-`kEach` list, fused candidates re-rank by
+    * the sum. Rank-based fusion sidesteps the incomparable-score
+    * problem (tf·idf mass vs cosine) entirely, which is why RRF wins
+    * A/B tests against weighted score sums despite its simplicity.
+    *
+    * Lexical arm: inverted-index retrieval — corpus (doc, term, tf)
+    * frame joined KEYED on term to the df counts (a web-scale
+    * vocabulary never broadcasts) and BROADCAST to the query term
+    * set (tiny by contract), scored Σ tf · (10^6 DIV df), top-kEach
+    * per query via the map-side-combined [[TopKAggregator]]. Vector
+    * arm: [[bruteForceTopK]] (queries broadcast over ONE corpus
+    * scan). Fusion joins two k-bounded lists — everything after the
+    * two corpus passes is k·|Q| rows, so the final per-query window
+    * ranks ≤ 2·kEach rows. Integer RRF contributions (10^6 DIV
+    * (rrfK+rank)) are distinct for ranks 1..20 at rrfK=60 and make
+    * the fused score cross-engine exact; ties break by id.
+    *
+    * `textId`/`vecId` name the id columns of the two corpora; ids
+    * must refer to the same entities (the doc_id ≡ vec_id contract
+    * of a jointly-embedded corpus).
+    */
+  def rrfFusionTopK(
+      corpusText: DataFrame,
+      queryText: DataFrame,
+      textId: String,
+      textCol: String,
+      corpusVec: DataFrame,
+      queryVec: DataFrame,
+      vecId: String,
+      vecCol: String,
+      kEach: Int = 20,
+      k: Int = 10,
+      rrfK: Int = 60
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(2 * kEach >= k, s"fusion pool (up to 2*kEach=${2 * kEach}) must cover final k=$k")
+    val terms = (c: Column) => split(Dedup.normalize(c), " ")
+    val cTf = corpusText
+      .select(col(textId).as("cid"), explode(terms(col(textCol))).as("term"))
+      .groupBy(col("cid"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = cTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = queryText
+      .select(col(textId).as("qid"), explode(array_distinct(terms(col(textCol)))).as("term"))
+    val lexScored = cTf
+      .join(dfreq, Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("tf") * expr("1000000 DIV df")).as("ls"))
+      .select(col("qid"), col("ls").cast("double").as("score"), col("cid").as("id"))
+    val lex = topKReduce(lexScored, kEach)
+    val vec = bruteForceTopK(corpusVec, queryVec, vecId, vecCol, kEach)
+    def contrib(r: DataFrame) =
+      r.select(col("qid"), col("neighbor_id").as("id"),
+        expr(s"1000000 DIV ($rrfK + rank)").as("c"))
+    val fused = contrib(lex).withColumnRenamed("c", "lc")
+      .join(contrib(vec).withColumnRenamed("c", "vc"), Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(col("lc"), lit(0L)) + coalesce(col("vc"), lit(0L))).as("rrf_ppm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf_ppm").desc, col("id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("rrf_ppm"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** C80: exact cosine RANGE search — every corpus vector within
     * cosine ≥ tau of each query (radius search, FAISS
     * `IndexFlat.range_search`): the retrieval mode dedup thresholds

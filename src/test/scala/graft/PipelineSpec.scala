@@ -26,6 +26,36 @@ class PipelineSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
   }
 
+  test("rrfFusionTopK: twin-in-both-arms fuses first; single-arm hits still surface; exact contributions") {
+    import spark.implicits._
+    val corpusText = Seq(
+      (1L, "alpha beta alpha gamma"), // strong lexical AND vector match
+      (2L, "alpha beta alpha beta"),  // lexical-only match
+      (3L, "zzz yyy xxx www"),        // vector-only match
+      (4L, "mmm nnn ooo ppp"), (5L, "qqq rrr sss ttt")
+    ).toDF("doc_id", "text")
+    val corpusVec = Seq(
+      (1L, Array(0.95f, 0.05f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.02f)),
+      // mildly aligned fillers: they out-rank doc 2's orthogonal vector,
+      // keeping the lexical-only doc OUT of the kEach=3 vector pool
+      (4L, Array(0.3f, 0.4f)), (5L, Array(0.4f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val qT = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val qV = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.rrfFusionTopK(corpusText, qT, "doc_id", "text",
+        corpusVec, qV, "vec_id", "embedding", kEach = 3, k = 5, rrfK = 60)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1 appears in both arms -> fused above every single-arm doc
+    assert(got.head._2 == 1L, s"both-arms doc must fuse first: ${got.mkString(",")}")
+    val ids = got.map(_._2).toSet
+    assert(ids.contains(2L) && ids.contains(3L), "each arm's exclusive hit must surface")
+    // integer RRF contributions are exact: a both-arms doc at ranks (ra, rb)
+    // scores 1e6 DIV (60+ra) + 1e6 DIV (60+rb); doc 1 is lexical #2, vector #2
+    // (doc 2 out-scores it lexically, doc 3 by cosine)
+    val d1 = got.find(_._2 == 1L).get._3
+    assert(d1 == 1000000L / 62 + 1000000L / 62, s"doc1 contribution was $d1")
+  }
+
   test("softDedup: weights split a cluster's mass, canonical flags recover hard dedup") {
     val dupped = docs.limit(20).select(col("doc_id"), col("text"))
       .unionAll(docs.limit(7).select(col("doc_id") + 100000, col("text")))
@@ -339,6 +369,36 @@ class PipelineSpec extends SparkSpec {
     assert(out(3).getLong(1) == 0L && out(3).isNullAt(2), "non-GIF bytes must report is_gif=0")
     // the magic check is byte-exact: "GIF" prefix alone isn't enough
     assert(out(4).getLong(1) == 0L)
+  }
+
+  test("parseWebpMeta: all three variants decode (incl 14-bit boundary dims); sync/signature gates hold; junk rejected") {
+    import spark.implicits._
+    val built = spark.range(0, 9).select(col("id").as("doc_id"),
+      Multimodal.webpBytes(col("id") % 3,
+        // ids 0..5: small dims; ids 6..8: the 14-bit boundary 16383
+        when(col("id") < 6, lit(17L) + col("id")).otherwise(lit(16383L)),
+        when(col("id") < 6, lit(9L) + col("id")).otherwise(lit(16383L))).as("payload"))
+    val out = Multimodal.parseWebpMeta(built, "doc_id", "payload").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      val (w, h) = if (i < 6) (17L + i, 9L + i) else (16383L, 16383L)
+      val v = Seq("VP8", "VP8L", "VP8X")(i % 3)
+      assert(r.getLong(1) == 1L && r.getString(2) == v && r.getLong(3) == w && r.getLong(4) == h,
+        s"variant $v dims ($w,$h): $r")
+    }
+    // gates: a VP8 chunk whose sync code is wrong yields NULL dims but is
+    // still a WebP container; RIFF without WEBP, and plain text, reject
+    val badSync = spark.range(20, 21).select(col("id").as("doc_id"),
+      unhex(concat(lit("52494646"), lit("16000000"), lit("57454250"),
+        lit("56503820"), lit("0A000000"), lit("000000"), lit("FFFFFF"),
+        lit("1100"), lit("0900"))).as("payload"))
+    val nonWebp = Seq(
+      (21L, "RIFFxxxxWAVE not webp".getBytes("UTF-8")),
+      (22L, "just text".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val o2 = Multimodal.parseWebpMeta(badSync.unionByName(nonWebp), "doc_id", "payload").collect()
+    assert(o2(0).getLong(1) == 1L && o2(0).getString(2) == "VP8" && o2(0).isNullAt(3), o2(0).toString)
+    assert(o2(1).getLong(1) == 0L && o2(1).isNullAt(2))
+    assert(o2(2).getLong(1) == 0L)
   }
 
   test("parseTiffMeta: JDK big-endian TIFF IFD walked; hand-built little-endian file too; junk rejected") {
