@@ -1045,6 +1045,18 @@ object SparkEntry {
           (col("doc_id") * 31 + 3) % n)).as("dst"))
       GraphOps.pageRank(edges, iters = 5, dampPct = 85)
     }),
+    "graph_label_prop" -> ((s, d) => {
+      // C91: budgeted min-label propagation over the pagerank edge
+      // fixture — 4 rounds, labels = smallest id within 4 hops
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % n,
+          (col("doc_id") * 13 + 2) % n,
+          (col("doc_id") * 31 + 3) % n)).as("dst"))
+      GraphOps.labelPropRounds(edges, rounds = 4)
+    }),
     "graph_hits" -> ((s, d) => {
       // C63: integer fixed-point HITS over the staged doc-link graph
       val docs = t(s, d, "documents")
@@ -1540,6 +1552,10 @@ object SparkEntry {
       // C77: bigram-LM conditional-probability quality scoring — the
       // integer CCNet-perplexity stand-in (unigramScore's sibling)
       TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")),
+    "text_ccnet_bucket" -> ((s, d) =>
+      // C92: CCNet head/middle/tail split — per-source exact-rank
+      // thresholds on the bigram-LM score, value-based cuts
+      TextAnalysis.ccnetBuckets(t(s, d, "documents"), "doc_id", "text", "source")),
     "domain_quality" -> ((s, d) =>
       // C78: per-domain curation report: size, short-doc share, and
       // corpus-global duplicate share attributed per domain
@@ -1791,6 +1807,29 @@ object SparkEntry {
     * as CTEs; no-in-edge nodes get exactly base via LEFT JOIN +
     * coalesce, matching the engine.
     */
+  /** DuckDB twin of [[graft.operators.GraphOps.labelPropRounds]] over
+    * the pagerank edge fixture: the same symmetrize + per-round
+    * min-join unrolled as MATERIALIZED CTEs — min arithmetic on node
+    * ids, bit-exact.
+    */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH nn AS (SELECT count(*) AS n FROM documents),\n"
+    sb ++= "e0 AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn\n"
+    sb ++= "  UNION ALL SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn\n"
+    sb ++= "  UNION ALL SELECT doc_id, (doc_id * 31 + 3) % nn.n FROM documents, nn),\n"
+    sb ++= "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (\n"
+    sb ++= "  SELECT src AS u, dst AS v FROM e0 UNION ALL SELECT dst, src FROM e0) x WHERE u != v),\n"
+    sb ++= "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym),\n"
+    for (t <- 0 until rounds) {
+      sb ++= s"m$t AS (SELECT sym.u AS id, min(lt.label) AS nl FROM sym JOIN l$t lt ON lt.id = sym.v GROUP BY 1),\n"
+      sb ++= s"l${t + 1} AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.nl, l.label)) AS label FROM l$t l LEFT JOIN m$t m USING (id)),\n"
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"\nSELECT id AS node_id, CAST(label AS BIGINT) AS label FROM l$rounds ORDER BY node_id"
+    sb.toString
+  }
+
   private def pagerankOracleSql(iters: Int, dampPct: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH nn AS (SELECT count(*) AS n FROM documents),\n"
@@ -2828,6 +2867,7 @@ object SparkEntry {
     "embed_kmeans" -> kmeansOracleSql(k = 8, iters = 5),
     "embed_outliers" -> kmeansOutliersOracleSql(k = 8, iters = 5),
     "graph_pagerank" -> pagerankOracleSql(iters = 5, dampPct = 85),
+    "graph_label_prop" -> labelPropOracleSql(rounds = 4),
     // triangle counts are enumeration-order-invariant, so the oracle
     // uses the naive a<b<c id ordering — same answer as the engine's
     // degree ordering, without replicating the rank machinery
@@ -3713,6 +3753,29 @@ object SparkEntry {
         |       CAST(10000 * sum(CASE WHEN cb <= 2 THEN tf ELSE 0 END) // sum(tf) AS BIGINT) AS rare_bp
         |FROM tf JOIN cbt USING (bigram) JOIN cht ON string_split(bigram, ' ')[1] = cht.head
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same LM CTEs as text_bigram_lm; thresholds = values at exact
+    // ascending ranks ceil(n/3) / ceil(2n/3) per source (value at a
+    // rank is tie-order-free), buckets compare by value
+    "text_ccnet_bucket" ->
+      """WITH ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM ws),
+        |tf AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+        |cbt AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS cb FROM tf GROUP BY 1),
+        |cht AS (SELECT string_split(bigram, ' ')[1] AS head, CAST(sum(cb) AS BIGINT) AS ch FROM cbt GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(sum(tf * (cb * 1000000 // ch)) // sum(tf) AS BIGINT) AS score_ppm
+        |       FROM tf JOIN cbt USING (bigram) JOIN cht ON string_split(bigram, ' ')[1] = cht.head
+        |       GROUP BY doc_id),
+        |sd AS (SELECT sc.doc_id, d.source, sc.score_ppm FROM sc JOIN documents d USING (doc_id)),
+        |th AS (SELECT source,
+        |         max(CASE WHEN rn = (n + 2) // 3 THEN score_ppm END) AS t33,
+        |         max(CASE WHEN rn = (2 * n + 2) // 3 THEN score_ppm END) AS t67
+        |       FROM (SELECT source, score_ppm,
+        |               row_number() OVER (PARTITION BY source ORDER BY score_ppm, doc_id) AS rn,
+        |               count(*) OVER (PARTITION BY source) AS n FROM sd) x GROUP BY 1)
+        |SELECT sd.doc_id, sd.source, sd.score_ppm,
+        |       CASE WHEN sd.score_ppm > th.t67 THEN 'head'
+        |            WHEN sd.score_ppm > th.t33 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM sd JOIN th USING (source) ORDER BY sd.doc_id""".stripMargin,
     // duplicate identity = whitespace-normalized text, first witness =
     // min(doc_id) — the dedup_exact convention, attributed per domain
     "domain_quality" ->

@@ -262,4 +262,48 @@ object GraphOps {
       .groupBy(col("node_id")).agg(count(lit(1)).as("deg_core"))
       .orderBy(col("node_id"))
   }
+
+  /** C91: synchronous MIN-LABEL propagation for a FIXED round budget —
+    * the bounded-cost community/component signal (Raghavan et al. 2007
+    * simplified to the deterministic min rule): label_0(v) = v,
+    * label_{t+1}(v) = min(label_t(v), min over undirected neighbors
+    * of label_t). After `rounds` rounds every node carries the
+    * smallest node id within `rounds` hops — nodes sharing a label are
+    * provably connected, and labels stabilize to connected components
+    * once rounds ≥ diameter. The fixed budget is the point: a
+    * production pipeline runs k rounds per batch window (cost is k
+    * keyed join+agg pairs, known in advance) instead of
+    * converge-to-fixpoint whose round count the data controls —
+    * [[graft.operators.Dedup]] cluster assignment wants the exact
+    * fixpoint; THIS is the budgeted scan that feeds dashboards.
+    *
+    * Per round: ONE keyed join of labels onto the symmetrized edge
+    * list + ONE map-side-combined min-agg — labels never visit the
+    * driver; deterministic min arithmetic makes an unrolled DuckDB
+    * twin bit-exact. localCheckpoint per round caps lineage (the
+    * pageRank discipline).
+    */
+  def labelPropRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .unionAll(edges.select(col("dst").cast("long").as("u"), col("src").cast("long").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val fromNbrs = sym
+        .join(labels.select(col("id").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("label")).as("nl"))
+      labels = labels
+        .join(fromNbrs, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    labels.orderBy(col("id")).select(col("id").as("node_id"), col("label"))
+  }
 }

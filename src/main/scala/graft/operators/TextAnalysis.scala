@@ -434,6 +434,55 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** C92: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3 —
+    * the head/middle/tail split behind CCNet-derived corpora): per
+    * DOMAIN, documents are cut at the 33rd/67th percentile of their
+    * LM score and labeled head (most fluent third), middle, tail —
+    * the mixture knob pipelines tune instead of a hard quality cut
+    * (CCNet trains on head+middle; tail is held for ablations).
+    * Scoring is [[bigramLmScore]]'s integer conditional-probability
+    * mean (higher = more fluent), so the whole split is cross-engine
+    * exact. Thresholds are VALUES AT EXACT RANKS ⌈n/3⌉ and ⌈2n/3⌉
+    * (ascending) per domain; docs compare by value, so score ties
+    * land in one bucket (the cut is value-based — bucket sizes are
+    * n/3 only up to ties, the honest semantics). Docs with no bigram
+    * (single-word) carry no score and are absent, as in
+    * [[bigramLmScore]].
+    *
+    * Plan: the LM chain runs ONCE (scored frame localCheckpointed —
+    * it feeds both the multi-pass rank selection and the final
+    * comparison; the funnel-latency lesson), thresholds come from
+    * [[Analytics.groupedExactRanks]] (binned selection — never a
+    * per-domain sort window over corpus-scale partitions), and the
+    * |domains|-row threshold frame broadcasts back. Nothing after
+    * the one keyed domain join is larger than the corpus row count.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String, domainCol: String): DataFrame = {
+    val scored = bigramLmScore(df, idCol, textCol)
+      .select(col(idCol), col("mean_cond_ppm").as("score_ppm"))
+      .join(df.select(col(idCol), col(domainCol)), Seq(idCol))
+      .localCheckpoint()
+    val ranks = Analytics.groupedExactRanks(
+      scored.select(col(domainCol), col("score_ppm")),
+      domainCol,
+      col("score_ppm"),
+      Seq(
+        "t33" -> (n => ((n + lit(2L)) / lit(3L)).cast("long")),
+        "t67" -> (n => ((n * 2L + lit(2L)) / lit(3L)).cast("long"))))
+    val th = ranks
+      .groupBy(col(domainCol))
+      .agg(
+        max(when(col("rank_name") === "t33", col("value"))).as("t33"),
+        max(when(col("rank_name") === "t67", col("value"))).as("t67"))
+    scored
+      .join(broadcast(th), Seq(domainCol))
+      .select(col(idCol), col(domainCol), col("score_ppm"),
+        when(col("score_ppm") > col("t67"), "head")
+          .when(col("score_ppm") > col("t33"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col(idCol))
+  }
+
   /** C65: winnowing document fingerprints (Schleimer, Wilkerson &
     * Aiken, SIGMOD 2003 — the MOSS local fingerprinting algorithm):
     * hash every k-word shingle, slide a w-position window over the

@@ -129,6 +129,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("labelPropRounds: label = min id within k hops; convergence at diameter; self-loops and direction ignored") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5 (diameter 5), separate pair 10-11, self-loop noise
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (11L, 10L), (3L, 3L)).toDF("src", "dst")
+    def labels(rounds: Int): Map[Long, Long] =
+      GraphOps.labelPropRounds(edges, rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val l2 = labels(2)
+    assert(l2(5L) == 3L && l2(4L) == 2L && l2(2L) == 0L, s"2-hop minima: $l2")
+    assert(l2(10L) == 10L && l2(11L) == 10L, "the pair converges round 1")
+    // at rounds >= diameter the labels ARE connected components
+    val l5 = labels(5)
+    assert((0L to 5L).forall(l5(_) == 0L) && l5(10L) == 10L && l5(11L) == 10L)
+    assert(labels(7) == l5, "stable past convergence")
+  }
+
   test("kcore: the staged query graph converges within the bounded rounds") {
     // bounded-round semantics equal THE k-core only past the peel
     // depth — prove rounds-1 ≡ rounds on the gate's staged graph

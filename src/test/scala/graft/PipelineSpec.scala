@@ -842,6 +842,38 @@ class PipelineSpec extends SparkSpec {
       (2L, 2L, 750000L, 5000L))) // rare: "b c", 1 of 2; doc 3 has no bigrams
   }
 
+  test("ccnetBuckets: per-domain exact-rank thirds, value-based cuts put ties in one bucket") {
+    // domain d1: six docs with distinct LM scores -> clean 2/2/2 split.
+    // Repetitive bigrams score high ("a b a b..." is all "a b"/"b a"),
+    // unique-word chains score low; we assert the ORDER-derived split,
+    // not hand-computed ppm values (bigramLmScore's own spec covers those).
+    val d1 = Seq(
+      (1L, "d1", "a b a b a b a b a b"),  // highest fluency
+      (2L, "d1", "a b a b a b a b q"),
+      (3L, "d1", "a b a b a b r s"),
+      (4L, "d1", "a b a b t u v w"),
+      (5L, "d1", "a b x y z p q r"),
+      (6L, "d1", "m n o p q r s t")       // all-rare chain, lowest
+    )
+    // domain d2: twin docs 12/13 TIE at the t67 threshold value (833333,
+    // identical text) -> value-based cut puts BOTH in middle (neither is
+    // STRICTLY above the t67 they themselves define) and no doc is head;
+    // doc 11 sits at t33 = 800000 -> tail
+    val d2 = Seq(
+      (11L, "d2", "c d c d c d"),
+      (12L, "d2", "c d e f"), (13L, "d2", "c d e f"))
+    val df = (d1 ++ d2).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.ccnetBuckets(df, "doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val byId = got.map(t => t._1 -> t._4).toMap
+    val d1Scores = got.filter(_._2 == "d1").sortBy(-_._3).map(_._1)
+    assert(d1Scores.take(2).forall(byId(_) == "head") &&
+      d1Scores.slice(2, 4).forall(byId(_) == "middle") &&
+      d1Scores.drop(4).forall(byId(_) == "tail"), got.mkString(","))
+    assert(byId(11L) == "tail" && byId(12L) == "middle" && byId(13L) == "middle",
+      s"tied scores share a bucket, threshold docs are not above themselves: ${got.filter(_._2 == "d2").mkString(",")}")
+  }
+
   test("domainQualityReport: corpus-global dup attribution, short share, exact integer stats") {
     import graft.operators.Curation
     val d = Seq(
