@@ -597,6 +597,12 @@ object SparkEntry {
     "moving_7d" -> ((s, d) =>
       // B23: trailing 7-day RANGE-frame revenue window
       TimeSeries.movingRevenue7d(t(s, d, "lineitem"))),
+    "forecast_snaive" -> ((s, d) =>
+      // B81: seasonal-naive (lag-7) revenue backtest scored per weekday
+      TimeSeries.snaiveBacktest(t(s, d, "lineitem"))),
+    "new_vs_returning" -> ((s, d) =>
+      // B82: daily actives split into first-ever-seen vs comeback users
+      TimeSeries.newVsReturning(t(s, d, "events"))),
     "moving_distinct_7d" -> ((s, d) =>
       // B62: EXACT trailing 7-day distinct users (weekly-active-users)
       // via the coverage-explosion plan — distinct doesn't compose
@@ -1370,6 +1376,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Curation.contaminationHits(
         docs.filter(col("doc_id") >= 5), docs.filter(col("doc_id") < 5), "doc_id", "text", n = 3)
+    }),
+    "decontam_embedding" -> ((s, d) => {
+      // C93: semantic decontamination — corpus vectors within cosine
+      // >= 0.4 of any eval vector (vec_id < 8 plays the benchmark)
+      val e = t(s, d, "embeddings")
+      Curation.semanticContamination(
+        e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", tau = 0.4)
     }),
     "decontam_fuzzy" -> ((s, d) => {
       // C72: fuzzy decontamination — top-50 (corpus doc, eval doc)
@@ -2650,6 +2664,25 @@ object SparkEntry {
         |FROM d
         |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
         |ORDER BY day""".stripMargin,
+    // DuckDB dayofweek is 0=Sunday, Spark's is 1=Sunday -> +1 aligns
+    "forecast_snaive" ->
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |                  CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS rev_c
+        |           FROM lineitem GROUP BY 1),
+        |p AS (SELECT day, rev_c, lag(rev_c, 7) OVER (ORDER BY day) AS pred FROM d)
+        |SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |       count(*) AS n_days,
+        |       CAST(sum(abs(rev_c - pred)) // count(*) AS BIGINT) AS mae_cents,
+        |       CAST(sum(rev_c - pred) // count(*) AS BIGINT) AS bias_cents,
+        |       CAST(sum(10000 * abs(rev_c - pred) // rev_c) // count(*) AS BIGINT) AS mape_bp
+        |FROM p WHERE pred IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT strftime(ud.day, '%Y-%m-%d') AS day,
+        |       CAST(sum(CASE WHEN ud.day = fd.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN ud.day != fd.first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        |FROM ud JOIN fd USING (user_id) GROUP BY ud.day ORDER BY day""".stripMargin,
     "moving_distinct_7d" ->
       """WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id, user_id FROM events),
         |days AS (SELECT DISTINCT day_id FROM ud)
@@ -3805,6 +3838,13 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 4 != 3 THEN 16 + doc_id % 1024 END AS BIGINT) AS width,
         |  CAST(CASE WHEN doc_id % 4 != 3 THEN 16 + doc_id % 512 END AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same threshold-scan oracle family as sim_range_search, folded
+    // to per-corpus-doc hit counts
+    "decontam_embedding" ->
+      """SELECT c.vec_id, count(*) AS n_eval_hits
+        |FROM embeddings c JOIN embeddings q ON c.vec_id >= 8 AND q.vec_id < 8
+        |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.4
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact range search: the oracle is the same threshold scan; tau
     // sits far from this corpus's cosine mass (dedup_embedding's
     // boundary argument applies unchanged)

@@ -98,6 +98,34 @@ object Curation {
     * keyed count — never a doc×doc comparison. Returns
     * (idCol, n_shared) for contaminated docs.
     */
+  /** C93: SEMANTIC decontamination — the embedding-space member of the
+    * decontam family (exact n-gram C18, fuzzy Jaccard C72): a corpus
+    * document is contaminated if its embedding sits within cosine ≥ τ
+    * of ANY benchmark embedding — the screen that catches paraphrased
+    * and translated eval leakage that string overlap misses (the
+    * method model reports describe for eval-set scrubbing). Returns
+    * (idCol, n_eval_hits) for contaminated docs only — the drop list
+    * plus how entangled each doc is.
+    *
+    * Plan: the benchmark set is BROADCAST (eval suites are thousands
+    * of rows, not corpus-scale — require'd small by the caller's
+    * contract) against ONE corpus scan, Θ(N·|eval|·dim) multiply-adds
+    * in one codegen stage ([[Similarity.rangeSearch]]'s shape), then
+    * a corpus-id-keyed count. For corpus-scale eval sets, the same
+    * call composes with [[Similarity.rangeSearchIvf]]'s cell prune.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double
+  ): DataFrame =
+    Similarity.rangeSearch(corpus, benchmark, idCol, vecCol, tau)
+      .groupBy(col("vec_id").as(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy(col(idCol))
+
   def contaminationHits(
       corpus: DataFrame,
       benchmark: DataFrame,

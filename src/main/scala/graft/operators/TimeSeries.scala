@@ -131,6 +131,69 @@ object TimeSeries {
       .orderBy(col("day"))
   }
 
+  /** B82: new-vs-returning daily actives — the growth-accounting card
+    * (every DAU is either a first-ever-seen user or a comeback; the
+    * split is what distinguishes acquisition from retention): per
+    * observed day, distinct users active whose FIRST-ever activity is
+    * that day (new) vs earlier (returning).
+    *
+    * Plan: one user-keyed min-aggregate for first days (map-side
+    * combined), one distinct (user, day) dedup, one keyed join of the
+    * two — both shuffles carry (user, day) pairs only — and a
+    * calendar-bounded day fold. No window at all.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = userDays
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    userDays
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_new"), col("n_returning"))
+      .orderBy(col("day"))
+  }
+
+  /** B81: seasonal-naive forecast BACKTEST — the baseline every real
+    * forecast must beat before it ships (the M-competition rule):
+    * predict each day's revenue with the value 7 days earlier
+    * (same-weekday naive), then score the prediction per weekday —
+    * evaluated days, MAE and signed bias in exact cents, MAPE in
+    * basis points (per-day integer ratio, then the mean — all DIV
+    * arithmetic, cross-engine exact). Weekday grouping shows WHERE
+    * the naive breaks (weekend vs weekday dynamics), which is the
+    * decision input for seasonality-aware models.
+    *
+    * The lag runs over the daily aggregate: calendar-bounded (~2.5k
+    * rows/decade — the seasonal_decompose argument), so the
+    * unpartitioned ordered window is metadata-sized at any corpus
+    * volume; everything corpus-scale happens in the one keyed daily
+    * fold. lag(7) over observed ROWS equals the calendar-7-days rule
+    * only on gap-free histories (true of warehouse revenue at any
+    * realistic scale; gapFillDaily is the repair if not).
+    */
+  def snaiveBacktest(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(Analytics.cents(col("l_extendedprice"))).as("rev_c"))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("pred", lag(col("rev_c"), 7).over(w))
+      .filter(col("pred").isNotNull)
+      .groupBy(dayofweek(col("day")).cast("long").as("dow"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr("sum(abs(rev_c - pred)) DIV count(1)").as("mae_cents"),
+        expr("sum(rev_c - pred) DIV count(1)").as("bias_cents"),
+        expr("sum(10000 * abs(rev_c - pred) DIV rev_c) DIV count(1)").as("mape_bp"))
+      .orderBy(col("dow"))
+  }
+
   /** B62: EXACT trailing 7-day distinct users per observed day — the
     * weekly-active-users series. DISTINCT doesn't compose over a
     * sliding window (B23's RANGE-frame sum trick is monoid-only), so

@@ -739,6 +739,61 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((5L, 1L, 1L, 10000L), (7L, 2L, 1L, 5000L)), got.mkString(","))
   }
 
+  test("snaiveBacktest: perfect weekly periodicity scores zero error; a planted spike lands in its own weekday") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // 28 days: revenue = 100 + dow pattern, perfectly 7-periodic except
+    // day 21 (index 21 -> third Monday-of-cycle) which spikes +50
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 28).map { i =>
+      val spike = if (i == 21) 50.0 else 0.0
+      (i.toLong, java.sql.Timestamp.valueOf(base.plusDays(i.toLong).atStartOfDay),
+        1.0 + (i % 7) * 0.10 + spike / 100.0)
+    }
+    val li = rows.toDF("l_orderkey", "l_shipdate", "l_extendedprice")
+    val got = TimeSeries.snaiveBacktest(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 7, "all weekdays evaluated")
+    // 21 evaluated days (28 - 7 warmup): 3 per weekday
+    assert(got.forall(_._2 == 3L))
+    // the spike day's weekday: |err| = 50 cents once over 3 days -> MAE 16, bias +16
+    val spikeDow = got.filter(t => t._3 != 0L)
+    assert(spikeDow.length == 1 && spikeDow.head._3 == 16L && spikeDow.head._4 == 16L,
+      got.mkString(","))
+    assert(got.filter(_._3 == 0L).forall(t => t._4 == 0L && t._5 == 0L),
+      "periodic weekdays are error-free")
+  }
+
+  test("newVsReturning: first-ever day counts as new, later days as returning; multi-event days dedup") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-02-0$day $h%02d:00:00")
+    val events = Seq(
+      (1L, ts(1, 1)), (1L, ts(1, 9)), // user 1 day 1 twice -> ONE new
+      (1L, ts(2, 3)),                 // user 1 day 2 -> returning
+      (2L, ts(2, 4)),                 // user 2 new on day 2
+      (2L, ts(3, 5)), (1L, ts(3, 6))  // both return day 3
+    ).toDF("user_id", "ts")
+    val got = TimeSeries.newVsReturning(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-02-01", 1L, 0L), ("2024-02-02", 1L, 1L), ("2024-02-03", 0L, 2L)), got.mkString(","))
+  }
+
+  test("semanticContamination: planted near-copies of eval vectors flagged with hit counts; clean docs absent") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val eval = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.02f)), // near both eval vectors
+      (11L, Array(0.0f, 1.0f)),   // clean (cos ~0.11 to eval 1, below tau)
+      (12L, Array(-1.0f, 0.0f))   // clean, opposite
+    ).toDF("vec_id", "embedding")
+    val got = Curation.semanticContamination(corpus, eval, "vec_id", "embedding", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 2L)), got.mkString(","))
+  }
+
   test("funnelAttributionLinear: equal split with remainder to earliest touch; credit conserves per user") {
     import spark.implicits._
     import graft.operators.Analytics
