@@ -564,6 +564,56 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("sim_rrf_fusion: query side broadcast in BOTH arms; df joined keyed; no cartesian") {
+    val p = planOf("sim_rrf_fusion")
+    // lexical arm: query terms broadcast; vector arm: bruteForceTopK
+    // broadcasts the query frame -> at least two broadcast joins
+    assert(count(p, "BroadcastHashJoin") >= 2, p.take(3000))
+    // the df (vocabulary) join must be keyed, never broadcast: a
+    // web-scale vocabulary cannot cross the driver
+    assert(p.contains("hashpartitioning(term"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("text_ccnet_bucket: LM chain materialized once — the final plan reads zero parquet scans") {
+    val p = planOf("text_ccnet_bucket")
+    // scored frame is localCheckpointed; rank selection and the final
+    // bucket comparison both read materialized blocks
+    assert(count(p, "FileScan parquet") == 0, p.take(3000))
+    // the |domains|-row threshold frame broadcasts back
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("dedup_soft: text never shuffles — no exchange carries the raw text column") {
+    val p = planOf("dedup_soft")
+    assert(count(p, "FileScan parquet") >= 1, p.take(3000))
+    // the cluster-size agg always exchanges on the 16-byte hash (the
+    // join beside it may broadcast at toy scale — either is keyed)
+    assert(p.contains("hashpartitioning(__h") || p.contains("HashedRelationBroadcastMode"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val badLine = p.linesIterator.find(l =>
+      (l.contains("Exchange") || l.contains("BroadcastExchange")) && l.contains("text#"))
+    assert(badLine.isEmpty, s"text crossed an exchange: $badLine")
+  }
+
+  test("attribution_linear / funnel_attrib: per-user folds are keyed aggs; no per-user sort window") {
+    for (q <- Seq("attribution_linear", "funnel_attrib")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q must not window: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("hashpartitioning(user_id"), p.take(2000))
+    }
+  }
+
+  test("decontam_embedding: eval set broadcast against ONE corpus scan") {
+    val p = planOf("decontam_embedding")
+    assert(count(p, "FileScan parquet") == 2, p.take(3000)) // corpus + eval reads
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("curate_corpus_v2: no stage re-reads the fact table; eval side broadcast; no cartesian") {
     val p = planOf("curate_corpus_v2")
     // the shingled base frame is localCheckpointed once — every stage
