@@ -577,6 +577,11 @@ object SparkEntry {
       Analytics.funnelAttribution(t(s, d, "events"), "user_id", "event_id", "event_type", "ts",
         Seq("view", "click", "purchase"),
         (get_json_object(col("props"), "$.k").cast("long") % 4).as("ch"))),
+    "funnel_window" -> ((s, d) =>
+      // B83: ClickHouse-windowFunnel pendant — per-user stage depth
+      // with every hop inside 6h of the first view, users per level
+      Analytics.funnelWindowLevels(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 21600L)),
     "attribution_linear" -> ((s, d) =>
       // B79: linear multi-touch attribution — converted users' credit
       // split equally over all pre-conversion head-stage touches,
@@ -1379,11 +1384,11 @@ object SparkEntry {
     }),
     "decontam_embedding" -> ((s, d) => {
       // C93: semantic decontamination — corpus vectors within cosine
-      // >= 0.4 of any eval vector (vec_id < 8 plays the benchmark)
+      // >= 0.3 of any eval vector (vec_id < 8 plays the benchmark)
       val e = t(s, d, "embeddings")
       Curation.semanticContamination(
         e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8),
-        "vec_id", "embedding", tau = 0.4)
+        "vec_id", "embedding", tau = 0.3)
     }),
     "decontam_fuzzy" -> ((s, d) => {
       // C72: fuzzy decontamination — top-50 (corpus doc, eval doc)
@@ -2610,6 +2615,18 @@ object SparkEntry {
         |       CAST(count(t2) AS BIGINT) AS n_converted,
         |       CAST(10000 * count(t2) // count(*) AS BIGINT) AS conv_bp
         |FROM s2 JOIN ft ON s2.user_id = ft.user_id GROUP BY 1 ORDER BY 1""".stripMargin,
+    "funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type='view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, s0.t0,
+        |         min(CASE WHEN e.us > s0.t0 AND e.us <= s0.t0 + 21600000000 THEN e.us END) AS t1
+        |       FROM s0 LEFT JOIN e ON e.user_id = s0.user_id AND e.event_type='click' GROUP BY 1,2),
+        |s2 AS (SELECT s1.user_id, s1.t0, s1.t1,
+        |         min(CASE WHEN e.us > s1.t1 AND e.us <= s1.t0 + 21600000000 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type='purchase' GROUP BY 1,2,3)
+        |SELECT CAST(1 + (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT AS BIGINT) AS level,
+        |       count(*) AS n_users
+        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "attribution_linear" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
         |                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS ch FROM events),
@@ -3843,7 +3860,7 @@ object SparkEntry {
     "decontam_embedding" ->
       """SELECT c.vec_id, count(*) AS n_eval_hits
         |FROM embeddings c JOIN embeddings q ON c.vec_id >= 8 AND q.vec_id < 8
-        |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.4
+        |WHERE list_cosine_similarity(q.embedding, c.embedding) >= 0.3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact range search: the oracle is the same threshold scan; tau
     // sits far from this corpus's cosine mass (dedup_embedding's

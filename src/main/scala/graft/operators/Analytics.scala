@@ -305,6 +305,65 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** B83: windowed funnel levels — the ClickHouse `windowFunnel`
+    * pendant (the reference's target engine ships this as a flagship
+    * analytic): how deep into the stage sequence each user gets with
+    * EVERY step inside a conversion window anchored at the user's
+    * first head-stage event, folded to users-per-level. The window is
+    * what separates "eventually purchased" (B19's unbounded funnel)
+    * from "purchased within 48h of first view" — the number campaign
+    * ROI is actually judged on.
+    *
+    * Semantics, stated exactly: t0 = min head-stage time; t_i = min
+    * stage-i time with t_i > t_{i-1} AND t_i ≤ t0 + window; level =
+    * 1 + count of completed later stages. Anchoring at the EARLIEST
+    * head event is the deterministic greedy rule (ClickHouse's
+    * windowFunnel is likewise greedy per level, not exhaustive over
+    * chain starts); a user whose only completing chain starts at a
+    * LATER head event counts at the anchored chain's level — the
+    * documented, oracle-matched divergence from exhaustive search.
+    *
+    * Plan: the [[funnelReached]] loop with one extra comparison per
+    * stage — per stage ONE filter + keyed min-agg join, no per-user
+    * window; the level fold is ≤ |stages| rows.
+    */
+  def funnelWindowLevels(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      windowSec: Long
+  ): DataFrame = {
+    require(stages.length >= 2, "windowed funnel needs at least two stages")
+    require(windowSec > 0, s"window must be positive, got $windowSec")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val windowUs = windowSec * 1000000L
+    var reached = events
+      .filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(us).as("t0"))
+    for (i <- 1 until stages.length) {
+      val nxt = events
+        .filter(col(typeCol) === stages(i))
+        .select(col(userCol), us.as("__ts"))
+      val carried = (0 until i).map(j => s"t$j")
+      reached = reached
+        .join(nxt, Seq(userCol), "left")
+        .groupBy(col(userCol) +: carried.map(col): _*)
+        .agg(min(when(col("__ts") > col(s"t${i - 1}") &&
+          col("__ts") <= col("t0") + windowUs, col("__ts"))).as(s"t$i"))
+    }
+    val level = (1 until stages.length)
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    reached
+      .select(level.as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   /** B79: LINEAR multi-touch attribution — the complementary card to
     * [[funnelAttribution]]'s first-touch rule: a converted user's
     * conversion credit (exactly 10^6 ppm per user) is split EQUALLY

@@ -794,6 +794,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 2L)), got.mkString(","))
   }
 
+  test("funnelWindowLevels: hops must land inside the anchored window; greedy first-anchor rule; level histogram") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val W = 100L // seconds
+    val events = Seq(
+      // A: view 0, click 10, purchase 50 -> all within 100s -> level 3
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(50), "purchase"),
+      // B: click at 150 > t0+100 -> level 1
+      (2L, ts(0), "view"), (2L, ts(150), "click"),
+      // C: click 90 in-window, purchase 120 out -> level 2
+      (3L, ts(0), "view"), (3L, ts(90), "click"), (3L, ts(120), "purchase"),
+      // D: the documented greedy divergence — anchored at view 0, click 500
+      // misses the window even though the view at 450 would anchor a
+      // completing chain -> level 1
+      (4L, ts(0), "view"), (4L, ts(450), "view"), (4L, ts(500), "click"),
+      // E: no view at all -> not in the funnel
+      (5L, ts(0), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.funnelWindowLevels(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = W).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)), got.mkString(","))
+  }
+
   test("funnelAttributionLinear: equal split with remainder to earliest touch; credit conserves per user") {
     import spark.implicits._
     import graft.operators.Analytics
