@@ -44,7 +44,16 @@ object Bench {
     "mm_binary_meta", "mm_frame_sample", "mm_frame_bytes", "mm_pixel_resize",
     "mm_byte_resize", "mm_png_meta", "mm_wav_meta", "mm_jpeg_meta", "mm_gif_meta", "mm_tiff_meta",
     "events_props_agg", "length_histogram", "quality_gate_pctl", "text_bigrams_top",
-    "src_discovery", "src_format_orc", "json_path_census", "ddl_generate", "ddl_allstring", "schema_evolution", "type_mapping"
+    "src_discovery", "src_format_orc", "json_path_census", "ddl_generate", "ddl_allstring", "schema_evolution", "type_mapping",
+    // round-7 late additions
+    "acf_lags", "dow_seasonality", "state_durations", "seasonal_decompose", "funnel_latency", "session_stats",
+    "text_bigram_lm", "domain_quality", "mm_mp4_meta", "mm_exif_meta", "mm_wav_rms", "mm_phash_dedup",
+    "sim_range_search", "sim_dim_truncate",
+    // round-8 additions
+    "funnel_attrib", "dedup_embedding_simhash", "mm_phash_incr", "sim_range_ivf",
+    "dedup_soft", "attribution_linear", "cohort_ltv", "sim_rrf_fusion", "mm_webp_meta",
+    "graph_label_prop", "text_ccnet_bucket", "decontam_embedding", "forecast_snaive",
+    "new_vs_returning", "funnel_window"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —
