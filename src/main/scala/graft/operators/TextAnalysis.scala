@@ -393,7 +393,9 @@ object TextAnalysis {
     * base aggregate, PERSISTED because three consumers read it (the
     * final join, corpus bigram counts, and head counts via those):
     * without the persist Catalyst re-executes the corpus explode once
-    * per branch, measured 11.3s → ~4s at sf1. Corpus counts roll up
+    * per branch (11.3s pre-fix at sf1; the committed BENCH_sf1
+    * measures 9.3s post-fix — the explode+two-agg chain itself is the
+    * remaining floor). Corpus counts roll up
     * FROM tf (never a second corpus scan) and head counts from those.
     * Both model joins are KEYED on bigram/head — a web-scale
     * vocabulary never broadcasts (the C51/C62 discipline). Docs with
