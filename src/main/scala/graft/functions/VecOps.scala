@@ -642,6 +642,41 @@ object VecOps {
   def prefix_select(hs: Column, cms: Broadcast[Array[Byte]], tauPct: Int): Column =
     ColumnBridge.column(PrefixSelect(ColumnBridge.expression(hs), cms, tauPct))
 
+  /** [[prefixSelect]]'s full-reorder sibling: the WHOLE shingle array
+    * sorted by the shared (sketch-df asc, hash asc) order, so a
+    * posexplode yields every shingle's positional-filter rank without
+    * shuffling a single posting row through a window — the b-side of
+    * containment joins needs ALL positions (a large doc's collision
+    * with a small doc's prefix can sit anywhere in the large doc),
+    * not just the prefix.
+    */
+  def dfOrderSort(hs: ArrayData, cms: Array[Byte]): ArrayData = {
+    val s = hs.numElements()
+    if (s == 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val h = new Array[Long](s)
+    val est = new Array[Long](s)
+    var i = 0
+    while (i < s) {
+      h(i) = hs.getLong(i)
+      est(i) = CountMin.estimate(cms, h(i))
+      i += 1
+    }
+    i = 1
+    while (i < s) {
+      val eh = est(i); val hh = h(i)
+      var j = i - 1
+      while (j >= 0 && (est(j) > eh || (est(j) == eh && h(j) > hh))) {
+        est(j + 1) = est(j); h(j + 1) = h(j); j -= 1
+      }
+      est(j + 1) = eh; h(j + 1) = hh
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(h)
+  }
+
+  def df_order_sort(hs: Column, cms: Broadcast[Array[Byte]]): Column =
+    ColumnBridge.column(DfOrderSort(ColumnBridge.expression(hs), cms))
+
   def token_counts(text: Column): Column =
     ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(text)))
 
@@ -1644,6 +1679,27 @@ case class PrefixSelect(child: Expression, cms: Broadcast[Array[Byte]], tauPct: 
       s"graft.functions.VecOps.prefixSelect($c, ($grid != null ? $grid : ($grid = (byte[]) $ref.value())), $tauPct)")
   }
   override protected def withNewChildInternal(c: Expression): PrefixSelect = copy(child = c)
+}
+
+/** [[PrefixSelect]]'s full-reorder sibling (same broadcast-handle
+  * discipline for the 32 MB df grid).
+  */
+case class DfOrderSort(child: Expression, cms: Broadcast[Array[Byte]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"df_order_sort needs array<long>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.dfOrderSort(v.asInstanceOf[ArrayData], cms.value)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dfSortCmsBc", cms, classOf[Broadcast[Array[Byte]]].getName)
+    val grid = ctx.addMutableState("byte[]", "dfSortCmsGrid")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecOps.dfOrderSort($c, ($grid != null ? $grid : ($grid = (byte[]) $ref.value())))")
+  }
+  override protected def withNewChildInternal(c: Expression): DfOrderSort = copy(child = c)
 }
 
 case class NormalizeWs(child: Expression) extends UnaryExpression {

@@ -221,24 +221,65 @@ object Dedup {
     * Scale: every stage is a keyed shuffle; the full-side posting
     * list is long for common shingles but the prefix side holds only
     * each doc's RAREST shingles (df-ascending), so the per-key
-    * product stays bounded — same behavior class as [[ngramJaccardPairs]],
-    * whose Count-Min df path drops in identically if the window df
-    * rank ever dominates.
+    * product stays bounded. Past [[sketchDfMinDocs]] the rank comes
+    * from the Count-Min df path — [[graft.functions.VecOps.df_order_sort]]
+    * reorders each doc's array per-row under the shared (sketch-df, h)
+    * order, so posexplode positions ARE the ranks and not one posting
+    * row crosses a window (sketch overestimates only reorder
+    * consistently, never lose a pair — the [[ngramJaccardPairs]]
+    * argument verbatim; paths proven pair-identical in PipelineSpec).
+    *
+    * Measured honesty (sf10, 500k docs, n=3, τ=70): the cost is NOT
+    * the rank build — it is CANDIDATE VERIFICATION. Without Jaccard's
+    * size-ratio filter (deliberately absent — containment's point is
+    * size-asymmetric pairs) the positional filter alone admits 21.4M
+    * candidate pairs on this small-vocabulary synthetic corpus
+    * (measured; 25.6k real pairs), and the verify joins move two
+    * ~400-byte shingle arrays per candidate ≈ 17 GB — ~160s at
+    * local[32] on either rank path. That volume is data-intrinsic
+    * (the df-ascending prefixes of a tiny-vocab corpus collide
+    * heavily); real web corpora with Zipfian vocabularies prune far
+    * better. The scalable recourse when candidates explode is raising
+    * n (Lee et al. use ~50-token windows for containment-class dedup),
+    * not a lossy filter.
     */
-  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame =
+    containmentPairsImpl(df, idCol, textCol, n, tauPct, forceSketch = None)
+
+  /** `forceSketch` pins the df-rank path for parity specs (None =
+    * size-adaptive, the production rule).
+    */
+  private[graft] def containmentPairsImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      tauPct: Int,
+      forceSketch: Option[Boolean]
+  ): DataFrame = {
     val sh = df
       .select(col(idCol).as("id"), array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))
       .withColumn("nsh", size(col("hs")).cast("long"))
       .persist()
-    sh.count() // fill the cache once; both join sides and the verify read it
-    val posts = sh.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val wId = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("h"))
-    val ranked = posts
-      .withColumn("df", count(lit(1)).over(wDf))
-      .withColumn("rk", row_number().over(wId))
-      .select(col("h"), col("id"), col("nsh"), col("rk"))
+    val nDocs = sh.count() // fill the cache once; both join sides and the verify read it
+    val useWindow = forceSketch.map(!_).getOrElse(nDocs < sketchDfMinDocs)
+    val ranked = if (useWindow) {
+      val posts = sh.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
+      val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      val wId = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("df"), col("h"))
+      posts
+        .withColumn("df", count(lit(1)).over(wDf))
+        .withColumn("rk", row_number().over(wId))
+        .select(col("h"), col("id"), col("nsh"), col("rk"))
+    } else {
+      val cms = df.sparkSession.sparkContext.broadcast(
+        graft.functions.CountMin.build(
+          sh.select(explode(col("hs")).as("h")), "h", depth = 4, width = 1 << 20))
+      sh.select(col("id"), col("nsh"),
+          posexplode(graft.functions.VecOps.df_order_sort(col("hs"), cms)).as(Seq("pos", "h")))
+        .select(col("h"), col("id"), col("nsh"), (col("pos") + 1L).as("rk"))
+    }
     // own-size prefix: valid whenever this doc is the smaller side
     val prefix = ranked.filter(
       col("rk") <= col("nsh") - expr(s"((nsh * $tauPct) + 99) div 100") + 1L)

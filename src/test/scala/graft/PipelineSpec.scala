@@ -56,6 +56,18 @@ class PipelineSpec extends SparkSpec {
     assert(d1 == 1000000L / 62 + 1000000L / 62, s"doc1 contribution was $d1")
   }
 
+  test("containmentPairs: sketch df path equals the window df path pair-for-pair") {
+    // the Count-Min rank order may differ from exact df order, but the
+    // prefix theorem holds under ANY consistent order and the exact
+    // verify decides every candidate — results must be identical
+    val a = Dedup.containmentPairsImpl(docs, "doc_id", "text", 3, 70, forceSketch = Some(false))
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.containmentPairsImpl(docs, "doc_id", "text", 3, 70, forceSketch = Some(true))
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty, "fixture corpus should contain containment pairs")
+    assert(a == b, s"paths diverge: window-only ${(a -- b).size}, sketch-only ${(b -- a).size}")
+  }
+
   test("softDedup: weights split a cluster's mass, canonical flags recover hard dedup") {
     val dupped = docs.limit(20).select(col("doc_id"), col("text"))
       .unionAll(docs.limit(7).select(col("doc_id") + 100000, col("text")))
