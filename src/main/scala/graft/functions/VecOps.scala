@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -126,6 +126,106 @@ object VecOps {
     }
     c
   }
+
+  /** Bottom-k sketch for the containment screen, 2 bytes per entry:
+    * the top-16 bits (sign-preserving, so sorted order survives) of
+    * the k smallest values of a SORTED-distinct shingle-hash array.
+    * 64 entries cost the same 128 bytes as 16 full longs but give the
+    * screen's binomial test 4× the sample — truncation's only costs
+    * are ~0.1% false-positive membership matches (conservative: they
+    * inflate m, never deflate it) and boundary ties excluded from the
+    * decidable region (also conservative). Public static for codegen.
+    */
+  def kmvSketch16(hs: ArrayData, k: Int): ArrayData = {
+    val n = math.min(hs.numElements(), k)
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (hs.getLong(i) >> 48).toShort
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def kmv_sketch16(hs: Column, k: Int): Column =
+    ColumnBridge.column(KmvSketch16(ColumnBridge.expression(hs), k))
+
+  /** KMV containment screen: decides from two [[kmvSketch16]] sketches
+    * whether a candidate pair can still reach containment ≥ τ, so the
+    * full shingle arrays are fetched only for plausible pairs. Returns
+    * true = keep (fetch + exact-verify), false = reject.
+    *
+    * Below the strict threshold M = min(boundA, boundB) — boundX being
+    * skX's last entry, or +∞ when the sketch holds ALL of X —
+    * membership is decidable: every element of X truncating strictly
+    * below boundX has its truncation present in skX (strict-less keeps
+    * this sound across truncation ties). The d elements of the smaller
+    * set S that fall below M are a uniform random sample of S (hash
+    * order is independent of the partner's contents), and m = |{those
+    * whose truncation appears in the larger side's sketch}| is a
+    * measured ~Binomial(d, c) draw for true containment c, biased only
+    * UPWARD by 16-bit collisions. Reject iff P[Bin(d, τ) ≤ m] < ε — a
+    * pair with true c ≥ τ is rejected with probability < ε = 1e-6
+    * (hypergeometric tails are no fatter than binomial, Hoeffding
+    * 1963); junk pairs with small c die before touching an array.
+    * Survivors are still verified EXACTLY (sorted-merge intersect), so
+    * a screen pass-through costs correctness nothing; the parity spec
+    * pins screened ≡ unscreened pair sets on the fixture corpus.
+    * Public static for codegen.
+    */
+  def kmvContainScreen(skA: ArrayData, na: Long, skB: ArrayData, nb: Long, tauPct: Int): Boolean = {
+    val (skS, ns, skL, nl) = if (na <= nb) (skA, na, skB, nb) else (skB, nb, skA, na)
+    val kS = skS.numElements()
+    val kL = skL.numElements()
+    if (kS == 0 || kL == 0) return true // degenerate: nothing to measure
+    val inf = Int.MaxValue // above any short
+    val boundS = if (ns > kS) skS.getShort(kS - 1).toInt else inf
+    val boundL = if (nl > kL) skL.getShort(kL - 1).toInt else inf
+    val m0 = if (boundS < boundL) boundS else boundL
+    // merge walk over the two sorted sketches, counting S-entries
+    // strictly below M (d) and how many appear in L's sketch (m)
+    var i = 0; var j = 0; var d = 0; var m = 0
+    while (i < kS && skS.getShort(i).toInt < m0) {
+      val x = skS.getShort(i)
+      while (j < kL && skL.getShort(j) < x) j += 1
+      if (j < kL && skL.getShort(j) == x) m += 1
+      d += 1
+      i += 1
+    }
+    m > rejectThreshold(d, tauPct)
+  }
+
+  /** Largest m with P[Binomial(d, τ) ≤ m] < 1e-6, or -1 when even
+    * m = 0 is plausible (small d never rejects). Cached; d ≤ sketch-k
+    * and tauPct ≤ 100 keep the table tiny.
+    */
+  private val screenEps = 1e-6
+  private val thresholdCache = new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+  private[graft] def rejectThreshold(d: Int, tauPct: Int): Int = {
+    val key = Integer.valueOf((d << 8) | tauPct)
+    val hit = thresholdCache.get(key)
+    if (hit != null) return hit.intValue()
+    if (tauPct >= 100) return d - 1 // P[Bin(d,1) <= m] = 0 for every m < d
+    if (tauPct <= 0) return -1
+    val p = tauPct / 100.0
+    var cdf = 0.0
+    var t = -1
+    var m = 0
+    var pmf = math.pow(1.0 - p, d) // P[X=0]
+    var continue = true
+    while (continue && m <= d) {
+      if (cdf + pmf < screenEps) { cdf += pmf; t = m } else continue = false
+      pmf = pmf * (d - m) / (m + 1) * (p / (1.0 - p))
+      m += 1
+    }
+    thresholdCache.put(key, Integer.valueOf(t))
+    t
+  }
+
+  def kmv_contain_screen(skA: Column, na: Column, skB: Column, nb: Column, tauPct: Int): Column =
+    ColumnBridge.column(KmvContainScreen(
+      ColumnBridge.expression(skA), ColumnBridge.expression(na),
+      ColumnBridge.expression(skB), ColumnBridge.expression(nb), tauPct))
 
   /** Hashes of all n-word shingles of a word array: shingle i is the
     * XXH64 chain over words [i, i+n) (seed-chained per word — same
@@ -616,25 +716,7 @@ object VecOps {
     val s = hs.numElements()
     if (s == 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val prefLen = (s - (s.toLong * tauPct + 99L) / 100L + 1L).toInt
-    val h = new Array[Long](s)
-    val est = new Array[Long](s)
-    var i = 0
-    while (i < s) {
-      h(i) = hs.getLong(i)
-      est(i) = CountMin.estimate(cms, h(i))
-      i += 1
-    }
-    // insertion sort by (est, h) — shingle sets are tens of elements
-    i = 1
-    while (i < s) {
-      val eh = est(i); val hh = h(i)
-      var j = i - 1
-      while (j >= 0 && (est(j) > eh || (est(j) == eh && h(j) > hh))) {
-        est(j + 1) = est(j); h(j + 1) = h(j); j -= 1
-      }
-      est(j + 1) = eh; h(j + 1) = hh
-      i += 1
-    }
+    val h = dfOrderSorted(hs, cms)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
       java.util.Arrays.copyOfRange(h, 0, math.min(prefLen, s)))
   }
@@ -650,28 +732,54 @@ object VecOps {
     * with a small doc's prefix can sit anywhere in the large doc),
     * not just the prefix.
     */
-  def dfOrderSort(hs: ArrayData, cms: Array[Byte]): ArrayData = {
+  def dfOrderSort(hs: ArrayData, cms: Array[Byte]): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(dfOrderSorted(hs, cms))
+
+  /** Shared (est-df asc, h asc) reorder kernel for [[prefixSelect]] /
+    * [[dfOrderSort]], O(s log s) — the earlier per-row insertion sort
+    * was O(s²), millions of comparisons for a multi-thousand-shingle
+    * document on the containment b-side which reorders FULL docs.
+    * Two primitive sorts, no boxing: (1) pack (clamped est, original
+    * index) into one long and `Arrays.sort` — est monotone-clamped to
+    * 2³⁹−1 (keeps the packed key's sign bit clear) collapses only the
+    * ultra-common tail into one tie class,
+    * still the same deterministic global order on every row; (2) walk
+    * runs of equal est and `Arrays.sort` the h values inside each run,
+    * which restores the exact (est asc, h signed-asc) order without
+    * assuming the input array was pre-sorted.
+    */
+  private def dfOrderSorted(hs: ArrayData, cms: Array[Byte]): Array[Long] = {
     val s = hs.numElements()
-    if (s == 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    if (s == 0) return new Array[Long](0)
+    require(s < (1 << 24), s"dfOrderSort supports < 2^24 shingles per doc, got $s")
     val h = new Array[Long](s)
-    val est = new Array[Long](s)
+    val keys = new Array[Long](s)
+    val maxEst = (1L << 39) - 1L
     var i = 0
     while (i < s) {
       h(i) = hs.getLong(i)
-      est(i) = CountMin.estimate(cms, h(i))
+      val e = CountMin.estimate(cms, h(i))
+      keys(i) = ((if (e > maxEst) maxEst else e) << 24) | i.toLong
       i += 1
     }
-    i = 1
+    java.util.Arrays.sort(keys)
+    val out = new Array[Long](s)
+    i = 0
     while (i < s) {
-      val eh = est(i); val hh = h(i)
-      var j = i - 1
-      while (j >= 0 && (est(j) > eh || (est(j) == eh && h(j) > hh))) {
-        est(j + 1) = est(j); h(j + 1) = h(j); j -= 1
-      }
-      est(j + 1) = eh; h(j + 1) = hh
+      out(i) = h((keys(i) & 0xFFFFFFL).toInt)
       i += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(h)
+    // break est ties by h: sort each equal-est run (est = key >>> 24)
+    var runStart = 0
+    i = 1
+    while (i <= s) {
+      if (i == s || (keys(i) >>> 24) != (keys(runStart) >>> 24)) {
+        if (i - runStart > 1) java.util.Arrays.sort(out, runStart, i)
+        runStart = i
+      }
+      i += 1
+    }
+    out
   }
 
   def df_order_sort(hs: Column, cms: Broadcast[Array[Byte]]): Column =
@@ -1575,6 +1683,44 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.sortedIntersectCount($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
     copy(l, r)
+}
+
+case class KmvSketch16(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"kmv_sketch16 needs array<long>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.kmvSketch16(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.kmvSketch16($c, $k)")
+  override protected def withNewChildInternal(c: Expression): KmvSketch16 = copy(child = c)
+}
+
+case class KmvContainScreen(skA: Expression, na: Expression, skB: Expression, nb: Expression, tauPct: Int)
+    extends QuaternaryExpression {
+  override def first: Expression = skA
+  override def second: Expression = na
+  override def third: Expression = skB
+  override def fourth: Expression = nb
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (skA.dataType, na.dataType, skB.dataType, nb.dataType) match {
+      case (ArrayType(ShortType, _), LongType, ArrayType(ShortType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"kmv_contain_screen needs (array<short>, long, array<short>, long), got $other")
+    }
+  override def nullSafeEval(a: Any, x: Any, b: Any, y: Any): Any =
+    VecOps.kmvContainScreen(
+      a.asInstanceOf[ArrayData], x.asInstanceOf[Long],
+      b.asInstanceOf[ArrayData], y.asInstanceOf[Long], tauPct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, x, b, y) =>
+      s"graft.functions.VecOps.kmvContainScreen($a, $x, $b, $y, $tauPct)")
+  override protected def withNewChildrenInternal(
+      c1: Expression, c2: Expression, c3: Expression, c4: Expression): KmvContainScreen =
+    copy(skA = c1, na = c2, skB = c3, nb = c4)
 }
 
 case class SimHash64Expr(child: Expression) extends UnaryExpression {

@@ -232,22 +232,47 @@ object Dedup {
     * Measured honesty (sf10, 500k docs, n=3, τ=70): the cost is NOT
     * the rank build — it is CANDIDATE VERIFICATION. Without Jaccard's
     * size-ratio filter (deliberately absent — containment's point is
-    * size-asymmetric pairs) the positional filter alone admits 21.4M
-    * candidate pairs on this small-vocabulary synthetic corpus
-    * (measured; 25.6k real pairs), and the verify joins move two
-    * ~400-byte shingle arrays per candidate ≈ 17 GB — ~160s at
-    * local[32] on either rank path. That volume is data-intrinsic
-    * (the df-ascending prefixes of a tiny-vocab corpus collide
-    * heavily); real web corpora with Zipfian vocabularies prune far
-    * better. The scalable recourse when candidates explode is raising
-    * n (Lee et al. use ~50-token windows for containment-class dedup),
-    * not a lossy filter.
+    * size-asymmetric pairs) the positional filter admits millions of
+    * candidate pairs on this small-vocabulary synthetic corpus for
+    * only 25.6k real pairs, and fetching two ~400-byte shingle arrays
+    * per candidate dominated the round-8 profile (≈ 17 GB through the
+    * verify joins, ~160s at local[32]). Two fixes bend that curve:
+    *
+    *  1. SMALLER-SIDE constraint in the candidate join (lossless):
+    *     the theorem above needs a collision in the SMALLER set's
+    *     prefix only, so join rows where the prefix side is the
+    *     LARGER doc prove nothing — every qualifying pair is still
+    *     found via its small-side row. `a.nsh < b.nsh` (id tiebreak)
+    *     drops the entire wrong-direction candidate stream.
+    *  2. KMV sketch screen before the array fetch
+    *     ([[graft.functions.VecOps.kmvContainScreen]]): candidates
+    *     fetch two [[containSketchK]]-entry truncated bottom-k
+    *     sketches (128 bytes vs the full arrays), and a pair is
+    *     rejected only when the exactly-decidable sample makes
+    *     containment ≥ τ a < 1e-6-probability event. Survivors are
+    *     still verified EXACTLY, so screening moves candidate volume,
+    *     not semantics; the parity spec pins screened ≡ unscreened.
+    *
+    * The remaining scalable recourse when candidates explode is
+    * raising n (Lee et al. use ~50-token windows for containment-class
+    * dedup), a query-level parameter choice.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame =
     containmentPairsImpl(df, idCol, textCol, n, tauPct, forceSketch = None)
 
+  /** Bottom-k sketch width for the containment screen: 64 truncated
+    * 16-bit entries ([[graft.functions.VecOps.kmvSketch16]]) cost 128
+    * bytes — ~3× lighter than shipping full shingle arrays — while
+    * d ≈ 64 decidable samples give the binomial test sharp rejection
+    * power (a τ=0.7 screen at d=64 rejects anything measuring m ≤ 27,
+    * which kills essentially all candidates with true containment
+    * below ~0.4).
+    */
+  private[graft] val containSketchK: Int = 64
+
   /** `forceSketch` pins the df-rank path for parity specs (None =
-    * size-adaptive, the production rule).
+    * size-adaptive, the production rule); `screen = false` disables
+    * the KMV pre-verify screen so specs can pin screened ≡ unscreened.
     */
   private[graft] def containmentPairsImpl(
       df: DataFrame,
@@ -255,13 +280,43 @@ object Dedup {
       textCol: String,
       n: Int,
       tauPct: Int,
-      forceSketch: Option[Boolean]
+      forceSketch: Option[Boolean],
+      screen: Boolean = true
   ): DataFrame = {
     val sh = df
       .select(col(idCol).as("id"), array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))
       .withColumn("nsh", size(col("hs")).cast("long"))
+      .withColumn("sk", graft.functions.VecOps.kmv_sketch16(col("hs"), containSketchK))
       .persist()
     val nDocs = sh.count() // fill the cache once; both join sides and the verify read it
+    val cands = containmentCandidates(sh, nDocs, tauPct, forceSketch)
+    val screened = if (screen) {
+      val sks = sh.select(col("id"), col("sk"), col("nsh"))
+      cands
+        .join(sks.select(col("id").as("id_a"), col("sk").as("sk_a"), col("nsh").as("na0")), "id_a")
+        .join(sks.select(col("id").as("id_b"), col("sk").as("sk_b"), col("nsh").as("nb0")), "id_b")
+        .filter(graft.functions.VecOps.kmv_contain_screen(
+          col("sk_a"), col("na0"), col("sk_b"), col("nb0"), tauPct))
+        .select(col("id_a"), col("id_b"))
+    } else cands
+    val full = sh.select(col("id"), col("hs"), col("nsh"))
+    screened
+      .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"), col("nsh").as("na")), "id_a")
+      .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("i", graft.functions.VecOps.sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .filter(col("i") * 100 >= least(col("na"), col("nb")) * tauPct)
+      .select(col("id_a"), col("id_b"),
+        floor(col("i") * lit(100.0) / least(col("na"), col("nb"))).as("cont_pct"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Distinct (id_a, id_b) candidate pairs from the prefix × full
+    * posting join with the positional filter AND the lossless
+    * smaller-side constraint (prefix side must be the smaller doc —
+    * see [[containmentPairs]] note 1). `sh` must carry (id, hs, nsh).
+    */
+  private def containmentCandidates(
+      sh: DataFrame, nDocs: Long, tauPct: Int, forceSketch: Option[Boolean]): DataFrame = {
     val useWindow = forceSketch.map(!_).getOrElse(nDocs < sketchDfMinDocs)
     val ranked = if (useWindow) {
       val posts = sh.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
@@ -273,7 +328,7 @@ object Dedup {
         .withColumn("rk", row_number().over(wId))
         .select(col("h"), col("id"), col("nsh"), col("rk"))
     } else {
-      val cms = df.sparkSession.sparkContext.broadcast(
+      val cms = sh.sparkSession.sparkContext.broadcast(
         graft.functions.CountMin.build(
           sh.select(explode(col("hs")).as("h")), "h", depth = 4, width = 1 << 20))
       sh.select(col("id"), col("nsh"),
@@ -283,23 +338,44 @@ object Dedup {
     // own-size prefix: valid whenever this doc is the smaller side
     val prefix = ranked.filter(
       col("rk") <= col("nsh") - expr(s"((nsh * $tauPct) + 99) div 100") + 1L)
-    val alpha = expr(s"((least(`a`.nsh, `b`.nsh) * $tauPct) + 99) div 100")
-    val cands = prefix.alias("a")
+    // a is the smaller side by construction, so α = ceil(τ·|a|)
+    val alpha = expr(s"((`a`.nsh * $tauPct) + 99) div 100")
+    prefix.alias("a")
       .join(ranked.alias("b"),
-        col("a.h") === col("b.h") && col("a.id") =!= col("b.id") &&
+        col("a.h") === col("b.h") &&
+          (col("a.nsh") < col("b.nsh") ||
+            (col("a.nsh") === col("b.nsh") && col("a.id") < col("b.id"))) &&
           least(col("a.nsh") - col("a.rk"), col("b.nsh") - col("b.rk")) + 1L >= alpha)
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    val full = sh.select(col("id"), col("hs"), col("nsh"))
-    cands
-      .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"), col("nsh").as("na")), "id_a")
-      .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"), col("nsh").as("nb")), "id_b")
-      .withColumn("i", graft.functions.VecOps.sorted_intersect_count(col("hs_a"), col("hs_b")))
-      .filter(col("i") * 100 >= least(col("na"), col("nb")) * tauPct)
-      .select(col("id_a"), col("id_b"),
-        floor(col("i") * lit(100.0) / least(col("na"), col("nb"))).as("cont_pct"))
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Candidate-volume instrumentation for [[containmentPairs]]:
+    * (n_candidates, n_after_screen) — measures how many positional-
+    * filter survivors the KMV screen rejects before any full-array
+    * fetch, the number that decides whether the screen pays at a
+    * given corpus shape.
+    */
+  private[graft] def containmentScreenStats(
+      df: DataFrame, idCol: String, textCol: String, n: Int, tauPct: Int): (Long, Long) = {
+    val sh = df
+      .select(col(idCol).as("id"), array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))
+      .withColumn("nsh", size(col("hs")).cast("long"))
+      .withColumn("sk", graft.functions.VecOps.kmv_sketch16(col("hs"), containSketchK))
+      .persist()
+    val nDocs = sh.count()
+    val cands = containmentCandidates(sh, nDocs, tauPct, forceSketch = None)
+    val sks = sh.select(col("id"), col("sk"), col("nsh"))
+    val row = cands
+      .join(sks.select(col("id").as("id_a"), col("sk").as("sk_a"), col("nsh").as("na0")), "id_a")
+      .join(sks.select(col("id").as("id_b"), col("sk").as("sk_b"), col("nsh").as("nb0")), "id_b")
+      .select(when(graft.functions.VecOps.kmv_contain_screen(
+        col("sk_a"), col("na0"), col("sk_b"), col("nb0"), tauPct), 1L).otherwise(0L).as("keep"))
+      .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
+      .collect()(0)
+    sh.unpersist()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int = 3, tauPct: Int = 80): DataFrame = {

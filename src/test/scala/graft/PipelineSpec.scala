@@ -68,6 +68,92 @@ class PipelineSpec extends SparkSpec {
     assert(a == b, s"paths diverge: window-only ${(a -- b).size}, sketch-only ${(b -- a).size}")
   }
 
+  test("containmentPairs: KMV screen is pair-identical to unscreened on the fixture corpus") {
+    // the screen may only reject a true pair with P < 1e-6; on the
+    // fixture the screened and unscreened pair sets must be identical
+    val off = Dedup.containmentPairsImpl(docs, "doc_id", "text", 3, 70,
+      forceSketch = None, screen = false).collect().map(_.toSeq).toSet
+    val on = Dedup.containmentPairsImpl(docs, "doc_id", "text", 3, 70,
+      forceSketch = None, screen = true).collect().map(_.toSeq).toSet
+    assert(off.nonEmpty, "fixture corpus should contain containment pairs")
+    assert(on == off, s"screen changed results: dropped ${(off -- on).size}, added ${(on -- off).size}")
+  }
+
+  test("containment KMV screen rejects low-containment junk candidates before the array fetch") {
+    import spark.implicits._
+    // small-vocabulary corpus shape that defeats the prefix filter:
+    // docs draw 20 ten-word phrases from a shared pool of 600, so
+    // pairs share a phrase or two (containment ~3%, pure junk at
+    // tau=70) yet those shared shingles are rare enough to land in
+    // df-order prefixes and survive the positional filter. This is a
+    // miniature of the sf10 candidate explosion the screen exists for.
+    val rnd = new scala.util.Random(42)
+    val pool = (0 until 600).map(p => (0 until 10).map(w => s"p${p}w$w").mkString(" "))
+    val rows = (0 until 100).map { i =>
+      (i.toLong, (0 until 20).map(_ => pool(rnd.nextInt(600))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (total, kept) = Dedup.containmentScreenStats(rows, "doc_id", "text", n = 3, tauPct = 70)
+    assert(total >= 20, s"pool corpus should create junk candidates, got $total")
+    assert(kept * 2 < total, s"screen should reject most junk: kept $kept of $total")
+    // and the operator still returns zero pairs for this corpus (exact verify)
+    assert(Dedup.containmentPairs(rows, "doc_id", "text", n = 3, tauPct = 70).count() == 0)
+  }
+
+  test("kmvContainScreen kernel: binomial thresholds and pass/reject decisions") {
+    import graft.functions.VecOps
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    // exact binomial tail thresholds at eps = 1e-6
+    assert(VecOps.rejectThreshold(16, 70) == 1)
+    assert(VecOps.rejectThreshold(16, 80) == 3)
+    assert(VecOps.rejectThreshold(12, 70) == 0)
+    assert(VecOps.rejectThreshold(8, 70) == -1) // small d never rejects
+    assert(VecOps.rejectThreshold(4, 70) == -1)
+    assert(VecOps.rejectThreshold(10, 100) == 9) // tau=1: any miss rejects
+    def arr(xs: Int*) = UnsafeArrayData.fromPrimitiveArray(xs.map(_.toShort).toArray)
+    // identical bottom-16 sketches of a contained pair: m = d -> keep
+    val sk = arr((1 to 16): _*)
+    assert(VecOps.kmvContainScreen(sk, 100L, sk, 200L, 70))
+    // disjoint sketches, d = 16 (d counts entries STRICTLY below the
+    // shared bound 31), m = 0 -> reject
+    val skOdd = arr((1 to 33 by 2): _*)
+    val skEven = arr((2 to 34 by 2): _*)
+    assert(!VecOps.kmvContainScreen(skOdd, 100L, skEven, 200L, 70))
+    // d capped by the DENSER side's bound: sketches cover disjoint
+    // value ranges -> almost no decidable sample -> must pass through
+    val skLow = arr((1 to 16): _*)
+    val skHigh = arr((1000 to 1015): _*)
+    assert(VecOps.kmvContainScreen(skHigh, 100L, skLow, 2000L, 70),
+      "tiny decidable sample must never reject")
+    // sketch holding the ENTIRE small set: bound is +inf, membership exact
+    val whole = arr(5, 10, 15)
+    assert(VecOps.kmvContainScreen(whole, 3L, arr((1 to 16): _*), 100L, 70))
+    // kmvSketch16 truncates to sign-preserving top-16 bits, keeps order
+    val hs = UnsafeArrayData.fromPrimitiveArray(
+      Array(Long.MinValue, -1L << 48, 0L, 1L << 48, 3L << 48, Long.MaxValue))
+    val tr = VecOps.kmvSketch16(hs, 4).toShortArray().toSeq
+    assert(tr == Seq(Short.MinValue, (-1).toShort, 0.toShort, 1.toShort), tr.toString)
+  }
+
+  test("dfOrderSort and prefixSelect order by (sketch-df asc, h asc) in O(s log s)") {
+    import graft.functions.{CountMin, VecOps}
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import spark.implicits._
+    // grid where some keys are frequent: key k repeated k times
+    val keys = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k))
+    val cms = CountMin.build(keys.toDF("h"), "h")
+    val rnd = new scala.util.Random(7)
+    val hs = rnd.shuffle((1L to 40L).toList) ++ List(-5L, -2L) // negatives sort first within a tie
+    val input = UnsafeArrayData.fromPrimitiveArray(hs.toArray)
+    val got = VecOps.dfOrderSort(input, cms).toLongArray().toSeq
+    val expected = hs.sortBy(h => (CountMin.estimate(cms, h), h))
+    assert(got == expected, s"order mismatch:\n got $got\n exp $expected")
+    // prefixSelect = the first (s - ceil(tau*s) + 1) of that order
+    val s = hs.length
+    val prefLen = (s - (s.toLong * 70 + 99) / 100 + 1).toInt
+    val pref = VecOps.prefixSelect(input, cms, 70).toLongArray().toSeq
+    assert(pref == expected.take(prefLen))
+  }
+
   test("softDedup: weights split a cluster's mass, canonical flags recover hard dedup") {
     val dupped = docs.limit(20).select(col("doc_id"), col("text"))
       .unionAll(docs.limit(7).select(col("doc_id") + 100000, col("text")))
