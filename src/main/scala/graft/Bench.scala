@@ -53,7 +53,9 @@ object Bench {
     "funnel_attrib", "dedup_embedding_simhash", "mm_phash_incr", "sim_range_ivf",
     "dedup_soft", "attribution_linear", "cohort_ltv", "sim_rrf_fusion", "mm_webp_meta",
     "graph_label_prop", "text_ccnet_bucket", "decontam_embedding", "forecast_snaive",
-    "new_vs_returning", "funnel_window"
+    "new_vs_returning", "funnel_window",
+    // round-9 additions
+    "dedup_incr_containment"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

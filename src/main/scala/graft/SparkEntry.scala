@@ -910,6 +910,17 @@ object SparkEntry {
           col("best_id"), col("best_jacc_pct"))
         .orderBy(col("doc_id"))
     }),
+    "dedup_incr_containment" -> ((s, d) => {
+      // C94: incremental containment — decile-0 batch probed against
+      // the persisted shingle-set index of the rest; same |∩|/|smaller|
+      // >= 70% predicate as dedup_containment, corpus text never
+      // re-read at probe time
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      Dedup.containmentAgainstIndex(batch, "doc_id", "text",
+        Dedup.buildContainmentIndex(corpus, "doc_id", "text"), n = 3, tauPct = 70)
+    }),
     "dedup_incr_embedding" -> ((s, d) => {
       // C32: incremental embedding near-dup — a staged batch (near
       // copies of decile-0 vectors at cos~0.999, far copies of
@@ -3257,6 +3268,18 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(floor(100.0*len(list_intersect(a.sh,b.sh)) / least(len(a.sh), len(b.sh))) AS BIGINT) AS cont_pct
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 70*least(len(a.sh), len(b.sh))
+        |ORDER BY 1,2""".stripMargin,
+    // cross-restricted twin of the dedup_containment oracle: batch =
+    // decile-0 docs, corpus = the rest, pair emitted as (batch, corpus)
+    "dedup_incr_containment" ->
+      """WITH n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(floor(100.0*len(list_intersect(a.sh,b.sh)) / least(len(a.sh), len(b.sh))) AS BIGINT) AS cont_pct
+        |FROM g a JOIN g b ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
         |WHERE 100*len(list_intersect(a.sh,b.sh)) >= 70*least(len(a.sh), len(b.sh))
         |ORDER BY 1,2""".stripMargin,
     // same HUGEINT FNV-1a fold as the simhash oracle; buckets=4096

@@ -113,6 +113,11 @@ object Curation {
     * in one codegen stage ([[Similarity.rangeSearch]]'s shape), then
     * a corpus-id-keyed count. For corpus-scale eval sets, the same
     * call composes with [[Similarity.rangeSearchIvf]]'s cell prune.
+    *
+    * Corpus and benchmark are INDEPENDENT datasets with unrelated id
+    * spaces, so the range search runs with selfExclude = false: a
+    * corpus doc whose id happens to collide with an eval id must not
+    * silently lose that hit.
     */
   def semanticContamination(
       corpus: DataFrame,
@@ -121,7 +126,7 @@ object Curation {
       vecCol: String,
       tau: Double
   ): DataFrame =
-    Similarity.rangeSearch(corpus, benchmark, idCol, vecCol, tau)
+    Similarity.rangeSearch(corpus, benchmark, idCol, vecCol, tau, selfExclude = false)
       .groupBy(col("vec_id").as(idCol))
       .agg(count(lit(1)).as("n_eval_hits"))
       .orderBy(col(idCol))

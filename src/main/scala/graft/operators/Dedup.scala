@@ -1163,6 +1163,107 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** C94 index build: (id, hs, nsh, sk) per corpus doc — the sorted
+    * shingle-hash set, its size, and the [[containSketchK]]-entry KMV
+    * screen sketch. The matching probe's prefix order is PLAIN
+    * HASH-ASCENDING (each doc's own sorted `hs`), NOT the batch
+    * operator's corpus-df rank: df ranks shift as batches append, so a
+    * df-ordered prefix would force a full index re-rank on every
+    * update, while hash order is append-independent — rows written
+    * once never change. Hash order costs prefix selectivity (uniform-
+    * random instead of rarest-first); the KMV screen absorbs the
+    * difference before any full-array fetch. Rows are per-doc
+    * independent, so appending a processed batch is
+    * [[updateContainmentIndex]]'s one anti-join, no merge step.
+    */
+  def buildContainmentIndex(corpus: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        array_sort(array_distinct(shingleHashSet(col(textCol), n))).as("hs"))
+      .withColumn("nsh", size(col("hs")).cast("long"))
+      .withColumn("sk", graft.functions.VecOps.kmv_sketch16(col("hs"), containSketchK))
+
+  /** C94 probe: containment pairs (id_a = batch doc, id_b = corpus
+    * doc, cont_pct) of a new batch against a persisted
+    * [[buildContainmentIndex]] frame — [[containmentPairs]] semantics
+    * (|∩| / |smaller| ≥ τ, NO size-ratio filter) without ever touching
+    * corpus TEXT. The prefix theorem needs the SMALLER side's own-size
+    * prefix to collide, and either side can be smaller, so candidates
+    * are the union of two keyed posting joins: batch prefixes × index
+    * full postings (batch doc smaller) and batch full postings × index
+    * prefixes (index doc smaller; the prefix is a `slice` of the
+    * stored sorted array — derived, not stored, so the index schema
+    * stays order-free). Ties (equal sizes) route to the first arm
+    * exactly once. Candidate volume scales with batch-side postings ×
+    * collision rate; the index side is scanned (ids + hashes, columnar)
+    * but its text is never re-read. Survivors pass the same KMV screen
+    * and exact sorted-intersect verify as the batch operator — both
+    * sides' sketches/arrays are fetched BY ID from the two frames.
+    * Batch and corpus id spaces must be disjoint (enforce upstream,
+    * the [[nearDupsAgainstIndex]] contract).
+    */
+  def containmentAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      n: Int = 3,
+      tauPct: Int = 80
+  ): DataFrame = {
+    val bsh = buildContainmentIndex(batch, idCol, textCol, n).persist()
+    bsh.count() // fill once: both candidate arms + screen + verify read it
+    def prefix(f: DataFrame): DataFrame = f.select(col("id"), col("nsh"),
+      posexplode(expr(s"slice(hs, 1, cast(nsh - ((nsh * $tauPct) + 99) div 100 + 1 as int))"))
+        .as(Seq("p", "h")))
+    def full(f: DataFrame): DataFrame =
+      f.select(col("id"), col("nsh"), explode(col("hs")).as("h"))
+    // positional bound from the smaller side alone: a qualifying pair
+    // has |∩| ≥ α = ceil(τ·|small|), so its FIRST shared element sits
+    // at small-side position ≤ |small| − α (0-based) — inside the
+    // prefix, with remaining = nsh − p ≥ α
+    def arm(small: DataFrame, large: DataFrame, smallIsBatch: Boolean): DataFrame = {
+      val sizeCond =
+        if (smallIsBatch) col("a.nsh") <= col("b.nsh") else col("a.nsh") < col("b.nsh")
+      prefix(small).alias("a")
+        .join(full(large).alias("b"), col("a.h") === col("b.h") && sizeCond &&
+          col("a.nsh") - col("a.p") >= expr(s"((`a`.nsh * $tauPct) + 99) div 100"))
+        .select(
+          (if (smallIsBatch) col("a.id") else col("b.id")).as("id_a"),
+          (if (smallIsBatch) col("b.id") else col("a.id")).as("id_b"))
+    }
+    val cands = arm(bsh, index, smallIsBatch = true)
+      .unionByName(arm(index, bsh, smallIsBatch = false))
+      .distinct()
+    val screened = cands
+      .join(bsh.select(col("id").as("id_a"), col("sk").as("sk_a"), col("nsh").as("na0")), "id_a")
+      .join(index.select(col("id").as("id_b"), col("sk").as("sk_b"), col("nsh").as("nb0")), "id_b")
+      .filter(graft.functions.VecOps.kmv_contain_screen(
+        col("sk_a"), col("na0"), col("sk_b"), col("nb0"), tauPct))
+      .select(col("id_a"), col("id_b"))
+    screened
+      .join(bsh.select(col("id").as("id_a"), col("hs").as("hs_a"), col("nsh").as("na")), "id_a")
+      .join(index.select(col("id").as("id_b"), col("hs").as("hs_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("i", graft.functions.VecOps.sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .filter(col("i") * 100 >= least(col("na"), col("nb")) * tauPct)
+      .select(col("id_a"), col("id_b"),
+        floor(col("i") * lit(100.0) / least(col("na"), col("nb"))).as("cont_pct"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** C94 state advance: fold a processed batch into the containment
+    * index. Rows are per-doc and keyed by unique id, so the fold is
+    * one id-keyed anti-join + union — ids already indexed keep their
+    * existing row unconditionally, which makes REPLAYING a batch (the
+    * at-least-once delivery case) a no-op rather than a duplicate-row
+    * corruption. The returned frame REPLACES the old index
+    * (write-new-then-promote, like [[updateHashIndex]]).
+    */
+  def updateContainmentIndex(
+      index: DataFrame, batch: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    index.unionByName(
+      buildContainmentIndex(batch, idCol, textCol, n)
+        .join(index.select(col("id")), Seq("id"), "left_anti"))
+
   /** C32 index build: (id, v, nrm, tbs) per corpus vector — the
     * embedding-side pendant of [[buildMinhashIndex]]: multi-table
     * hyperplane bucket ids are precomputed once and persisted, so a

@@ -175,20 +175,26 @@ object Similarity {
     * Plan: queries BROADCAST against the corpus scan — Θ(N·|Q|·dim)
     * multiply-adds inside one codegen stage ([[dot]] is the native
     * kernel), zero shuffle of the corpus; the id-pair output shuffles
-    * only for the gate sort. Self-matches are excluded (a corpus
-    * vector is trivially within any radius of itself).
+    * only for the gate sort. `selfExclude` (default true) drops pairs
+    * with vec_id == qid — the same-table radius-search contract, where
+    * a corpus vector is trivially within any radius of itself. Pass
+    * false when corpus and queries are INDEPENDENT datasets (e.g.
+    * [[Curation.semanticContamination]]'s eval-vs-corpus screen):
+    * their id spaces are unrelated, so an id collision there is a
+    * coincidence that must not hide a genuine match.
     */
   def rangeSearch(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      tau: Double
+      tau: Double,
+      selfExclude: Boolean = true
   ): DataFrame = {
     val cands = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
     val qs = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm")))
     cands
-      .join(qs, col("vec_id") =!= col("qid"))
+      .join(qs, if (selfExclude) col("vec_id") =!= col("qid") else lit(true))
       .filter(dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm")) >= tau)
       .select(col("qid"), col("vec_id"))
       .orderBy(col("qid"), col("vec_id"))
@@ -220,7 +226,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       tau: Double,
-      nClusters: Int = 16
+      nClusters: Int = 16,
+      selfExclude: Boolean = true
   ): DataFrame = {
     require(tau > -1.0 && tau <= 1.0, s"tau must be in (-1, 1], got $tau")
     val centers = fitCentroids(corpus, vecCol, nClusters)
@@ -228,7 +235,7 @@ object Similarity {
     val qs = rangeProbeFrame(cands, queries, centers, idCol, vecCol, tau)
     cands
       .join(broadcast(qs), Seq("cell"))
-      .filter(col("cid") =!= col("qid"))
+      .filter(if (selfExclude) col("cid") =!= col("qid") else lit(true))
       .filter(dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm")) >= tau)
       .select(col("qid"), col("cid").as("vec_id"))
       .orderBy(col("qid"), col("vec_id"))
@@ -1269,8 +1276,10 @@ object Similarity {
       k: Int,
       dim: Int,
       planes: Int = 8,
-      tables: Int = 4
+      tables: Int = 4,
+      probeHamming: Int = 2
   ): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 2, s"probeHamming in [0,2], got $probeHamming")
     val cands = candidates
       .select(
         col(idCol).as("cid"),
@@ -1278,14 +1287,31 @@ object Similarity {
         norm(col(vecCol)).as("cnrm"),
         explode(tableBuckets(col(vecCol), dim, planes, tables)).as("tb")
       )
+    // MULTI-PROBE (Lv et al., VLDB'07 shape): a true neighbor that
+    // disagrees with the query on 1–2 hyperplane signs lands in a
+    // bucket at Hamming distance 1–2, so each query also probes every
+    // ≤probeHamming-bit sign perturbation of its own bucket. The
+    // perturbation explode happens ONLY on the broadcast query side —
+    // the corpus keeps exactly one posting per (vector, table), so
+    // corpus IO is unchanged and candidate volume grows with the
+    // probed-bucket count, the tunable recall/cost dial. XOR masks
+    // stay below the table-id bits of the packed (table<<56 | signs)
+    // code, so perturbed keys never cross tables.
+    val masks: Seq[Long] = {
+      val h1 = (0 until planes).map(1L << _)
+      val h2 = for { i <- 0 until planes; j <- (i + 1) until planes } yield (1L << i) | (1L << j)
+      Seq(0L) ++ (if (probeHamming >= 1) h1 else Nil) ++ (if (probeHamming >= 2) h2 else Nil)
+    }
     val qs = broadcast(
       queries
         .select(
           col(idCol).as("qid"),
           col(vecCol).as("qvec"),
           norm(col(vecCol)).as("qnrm"),
-          explode(tableBuckets(col(vecCol), dim, planes, tables)).as("qtb")
+          explode(tableBuckets(col(vecCol), dim, planes, tables)).as("qtb0")
         )
+        .select(col("qid"), col("qvec"), col("qnrm"),
+          explode(array(masks.map(m => col("qtb0").bitwiseXOR(lit(m))): _*)).as("qtb"))
     )
     topKReduce(
       cands

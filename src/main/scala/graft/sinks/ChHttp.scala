@@ -27,15 +27,23 @@ import graft.operators.TypeMapper
 class ChHttpClient(
     val endpoint: String,
     user: String = "",
-    password: String = ""
+    password: String = "",
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 300000
 ) extends Serializable {
 
   /** POST `sql` and return the raw response body; non-2xx → error
     * with the server's message (CH returns the exception text in the
-    * body, which is all a caller needs to decide fallback).
+    * body, which is all a caller needs to decide fallback). Connect /
+    * read timeouts are always set (defaults 10s / 300s) — a stalled
+    * endpoint must fail the task, not hang the driver or an executor
+    * slot forever; the read default is generous because bulk INSERT
+    * acks legitimately take minutes on a loaded server.
     */
   def execute(sql: String): String = {
     val conn = new URI(endpoint).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", "text/plain; charset=UTF-8")
@@ -133,7 +141,12 @@ object ChHttp {
       case c => c.toString
     }
 
-  /** One value as a ClickHouse SQL literal for a VALUES tuple. */
+  /** One value as a ClickHouse SQL literal for a VALUES tuple.
+    * Non-finite floats render as CH's `nan`/`inf`/`-inf` tokens and
+    * binary as `unhex('…')` — the bare `toString` fallback would emit
+    * `NaN`/`Infinity`/`[B@…` which CH rejects, and a poisoned batch
+    * would then fail the row-at-a-time fallback permanently too.
+    */
   def sqlLiteral(v: Any): String = v match {
     case null => "NULL"
     case None => "NULL"
@@ -145,6 +158,15 @@ object ChHttp {
       "'" + t.toLocalDateTime.format(
         java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")) + "'"
     case d: java.sql.Date => "'" + d.toString + "'"
+    case d: java.lang.Double if d.isNaN => "nan"
+    case d: java.lang.Double if d.isInfinite => if (d > 0) "inf" else "-inf"
+    case f: java.lang.Float if f.isNaN => "nan"
+    case f: java.lang.Float if f.isInfinite => if (f > 0) "inf" else "-inf"
+    case b: Array[Byte] =>
+      val sb = new StringBuilder(b.length * 2 + 9)
+      sb.append("unhex('")
+      b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+      sb.append("')").toString
     case a: Array[_] => a.map(sqlLiteral).mkString("[", ",", "]")
     case s: Seq[_] => s.map(sqlLiteral).mkString("[", ",", "]")
     case n => n.toString // numeric/decimal
@@ -201,11 +223,22 @@ class ChHttpBatchExecutor(endpoint: String, user: String = "", password: String 
   * merges, a real CH footgun the reference ignores; callers name a
   * key (any unique column) to make pages disjoint.
   *
+  * SNAPSHOT SEMANTICS: the COUNT and the page queries are independent
+  * statements with no shared snapshot, so even with ORDER BY, rows
+  * inserted/merged BETWEEN page fetches shift offsets and can
+  * duplicate or skip rows. [[read]] therefore requires the table to
+  * be quiescent for the duration (the reference's nightly-sync
+  * contract); when it isn't, use [[readByKeyRange]] — `WHERE key
+  * BETWEEN lo AND hi` spans are anchored to VALUES, not positions, so
+  * concurrent merges and pre-existing-row churn cannot duplicate or
+  * drop a pre-existing row (concurrent INSERTS are still seen or not
+  * per-span, the usual non-snapshot read contract).
+  *
   * Scale note: at warehouse scale the right source integration is a
   * partitioned JDBC/native-connector read against CH shards; this
   * client is the protocol-parity piece and tops out where one HTTP
-  * endpoint does. The page math (disjoint LIMIT/OFFSET spans,
-  * task-parallel fetch) is the part that carries over.
+  * endpoint does. The page math (disjoint spans, task-parallel fetch)
+  * is the part that carries over.
   */
 object ChSource {
   def read(
@@ -231,6 +264,58 @@ object ChSource {
         val c = new ChHttpClient(endpoint, user, password)
         offs.flatMap { off =>
           c.query(s"SELECT * FROM `$db`.`$table`$order LIMIT $batchSize OFFSET $off")
+            .map { cells =>
+              Row.fromSeq(cells.toIndexedSeq.zip(types).map { case (v, t) => ChHttp.parseCell(v, t) })
+            }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Key-range paged read: spans of an INTEGER key column instead of
+    * LIMIT/OFFSET — the non-quiescent-table variant (see class note).
+    * The driver fetches min/max once, splits [min, max] into
+    * value-width spans sized so an even key distribution yields
+    * ~`batchSize` rows per span (skewed keys give uneven spans, never
+    * wrong rows), and each Spark task pulls its spans with
+    * `WHERE key BETWEEN lo AND hi`. Span predicates are disjoint and
+    * cover the full range, so the union is exact regardless of how
+    * rows move between parts mid-read.
+    */
+  def readByKeyRange(
+      spark: SparkSession,
+      endpoint: String,
+      db: String,
+      table: String,
+      keyCol: String,
+      batchSize: Int,
+      user: String = "",
+      password: String = ""
+  ): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val driverClient = new ChHttpClient(endpoint, user, password)
+    val schema = driverClient.sparkSchema(db, table)
+    schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"readByKeyRange needs an integer key column, `$keyCol` is $other")
+    }
+    val total = driverClient.count(db, table)
+    if (total == 0) return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val bounds = driverClient
+      .query(s"SELECT min(`$keyCol`), max(`$keyCol`) FROM `$db`.`$table`").head
+    val (lo, hi) = (bounds(0).toLong, bounds(1).toLong)
+    val nSpans = math.max(1L, (total + batchSize - 1) / batchSize)
+    val width = math.max(1L, (hi - lo) / nSpans + 1)
+    val spans = Iterator.iterate(lo)(_ + width).takeWhile(_ <= hi)
+      .map(s => (s, math.min(s + width - 1, hi))).toSeq
+    val types = schema.fields.map(_.dataType)
+    val rdd = spark.sparkContext
+      .parallelize(spans, spans.size)
+      .mapPartitions { sp =>
+        val c = new ChHttpClient(endpoint, user, password)
+        sp.flatMap { case (a, b) =>
+          c.query(s"SELECT * FROM `$db`.`$table` WHERE `$keyCol` BETWEEN $a AND $b ORDER BY `$keyCol`")
             .map { cells =>
               Row.fromSeq(cells.toIndexedSeq.zip(types).map { case (v, t) => ChHttp.parseCell(v, t) })
             }

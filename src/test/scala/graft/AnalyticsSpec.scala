@@ -794,6 +794,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 2L)), got.mkString(","))
   }
 
+  test("semanticContamination: corpus/eval id collision does not hide a hit (independent id spaces)") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // corpus doc 0 is a near-copy of eval doc 0 — SAME id by
+    // coincidence (the datasets are independent); the hit must count
+    val eval = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (0L, Array(0.99f, 0.02f)), // contaminated, id collides with eval id
+      (1L, Array(0.0f, 1.0f))    // clean
+    ).toDF("vec_id", "embedding")
+    val got = Curation.semanticContamination(corpus, eval, "vec_id", "embedding", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)), got.mkString(","))
+  }
+
   test("funnelWindowLevels: hops must land inside the anchored window; greedy first-anchor rule; level histogram") {
     import spark.implicits._
     import graft.operators.Analytics

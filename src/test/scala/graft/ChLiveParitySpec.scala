@@ -164,4 +164,34 @@ class ChLiveParitySpec extends SparkSpec {
       assert(!target.tables(("bh", "orders")).rows.exists(_.contains("name_13")))
     }
   }
+
+  test("key-range paged read: disjoint BETWEEN spans over the wire, rows identical to OFFSET paging") {
+    withStubs { (source, _, _, _) =>
+      val byOffset = ChSource.read(spark, source.endpoint, "shop", "orders", 5, Some("id"))
+        .collect().map(_.toSeq).toSet
+      val before = source.requests.size
+      val byRange = ChSource.readByKeyRange(spark, source.endpoint, "shop", "orders", "id", batchSize = 5)
+      assert(byRange.collect().map(_.toSeq).toSet == byOffset)
+      // value-anchored spans, not positions: every page is a BETWEEN on `id`
+      val pages = source.requests.drop(before)
+        .filter(_.startsWith("SELECT * FROM `shop`.`orders` WHERE `id` BETWEEN"))
+      assert(pages.size >= 4, source.requests.drop(before).toString)
+      // non-integer key rejected up front
+      intercept[IllegalArgumentException] {
+        ChSource.readByKeyRange(spark, source.endpoint, "shop", "orders", "name", batchSize = 5)
+      }
+    }
+  }
+
+  test("sqlLiteral: non-finite floats and binary render as CH-parseable literals") {
+    import graft.sinks.ChHttp
+    assert(ChHttp.sqlLiteral(Double.NaN) == "nan")
+    assert(ChHttp.sqlLiteral(Double.PositiveInfinity) == "inf")
+    assert(ChHttp.sqlLiteral(Double.NegativeInfinity) == "-inf")
+    assert(ChHttp.sqlLiteral(Float.NaN) == "nan")
+    assert(ChHttp.sqlLiteral(Float.NegativeInfinity) == "-inf")
+    assert(ChHttp.sqlLiteral(Array[Byte](0, 15, -1)) == "unhex('000fff')")
+    assert(ChHttp.sqlLiteral(1.5d) == "1.5") // finite path unchanged
+    assert(ChHttp.sqlLiteral(Array(1L, 2L)) == "[1,2]") // non-byte arrays stay CH arrays
+  }
 }

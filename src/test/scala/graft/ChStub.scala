@@ -82,6 +82,9 @@ class ChStub {
   private val CountStar = s"SELECT COUNT\\(\\*\\) FROM $ident\\.$ident".r
   private val SelectPage =
     s"SELECT \\* FROM $ident\\.$ident(?: ORDER BY $ident)? LIMIT (\\d+) OFFSET (\\d+)".r
+  private val MinMax = s"SELECT min\\($ident\\), max\\($ident\\) FROM $ident\\.$ident".r
+  private val SelectKeyRange =
+    s"SELECT \\* FROM $ident\\.$ident WHERE $ident BETWEEN (-?\\d+) AND (-?\\d+) ORDER BY $ident".r
   private val MaxState =
     s"SELECT max\\($ident\\), max\\($ident\\) FROM $ident\\.$ident WHERE $ident = '((?:[^'\\\\]|\\\\.)*)'".r
   private val Insert = s"(?s)INSERT INTO $ident\\.$ident \\(([^)]*)\\) VALUES (.*)".r
@@ -122,6 +125,22 @@ class ChStub {
         case None => tb.rows
       }
       base.slice(offset.toInt, offset.toInt + limit.toInt)
+        .map(_.map(ChHttp.escapeTsv).mkString("", "\t", "\n")).mkString
+    case MinMax(c1, c2, db, t) =>
+      require(c1 == c2, s"min/max on different columns unsupported: $c1 vs $c2")
+      val tb = table(db, t)
+      val i = tb.schema.indexWhere(_._1 == c1)
+      require(i >= 0, s"no column $c1")
+      val vs = tb.rows.flatMap(r => Option(r(i))).map(_.toLong)
+      if (vs.isEmpty) "0\t0\n" else s"${vs.min}\t${vs.max}\n"
+    case SelectKeyRange(db, t, keyCol, lo, hi, orderCol) =>
+      require(keyCol == orderCol, s"range key and order key differ: $keyCol vs $orderCol")
+      val tb = table(db, t)
+      val i = tb.schema.indexWhere(_._1 == keyCol)
+      require(i >= 0, s"no column $keyCol")
+      tb.rows
+        .filter(r => r(i) != null && { val v = r(i).toLong; v >= lo.toLong && v <= hi.toLong })
+        .sortBy(_(i).toLong)
         .map(_.map(ChHttp.escapeTsv).mkString("", "\t", "\n")).mkString
     case MaxState(c1, c2, db, t, keyCol, keyVal) =>
       val tb = table(db, t)

@@ -154,6 +154,48 @@ class PipelineSpec extends SparkSpec {
     assert(pref == expected.take(prefLen))
   }
 
+  test("containment index probe == cross-restriction of the batch operator's pair set") {
+    // the probe's hash-ascending prefixes and the batch operator's
+    // df-ordered prefixes are different candidate generators for the
+    // SAME lossless predicate — pair sets must match exactly on the
+    // (batch x corpus) restriction
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val probed = Dedup.containmentAgainstIndex(batch, "doc_id", "text",
+        Dedup.buildContainmentIndex(corpus, "doc_id", "text"), n = 3, tauPct = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tauPct = 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cross = all.flatMap { case (a, b, c) =>
+      // batch operator emits (smaller id, larger id); probe emits (batch, corpus)
+      if (a % 10 == 0 && b % 10 != 0) Some((a, b, c))
+      else if (b % 10 == 0 && a % 10 != 0) Some((b, a, c))
+      else None
+    }.toSet
+    assert(cross.nonEmpty, "fixture should contain cross containment pairs")
+    assert(probed == cross, s"probe-only ${(probed -- cross).size}, batch-only ${(cross -- probed).size}")
+  }
+
+  test("containment index: probe-after-append == rebuild; replayed batch folds in idempotently") {
+    val corpus = docs.filter(col("doc_id") % 10 > 1)
+    val batch1 = docs.filter(col("doc_id") % 10 === 1)
+    val batch2 = docs.filter(col("doc_id") % 10 === 0)
+    val base = Dedup.buildContainmentIndex(corpus, "doc_id", "text")
+    val appended = Dedup.updateContainmentIndex(base, batch1, "doc_id", "text")
+    val rebuilt = Dedup.buildContainmentIndex(
+      corpus.unionByName(batch1), "doc_id", "text")
+    def probe(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.containmentAgainstIndex(batch2, "doc_id", "text", idx, n = 3, tauPct = 70)
+        .collect().map(_.toSeq).toSet
+    val viaAppend = probe(appended)
+    assert(viaAppend.nonEmpty, "batch2 should hit containment pairs")
+    assert(viaAppend == probe(rebuilt), "append path diverges from rebuild")
+    // replay: folding the same batch twice adds no rows and changes no probe
+    val replayed = Dedup.updateContainmentIndex(appended, batch1, "doc_id", "text")
+    assert(replayed.count() == appended.count())
+    assert(probe(replayed) == viaAppend)
+  }
+
   test("softDedup: weights split a cluster's mass, canonical flags recover hard dedup") {
     val dupped = docs.limit(20).select(col("doc_id"), col("text"))
       .unionAll(docs.limit(7).select(col("doc_id") + 100000, col("text")))
