@@ -55,7 +55,7 @@ object Bench {
     "graph_label_prop", "text_ccnet_bucket", "decontam_embedding", "forecast_snaive",
     "new_vs_returning", "funnel_window",
     // round-9 additions
-    "dedup_incr_containment"
+    "dedup_incr_containment", "funnel_window_strict", "funnel_window_dedup"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

@@ -582,6 +582,16 @@ object SparkEntry {
       // with every hop inside 6h of the first view, users per level
       Analytics.funnelWindowLevels(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), windowSec = 21600L)),
+    "funnel_window_strict" -> ((s, d) =>
+      // B84: windowFunnel strict_order — any interleaving stage event
+      // freezes the chain (CH's no-events-between-steps mode)
+      Analytics.funnelWindowLevelsMode(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 21600L, mode = "strict_order")),
+    "funnel_window_dedup" -> ((s, d) =>
+      // B85: windowFunnel strict_deduplication — a repeat of an
+      // already-matched stage freezes the chain
+      Analytics.funnelWindowLevelsMode(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 21600L, mode = "strict_dedup")),
     "attribution_linear" -> ((s, d) =>
       // B79: linear multi-touch attribution — converted users' credit
       // split equally over all pre-conversion head-stage touches,
@@ -1210,11 +1220,13 @@ object SparkEntry {
     }),
     "sim_topk_ivf_sq8" -> ((s, d) => {
       // C42: IVF-SQ8 — int8-quantized cell-partitioned index probe
-      // (rows-only: approximate by design, recall property-tested)
+      // with exact re-rank of the int8 shortlist (rows-only:
+      // approximate by design, recall property-tested + RECALL_r9)
       val e = t(s, d, "embeddings")
       val dir = s"target/ivf_sq8_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       Similarity.buildIvfIndexSq8(s, e, "vec_id", "embedding", nClusters = 16, indexDir = dir)
-      Similarity.ivfTopKIndexedSq8(s, dir, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbes = 4)
+      Similarity.ivfTopKIndexedSq8Refined(s, dir, e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, nProbes = 4, shortlist = 50)
     }),
     "text_langid" -> ((s, d) =>
       t(s, d, "documents")
@@ -1930,6 +1942,44 @@ object SparkEntry {
     sb.toString
   }
 
+  /** B84/B85 oracle: replay each user's time-ordered stage events
+    * through the windowFunnel state machine (level, anchor, last,
+    * frozen) with a recursive CTE; `freezeClause` is the one CASE arm
+    * that differs between strict_order and strict_dedup. Tie order
+    * matches the engine's pack sort: (us, stage index).
+    */
+  private def funnelModeOracleSql(freezeClause: String): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, epoch_us(ts) AS us,
+       |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS s
+       |  FROM events WHERE event_type IN ('view','click','purchase')),
+       |se AS (SELECT user_id, us, s,
+       |       row_number() OVER (PARTITION BY user_id ORDER BY us, s) AS rn FROM e),
+       |nu AS (SELECT user_id, count(*) AS ne FROM se GROUP BY 1),
+       |walk AS (
+       |  SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS lvl, CAST(0 AS BIGINT) AS anchor,
+       |         CAST(0 AS BIGINT) AS lastt, false AS frozen
+       |  FROM nu
+       |  UNION ALL
+       |  SELECT w.user_id, w.rn + 1,
+       |    CASE WHEN NOT w.frozen AND x.s = w.lvl
+       |              AND (w.lvl = 0 OR (x.us > w.lastt AND x.us <= w.anchor + 21600000000))
+       |         THEN w.lvl + 1 ELSE w.lvl END,
+       |    CASE WHEN NOT w.frozen AND w.lvl = 0 AND x.s = 0 THEN x.us ELSE w.anchor END,
+       |    CASE WHEN NOT w.frozen AND x.s = w.lvl
+       |              AND (w.lvl = 0 OR (x.us > w.lastt AND x.us <= w.anchor + 21600000000))
+       |         THEN x.us ELSE w.lastt END,
+       |    CASE WHEN w.frozen THEN true
+       |         WHEN x.s = w.lvl AND (w.lvl = 0 OR (x.us > w.lastt AND x.us <= w.anchor + 21600000000))
+       |         THEN false
+       |         $freezeClause
+       |         ELSE false END
+       |  FROM walk w JOIN se x ON x.user_id = w.user_id AND x.rn = w.rn + 1
+       |),
+       |fin AS (SELECT w.user_id, w.lvl FROM walk w JOIN nu ON w.user_id = nu.user_id AND w.rn = nu.ne)
+       |SELECT lvl AS level, count(*) AS n_users FROM fin WHERE lvl > 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "graph_hits" -> hitsOracleSql(iters = 4),
     "graph_kcore" -> kcoreOracleSql(k = 7, rounds = 10),
@@ -2638,6 +2688,15 @@ object SparkEntry {
         |SELECT CAST(1 + (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT AS BIGINT) AS level,
         |       count(*) AS n_users
         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B84/B85 twins: the strictness modes are sequence-dependent, so
+    // the oracle replays each user's time-ordered stage events through
+    // the SAME state machine with a recursive CTE (state: level,
+    // anchor, last-matched time, frozen); only the freeze clause
+    // differs between the two modes
+    "funnel_window_strict" -> funnelModeOracleSql(
+      "WHEN w.lvl > 0 AND x.us > w.lastt THEN true"),
+    "funnel_window_dedup" -> funnelModeOracleSql(
+      "WHEN w.lvl > 0 AND x.s < w.lvl AND x.us > w.lastt THEN true"),
     "attribution_linear" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
         |                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS ch FROM events),

@@ -364,6 +364,94 @@ object Analytics {
       .orderBy(col("level"))
   }
 
+  /** B84/B85: windowed funnel levels with ClickHouse's STRICTNESS
+    * modes — the rest of the `windowFunnel` semantics matrix
+    * ([[funnelWindowLevels]] is the default mode):
+    *
+    *   - `"default"` — non-matching events are ignored; the chain
+    *     advances at the earliest valid next-stage event. Identical
+    *     to [[funnelWindowLevels]] (spec-pinned equal on real data).
+    *   - `"strict_order"` — once anchored, ANY stage event that does
+    *     not validly advance the chain freezes it (the CH rule: no
+    *     interleaving events between steps). A repeat of a matched
+    *     stage, a skipped-ahead stage, or an expected event outside
+    *     the window all freeze.
+    *   - `"strict_dedup"` — a repeat of an ALREADY-MATCHED stage
+    *     freezes the chain; other non-advancing events are ignored
+    *     (CH `strict_deduplication`).
+    *
+    * Rules stated exactly (pinned by spec + oracle, like B83's greedy
+    * anchor): events of types outside `stages` never participate;
+    * pre-anchor events of non-head stages are ignored in every mode;
+    * freezing requires event time STRICTLY greater than the last
+    * matched time, so same-instant ties never freeze; among equal
+    * times the lower stage index folds first (the sort key is
+    * time·256 + stage index — deterministic at any parallelism).
+    *
+    * Plan: sequence-dependent semantics genuinely need the per-user
+    * event ORDER, so this is the one funnel that aggregates per-user
+    * sorted arrays — each event packs to ONE long ((us << 8) | stage
+    * index), the fold is a codegen'd `aggregate` HOF over that long
+    * array (state: 4 scalars), and nothing wider than 8 bytes/event
+    * crosses the exchange. Array length is bounded by a user's STAGE
+    * events inside the job's time span — the same per-user bound
+    * sessionization carries; ClickHouse's own windowFunnel
+    * materializes exactly this per-user event array.
+    */
+  def funnelWindowLevelsMode(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      windowSec: Long,
+      mode: String
+  ): DataFrame = {
+    require(stages.length >= 2 && stages.length < 256, "2..255 stages")
+    require(windowSec > 0, s"window must be positive, got $windowSec")
+    require(Seq("default", "strict_order", "strict_dedup").contains(mode), s"unknown mode $mode")
+    val w = windowSec * 1000000L
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val sidx = stages.zipWithIndex.tail.foldLeft(when(col(typeCol) === stages.head, lit(0L))) {
+      case (e, (s, i)) => e.when(col(typeCol) === s, lit(i.toLong))
+    }
+    val packed = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(shiftleft(us, 8) + sidx)).as("evs"))
+    val init = struct(
+      lit(0L).as("lvl"), lit(0L).as("anchor"), lit(0L).as("last"), lit(false).as("frozen"))
+    def step(acc: Column, pk: Column): Column = {
+      val t = shiftrightunsigned(pk, 8)
+      val s = pk.bitwiseAND(lit(0xffL))
+      val lvl = acc.getField("lvl")
+      val anchor = acc.getField("anchor")
+      val last = acc.getField("last")
+      val advance = struct(
+        (lvl + 1L).as("lvl"),
+        when(lvl === 0L, t).otherwise(anchor).as("anchor"),
+        t.as("last"), lit(false).as("frozen"))
+      val freeze = struct(
+        lvl.as("lvl"), anchor.as("anchor"), last.as("last"), lit(true).as("frozen"))
+      val advances = s === lvl && (lvl === 0L || (t > last && t <= anchor + w))
+      val freezes = mode match {
+        case "default" => lit(false)
+        case "strict_order" => lvl > 0L && t > last
+        case "strict_dedup" => lvl > 0L && s < lvl && t > last
+      }
+      when(acc.getField("frozen"), acc)
+        .when(advances, advance)
+        .when(freezes, freeze)
+        .otherwise(acc)
+    }
+    packed
+      .select(aggregate(col("evs"), init, step).getField("lvl").as("level"))
+      .filter(col("level") > 0L) // users with stage events but no anchor don't enter the funnel
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("level"))
+  }
+
   /** B79: LINEAR multi-touch attribution — the complementary card to
     * [[funnelAttribution]]'s first-touch rule: a converted user's
     * conversion credit (exactly 10^6 ppm per user) is split EQUALLY

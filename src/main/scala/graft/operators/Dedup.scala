@@ -451,7 +451,7 @@ object Dedup {
     * computed by the native [[graft.functions.MinHashSig]] kernel (a
     * HOF formulation interprets k×|shingles| lambda calls per row).
     */
-  private def withSignature(df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame =
+  private[graft] def withSignature(df: DataFrame, idCol: String, textCol: String, k: Int, shingleN: Int): DataFrame =
     df.select(col(idCol).as("id"), shingleHashSet(col(textCol), shingleN).as("sh0"))
       .withColumn("hs", array_sort(array_distinct(col("sh0"))))
       .drop("sh0")
@@ -463,7 +463,7 @@ object Dedup {
     * [[buildMinhashIndex]] and later [[nearDupsAgainstIndex]] probes;
     * two copies drifting apart would silently lose candidates.
     */
-  private def bandedSignatures(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+  private[graft] def bandedSignatures(sigs: DataFrame, bands: Int, r: Int): DataFrame =
     sigs.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r)))))

@@ -156,6 +156,66 @@ object IncrementalSync {
       .drop("__h")
   }
 
+  /** Streaming form of Dedup.nearDupsAgainstIndex (the C29 probe):
+    * as documents arrive, emit (id_a = stream doc, id_b = corpus doc,
+    * jacc_pct, tsCol) for every persisted-index near-dup at Jaccard ≥
+    * τ — continuous-ingest NEAR-dup screening, where
+    * [[dedupAgainstIndexStream]] only catches exact copies. Stream
+    * docs are signed and banded per row (stateless projections); two
+    * stream-static equi-joins do the work — candidates on (band,
+    * band-hash) against the index's banded signatures, verification
+    * on id against the index's stored shingle sets (same integer
+    * exact-Jaccard as batch). A pair colliding in several bands would
+    * duplicate, so matched pairs pass through
+    * `dropDuplicatesWithinWatermark` keyed on the ID PAIR — per-pair
+    * state is two longs, text never enters the state store, and the
+    * watermark bounds state exactly like [[dedupExactStream]]. The
+    * static index snapshot caveat of [[dedupAgainstIndexStream]]
+    * applies: fold processed batches in via Dedup.updateMinhashIndex-
+    * style versioned dirs and restart against the new version.
+    */
+  def nearDupAgainstIndexStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      index: DataFrame,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      tauPct: Int = 80,
+      lateness: String = "1 hour"
+  ): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    import graft.operators.Dedup
+    // signature inline (withSignature drops extra columns; the
+    // watermark needs tsCol alongside) — same hs/sig identities, so
+    // band hashes stay join-compatible with the persisted index
+    val sigs = docs.select(col(idCol).as("id"), col(tsCol),
+        array_sort(array_distinct(Dedup.shingleHashSet(col(textCol), shingleN))).as("hs"))
+      .withColumn("sig", graft.functions.VecOps.minhash_sig(col("hs"), k))
+    // (id, hs, sig, ts): band-explode for candidates, then fetch ONLY
+    // matching corpus rows' hash sets by id
+    val banded = sigs.select(col("id"), col("hs"), col(tsCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bi => xxhash64(slice(col("sig"), bi * r + 1, lit(r))))).as(Seq("band", "bh")))
+    val idxBands = Dedup.bandedSignatures(index, bands, r)
+      .select(col("band"), col("bh"), col("id").as("id_b"))
+    val idxSets = index.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    banded
+      .join(idxBands, Seq("band", "bh"))
+      .select(col("id").as("id_a"), col("hs").as("hs_a"), col(tsCol), col("id_b"))
+      .join(idxSets, Seq("id_b"))
+      .withColumn("i", graft.functions.VecOps.sorted_intersect_count(col("hs_a"), col("hs_b")))
+      .withColumn("u", (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("i"))
+      .filter(col("i") * 100 >= col("u") * tauPct)
+      .select(col("id_a"), col("id_b"),
+        floor(col("i") * lit(100.0) / col("u")).as("jacc_pct"), col(tsCol))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+  }
+
   /** foreachBatch upsert into an UNPARTITIONED parquet target: merge
     * the micro-batch with the existing target by key (latest version
     * wins) and swap with checked renames (a failed swap restores the

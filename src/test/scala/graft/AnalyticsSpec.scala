@@ -834,6 +834,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L)), got.mkString(","))
   }
 
+  test("funnelWindowLevelsMode: strictness matrix — default ignores, strict_order freezes on any interleave, strict_dedup on repeats") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val W = 100L
+    val stages = Seq("view", "click", "purchase")
+    val events = Seq(
+      // A: clean chain view 0 -> click 10 -> purchase 50: level 3 in EVERY mode
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(50), "purchase"),
+      // B: repeat view BETWEEN click steps: view 0, view 5, click 10, purchase 50
+      //    default 3; strict_order freezes at the view repeat -> 1; strict_dedup
+      //    freezes on the already-matched-stage repeat -> 1
+      (2L, ts(0), "view"), (2L, ts(5), "view"), (2L, ts(10), "click"), (2L, ts(50), "purchase"),
+      // C: skipped-ahead purchase before click: view 0, purchase 5, click 10, purchase 50
+      //    default 3 (early purchase ignored, click 10 then purchase 50);
+      //    strict_order freezes at the interleaving purchase -> 1;
+      //    strict_dedup ignores it (purchase not yet matched) -> 3
+      (3L, ts(0), "view"), (3L, ts(5), "purchase"), (3L, ts(10), "click"), (3L, ts(50), "purchase"),
+      // D: expected click arrives OUTSIDE the window: view 0, click 150, purchase 160
+      //    default 1; strict_order freezes at the invalid click -> 1; strict_dedup 1
+      (4L, ts(0), "view"), (4L, ts(150), "click"), (4L, ts(160), "purchase"),
+      // E: same-instant tie never freezes: view 0 and click 0 (tie), click 10, purchase 50
+      //    click@0 folds after view@0 (stage order on ties) and ADVANCES (t > last
+      //    fails -> not freeze-eligible, and advance needs t > last too, so the
+      //    tie click is ignored); click 10 advances -> 3 everywhere
+      (5L, ts(0), "view"), (5L, ts(0), "click"), (5L, ts(10), "click"), (5L, ts(50), "purchase"),
+      // F: no head event: never enters
+      (6L, ts(0), "click")
+    ).toDF("user_id", "ts", "event_type")
+    def levels(mode: String): Map[Long, Long] =
+      Analytics.funnelWindowLevelsMode(events, "user_id", "event_type", "ts", stages, W, mode)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(levels("default") == Map(3L -> 4L, 1L -> 1L), levels("default").toString)
+    assert(levels("strict_order") == Map(3L -> 2L, 1L -> 3L), levels("strict_order").toString)
+    assert(levels("strict_dedup") == Map(3L -> 3L, 1L -> 2L), levels("strict_dedup").toString)
+    // default mode == funnelWindowLevels (B83) on real data, user for user
+    val real = Catalog.load(spark, sf, "events")
+    val a = Analytics.funnelWindowLevels(real, "user_id", "event_type", "ts", stages, 21600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Analytics.funnelWindowLevelsMode(real, "user_id", "event_type", "ts", stages, 21600L, "default")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b, s"default mode diverged from B83: $a vs $b")
+  }
+
   test("funnelAttributionLinear: equal split with remainder to earliest touch; credit conserves per user") {
     import spark.implicits._
     import graft.operators.Analytics

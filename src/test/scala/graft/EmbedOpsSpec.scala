@@ -432,4 +432,28 @@ class EmbedOpsSpec extends SparkSpec {
     // the tight-cluster points must NOT be flagged (robust gate holds)
     assert(flagged.count(_ != 999L) < 10, s"gate over-fires: $flagged")
   }
+
+  test("SQ8 refined probe: exact re-rank recovers recall the raw int8 ranking loses") {
+    import graft.operators.Similarity
+    val dir = "target/sq8_refine_unit"
+    Similarity.buildIvfIndexSq8(spark, embs, "vec_id", "embedding", nClusters = 16, indexDir = dir)
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(pairs: Set[(Long, Long)]): Double = (brute intersect pairs).size.toDouble / brute.size
+    val raw = Similarity.ivfTopKIndexedSq8(spark, dir, queries, "vec_id", "embedding", k = 5, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refined = Similarity.ivfTopKIndexedSq8Refined(spark, dir, queries, embs,
+      "vec_id", "embedding", k = 5, nProbes = 4, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    info(f"SQ8 recall@5: raw ${recall(raw)}%.2f -> refined ${recall(refined)}%.2f")
+    // the refine can only re-order within the int8 shortlist, so it
+    // must not lose recall; on this corpus it measurably gains it
+    assert(recall(refined) >= recall(raw), s"refine lost recall: ${recall(raw)} -> ${recall(refined)}")
+    assert(recall(refined) >= 0.6, s"refined recall too low: ${recall(refined)}")
+    // shape contract: k rows per query, rank 1-based
+    val rows = Similarity.ivfTopKIndexedSq8Refined(spark, dir, queries, embs,
+      "vec_id", "embedding", k = 5, nProbes = 4, shortlist = 50).collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
 }

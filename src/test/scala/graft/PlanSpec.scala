@@ -724,4 +724,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("funnel_window_strict: ONE per-user shuffle into the packed fold — no joins, no windows") {
+    val p = planOf("funnel_window_strict")
+    // collect_list agg keyed on user + the level histogram agg + the
+    // gate sort: nothing else may shuffle, and the state machine is a
+    // projection (aggregate HOF), not a join or window walk
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // 8 bytes/event: the packed long array is what crosses the exchange
+    val badLine = p.linesIterator.find(l => l.contains("Exchange") && l.contains("event_type#"))
+    assert(badLine.isEmpty, s"raw event_type crossed an exchange: $badLine")
+  }
+
+  test("dedup_incr_containment: posting joins keyed on the shingle hash; sketch/verify joins keyed on id — nothing quadratic") {
+    val p = planOf("dedup_incr_containment")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // candidate arms are equi-joins on the hash column
+    assert(p.contains("hashpartitioning(h#") || p.contains("[h#"), p.take(3000))
+  }
 }

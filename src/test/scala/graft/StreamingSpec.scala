@@ -482,4 +482,39 @@ class StreamingSpec extends SparkSpec {
       assert(got == Seq((45L, 0L, -1L), (46L, 0L, -1L), (1003L, 1L, 3L), (1007L, 1L, 7L)))
     } finally q.stop()
   }
+
+  test("stream-static MinHash probe finds near-dups as docs arrive; pairs match the batch probe") {
+    val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val idxDir = tmpDir("graft_stream_mh_idx")
+    graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    // arriving batch: the decile-0 docs (real near-dup structure),
+    // spread across micro-batches, each stamped with an event time
+    val srcDir = tmpDir("graft_stream_mh_src")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("ts", lit(new java.sql.Timestamp(1700000000000L)))
+    batch.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IncrementalSync.nearDupAgainstIndexStream(stream, "doc_id", "text", "ts", idx)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("mh_probe_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mh_probe_out")
+        .select("id_a", "id_b", "jacc_pct").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batched = graft.operators.Dedup
+        .nearDupsAgainstIndex(batch.drop("ts"), "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batched.nonEmpty, "fixture should contain cross near-dups")
+      assert(streamed == batched,
+        s"stream-only ${(streamed -- batched).size}, batch-only ${(batched -- streamed).size}")
+      // multi-band collisions must not duplicate pairs in the output
+      val n = spark.table("mh_probe_out").count()
+      assert(n == streamed.size, s"duplicate pairs in stream output: $n vs ${streamed.size}")
+    } finally q.stop()
+  }
 }
