@@ -16,7 +16,7 @@ object RecallMain {
     // name -> probe parameters worth recording alongside the number
     ("sim_topk_lsh", "planes=8,tables=4,probeHamming=2"),
     ("sim_topk_ivf", "nClusters=16,nProbes=4"),
-    ("sim_topk_ivf_sq8", "nClusters=16,nProbes=4"),
+    ("sim_topk_ivf_sq8", "nClusters=16,nProbes=4,shortlist=50"),
     ("sim_topk_pq", "m=8,kCodes=64,shortlist=50"),
     ("sim_topk_ivfpq", "nClusters=16,nProbes=4,m=8,kCodes=64,shortlist=50")
   )
