@@ -55,7 +55,8 @@ object Bench {
     "graph_label_prop", "text_ccnet_bucket", "decontam_embedding", "forecast_snaive",
     "new_vs_returning", "funnel_window",
     // round-9 additions
-    "dedup_incr_containment", "funnel_window_strict", "funnel_window_dedup"
+    "dedup_incr_containment", "funnel_window_strict", "funnel_window_dedup",
+    "text_gopher_gate", "dedup_keep_best"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

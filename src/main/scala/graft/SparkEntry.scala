@@ -865,6 +865,14 @@ object SparkEntry {
       Dedup.clusterAssign(docs, "doc_id",
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80))
     }),
+    "dedup_keep_best" -> ((s, d) => {
+      // C96: quality-aware canonical selection — same clusters as
+      // dedup_clusters, but keep the member with the MOST words
+      // (ties to the smallest id), the keep-the-longest heuristic
+      val docs = t(s, d, "documents")
+      Dedup.clusterKeepBest(docs, "doc_id", "text",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tauPct = 80))
+    }),
     "text_model_score" -> ((s, d) =>
       // C30: hashed-linear model scoring (fastText-filter shape),
       // integer-exact end to end
@@ -1242,6 +1250,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")),
     "text_quality" -> ((s, d) => TextAnalysis.quality(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_gopher_gate" -> ((s, d) =>
+      // C95: the published Gopher heuristic rules as an integer-exact
+      // per-doc gate (word/mwl/symbol/bullet/alpha/stopword rules)
+      TextAnalysis.gopherGate(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
@@ -3426,6 +3438,29 @@ object SparkEntry {
         |  CAST(coalesce(c.cluster_id, d.doc_id) = d.doc_id AS BIGINT) AS is_kept
         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         |ORDER BY d.doc_id""".stripMargin,
+    // same transitive closure, then keep-the-longest per cluster
+    // (n_words desc, doc_id asc) instead of min-id
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w)>=3
+        |        THEN list_distinct([array_to_string(w[i:i+2],' ') for i in range(1,len(w)-1)])
+        |        ELSE [array_to_string(w,' ')] END AS sh FROM n),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE 100*len(list_intersect(a.sh,b.sh)) >= 80*(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)))),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |walk AS (
+        |  SELECT src AS id, dst AS reach FROM e
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN e ON w.reach = e.src),
+        |comp AS (SELECT id, least(id, min(reach)) AS cluster_id FROM walk GROUP BY id),
+        |a AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, len(n.w) AS n_words
+        |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id JOIN n ON n.doc_id = d.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY n_words DESC, doc_id) AS rk FROM a)
+        |SELECT doc_id, cluster_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        |FROM r ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -3564,6 +3599,37 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
         | CASE WHEN len(w) > 0 THEN CAST(floor(100.0*len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x)))/len(w)) AS BIGINT) ELSE 0 END AS stop_score
         |FROM q ORDER BY doc_id""".stripMargin,
+    // every ratio tested by integer cross-multiplication — the gate is
+    // bit-exact, no float thresholds on either side
+    "text_gopher_gate" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w,
+        |  string_split(text, chr(10)) AS lines FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w) AS n_words,
+        |  list_sum(list_transform(w, x -> len(x))) AS sum_len,
+        |  len(text) - len(replace(text,'#','')) AS n_hash,
+        |  (len(text) - len(replace(text,'...','')))//3 + (len(text) - len(replace(text,'…',''))) AS n_ell,
+        |  len(lines) AS n_lines,
+        |  len(list_filter(lines, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS n_bullet,
+        |  len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS n_ell_line,
+        |  len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+        |  list_contains(w,'the')::INT + list_contains(w,'be')::INT + list_contains(w,'to')::INT +
+        |  list_contains(w,'of')::INT + list_contains(w,'and')::INT + list_contains(w,'that')::INT +
+        |  list_contains(w,'have')::INT + list_contains(w,'with')::INT AS n_gstop
+        |FROM d),
+        |f AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_words,
+        |  CAST(CASE WHEN sum_len >= n_words*3 AND sum_len <= n_words*10 THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+        |  CAST(CASE WHEN n_hash*10 <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_hash,
+        |  CAST(CASE WHEN n_ell*10 <= n_words THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis,
+        |  CAST(CASE WHEN n_bullet*10 <= n_lines*9 THEN 1 ELSE 0 END AS BIGINT) AS r_bullet,
+        |  CAST(CASE WHEN n_ell_line*10 <= n_lines*3 THEN 1 ELSE 0 END AS BIGINT) AS r_ell_line,
+        |  CAST(CASE WHEN n_alpha*10 >= n_words*8 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+        |  CAST(CASE WHEN n_gstop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+        |FROM m)
+        |SELECT *, r_words*r_mwl*r_hash*r_ellipsis*r_bullet*r_ell_line*r_alpha*r_stop AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """WITH q AS (SELECT doc_id,
         |  string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w,

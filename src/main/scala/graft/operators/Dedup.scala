@@ -1381,6 +1381,40 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** C96: QUALITY-AWARE canonical selection — [[clusterAssign]] keeps
+    * a cluster's MIN-ID member, which is the right deterministic rule
+    * when members are interchangeable; real pipelines keep the BEST
+    * member (here: most words, the "keep the longest duplicate"
+    * heuristic — near-dup clusters usually contain truncated/cropped
+    * variants of one fullest document; ties break to the smallest id
+    * so the choice stays deterministic). Swap the `n_words` metric
+    * column for any quality score and nothing else changes.
+    *
+    * Plan: components as in [[clusterAssign]], then the per-cluster
+    * argmax is ONE keyed min-aggregate over (−n_words, id) structs —
+    * no window function, so no per-cluster sort at scale.
+    * Output: (idCol, cluster_id, n_words, is_kept).
+    */
+  def clusterKeepBest(df: DataFrame, idCol: String, textCol: String, pairs: DataFrame): DataFrame = {
+    require(idCol != "cluster_id" && idCol != "is_kept" && idCol != "n_words",
+      s"idCol '$idCol' collides with a clusterKeepBest output column")
+    val comps = connectedComponents(pairs)
+    val base = df
+      .select(col(idCol).cast("long").as(idCol),
+        size(split(normalize(col(textCol)), " ")).cast("long").as("n_words"))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val best = base
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_words")).as("neg"), col(idCol).as("bid"))).as("b"))
+      .select(col("cluster_id"), col("b.bid").as("__best_id"))
+    base
+      .join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("n_words"),
+        when(col(idCol) === col("__best_id"), 1L).otherwise(0L).as("is_kept"))
+      .orderBy(col(idCol))
+  }
+
   /** C66: sparse TF-IDF cosine similarity θ-join via an inverted
     * index — the WEIGHTED pendant of the set-overlap joins above
     * (Jaccard treats "the" and "spark" alike; tf-idf cosine is the

@@ -92,6 +92,65 @@ object TextAnalysis {
       .drop("__t", "__sc")
   }
 
+  /** C95: the Gopher quality rules (Rae et al. 2021, Appendix A) as
+    * an integer-exact per-doc gate — the published heuristic filter
+    * suite large-corpus pipelines run before any model-based scoring
+    * ([[quality]] reports raw signals; this applies the named rules):
+    *
+    *   r_words     50 ≤ word count ≤ 100,000
+    *   r_mwl       mean word length in [3, 10] chars
+    *   r_hash      #-symbol : word ratio ≤ 0.1
+    *   r_ellipsis  ellipsis : word ratio ≤ 0.1 ("..." or "…")
+    *   r_bullet    ≤ 90% of lines start with a bullet (-, *, •)
+    *   r_ell_line  ≤ 30% of lines end with an ellipsis
+    *   r_alpha     ≥ 80% of words contain ≥ 1 alphabetic char
+    *   r_stop      ≥ 2 distinct Gopher stop words
+    *               (the, be, to, of, and, that, have, with)
+    *
+    * Every ratio is tested by integer cross-multiplication (10·n_hash
+    * ≤ n_words, 10·n_bullet ≤ 9·n_lines, …) so the gate is bit-exact
+    * against the DuckDB twin — no float thresholds. One projection,
+    * no shuffle beyond the driver-compare orderBy.
+    */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val w = words(c)
+    val lines = split(c, "\n")
+    val gStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def flag(b: Column): Column = when(b, 1L).otherwise(0L)
+    df.select(
+        col(idCol),
+        size(w).cast("long").as("n_words"),
+        aggregate(w, lit(0L), (a, x) => a + length(x)).as("sum_len"),
+        (length(c) - length(regexp_replace(c, "#", ""))).cast("long").as("n_hash"),
+        (((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3).cast("long") +
+          (length(c) - length(regexp_replace(c, "…", ""))).cast("long")).as("n_ell"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => {
+          val t = ltrim(l)
+          t.startsWith("-") || t.startsWith("*") || t.startsWith("•")
+        })).cast("long").as("n_bullet"),
+        size(filter(lines, l => {
+          val t = rtrim(l)
+          t.endsWith("...") || t.endsWith("…")
+        })).cast("long").as("n_ell_line"),
+        size(filter(w, x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        gStops.map(s => when(array_contains(w, s), 1L).otherwise(0L)).reduce(_ + _).as("n_gstop"))
+      .select(
+        col(idCol), col("n_words"),
+        flag(col("n_words") >= 50L && col("n_words") <= 100000L).as("r_words"),
+        flag(col("sum_len") >= col("n_words") * 3L && col("sum_len") <= col("n_words") * 10L).as("r_mwl"),
+        flag(col("n_hash") * 10L <= col("n_words")).as("r_hash"),
+        flag(col("n_ell") * 10L <= col("n_words")).as("r_ellipsis"),
+        flag(col("n_bullet") * 10L <= col("n_lines") * 9L).as("r_bullet"),
+        flag(col("n_ell_line") * 10L <= col("n_lines") * 3L).as("r_ell_line"),
+        flag(col("n_alpha") * 10L >= col("n_words") * 8L).as("r_alpha"),
+        flag(col("n_gstop") >= 2L).as("r_stop"))
+      .withColumn("keep",
+        Seq("r_words", "r_mwl", "r_hash", "r_ellipsis", "r_bullet", "r_ell_line", "r_alpha", "r_stop")
+          .map(col).reduce(_ * _))
+  }
+
   /** C9: quality signals, all integer: char count, word count,
     * punctuation count, stopword occurrences (en), and a 0-100 floored
     * stopword-ratio score.

@@ -551,4 +551,51 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(got2.toSeq == Seq((3L, 1000000L), (1L, 333333L)))
   }
+
+  test("gopherGate: each rule trips on its staged violator; a clean long doc keeps") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val good = ((1 to 60).map(i => s"word$i") ++ Seq("the", "and", "of")).mkString(" ")
+    val rows = Seq(
+      (1L, good),                                          // passes every rule
+      (2L, "too short but the and of"),                    // r_words (6 < 50)
+      (3L, good.replace("word1", "a" * 800)),              // r_mwl (mean length > 10)
+      (4L, good + " " + ("# " * 20).trim),                 // r_hash (20 hashes / 83 words)
+      (5L, good + " " + ("... " * 20).trim),               // r_ellipsis
+      (6L, (1 to 60).map(i => s"- item$i the and of").mkString("\n")), // r_bullet (all lines)
+      (7L, (1 to 60).map(i => s"line$i the and of...").mkString("\n")), // r_ell_line (all lines)
+      (8L, ((1 to 60).map(_ => "123 456") :+ "the and of").mkString(" ")), // r_alpha (3/123 alpha)
+      (9L, (1 to 60).map(i => s"word$i").mkString(" "))    // r_stop (0 gopher stop words)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGate(rows, "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("keep")))).toMap
+    assert(got(1L) == 1L, "clean doc must keep")
+    (2L to 9L).foreach(id => assert(got(id) == 0L, s"doc $id should fail its staged rule"))
+    // and the per-rule flags blame the right rule for two spot checks
+    val flags = TextAnalysis.gopherGate(rows, "doc_id", "text").orderBy("doc_id").collect()
+    def f(id: Long, c: String) = flags.find(_.getLong(0) == id).get
+      .getLong(flags.head.fieldIndex(c))
+    assert(f(2L, "r_words") == 0L && f(2L, "r_mwl") == 1L)
+    assert(f(6L, "r_bullet") == 0L && f(6L, "r_words") == 1L)
+    assert(f(8L, "r_alpha") == 0L)
+    assert(f(9L, "r_stop") == 0L)
+  }
+
+  test("clusterKeepBest: the longest member survives, not the min id; ties break to min id") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // ids chosen so min-id != longest: doc 10 is a truncated copy of
+    // doc 20 (same shingles via containment? no — stage via pairs)
+    val docs = Seq(
+      (10L, "alpha beta gamma"),                // 3 words, same cluster as 20
+      (20L, "alpha beta gamma delta epsilon"),  // 5 words — must win despite larger id
+      (30L, "zeta eta"), (31L, "zeta eta")      // tie on words -> min id 30 wins
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 20L), (30L, 31L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterKeepBest(docs, "doc_id", "text", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, 10L, 3L, 0L), (20L, 10L, 5L, 1L),
+      (30L, 30L, 2L, 1L), (31L, 30L, 2L, 0L)), got.mkString(","))
+  }
 }
