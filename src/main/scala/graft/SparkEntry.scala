@@ -592,6 +592,16 @@ object SparkEntry {
       // already-matched stage freezes the chain
       Analytics.funnelWindowLevelsMode(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), windowSec = 21600L, mode = "strict_dedup")),
+    "sequence_match" -> ((s, d) =>
+      // B86: CH sequenceMatch pendant — ANY view→click→purchase chain
+      // with each hop inside 24h (re-anchoring allowed), depth histogram
+      Analytics.sequenceMatchDepth(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), gapSec = 86400L)),
+    "sequence_count" -> ((s, d) =>
+      // B87: CH sequenceCount pendant — greedy non-overlapping chain
+      // completions per user, 24h hop bound, match-count histogram
+      Analytics.sequenceCountNonOverlap(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), gapSec = 86400L)),
     "attribution_linear" -> ((s, d) =>
       // B79: linear multi-touch attribution — converted users' credit
       // split equally over all pre-conversion head-stage touches,
@@ -2709,6 +2719,54 @@ object SparkEntry {
       "WHEN w.lvl > 0 AND x.us > w.lastt THEN true"),
     "funnel_window_dedup" -> funnelModeOracleSql(
       "WHEN w.lvl > 0 AND x.s < w.lvl AND x.us > w.lastt THEN true"),
+    // B86: the semantics are set-theoretic (see sequenceMatchDepth
+    // Scaladoc), so the oracle is plain EXISTS-join SQL — feasible
+    // clicks need a view within the hop bound, feasible purchases a
+    // feasible click; no state machine, no recursive CTE
+    "sequence_match" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT DISTINCT x.user_id, x.us FROM e x WHERE event_type = 'click'
+        |      AND EXISTS (SELECT 1 FROM v WHERE v.user_id = x.user_id
+        |                  AND v.us < x.us AND x.us <= v.us + 86400000000)),
+        |p AS (SELECT DISTINCT x.user_id, x.us FROM e x WHERE event_type = 'purchase'
+        |      AND EXISTS (SELECT 1 FROM c WHERE c.user_id = x.user_id
+        |                  AND c.us < x.us AND x.us <= c.us + 86400000000)),
+        |u AS (SELECT DISTINCT user_id FROM v)
+        |SELECT CAST(1 + (EXISTS(SELECT 1 FROM c WHERE c.user_id = u.user_id))::INT
+        |              + (EXISTS(SELECT 1 FROM p WHERE p.user_id = u.user_id))::INT AS BIGINT) AS depth,
+        |       count(*) AS n_users
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B87: greedy non-overlapping count IS fold-order dependent — the
+    // oracle replays the engine's feasibility-DP machine (f0, f1,
+    // cnt; clear on completion) over the same (us asc, stage desc)
+    // order with a recursive CTE
+    "sequence_count" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS s
+        |  FROM events WHERE event_type IN ('view','click','purchase')),
+        |se AS (SELECT user_id, us, s,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY us, s DESC) AS rn FROM e),
+        |nu AS (SELECT user_id, count(*) AS ne FROM se GROUP BY 1),
+        |walk AS (
+        |  SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS f0,
+        |         CAST(0 AS BIGINT) AS f1, CAST(0 AS BIGINT) AS cnt
+        |  FROM nu
+        |  UNION ALL
+        |  SELECT w.user_id, w.rn + 1,
+        |    CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us > w.f1 AND x.us <= w.f1 + 86400000000 THEN 0
+        |         WHEN x.s = 0 THEN x.us ELSE w.f0 END,
+        |    CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us > w.f1 AND x.us <= w.f1 + 86400000000 THEN 0
+        |         WHEN x.s = 1 AND w.f0 != 0 AND x.us > w.f0 AND x.us <= w.f0 + 86400000000 THEN x.us
+        |         ELSE w.f1 END,
+        |    w.cnt + CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us > w.f1 AND x.us <= w.f1 + 86400000000
+        |                 THEN 1 ELSE 0 END
+        |  FROM walk w JOIN se x ON x.user_id = w.user_id AND x.rn = w.rn + 1
+        |),
+        |fin AS (SELECT w.user_id, w.cnt FROM walk w JOIN nu ON w.user_id = nu.user_id AND w.rn = nu.ne)
+        |SELECT cnt AS n_matches, count(*) AS n_users FROM fin WHERE cnt > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "attribution_linear" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
         |                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS ch FROM events),

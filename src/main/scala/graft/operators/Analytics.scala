@@ -452,6 +452,157 @@ object Analytics {
       .orderBy(col("level"))
   }
 
+  /** B86: sequence matching with PER-HOP time bounds — the ClickHouse
+    * `sequenceMatch('(?1)(?t<=g)(?2)(?t<=g)(?3)')` pendant, the other
+    * half of the event-pattern matrix `windowFunnel` doesn't cover:
+    * the funnel bounds the WHOLE chain by a window anchored at the
+    * user's FIRST head event (greedy, no re-anchoring), while
+    * sequence match asks whether ANY chain exists whose consecutive
+    * hops each land within `gapSec` — a user who idles a week and
+    * then converts in a tight burst matches here and not there.
+    *
+    * Semantics are SET-THEORETIC, not greedy: stage-0 events are all
+    * feasible; a stage-i event at time t is feasible iff SOME
+    * feasible stage-(i−1) event exists at time t' with
+    * t' < t ≤ t' + gap. Depth = number of stages with a feasible
+    * event (monotone by construction). No fold-order tie rule leaks
+    * into the answer — which is why the DuckDB oracle is plain
+    * EXISTS-join SQL, no recursive CTE.
+    *
+    * The fold computes this exactly with ONE pass and k longs of
+    * state: events sort by (time asc, stage DESC), and f_i carries
+    * the LATEST feasible stage-i time seen so far. Latest is
+    * sufficient — if the latest feasible t' < t − gap, every earlier
+    * one is too — and the descending-stage tie order means a stage-i
+    * event at time t folds BEFORE any stage-(i−1) event at the same
+    * instant updates f_{i−1}, so the strict t' < t bound never sees
+    * a same-instant completion. Plan: the [[funnelWindowLevelsMode]]
+    * shape — one user-keyed shuffle, 8 bytes/event across the
+    * exchange, codegen `aggregate` HOF, ≤ |stages| rows after.
+    */
+  def sequenceMatchDepth(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      gapSec: Long
+  ): DataFrame = {
+    require(stages.length >= 2 && stages.length < 256, "2..255 stages")
+    require(gapSec > 0, s"gap must be positive, got $gapSec")
+    val k = stages.length
+    val gapUs = gapSec * 1000000L
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    // pack (us << 8) | (k-1-s): equal-time events fold HIGHER stage first
+    val revIdx = stages.zipWithIndex.tail.foldLeft(when(col(typeCol) === stages.head, lit((k - 1).toLong))) {
+      case (e, (st, i)) => e.when(col(typeCol) === st, lit((k - 1 - i).toLong))
+    }
+    val packed = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(shiftleft(us, 8) + revIdx)).as("evs"))
+    // state stores t+1 so 0 is a true "unset" sentinel even for
+    // epoch-zero events; with prev = t'+1 the raw-time hop bound
+    // t' < t ≤ t'+gap becomes t ≥ prev && t ≤ prev+gap−1
+    val init = struct((0 until k).map(i => lit(0L).as(s"f$i")): _*)
+    def step(acc: Column, pk: Column): Column = {
+      val t = shiftrightunsigned(pk, 8)
+      val s = lit((k - 1).toLong) - pk.bitwiseAND(lit(0xffL))
+      struct((0 until k).map { i =>
+        val feasible =
+          if (i == 0) lit(true)
+          else {
+            val prev = acc.getField(s"f${i - 1}")
+            prev =!= 0L && t >= prev && t <= prev + (gapUs - 1L)
+          }
+        when(s === i.toLong && feasible, t + 1L).otherwise(acc.getField(s"f$i")).as(s"f$i")
+      }: _*)
+    }
+    val fin = aggregate(col("evs"), init, step)
+    val depth = (0 until k)
+      .map(i => when(fin.getField(s"f$i") =!= 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+    packed
+      .select(depth.as("depth"))
+      .filter(col("depth") > 0L) // stage events but never a head event: not in the pattern
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
+  /** B87: NON-OVERLAPPING sequence-match count — the ClickHouse
+    * `sequenceCount` pendant: how many times each user completes the
+    * whole stage chain with every hop inside `gapSec`, matches
+    * consumed greedily left-to-right (after a completion, the state
+    * clears and the next chain builds only from later events — CH
+    * likewise resumes its scan after the matched chain). Crucially
+    * this is NOT a single-chain cursor: within a segment the machine
+    * is [[sequenceMatchDepth]]'s full feasibility DP (latest feasible
+    * time per stage), so a stalled prefix — a head event whose next
+    * hop never arrives in time — can never block a later chain from
+    * matching (the single-cursor fold undercounts exactly there).
+    * Greedy earliest-completion + consume is the maximal
+    * non-overlapping count for subsequence patterns (exchange
+    * argument: no chain completes before the DP's first detected
+    * completion).
+    *
+    * Fold-order tie rule, pinned like B84/B85: equal-time events fold
+    * HIGHER stage first (B86's pack — the order that keeps the strict
+    * t' < t hop bound exact); after a completion at instant t,
+    * same-instant lower-stage events still fold and may anchor the
+    * next chain. The oracle replays the identical machine with a
+    * recursive CTE. Plan: [[funnelWindowLevelsMode]] shape — one
+    * user-keyed shuffle, 8 bytes/event, k+1 scalars of fold state,
+    * histogram rows after.
+    */
+  def sequenceCountNonOverlap(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String],
+      gapSec: Long
+  ): DataFrame = {
+    require(stages.length >= 2 && stages.length < 256, "2..255 stages")
+    require(gapSec > 0, s"gap must be positive, got $gapSec")
+    val k = stages.length
+    val gapUs = gapSec * 1000000L
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val revIdx = stages.zipWithIndex.tail.foldLeft(when(col(typeCol) === stages.head, lit((k - 1).toLong))) {
+      case (e, (st, i)) => e.when(col(typeCol) === st, lit((k - 1 - i).toLong))
+    }
+    val packed = events
+      .filter(col(typeCol).isin(stages: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(shiftleft(us, 8) + revIdx)).as("evs"))
+    // state: f0..f_{k-2} latest feasible per incomplete stage + cnt;
+    // f stores t+1 (B86's zero-safe sentinel encoding)
+    val init = struct((0 until k - 1).map(i => lit(0L).as(s"f$i")) :+ lit(0L).as("cnt"): _*)
+    def step(acc: Column, pk: Column): Column = {
+      val t = shiftrightunsigned(pk, 8)
+      val s = lit((k - 1).toLong) - pk.bitwiseAND(lit(0xffL))
+      def feasible(i: Int): Column =
+        if (i == 0) lit(true)
+        else {
+          val prev = acc.getField(s"f${i - 1}")
+          prev =!= 0L && t >= prev && t <= prev + (gapUs - 1L)
+        }
+      val completes = s === (k - 1).toLong && feasible(k - 1)
+      val consumed = struct((0 until k - 1).map(i => lit(0L).as(s"f$i")) :+
+        (acc.getField("cnt") + 1L).as("cnt"): _*)
+      val advanced = struct((0 until k - 1).map { i =>
+        when(s === i.toLong && feasible(i), t + 1L).otherwise(acc.getField(s"f$i")).as(s"f$i")
+      } :+ acc.getField("cnt").as("cnt"): _*)
+      when(completes, consumed).otherwise(advanced)
+    }
+    packed
+      .select(aggregate(col("evs"), init, step).getField("cnt").as("n_matches"))
+      .filter(col("n_matches") > 0L)
+      .groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_matches"))
+  }
+
   /** B79: LINEAR multi-touch attribution — the complementary card to
     * [[funnelAttribution]]'s first-touch rule: a converted user's
     * conversion credit (exactly 10^6 ppm per user) is split EQUALLY
@@ -895,20 +1046,39 @@ object Analytics {
     * co-occur in orders beyond chance (N·n_ab·10⁶) DIV (n_a·n_b),
     * the association-rule signal with C62's exact-ratio discipline
     * (log-likelihood/confidence variants are monotone in the same
-    * counts). Candidate pairs come from an order-keyed self-join of
-    * the DISTINCT (order, part) grid — bounded by items-per-order²,
-    * never |parts|²; item and pair counts are keyed aggs; minCount
-    * prunes the hapax tail before the component joins (parts join
-    * KEYED — a web-scale catalog never broadcasts); top-k is
+    * counts). Candidate pairs are generated WITHOUT a self-join: ONE
+    * order-keyed shuffle folds each order into its sorted distinct
+    * part set (`collect_set` dedupes, so no separate DISTINCT pass),
+    * and the pair grid is a codegen array expression over that set —
+    * still bounded by items-per-order², never |parts|², but the
+    * (order, part) grid now crosses exactly one exchange instead of
+    * four (distinct + two self-join sides + nOrders recount: the
+    * self-join shape re-scanned the fact table per branch and sorted
+    * both sides, the step that went superlinear at sf10). The basket
+    * frame is localCheckpointed once; nOrders, item counts, and the
+    * pair explode all read the materialized blocks. Pair and item
+    * counts are keyed aggs with map-side partials; minCount prunes
+    * the hapax tail before the component joins (parts join KEYED — a
+    * web-scale catalog never broadcasts); top-k is
     * TakeOrderedAndProject.
     */
   def basketLift(lineitem: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
-    val items = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val nOrders = items.select(col("ok")).distinct().count()
-    val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-    items.alias("a")
-      .join(items.alias("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(col("parts"))
+      .localCheckpoint()
+    val nOrders = baskets.count()
+    val itemCounts = baskets
+      .select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    // sorted + deduped ⇒ x < every element of its tail slice: the
+    // pa < pb canonical orientation holds by construction
+    baskets
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> transform(" +
+          "slice(parts, i + 2, size(parts) - i - 1), y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
       .join(itemCounts.select(col("pk").as("pa"), col("c").as("na")), "pa")

@@ -878,6 +878,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(a == b, s"default mode diverged from B83: $a vs $b")
   }
 
+  test("sequenceMatchDepth: set-theoretic feasibility — re-anchoring, stalled prefixes, strict hop bounds, tie order") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val stages = Seq("view", "click", "purchase")
+    val events = Seq(
+      // 1: RE-ANCHORING — view@0 is stale for click@12 (gap 5) but
+      //    view@10 isn't; a single-anchor funnel misses this chain
+      (1L, ts(0), "view"), (1L, ts(10), "view"), (1L, ts(12), "click"),
+      // 2: stalled — the only click is far outside the hop bound
+      (2L, ts(0), "view"), (2L, ts(100), "click"),
+      // 3: full chain, each hop inside the bound
+      (3L, ts(0), "view"), (3L, ts(3), "click"), (3L, ts(7), "purchase"),
+      // 4: strict t' < t — a click at the SAME instant as its view
+      //    does not match
+      (4L, ts(10), "view"), (4L, ts(10), "click"),
+      // 5: tie-order proof case — click@10 must fold BEFORE view@10
+      //    overwrites the latest-feasible view (f0=6 when it checks);
+      //    ascending-stage tie order would wrongly report depth 1
+      (5L, ts(6), "view"), (5L, ts(10), "view"), (5L, ts(10), "click"),
+      // 6: no head event: not in the pattern, no row
+      (6L, ts(0), "click"), (6L, ts(1), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.sequenceMatchDepth(events, "user_id", "event_type", "ts", stages, gapSec = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L), got.toString)
+  }
+
+  test("sequenceCountNonOverlap: greedy consume + full DP — stalled prefixes never block later chains") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val stages = Seq("view", "click", "purchase")
+    val events = Seq(
+      // 1: two disjoint chains -> 2
+      (1L, ts(0), "view"), (1L, ts(2), "click"), (1L, ts(4), "purchase"),
+      (1L, ts(10), "view"), (1L, ts(12), "click"), (1L, ts(14), "purchase"),
+      // 2: completion CONSUMES the prefix — the second purchase has
+      //    no feasible click left -> 1
+      (2L, ts(0), "view"), (2L, ts(2), "click"), (2L, ts(4), "purchase"), (2L, ts(5), "purchase"),
+      // 3: stalled prefix (view@0 with no click in bound) must not
+      //    block the later tight chain -> 1 (a single-cursor greedy
+      //    machine reports 0 here — the undercount this op avoids)
+      (3L, ts(0), "view"), (3L, ts(98), "view"), (3L, ts(100), "click"), (3L, ts(101), "purchase"),
+      // 4: two clicks, one completion — the shared prefix counts once
+      (4L, ts(0), "view"), (4L, ts(2), "click"), (4L, ts(3), "click"),
+      (4L, ts(4), "purchase"), (4L, ts(6), "purchase"),
+      // 5: re-anchor AFTER a completion -> 2
+      (5L, ts(0), "view"), (5L, ts(2), "click"), (5L, ts(4), "purchase"),
+      (5L, ts(5), "view"), (5L, ts(6), "click"), (5L, ts(8), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Analytics.sequenceCountNonOverlap(events, "user_id", "event_type", "ts", stages, gapSec = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L), got.toString)
+  }
+
   test("funnelAttributionLinear: equal split with remainder to earliest touch; credit conserves per user") {
     import spark.implicits._
     import graft.operators.Analytics

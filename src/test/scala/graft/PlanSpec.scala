@@ -490,11 +490,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("basket_lift: order-keyed self-join + keyed count joins — no cartesian; top-k is TakeOrdered") {
+  test("basket_lift: pair grid explodes from the checkpointed basket frame — zero fact re-scans, no cartesian") {
     val p = planOf("basket_lift")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the (order, part) grid crossed its one exchange when the basket
+    // frame materialized; everything downstream (nOrders, item counts,
+    // the pair explode) reads those blocks — a parquet scan here would
+    // mean the old four-branch self-join shape regressed back in
+    assert(count(p, "FileScan parquet") == 0, p.take(3000))
+    assert(p.contains("Generate explode"), p.take(3000))
   }
 
   test("equidepth_hist: rank windows partition by bin — row-scale data never sorts in one task") {
@@ -736,6 +742,17 @@ class PlanSpec extends SparkSpec {
     // 8 bytes/event: the packed long array is what crosses the exchange
     val badLine = p.linesIterator.find(l => l.contains("Exchange") && l.contains("event_type#"))
     assert(badLine.isEmpty, s"raw event_type crossed an exchange: $badLine")
+  }
+
+  test("sequence_match / sequence_count: the packed-fold shape — one user shuffle, no joins, no windows") {
+    for (q <- Seq("sequence_match", "sequence_count")) {
+      val p = planOf(q)
+      assert(p.contains("hashpartitioning(user_id"), s"$q: " + p.take(3000))
+      assert(!p.contains("Join"), s"$q: " + p.take(3000))
+      assert(!p.contains("Window"), s"$q: " + p.take(3000))
+      val badLine = p.linesIterator.find(l => l.contains("Exchange") && l.contains("event_type#"))
+      assert(badLine.isEmpty, s"$q: raw event_type crossed an exchange: $badLine")
+    }
   }
 
   test("dedup_incr_containment: posting joins keyed on the shingle hash; sketch/verify joins keyed on id — nothing quadratic") {
