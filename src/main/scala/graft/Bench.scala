@@ -56,7 +56,9 @@ object Bench {
     "new_vs_returning", "funnel_window",
     // round-9 additions
     "dedup_incr_containment", "funnel_window_strict", "funnel_window_dedup",
-    "text_gopher_gate", "dedup_keep_best"
+    "text_gopher_gate", "dedup_keep_best",
+    "sequence_match", "sequence_count", "text_kn_bigram", "holt_winters",
+    "segment_overlap", "mm_color_hist", "text_lm_incr"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

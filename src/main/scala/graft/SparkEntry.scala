@@ -413,6 +413,10 @@ object SparkEntry {
     "events_holt" -> ((s, d) =>
       // B58: per-user Holt level+trend fold, bit-packed two-part state
       TimeSeries.holt(t(s, d, "events"), alphaPct = 20, betaPct = 10)),
+    "holt_winters" -> ((s, d) =>
+      // B88: additive Holt-Winters (level+trend+weekly seasonal) over
+      // daily revenue — integer-cent triple smoothing, full forecast state
+      TimeSeries.holtWinters(t(s, d, "lineitem"))),
     "scd2_intervals" -> ((s, d) => {
       // A34: SCD2 history from the events change log — each user's
       // event_type runs become validity intervals; one keyed shuffle
@@ -803,6 +807,11 @@ object SparkEntry {
       // B65: recency/frequency/monetary quintile coding, exact ntile
       // semantics through the distributed rank (customers with orders)
       Analytics.rfmSegments(t(s, d, "customer"), t(s, d, "orders"))),
+    "segment_overlap" -> ((s, d) =>
+      // B89: audience-overlap matrix — high-value (value >= 150)
+      // actives per event type, |A| |B| |A∩B| + Jaccard ppm per pair,
+      // zero-overlap pairs included
+      Analytics.segmentOverlap(t(s, d, "events"), "user_id", "event_type", "value", minValue = 150.0)),
     "basket_lift" -> ((s, d) =>
       // B66: co-ordered part pairs ranked by integer lift (C62's
       // exact-ratio discipline on baskets)
@@ -901,6 +910,15 @@ object SparkEntry {
           min(col("n_words")).as("min_words"),
           max(col("n_words")).as("max_words"))
         .orderBy(col("source"), col("lang"))
+    }),
+    "text_lm_incr" -> ((s, d) => {
+      // C99: incremental LM quality scoring — decile-7 batch scored
+      // against the persisted bigram-count index of the rest; the
+      // corpus text is never re-read at probe time
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis.scoreAgainstLmIndex(
+        TextAnalysis.buildLmIndex(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text"),
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text")
     }),
     "dedup_incr_exact" -> ((s, d) => {
       // C28: incremental exact dedup — a new batch probed against the
@@ -1497,6 +1515,20 @@ object SparkEntry {
       }
       Multimodal.decodeFrameSample(s, staged, "doc_id", "png", rowStride = 4, maxFrames = 4)
     }),
+    "mm_color_hist" -> ((s, d) => {
+      // C98: sparse RGB color histogram (4x4x4 cube) over REAL decoded
+      // pixels — same staged PNGs as mm_pixel_resize, 2 bits/channel
+      val docs = t(s, d, "documents")
+      val staged = Multimodal.stageBytesIfAbsent(s, docs,
+        s"target/mm_resize_png_${d.replaceAll("[^A-Za-z0-9]", "_")}", "v1") {
+        Multimodal.encodeStagedPng(
+          s,
+          docs.select(col("doc_id"),
+            (lit(8) + (col("doc_id") % 5) * 2).as("w"), (lit(8) + (col("doc_id") % 3) * 4).as("h")),
+          "doc_id", "w", "h").select(col("doc_id"), col("png"))
+      }
+      Multimodal.decodeColorHist(s, staged, "doc_id", "png", bits = 2)
+    }),
     "mm_pixel_resize" -> ((s, d) => {
       // C22 pixel form: real decode + exact box-filter downsample to a
       // 2x2 grid (block channel sums — the integer-exact numerators of
@@ -1620,6 +1652,10 @@ object SparkEntry {
       // C92: CCNet head/middle/tail split — per-source exact-rank
       // thresholds on the bigram-LM score, value-based cuts
       TextAnalysis.ccnetBuckets(t(s, d, "documents"), "doc_id", "text", "source")),
+    "text_kn_bigram" -> ((s, d) =>
+      // C97: interpolated Kneser-Ney bigram score — discounted MLE +
+      // continuation-count back-off, exact integer ppm (D = 3/4)
+      TextAnalysis.knBigramScore(t(s, d, "documents"), "doc_id", "text")),
     "domain_quality" -> ((s, d) =>
       // C78: per-domain curation report: size, short-doc share, and
       // corpus-global duplicate share attributed per domain
@@ -2001,6 +2037,37 @@ object SparkEntry {
        |fin AS (SELECT w.user_id, w.lvl FROM walk w JOIN nu ON w.user_id = nu.user_id AND w.rn = nu.ne)
        |SELECT lvl AS level, count(*) AS n_users FROM fin WHERE lvl > 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** B88 oracle: replay [[graft.operators.TimeSeries.holtWinters]]'s
+    * fold — state (l, b, seasonal LIST, step i) over the day-ordered
+    * revenue series — with a recursive CTE.
+    */
+  private def holtWintersOracleSql(alphaPct: Int, betaPct: Int, gammaPct: Int, season: Int): String = {
+    val (ka, kb, kg) = (100 - alphaPct, 100 - betaPct, 100 - gammaPct)
+    val lNew = s"CASE WHEN w.i = 0 THEN x.x ELSE ($alphaPct*(x.x - w.s[CAST(w.i % $season AS INT) + 1])" +
+      s" + $ka*(w.l + w.b)) // 100 END"
+    val bNew = s"CASE WHEN w.i = 0 THEN 0 ELSE ($betaPct*(($lNew) - w.l) + $kb*w.b) // 100 END"
+    val sNew = s"CASE WHEN w.i = 0 THEN w.s ELSE list_transform(w.s, (v, j) -> " +
+      s"CASE WHEN j - 1 = w.i % $season THEN ($gammaPct*(x.x - ($lNew)) + $kg*v) // 100 ELSE v END) END"
+    val zeroList = (1 until season).map(_ => "0").mkString("[CAST(0 AS BIGINT), ", ", ", "]")
+    s"""WITH RECURSIVE d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+       |        CAST(sum(round(l_extendedprice*100)) AS BIGINT) AS x FROM lineitem GROUP BY 1),
+       |sd AS (SELECT x, row_number() OVER (ORDER BY day) - 1 AS i FROM d),
+       |n AS (SELECT count(*) AS nd FROM sd),
+       |w AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+       |         $zeroList AS s
+       |  UNION ALL
+       |  SELECT w.i + 1, $lNew, $bNew, $sNew
+       |  FROM w JOIN sd x ON x.i = w.i
+       |),
+       |fin AS (SELECT w.* FROM w JOIN n ON w.i = n.nd)
+       |SELECT CAST(p.j - 1 AS BIGINT) AS slot, p.v AS s_cents,
+       |       fin.l AS level_cents, fin.b AS trend_cents, CAST(fin.i AS BIGINT) AS n_days
+       |FROM fin, (SELECT unnest(list_transform(fin2.s, (v, j) -> struct_pack(v := v, j := j)), recursive := true)
+       |           FROM fin fin2) p
+       |ORDER BY slot""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "graph_hits" -> hitsOracleSql(iters = 4),
@@ -2528,6 +2595,12 @@ object SparkEntry {
         |       CAST(acc // 67108864 - 34359738368 AS BIGINT) AS level_milli,
         |       CAST(acc % 67108864 - 33554432 AS BIGINT) AS trend_milli
         |FROM f ORDER BY user_id""".stripMargin,
+    // B88: the recursive CTE replays the Holt-Winters fold with LIST
+    // seasonal state (DuckDB list_transform index j is 1-based, the
+    // engine's transform index is 0-based — hence j - 1); the level
+    // expression repeats inside trend/seasonal updates because SQL
+    // lambdas have no let-binding
+    "holt_winters" -> holtWintersOracleSql(alphaPct = 30, betaPct = 10, gammaPct = 20, season = 7),
     "recon_counts" ->
       """WITH s AS (SELECT DISTINCT o_orderkey AS k FROM orders),
         |g AS (SELECT DISTINCT l_orderkey AS k2 FROM lineitem)
@@ -3279,6 +3352,17 @@ object SparkEntry {
         |  CAST(ntile(5) OVER (ORDER BY n_orders, c_custkey) AS BIGINT) AS f_code,
         |  CAST(ntile(5) OVER (ORDER BY spend_c, c_custkey) AS BIGINT) AS m_code
         |FROM base ORDER BY c_custkey""".stripMargin,
+    "segment_overlap" ->
+      """WITH ud AS (SELECT DISTINCT user_id, event_type FROM events WHERE value >= 150),
+        |c AS (SELECT event_type AS seg, CAST(count(*) AS BIGINT) AS n FROM ud GROUP BY 1),
+        |p AS (SELECT a.event_type AS seg_a, b.event_type AS seg_b, CAST(count(*) AS BIGINT) AS n_ov
+        |      FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT ca.seg AS seg_a, cb.seg AS seg_b, ca.n AS n_a, cb.n AS n_b,
+        |  CAST(coalesce(p.n_ov, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(p.n_ov, 0) * 1000000 // (ca.n + cb.n - coalesce(p.n_ov, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM c ca JOIN c cb ON ca.seg < cb.seg
+        |  LEFT JOIN p ON p.seg_a = ca.seg AND p.seg_b = cb.seg
+        |ORDER BY seg_a, seg_b""".stripMargin,
     "basket_lift" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
@@ -3439,6 +3523,24 @@ object SparkEntry {
     // the index probe must answer exactly like a text-level left join:
     // md5-of-normalized-text equality == normalized-text equality
     // (collision-free on any real corpus)
+    // C99: the oracle rebuilds the corpus-only bigram model in SQL
+    // (text_bigram_lm's tokenization) and scores the decile-7 batch
+    // with index-covered share + covered-only mean conditional
+    "text_lm_incr" ->
+      """WITH ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM ws),
+        |tf AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+        |cbt AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS cb FROM tf WHERE doc_id % 10 != 7 GROUP BY 1),
+        |cht AS (SELECT string_split(bigram,' ')[1] AS head, CAST(sum(cb) AS BIGINT) AS ch FROM cbt GROUP BY 1),
+        |bt AS (SELECT * FROM tf WHERE doc_id % 10 = 7)
+        |SELECT bt.doc_id AS doc_id, CAST(sum(bt.tf) AS BIGINT) AS n_bigrams,
+        |  CAST(10000 * sum(CASE WHEN cbt.cb IS NOT NULL THEN bt.tf ELSE 0 END) // sum(bt.tf) AS BIGINT) AS covered_bp,
+        |  CAST(CASE WHEN sum(CASE WHEN cbt.cb IS NOT NULL THEN bt.tf ELSE 0 END) = 0 THEN 0
+        |       ELSE sum(CASE WHEN cbt.cb IS NOT NULL THEN bt.tf * (cbt.cb * 1000000 // cht.ch) ELSE 0 END)
+        |            // sum(CASE WHEN cbt.cb IS NOT NULL THEN bt.tf ELSE 0 END) END AS BIGINT) AS mean_cond_ppm
+        |FROM bt LEFT JOIN cbt USING (bigram)
+        |  LEFT JOIN cht ON string_split(bt.bigram,' ')[1] = cht.head
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_incr_exact" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0),
         |batch AS (
@@ -3943,6 +4045,18 @@ object SparkEntry {
         |FROM documents d, (SELECT unnest(generate_series(0, 3)) AS f) t
         |WHERE t.f * 4 < (8 + d.doc_id % 5)
         |ORDER BY d.doc_id, t.f""".stripMargin,
+    // C98: the oracle integrates the staged closed-form pixel field
+    // (r=(id%200)+y, g=(id%100)+x, b=x+y — mm_pixel_resize's staging)
+    // over the image grid; cell = ((r>>6)*4 + (g>>6))*4 + (b>>6)
+    "mm_color_hist" ->
+      """WITH px AS (SELECT doc_id, 8 + (doc_id % 5) * 2 AS w, 8 + (doc_id % 3) * 4 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM px),
+        |g AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+        |c AS (SELECT doc_id,
+        |        ((((doc_id % 200) + y) // 64) * 4 + (((doc_id % 100) + x) // 64)) * 4 + ((x + y) // 64) AS cell
+        |      FROM g)
+        |SELECT doc_id, CAST(cell AS BIGINT) AS cell, count(*) AS n_px
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "mm_pixel_resize" ->
       """WITH blocks AS (
         |  SELECT doc_id,
@@ -4008,6 +4122,27 @@ object SparkEntry {
         |       CAST(sum(tf * (cb * 1000000 // ch)) // sum(tf) AS BIGINT) AS mean_cond_ppm,
         |       CAST(10000 * sum(CASE WHEN cb <= 2 THEN tf ELSE 0 END) // sum(tf) AS BIGINT) AS rare_bp
         |FROM tf JOIN cbt USING (bigram) JOIN cht ON string_split(bigram, ' ')[1] = cht.head
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // C97: same tokenization + tf/cb/ch CTEs as text_bigram_lm, plus
+    // head-fertility (n1h), continuation (n1c), and distinct-bigram
+    // counts; the ppm arithmetic mirrors knBigramScore term for term
+    "text_kn_bigram" ->
+      """WITH ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram FROM ws),
+        |tf AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+        |cbt AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS cb FROM tf GROUP BY 1),
+        |cht AS (SELECT string_split(bigram,' ')[1] AS head, CAST(sum(cb) AS BIGINT) AS ch,
+        |               CAST(count(*) AS BIGINT) AS n1h FROM cbt GROUP BY 1),
+        |nct AS (SELECT string_split(bigram,' ')[2] AS tail, CAST(count(*) AS BIGINT) AS n1c FROM cbt GROUP BY 1),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM cbt)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(tf * (((4*cb - 3) * 1000000 // (4*ch))
+        |                 + (((3*n1h*1000000 // (4*ch)) * (n1c*1000000 // b)) // 1000000))) // sum(tf) AS BIGINT) AS kn_ppm,
+        |  CAST(sum(tf * (3*n1h*1000000 // (4*ch))) // sum(tf) AS BIGINT) AS lambda_ppm
+        |FROM tf JOIN cbt USING (bigram)
+        |  JOIN cht ON string_split(bigram,' ')[1] = cht.head
+        |  JOIN nct ON string_split(bigram,' ')[2] = nct.tail
+        |  CROSS JOIN nb
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same LM CTEs as text_bigram_lm; thresholds = values at exact
     // ascending ranks ceil(n/3) / ceil(2n/3) per source (value at a

@@ -1090,6 +1090,56 @@ object Analytics {
       .limit(topK)
   }
 
+  /** B89: audience-segment overlap matrix — the ClickHouse
+    * bitmap-family use case (`groupBitmap` + `bitmapAndCardinality`
+    * dashboards: "how much do my high-value click and purchase
+    * audiences overlap?") computed exactly without materializing
+    * bitmaps: users qualify for a segment when they have a qualifying
+    * event (here: type with value ≥ threshold), and every segment
+    * PAIR gets |A|, |B|, |A∩B| and Jaccard ppm — including
+    * ZERO-overlap pairs, which an intersection-driven plan would
+    * silently drop (the full matrix is the dashboard contract; the
+    * grid left-join supplies the zeros).
+    *
+    * Plan: [[basketLift]]'s single-shuffle discipline on the user
+    * axis — one user-keyed `collect_set` fold (the membership
+    * "bitmap", one row per user, ≤ |segments| entries), pair grid as
+    * a codegen array expression, counts and overlaps as keyed aggs
+    * with map-side partials. The segments×segments grid is
+    * |taxonomy|²-bounded — segment taxonomies are small by
+    * construction (the user axis, which does scale, never enters a
+    * join wider than the fold).
+    */
+  def segmentOverlap(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      valueCol: String,
+      minValue: Double
+  ): DataFrame = {
+    val members = events
+      .filter(col(valueCol) >= minValue)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_set(col(typeCol))).as("segs"))
+      .select(col("segs"))
+      .localCheckpoint()
+    val counts = members.select(explode(col("segs")).as("seg"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    val overlaps = members
+      .select(explode(expr(
+        "flatten(transform(segs, (x, i) -> transform(" +
+          "slice(segs, i + 2, size(segs) - i - 1), y -> struct(x AS sa, y AS sb))))")).as("p"))
+      .groupBy(col("p.sa").as("seg_a"), col("p.sb").as("seg_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+    counts.select(col("seg").as("seg_a"), col("n").as("n_a"))
+      .join(counts.select(col("seg").as("seg_b"), col("n").as("n_b")), col("seg_a") < col("seg_b"))
+      .join(overlaps, Seq("seg_a", "seg_b"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"), col("n_overlap"),
+        expr("n_overlap * 1000000L DIV (n_a + n_b - n_overlap)").as("jaccard_ppm"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
   /** B63: equi-depth histogram of a value column — the distribution
     * profile [[profileTable]]'s min/max/ndv can't see (ANALYZE-style
     * optimizer statistics, skew diagnosis, quantile-bucket boundaries

@@ -981,4 +981,53 @@ object Multimodal {
     gateSort(out.toDF(idCol, "bx", "by", "sum_r", "sum_g", "sum_b"),
       sorted, col(idCol), col("by"), col("bx"))
   }
+
+  /** C98: per-image RGB color histogram over REAL decoded pixels —
+    * the feature-extraction sibling of [[decodePixelResize]] (which
+    * averages; histograms are what image dedup/quality gates bucket
+    * on — a thumbnail and its original share a color histogram long
+    * after resampling breaks byte equality). Each channel quantizes
+    * to 256 >> (8−bits) levels and the (r,g,b) cell packs to one
+    * id (r'·4^2 + g'·4 + b' for bits=2); output is the SPARSE
+    * (image, cell, n_px) grid — empty cells are absent, the standard
+    * sparse-histogram contract. Decode is `javax.imageio` over the
+    * staged payload (genuinely not expressible as a Catalyst
+    * projection — the mm-family exception), everything after is a
+    * keyed agg with map-side partials.
+    */
+  def decodeColorHist(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      bits: Int = 2,
+      sorted: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    require(bits >= 1 && bits <= 8, s"bits must be 1..8, got $bits")
+    val shift = 8 - bits
+    val side = 1 << bits
+    val out = df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readImage(bytes).toSeq.flatMap { img =>
+            val counts = new scala.collection.mutable.HashMap[Int, Long]()
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val cell = ((((rgb >> 16) & 0xff) >> shift) * side +
+                  ((((rgb >> 8) & 0xff)) >> shift)) * side + ((rgb & 0xff) >> shift)
+                counts.update(cell, counts.getOrElse(cell, 0L) + 1L)
+                x += 1
+              }
+              y += 1
+            }
+            counts.toSeq.map { case (cell, n) => (id, cell.toLong, n) }
+          }
+        }
+      }
+    gateSort(out.toDF(idCol, "cell", "n_px"), sorted, col(idCol), col("cell"))
+  }
 }

@@ -508,6 +508,129 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** C97: interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    * the interpolated form and D=0.75 are Chen & Goodman 1998's
+    * recommendation) — the smoothing real LM-perplexity filters run,
+    * where [[bigramLmScore]] is the raw MLE conditional: frequent
+    * continuations are discounted by a fixed D and the freed mass is
+    * spent on the CONTINUATION unigram P_cont(w₂) ∝ |{w₁ : c(w₁w₂)>0}|
+    * — "how many contexts does w₂ complete", not "how often does w₂
+    * occur" (the famous San-Francisco/glasses distinction: 'Francisco'
+    * is frequent but follows one head, so KN scores it low in novel
+    * contexts). Per bigram, in exact integer ppm with D = 3/4 carried
+    * as the ×4-scaled numerator:
+    *
+    *   p = ((4·c(w₁w₂) − 3)·10⁶) DIV (4·c(w₁·))            — discounted MLE
+    *     + (λ(w₁) · P_cont(w₂)) DIV 10⁶, where
+    *   λ(w₁)   = (3·N₁₊(w₁·)·10⁶) DIV (4·c(w₁·))           — freed mass
+    *   P_cont  = (N₁₊(·w₂)·10⁶) DIV |distinct bigrams|
+    *
+    * (c(w₁w₂) ≥ 1 for observed bigrams, so the max(·,0) clamp is
+    * vacuous.) Per doc: tf-weighted mean p and mean λ (the back-off
+    * exposure — high λ means the doc lives in sparse contexts). Sums
+    * fit BIGINT: 4·cb·10⁶ at sf10 is ~10¹⁵.
+    *
+    * Plan: [[bigramLmScore]]'s shape with the tail hash carried
+    * alongside the head hash — ONE corpus explode into the
+    * checkpointed (doc, hh, th, tf) frame; corpus bigram counts roll
+    * up FROM tf (checkpointed too: four consumers — the distinct-
+    * bigram count, head stats, continuation stats, and the final
+    * join); head counts, N₁₊(w₁·), and N₁₊(·w₂) are keyed aggs over
+    * that ~|vocab²∩corpus| frame. Every exchange carries 8-byte
+    * xxhash64 keys, never word strings (the C77 discipline); all
+    * model joins are KEYED — a web-scale vocabulary never broadcasts.
+    */
+  def knBigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val heads = slice(w, lit(1), size(w) - 1)
+    val tails = slice(w, lit(2), size(w) - 1)
+    val tf = df
+      .select(col(idCol),
+        explode(zip_with(heads, tails, (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(tl).as("th")))).as("p"))
+      .groupBy(col(idCol), col("p.hh").as("hh"), col("p.th").as("th"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val cb = tf.groupBy(col("hh"), col("th")).agg(sum(col("tf")).as("cb")).localCheckpoint()
+    val nBigrams = cb.count()
+    val ch = cb.groupBy(col("hh")).agg(sum(col("cb")).as("ch"), count(lit(1)).as("n1h"))
+    val n1c = cb.groupBy(col("th")).agg(count(lit(1)).as("n1c"))
+    tf.join(cb, Seq("hh", "th"))
+      .join(ch, Seq("hh"))
+      .join(n1c, Seq("th"))
+      .withColumn("lam_ppm", expr("3 * n1h * 1000000L DIV (4 * ch)"))
+      .withColumn("p_ppm",
+        expr(s"((4 * cb - 3) * 1000000L DIV (4 * ch)) + ((lam_ppm * (n1c * 1000000L DIV ${nBigrams}L)) DIV 1000000L)"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        expr("sum(tf * p_ppm) DIV sum(tf)").as("kn_ppm"),
+        expr("sum(tf * lam_ppm) DIV sum(tf)").as("lambda_ppm"))
+      .orderBy(col(idCol))
+  }
+
+  /** C99: PERSISTED bigram-LM index — build/score/update, the
+    * incremental-index discipline (C28/C29/C32/C39/C69/C85/C94)
+    * applied to quality scoring: a continuous-ingest pipeline scores
+    * each arriving batch against the corpus LM WITHOUT re-reading
+    * the corpus (the C77 chain recomputes the model per run — right
+    * for a one-shot sweep, wrong for a feed). The index is the one
+    * frame (hh, th, cb): corpus bigram counts keyed by 8-byte
+    * head/tail xxhash64 (the C77/C97 exchange discipline); head
+    * totals roll up from the index at probe time (index-scale, never
+    * corpus-scale).
+    */
+  def buildLmIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val heads = slice(w, lit(1), size(w) - 1)
+    val tails = slice(w, lit(2), size(w) - 1)
+    corpus
+      .select(explode(zip_with(heads, tails, (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(tl).as("th")))).as("p"))
+      .groupBy(col("p.hh").as("hh"), col("p.th").as("th"))
+      .agg(count(lit(1)).as("cb"))
+  }
+
+  /** C99 probe: score a batch against the persisted index — per doc
+    * the bigram-token count, the INDEX-COVERED share in basis points
+    * (the model-drift signal: a falling covered_bp means the feed's
+    * language is leaving the corpus behind), and the tf-weighted mean
+    * MLE conditional over covered bigrams (cb·10⁶ DIV ch — C77's
+    * statistic, model counts from the index only). Unseen bigrams
+    * score nothing and count as uncovered; a doc with zero covered
+    * bigrams reports 0. Cost scales with the BATCH and the index —
+    * the corpus text is never touched (plan-locked: the batch scan is
+    * the only document scan).
+    */
+  def scoreAgainstLmIndex(index: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val heads = slice(w, lit(1), size(w) - 1)
+    val tails = slice(w, lit(2), size(w) - 1)
+    val tf = batch
+      .select(col(idCol),
+        explode(zip_with(heads, tails, (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(tl).as("th")))).as("p"))
+      .groupBy(col(idCol), col("p.hh").as("hh"), col("p.th").as("th"))
+      .agg(count(lit(1)).as("tf"))
+    val ch = index.groupBy(col("hh")).agg(sum(col("cb")).as("ch"))
+    tf.join(index, Seq("hh", "th"), "left")
+      .join(ch, Seq("hh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        expr("10000 * sum(CASE WHEN cb IS NOT NULL THEN tf ELSE 0 END) DIV sum(tf)").as("covered_bp"),
+        expr("IF(sum(CASE WHEN cb IS NOT NULL THEN tf ELSE 0 END) = 0, 0L, " +
+          "sum(CASE WHEN cb IS NOT NULL THEN tf * (cb * 1000000L DIV ch) ELSE 0 END) " +
+          "DIV sum(CASE WHEN cb IS NOT NULL THEN tf ELSE 0 END))").as("mean_cond_ppm"))
+      .orderBy(col(idCol))
+  }
+
+  /** C99 update: fold a new batch's counts into the index — count
+    * merge by (hh, th), so updateLmIndex(buildLmIndex(corpus), batch)
+    * ≡ buildLmIndex(corpus ∪ batch) row-for-row (spec-proven, the
+    * probe-after-append ≡ rebuild contract).
+    */
+  def updateLmIndex(index: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    index.unionByName(buildLmIndex(batch, idCol, textCol))
+      .groupBy(col("hh"), col("th")).agg(sum(col("cb")).as("cb"))
+
   /** C92: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3 —
     * the head/middle/tail split behind CCNet-derived corpora): per
     * DOMAIN, documents are cut at the 33rd/67th percentile of their

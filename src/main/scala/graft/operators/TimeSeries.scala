@@ -502,6 +502,75 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** B88: additive Holt-Winters over the DAILY revenue series — the
+    * seasonal completion of [[holt]] (level+trend) and the model
+    * behind the B81 seasonal-naive baseline: triple exponential
+    * smoothing with a length-`season` additive seasonal component
+    * (Holt 1957 / Winters 1960; the standard formulation in
+    * Hyndman & Athanasopoulos, "Forecasting: Principles and
+    * Practice" §8.3). Integer-exact in cents with percent
+    * coefficients, so the recurrence replays bit-for-bit in any
+    * engine (Spark DIV and DuckDB // both truncate toward zero —
+    * required, intermediate trend/seasonal terms go negative):
+    *
+    *   l_t = (α(x_t − s_{t−m}) + (100−α)(l_{t−1} + b_{t−1})) DIV 100
+    *   b_t = (β(l_t − l_{t−1}) + (100−β)b_{t−1}) DIV 100
+    *   s_t = (γ(x_t − l_t) + (100−γ)s_{t−m}) DIV 100
+    *
+    * Init rule, pinned: the first observation sets l=x₀, b=0, and
+    * leaves all seasonal slots 0 (they warm up over the first
+    * cycles). Seasonal slots are SERIES POSITIONS mod m from the
+    * first day, not calendar weekdays — gap-free TPC-H ship dates
+    * make them coincide up to rotation, and positions keep the fold
+    * well-defined on gappy series.
+    *
+    * Output: one row per slot (s_cents) + the final level/trend and
+    * series length — the full forecast state: ŷ_{T+h} = level +
+    * h·trend + s_{(T+h) mod m}.
+    *
+    * Plan: the [[graft.operators.Analytics.acfDaily]] discipline —
+    * ONE fact scan collapses map-side into the ~|days| aggregate;
+    * the fold is a single codegen `aggregate` HOF over the one
+    * sorted day array (day cardinality is bounded by the calendar,
+    * never by corpus size — the same reason acf/trend fold on the
+    * driver-safe day frame); output is m rows.
+    */
+  def holtWinters(
+      lineitem: DataFrame,
+      alphaPct: Int = 30,
+      betaPct: Int = 10,
+      gammaPct: Int = 20,
+      season: Int = 7
+  ): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99, s"alphaPct must be 1..99, got $alphaPct")
+    require(betaPct >= 1 && betaPct <= 99, s"betaPct must be 1..99, got $betaPct")
+    require(gammaPct >= 1 && gammaPct <= 99, s"gammaPct must be 1..99, got $gammaPct")
+    require(season >= 2 && season <= 366, s"season must be 2..366, got $season")
+    val (ka, kb, kg) = (100 - alphaPct, 100 - betaPct, 100 - gammaPct)
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100)).cast("long").as("x"))
+    val zeroArr = (0 until season).map(_ => "0L").mkString("array(", ", ", ")")
+    val slot = s"CAST(acc.i % $season AS INT)"
+    val sOld = s"element_at(acc.s, $slot + 1)"
+    val lNew = s"IF(acc.i = 0L, e.x, ($alphaPct * (e.x - $sOld) + $ka * (acc.l + acc.b)) DIV 100)"
+    val bNew = s"IF(acc.i = 0L, 0L, ($betaPct * (($lNew) - acc.l) + $kb * acc.b) DIV 100)"
+    val sNew = s"IF(acc.i = 0L, acc.s, transform(acc.s, (v, j) -> " +
+      s"IF(j = $slot, ($gammaPct * (e.x - ($lNew)) + $kg * v) DIV 100, v)))"
+    val fold = s"aggregate(xs, named_struct('l', 0L, 'b', 0L, 's', $zeroArr, 'i', 0L), " +
+      s"(acc, e) -> named_struct('l', $lNew, 'b', $bNew, 's', $sNew, 'i', acc.i + 1L))"
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .select(expr(fold).as("st"))
+      .select(
+        posexplode(col("st.s")).as(Seq("slot", "s_cents")),
+        col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+        col("st.i").as("n_days"))
+      .select(col("slot").cast("long").as("slot"), col("s_cents"),
+        col("level_cents"), col("trend_cents"), col("n_days"))
+      .orderBy(col("slot"))
+  }
+
   def ewma(events: DataFrame, alphaPct: Int = 20): DataFrame = {
     require(alphaPct >= 1 && alphaPct <= 99, s"alphaPct must be 1..99, got $alphaPct")
     val keep = 100 - alphaPct

@@ -544,6 +544,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(3L) == ((7500L, 0L)), s"user3 identity: ${r(3L)}")
   }
 
+  test("segmentOverlap: full pair matrix with exact Jaccard; zero-overlap pairs present; threshold filters") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:0$i:00")
+    val events = Seq(
+      (1L, "A", 200.0), (1L, "B", 200.0),
+      (2L, "A", 200.0), (2L, "B", 200.0),
+      (3L, "A", 200.0), (3L, "C", 200.0),
+      (4L, "C", 200.0),
+      (4L, "A", 1.0) // below threshold: u4 must NOT join segment A
+    ).zipWithIndex.map { case ((u, t0, v), i) => (u, ts(i % 10), t0, v) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Analytics.segmentOverlap(events, "user_id", "event_type", "value", minValue = 150.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // |A|=3 |B|=2 |C|=2; A∩B=2 -> 2e6/3; A∩C=1 -> 1e6/4; B∩C=0 (the zero row)
+    assert(got.toSeq == Seq(
+      ("A", "B", 3L, 2L, 2L, 666666L),
+      ("A", "C", 3L, 2L, 1L, 250000L),
+      ("B", "C", 2L, 2L, 0L, 0L)), got.mkString(","))
+  }
+
+  test("holtWinters: hand-computed triple-smoothing fold, truncating division pinned") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    def day(x: Int) = java.sql.Timestamp.valueOf(f"1992-01-${x + 1}%02d 00:00:00")
+    // x = [100, 200, 300, 400] cents; alpha=beta=gamma=50, season=2:
+    // i0: l=100 b=0 s=[0,0]
+    // i1: l=150 b=25 s=[0,25]
+    // i2: l=(15000+8750)/100=237 (DIV truncates 237.5) b=56 s=[31,25]
+    // i3: l=334 b=76 (7650/100 -> 76) s=[31,45] (4550/100 -> 45)
+    val li = (0 until 4).map(x => ((x + 1).toDouble, day(x)))
+      .toDF("l_extendedprice", "l_shipdate")
+    val got = TimeSeries.holtWinters(li, alphaPct = 50, betaPct = 50, gammaPct = 50, season = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 31L, 334L, 76L, 4L), (1L, 45L, 334L, 76L, 4L)), got.mkString(","))
+  }
+
   test("trendSlope: planted linear daily revenue recovers the exact slope, sign included") {
     import spark.implicits._
     // brand UP: daily revenue 100 + 5x dollars; brand DOWN: 1000 - 7x

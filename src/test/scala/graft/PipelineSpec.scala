@@ -590,6 +590,23 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeFeatures(spark, junk, "doc_id", "payload").count() == 0)
   }
 
+  test("decodeColorHist: REAL round-trip — sparse cube cells match the closed-form pixel field") {
+    val staged = Multimodal.encodeStagedPng(
+      spark,
+      docs.limit(10).select(col("doc_id"), lit(8).as("w"), lit(8).as("h")),
+      "doc_id", "w", "h")
+    val got = Multimodal.decodeColorHist(spark, staged, "doc_id", "png", bits = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val expected = (0L until 10L).flatMap { id =>
+      val cells = for (y <- 0 until 8; x <- 0 until 8) yield {
+        val (r, g, b) = ((id % 200).toInt + y, (id % 100).toInt + x, x + y)
+        (((r >> 6) * 4 + (g >> 6)) * 4 + (b >> 6)).toLong
+      }
+      cells.groupBy(identity).map { case (c, xs) => ((id, c), xs.size.toLong) }
+    }.toMap
+    assert(got == expected, s"got ${got.size} cells, expected ${expected.size}")
+  }
+
   test("ivf topk: probe-limited search with reasonable recall vs brute force") {
     val queries = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
@@ -980,6 +997,42 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       (1L, 3L, 833333L, 3333L), // (2*1e6 + 1*5e5) DIV 3; rare: "b a" (cb<=2), 1 of 3
       (2L, 2L, 750000L, 5000L))) // rare: "b c", 1 of 2; doc 3 has no bigrams
+  }
+
+  test("lmIndex: batch scores from the persisted counts; novel text reports 0; append == rebuild") {
+    val corpus = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val batch = Seq((100L, "a b x"), (101L, "z q"), (102L, "b c")).toDF("doc_id", "text")
+    val idx = TextAnalysis.buildLmIndex(corpus, "doc_id", "text")
+    val got = TextAnalysis.scoreAgainstLmIndex(idx, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // index: "a b" cb=2 (ch(a)=2), "b c" cb=1 (ch(b)=1)
+    // 100: "a b" covered (2e6/2=1e6), "b x" not -> covered 1/2, mean over covered 1e6
+    // 101: fully novel -> 0, 0;  102: "b c" covered -> 1e6
+    assert(got.toSeq == Seq(
+      (100L, 2L, 5000L, 1000000L),
+      (101L, 1L, 0L, 0L),
+      (102L, 1L, 10000L, 1000000L)), got.mkString(","))
+    // append == rebuild, row for row
+    val appended = TextAnalysis.updateLmIndex(idx, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = TextAnalysis.buildLmIndex(corpus.unionByName(batch), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(appended == rebuilt, s"append drifted from rebuild: ${appended.size} vs ${rebuilt.size}")
+  }
+
+  test("knBigramScore: hand-computed discount + continuation terms; per-head mass ~ 1e6") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramScore(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cb: ab=2, ac=1; ch(a)=3, n1h(a)=2; n1c(b)=n1c(c)=1; B=2 distinct bigrams
+    // lam(a) = 3*2*1e6 DIV 12 = 500000; cont(b)=cont(c) = 1e6 DIV 2 = 500000
+    // p(ab) = (8-3)*1e6 DIV 12 + 250000 = 666666; p(ac) = 83333 + 250000 = 333333
+    assert(got.toSeq == Seq(
+      (1L, 1L, 666666L, 500000L),
+      (2L, 1L, 666666L, 500000L),
+      (3L, 1L, 333333L, 500000L)), got.mkString(","))
+    // KN is a proper conditional up to DIV truncation: head a's mass
+    // over its observed tails = 666666 + 333333 = 999999 ~ 1e6
   }
 
   test("ccnetBuckets: per-domain exact-rank thirds, value-based cuts put ties in one bucket") {

@@ -689,6 +689,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("text_kn_bigram: model joins keyed on the (head, tail) hashes; no word strings across exchanges") {
+    val p = planOf("text_kn_bigram")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("text"), exchanges)
+  }
+
+  test("text_lm_incr: probe joins keyed on the bigram hashes; no word strings across exchanges") {
+    val p = planOf("text_lm_incr")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("text"), exchanges)
+  }
+
   test("domain_quality: text leaves the scan as a 16-byte hash; joins keyed") {
     val p = planOf("domain_quality")
     assert(!p.contains("CartesianProduct"), p.take(3000))
@@ -742,6 +758,18 @@ class PlanSpec extends SparkSpec {
     // 8 bytes/event: the packed long array is what crosses the exchange
     val badLine = p.linesIterator.find(l => l.contains("Exchange") && l.contains("event_type#"))
     assert(badLine.isEmpty, s"raw event_type crossed an exchange: $badLine")
+  }
+
+  test("segment_overlap: user axis folded into the checkpointed membership frame; only |taxonomy|²-bounded frames join") {
+    val p = planOf("segment_overlap")
+    // the user-keyed membership fold happened when the checkpoint
+    // materialized — a parquet scan here would mean the user axis
+    // re-entered the downstream plan
+    assert(count(p, "FileScan parquet") == 0, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the one BroadcastNestedLoopJoin allowed is the seg_a < seg_b
+    // grid over the |segments|-row counts frame — never user rows
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1, p.take(3000))
   }
 
   test("sequence_match / sequence_count: the packed-fold shape — one user shuffle, no joins, no windows") {
