@@ -414,4 +414,64 @@ object IncrementalSync {
         }
       )
   }
+
+  /** Live per-user windowed-funnel progress. */
+  case class FunnelOut(user_id: Long, level: Long)
+
+  /** Windowed-funnel fold state: 3 longs per user, O(1) forever. */
+  case class FunnelState(lvl: Long, anchorUs: Long, lastUs: Long)
+
+  /** A12c: STREAMING windowed funnel — the continuous form of B83
+    * ([[graft.operators.Analytics.funnelWindowLevels]]): each user's
+    * stage depth advances live as events arrive, so a campaign
+    * dashboard reads conversion depth DURING the campaign instead of
+    * re-running the batch funnel per refresh. The state machine is
+    * exactly the batch default-mode kernel (advance iff the event is
+    * the expected next stage, strictly after the last match, inside
+    * the window anchored at the first head event) carried in 3 longs
+    * per user — never the event list; emissions are per-user current
+    * level (Update mode), so the latest row per user IS the funnel
+    * position. Drained-stream ≡ batch level histogram is spec-proven
+    * (the C21c discipline). Same cross-batch ordering contract as
+    * [[sessionizeStateful]]: events are sorted within a micro-batch;
+    * across batches per-user event-time order is assumed (feed
+    * watermark-ordered input when late data matters).
+    */
+  def funnelLevelsStateful(
+      spark: SparkSession,
+      events: DataFrame,
+      stages: Seq[String],
+      windowSec: Long
+  ): Dataset[FunnelOut] = {
+    import spark.implicits._
+    require(stages.length >= 2, "windowed funnel needs at least two stages")
+    require(windowSec > 0, s"window must be positive, got $windowSec")
+    val stageIdx = stages.zipWithIndex.toMap
+    val windowUs = windowSec * 1000000L
+    events
+      .as[Event]
+      .filter(e => stageIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) => {
+          def micros(t: Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          // tie order matches the batch kernel's pack sort: (us, stage)
+          val sorted = rows.toArray.sortBy(e => (micros(e.ts), stageIdx(e.event_type)))
+          var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            val s = stageIdx(e.event_type).toLong
+            if (s == st.lvl && st.lvl < stages.length &&
+              (st.lvl == 0L || (t > st.lastUs && t <= st.anchorUs + windowUs))) {
+              st = FunnelState(st.lvl + 1L, if (st.lvl == 0L) t else st.anchorUs, t)
+            }
+          }
+          state.update(st)
+          // anchored users re-emit their (possibly unchanged) level each
+          // batch they appear in — Update mode: latest row = position
+          if (st.lvl > 0L) Iterator.single(FunnelOut(userId, st.lvl)) else Iterator.empty
+        }
+      )
+  }
 }

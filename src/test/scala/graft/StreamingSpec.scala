@@ -162,6 +162,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed funnel: drained stream equals the batch level histogram across a batch boundary") {
+    val stages = Seq("view", "click", "purchase")
+    val ev = Catalog.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // two time-ordered slices: every chain straddling the midpoint must
+    // advance from state restored out of the store
+    val mid = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5, 10000)")).collect()(0).getLong(0)
+    val srcDir = tmpDir("graft_funnel_src")
+    ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.mode("append").parquet(srcDir)
+    val levels = IncrementalSync.funnelLevelsStateful(
+      spark, IncrementalSync.readEventStream(spark, srcDir), stages, windowSec = 21600L)
+    val q = levels.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      ev.filter(unix_micros(col("ts")) > mid).coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      // latest emission per user = final level (levels only grow)
+      val streamed = spark.table("funnel_out")
+        .groupBy("user_id").agg(max(col("level")).as("level"))
+        .groupBy("level").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val batch = graft.operators.Analytics
+        .funnelWindowLevels(ev, "user_id", "event_type", "ts", stages, windowSec = 21600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch.keySet.size > 1, "test data should spread users across levels")
+    } finally q.stop()
+  }
+
   test("stateful sessionization: session state carries across micro-batches, closes exactly once") {
     // stage the event log as TWO time-ordered slices written one at a
     // time, so every session straddling the midpoint must survive a
