@@ -58,7 +58,8 @@ object Bench {
     "dedup_incr_containment", "funnel_window_strict", "funnel_window_dedup",
     "text_gopher_gate", "dedup_keep_best",
     "sequence_match", "sequence_count", "text_kn_bigram", "holt_winters",
-    "segment_overlap", "mm_color_hist", "text_lm_incr"
+    "segment_overlap", "mm_color_hist", "text_lm_incr",
+    "token_drift", "text_watermark"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

@@ -1656,6 +1656,15 @@ object SparkEntry {
       // C97: interpolated Kneser-Ney bigram score — discounted MLE +
       // continuation-count back-off, exact integer ppm (D = 3/4)
       TextAnalysis.knBigramScore(t(s, d, "documents"), "doc_id", "text")),
+    "token_drift" -> ((s, d) =>
+      // C100: token-share drift between the even/odd doc-id snapshots —
+      // top movers by absolute ppm delta, one corpus scan
+      TextAnalysis.tokenDrift(t(s, d, "documents"), "doc_id", "text",
+        col("doc_id") % 2, topK = 30)),
+    "text_watermark" -> ((s, d) =>
+      // C101: green-list watermark detector — binomial test on the
+      // PRF-partitioned bigram stream, integer cross-multiplied z>4 flag
+      TextAnalysis.watermarkScore(t(s, d, "documents"), "doc_id", "text")),
     "domain_quality" -> ((s, d) =>
       // C78: per-domain curation report: size, short-doc share, and
       // corpus-global duplicate share attributed per domain
@@ -4123,6 +4132,40 @@ object SparkEntry {
         |       CAST(10000 * sum(CASE WHEN cb <= 2 THEN tf ELSE 0 END) // sum(tf) AS BIGINT) AS rare_bp
         |FROM tf JOIN cbt USING (bigram) JOIN cht ON string_split(bigram, ' ')[1] = cht.head
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // C100: deterministic top-k — terms are distinct, so ordering by
+    // (abs delta, term) is total; the delta expression repeats in the
+    // ORDER BY because SQL has no let
+    "token_drift" ->
+      """WITH tok AS (SELECT doc_id % 2 AS side,
+        |               unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS term
+        |             FROM documents),
+        |c AS (SELECT term,
+        |        CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |        CAST(sum(CASE WHEN side != 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |      FROM tok GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a, CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM c)
+        |SELECT term, cnt_a, cnt_b,
+        |  CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS share_a_ppm,
+        |  CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS share_b_ppm,
+        |  CAST(cnt_b * 1000000 // tot_b - cnt_a * 1000000 // tot_a AS BIGINT) AS delta_ppm
+        |FROM c, t
+        |ORDER BY abs(cnt_b * 1000000 // tot_b - cnt_a * 1000000 // tot_a) DESC, term
+        |LIMIT 30""".stripMargin,
+    // C101: same tokenization; the toy PRF and the integer z>4 rule
+    // mirror watermarkScore term for term
+    "text_watermark" ->
+      """WITH ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
+        |        CAST(coalesce(list_sum(list_transform(range(1, len(w)), i ->
+        |          CASE WHEN (31 * length(w[i]) + 17 * length(w[i+1])) % 4 = 0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_green
+        |      FROM ws)
+        |SELECT doc_id, n_bigrams, n_green,
+        |  CAST(10000 * n_green // n_bigrams AS BIGINT) AS green_bp,
+        |  CAST(10000 * n_green // n_bigrams - 2500 AS BIGINT) AS excess_bp,
+        |  CAST(CASE WHEN 4 * n_green > n_bigrams
+        |              AND (4 * n_green - n_bigrams) * (4 * n_green - n_bigrams) > 48 * n_bigrams
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM g WHERE n_bigrams > 0 ORDER BY doc_id""".stripMargin,
     // C97: same tokenization + tf/cb/ch CTEs as text_bigram_lm, plus
     // head-fertility (n1h), continuation (n1c), and distinct-bigram
     // counts; the ppm arithmetic mirrors knBigramScore term for term

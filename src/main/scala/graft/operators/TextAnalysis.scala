@@ -631,6 +631,86 @@ object TextAnalysis {
     index.unionByName(buildLmIndex(batch, idCol, textCol))
       .groupBy(col("hh"), col("th")).agg(sum(col("cb")).as("cb"))
 
+  /** C100: token-distribution drift between two corpus snapshots —
+    * the data-mix monitoring card ([[graft.operators.DataQuality]]'s
+    * numeric drift_report, lifted to the vocabulary): per token the
+    * ppm share in snapshot A vs snapshot B and the SIGNED share delta,
+    * top-k movers by absolute delta. A crawler config change, a new
+    * domain in the mix, or a dedup-threshold tweak shows up here as
+    * concrete tokens moving, not as an opaque divergence number —
+    * and the exact-ppm arithmetic keeps the card bit-reproducible
+    * (log-based KL is not, the C62 discipline).
+    *
+    * Plan: ONE corpus scan — the side flag rides the explode
+    * projection, per-(token, side) counts collapse map-side, side
+    * totals are a 2-row broadcast, top-k is TakeOrderedAndProject.
+    * Token strings DO cross the one exchange here (they are the
+    * output, vocabulary-cardinality — the same shape as
+    * text_topterms; the LM chains hash because their keys are
+    * join-internal).
+    */
+  def tokenDrift(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sideExpr: Column,
+      topK: Int = 30
+  ): DataFrame = {
+    val counts = df
+      .select(sideExpr.cast("long").as("side"), explode(words(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("side") === 0L, 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("side") =!= 0L, 1L).otherwise(0L)).as("cnt_b"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        expr("cnt_a * 1000000L DIV tot_a").as("share_a_ppm"),
+        expr("cnt_b * 1000000L DIV tot_b").as("share_b_ppm"))
+      .withColumn("delta_ppm", col("share_b_ppm") - col("share_a_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col("term"))
+      .limit(topK)
+  }
+
+  /** C101: green-list watermark detection (Kirchenbauer et al. 2023,
+    * "A Watermark for Large Language Models") — the synthetic-text
+    * screen a training-data pipeline runs so watermarked model output
+    * doesn't feed the next model: a keyed PRF of the PREVIOUS token
+    * partitions the vocabulary into green/red quarters, watermarked
+    * generators oversample green, and the detector is a one-sided
+    * binomial test on the observed green count. The PRF here is a
+    * deterministic stand-in over (|prev|, |cur|) word lengths —
+    * cross-engine exact; swap in the generator's real keyed hash for
+    * production (the detector math is PRF-agnostic). γ = 1/4, so
+    * under H₀ green_bp ≈ 2500; per doc: bigram count, green count,
+    * green share (bp), excess over expectation (bp), and the z > 4
+    * detection flag decided by INTEGER cross-multiplication —
+    * z = (4g − n)/√(3n) > 4 ⟺ 4g > n AND (4g − n)² > 48n — no
+    * float, no sqrt (the Gopher-gate discipline).
+    *
+    * Plan: one projection over the corpus scan (the bigram zip and
+    * the green fold are array expressions — nothing shuffles but the
+    * per-doc result rows).
+    */
+  def watermarkScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val greens = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (p, c) => when((length(p) * 31 + length(c) * 17) % 4 === 0, 1L).otherwise(0L))
+    df.select(col(idCol), (size(w) - 1).cast("long").as("n_bigrams"),
+        aggregate(greens, lit(0L), (acc, x) => acc + x).as("n_green"))
+      .filter(col("n_bigrams") > 0L)
+      .select(col(idCol), col("n_bigrams"), col("n_green"),
+        expr("10000 * n_green DIV n_bigrams").as("green_bp"),
+        expr("10000 * n_green DIV n_bigrams - 2500").as("excess_bp"),
+        expr("CAST(CASE WHEN 4 * n_green > n_bigrams AND " +
+          "(4 * n_green - n_bigrams) * (4 * n_green - n_bigrams) > 48 * n_bigrams " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("flagged"))
+      .orderBy(col(idCol))
+  }
+
   /** C92: CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3 —
     * the head/middle/tail split behind CCNet-derived corpora): per
     * DOMAIN, documents are cut at the 33rd/67th percentile of their

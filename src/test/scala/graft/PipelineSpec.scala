@@ -1020,6 +1020,32 @@ class PipelineSpec extends SparkSpec {
     assert(appended == rebuilt, s"append drifted from rebuild: ${appended.size} vs ${rebuilt.size}")
   }
 
+  test("tokenDrift: share deltas exact; movers ordered by absolute delta with term tiebreak") {
+    val d = Seq((0L, "x x y"), (2L, "x z"), (1L, "y y"), (3L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDrift(d, "doc_id", "text", col("doc_id") % 2, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // A (even ids): x3 y1 z1 of 5; B (odd): x1 y3 z1 of 5
+    // deltas: x -400000, y +400000, z 0 -> top-2 is x then y (term tiebreak)
+    assert(got.toSeq == Seq(
+      ("x", 3L, 1L, 600000L, 200000L, -400000L),
+      ("y", 1L, 3L, 200000L, 600000L, 400000L)), got.mkString(","))
+  }
+
+  test("watermarkScore: green PRF fold, excess and the integer z>4 flag; all-green doc flags at n>=6") {
+    val d = Seq(
+      (1L, "a b c d e f g"),    // 6 bigrams, all (1,1) -> green: 3+1=4%4=0; flagged
+      (2L, "aa bbb aa bbb"),    // (2,3)=9%4!=0, (3,2)=11%4!=0, (2,3) -> 0 green
+      (3L, "a b cc"),           // green + (3+2=5)%4!=0 -> 1 of 2
+      (4L, "solo")              // no bigrams: dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.watermarkScore(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 6L, 6L, 10000L, 7500L, 1L),  // (4*6-6)^2=324 > 48*6=288 -> z>4
+      (2L, 3L, 0L, 0L, -2500L, 0L),
+      (3L, 2L, 1L, 5000L, 2500L, 0L)), got.mkString(","))
+  }
+
   test("knBigramScore: hand-computed discount + continuation terms; per-head mass ~ 1e6") {
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo")).toDF("doc_id", "text")
     val got = TextAnalysis.knBigramScore(d, "doc_id", "text").collect()

@@ -697,6 +697,22 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.contains("text"), exchanges)
   }
 
+  test("token_drift: one-scan conditional counts folded into the checkpoint; totals broadcast; top-k TakeOrdered") {
+    val p = planOf("token_drift")
+    // the (term, side) counts crossed their exchange when the
+    // checkpoint materialized; totals are a 1-row broadcast
+    assert(count(p, "FileScan parquet") == 0, p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("text_watermark: pure projection — the PRF fold never shuffles") {
+    val p = planOf("text_watermark")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(count(p, "FileScan parquet") == 1, p.take(3000))
+  }
+
   test("text_lm_incr: probe joins keyed on the bigram hashes; no word strings across exchanges") {
     val p = planOf("text_lm_incr")
     assert(!p.contains("CartesianProduct"), p.take(3000))

@@ -17,7 +17,9 @@ import duckdb
 
 TIMEOUT = float(os.environ.get("CHECK_TIMEOUT", "0"))
 sf, out = sys.argv[1], sys.argv[2]
-only = set(x for x in sys.argv[3].split(",") if x) if len(sys.argv) > 3 else None
+# empty onlyCsv ("") means "no filter", NOT "check nothing" — it is the
+# placeholder slot when only skipCsv is being passed
+only = (set(x for x in sys.argv[3].split(",") if x) or None) if len(sys.argv) > 3 else None
 skip = set(x for x in sys.argv[4].split(",") if x) if len(sys.argv) > 4 else set()
 
 con = duckdb.connect()
