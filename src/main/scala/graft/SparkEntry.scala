@@ -606,6 +606,11 @@ object SparkEntry {
       // completions per user, 24h hop bound, match-count histogram
       Analytics.sequenceCountNonOverlap(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), gapSec = 86400L)),
+    "sequence_next_node" -> ((s, d) =>
+      // B90: CH sequenceNextNode pendant — the event right after each
+      // user's earliest view→click chain, users per next type
+      Analytics.sequenceNextNode(t(s, d, "events"), "user_id", "event_type", "ts", "event_id",
+        Seq("view", "click"))),
     "attribution_linear" -> ((s, d) =>
       // B79: linear multi-touch attribution — converted users' credit
       // split equally over all pre-conversion head-stage touches,
@@ -2819,6 +2824,18 @@ object SparkEntry {
         |              + (EXISTS(SELECT 1 FROM p WHERE p.user_id = u.user_id))::INT AS BIGINT) AS depth,
         |       count(*) AS n_users
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // B90: the chain CTEs are the funnel shape; the next event is the
+    // min (time, event_id, type) struct after t1 — struct min gives
+    // the deterministic lexicographic tiebreak in both engines
+    "sequence_next_node" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, min(CASE WHEN e.us > s0.t0 THEN e.us END) AS t1
+        |       FROM s0 JOIN e ON e.user_id = s0.user_id AND e.event_type = 'click' GROUP BY 1),
+        |nx AS (SELECT e.user_id, min(struct_pack(us := e.us, eid := e.event_id, et := e.event_type)) AS m
+        |       FROM e JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t1
+        |       GROUP BY 1)
+        |SELECT m.et AS next_type, count(*) AS n_users FROM nx GROUP BY 1 ORDER BY 1""".stripMargin,
     // B87: greedy non-overlapping count IS fold-order dependent — the
     // oracle replays the engine's feasibility-DP machine (f0, f1,
     // cnt; clear on completion) over the same (us asc, stage desc)

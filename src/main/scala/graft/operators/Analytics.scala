@@ -1090,6 +1090,55 @@ object Analytics {
       .limit(topK)
   }
 
+  /** B90: next-node distribution after a completed funnel prefix —
+    * the ClickHouse `sequenceNextNode` pendant and the last member of
+    * its event-pattern family here (windowFunnel B83-85, sequenceMatch
+    * B86, sequenceCount B87): for every user who completed
+    * stage₀ → stage₁ (earliest-anchor rule: t₀ = min stage₀ time,
+    * t₁ = min stage₁ time > t₀ — exactly the funnel chain), the
+    * single next event STRICTLY after t₁ — any type — with the
+    * deterministic (time, event_id) tiebreak; folded to a
+    * users-per-next-type histogram. This is the "what do users do
+    * after the conversion prefix" card: a spike in `error` after
+    * click is a product bug reading as analytics.  Users with no
+    * event after t₁ are absent (documented; a COALESCE row would
+    * claim knowledge of a next step that never happened).
+    *
+    * Plan: two keyed min-aggs for the chain (the funnelReached
+    * shape), one keyed join + filter for the post-t₁ stream, ONE
+    * keyed min-struct agg picks each user's next event (8+8+type
+    * bytes of state — never a per-user window), final fold is
+    * |event types| rows.
+    */
+  def sequenceNextNode(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      stages: Seq[String]
+  ): DataFrame = {
+    require(stages.length == 2, "sequenceNextNode pins a 2-stage prefix")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val s0 = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(us).as("t0"))
+    val s1 = events.filter(col(typeCol) === stages(1))
+      .select(col(userCol), us.as("__ts"))
+      .join(s0, Seq(userCol))
+      .groupBy(col(userCol))
+      .agg(min(when(col("__ts") > col("t0"), col("__ts"))).as("t1"))
+      .filter(col("t1").isNotNull)
+    events
+      .select(col(userCol), us.as("__ts"), col(idCol).as("__id"), col(typeCol).as("__et"))
+      .join(s1, Seq(userCol))
+      .filter(col("__ts") > col("t1"))
+      .groupBy(col(userCol))
+      .agg(min(struct(col("__ts"), col("__id"), col("__et"))).as("nxt"))
+      .groupBy(col("nxt.__et").as("next_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("next_type"))
+  }
+
   /** B89: audience-segment overlap matrix — the ClickHouse
     * bitmap-family use case (`groupBitmap` + `bitmapAndCardinality`
     * dashboards: "how much do my high-value click and purchase

@@ -544,6 +544,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(3L) == ((7500L, 0L)), s"user3 identity: ${r(3L)}")
   }
 
+  test("sequenceNextNode: next event after the earliest view->click chain; (time, id) tiebreak; silent users absent") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      // u1: chain completes at click@5; next is error@7
+      (1L, ts(0), 1L, "view"), (1L, ts(5), 2L, "click"), (1L, ts(7), 3L, "error"), (1L, ts(9), 4L, "purchase"),
+      // u2: chain completes but nothing follows -> absent
+      (2L, ts(0), 5L, "view"), (2L, ts(5), 6L, "click"),
+      // u3: click BEFORE the first view doesn't complete the chain;
+      //     t0=5, t1=7, next is signup@8
+      (3L, ts(0), 7L, "click"), (3L, ts(5), 8L, "view"), (3L, ts(7), 9L, "click"), (3L, ts(8), 10L, "signup"),
+      // u4: no click at all -> absent
+      (4L, ts(0), 11L, "view"),
+      // u5: two candidates at the same instant — event_id 9 < 10 wins
+      (5L, ts(0), 12L, "view"), (5L, ts(2), 13L, "click"),
+      (5L, ts(4), 20L, "error"), (5L, ts(4), 19L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.sequenceNextNode(events, "user_id", "event_type", "ts", "event_id",
+      Seq("view", "click")).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("error" -> 1L, "signup" -> 1L, "purchase" -> 1L), got.toString)
+  }
+
   test("segmentOverlap: full pair matrix with exact Jaccard; zero-overlap pairs present; threshold filters") {
     import spark.implicits._
     import graft.operators.Analytics

@@ -788,6 +788,13 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") <= 1, p.take(3000))
   }
 
+  test("sequence_next_node: keyed chain aggs + one keyed min-struct pick — no window, no cartesian") {
+    val p = planOf("sequence_next_node")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("sequence_match / sequence_count: the packed-fold shape — one user shuffle, no joins, no windows") {
     for (q <- Seq("sequence_match", "sequence_count")) {
       val p = planOf(q)
