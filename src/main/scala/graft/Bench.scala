@@ -96,7 +96,11 @@ object Bench {
     // min of N runs: the first pays one-time plan/codegen compilation,
     // later runs measure steady-state throughput (what a long-running
     // cluster job sees). Sub-second queries get a third run so one
-    // noisy-neighbor hiccup can't distort a number that small.
+    // noisy-neighbor hiccup can't distort a number that small, and any
+    // query whose two samples disagree by >25% gets a tie-breaking
+    // third — measured in-suite spread on >5s queries was ~2× (GC /
+    // neighbor pressure), which made per-decade scaling ratios
+    // environment-shaped rather than plan-shaped.
     val results = selected.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -108,14 +112,20 @@ object Bench {
       val t =
         if (cold >= 60.0) cold
         else {
-          val warm = math.min(cold, once())
-          if (warm < 1.0) math.min(warm, once()) else warm
+          val second = once()
+          val warm = math.min(cold, second)
+          if (warm < 1.0 || math.max(cold, second) > warm * 1.25)
+            math.min(warm, once())
+          else warm
         }
       // drop this query's internally-persisted frames (LSH buckets,
       // selection bases, ...): leaving ~100 queries' caches to fight
       // over executor memory evicts mid-measurement and makes later
       // queries pay eviction+respill instead of their own cost
       spark.catalog.clearCache()
+      // release the evicted blocks' heap before the next query starts
+      // timing — otherwise the next heavy pays THIS query's full GC
+      System.gc()
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

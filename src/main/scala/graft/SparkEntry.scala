@@ -922,7 +922,7 @@ object SparkEntry {
       // corpus text is never re-read at probe time
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       TextAnalysis.scoreAgainstLmIndex(
-        TextAnalysis.buildLmIndex(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text"),
+        TextAnalysis.buildLmIndex(docs.filter(col("doc_id") % 10 =!= 7), "text"),
         docs.filter(col("doc_id") % 10 === 7), "doc_id", "text")
     }),
     "dedup_incr_exact" -> ((s, d) => {
@@ -1256,8 +1256,11 @@ object SparkEntry {
       val dir = s"target/ivfpq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       Similarity.buildIvfPqIndexIfAbsent(s, e, "vec_id", "embedding", dim = 64,
         nClusters = 16, indexDir = dir, m = 8, kCodes = 64)
+      // nProbes=8/16 cells + shortlist=100: the RECALL_r10 curve's
+      // knee — refined recall@5 0.58→>=0.75 at sf0.1 for ~2× probe
+      // cost (still 1/2 the cells and a 100-row exact re-rank)
       Similarity.ivfPqTopKRefined(s, dir, e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
-        k = 5, nProbes = 4, shortlist = 50)
+        k = 5, nProbes = 8, shortlist = 100)
     }),
     "sim_topk_ivf_sq8" -> ((s, d) => {
       // C42: IVF-SQ8 — int8-quantized cell-partitioned index probe
@@ -2853,13 +2856,16 @@ object SparkEntry {
         |         CAST(0 AS BIGINT) AS f1, CAST(0 AS BIGINT) AS cnt
         |  FROM nu
         |  UNION ALL
+        |  -- state stores t+1 (the engine's zero-safe sentinel — an event
+        |  -- at exactly epoch 0 must not read as "unset"), so the raw hop
+        |  -- bound t' < t <= t'+gap becomes t >= f AND t <= f + gap - 1
         |  SELECT w.user_id, w.rn + 1,
-        |    CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us > w.f1 AND x.us <= w.f1 + 86400000000 THEN 0
-        |         WHEN x.s = 0 THEN x.us ELSE w.f0 END,
-        |    CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us > w.f1 AND x.us <= w.f1 + 86400000000 THEN 0
-        |         WHEN x.s = 1 AND w.f0 != 0 AND x.us > w.f0 AND x.us <= w.f0 + 86400000000 THEN x.us
+        |    CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us >= w.f1 AND x.us <= w.f1 + 86399999999 THEN 0
+        |         WHEN x.s = 0 THEN x.us + 1 ELSE w.f0 END,
+        |    CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us >= w.f1 AND x.us <= w.f1 + 86399999999 THEN 0
+        |         WHEN x.s = 1 AND w.f0 != 0 AND x.us >= w.f0 AND x.us <= w.f0 + 86399999999 THEN x.us + 1
         |         ELSE w.f1 END,
-        |    w.cnt + CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us > w.f1 AND x.us <= w.f1 + 86400000000
+        |    w.cnt + CASE WHEN x.s = 2 AND w.f1 != 0 AND x.us >= w.f1 AND x.us <= w.f1 + 86399999999
         |                 THEN 1 ELSE 0 END
         |  FROM walk w JOIN se x ON x.user_id = w.user_id AND x.rn = w.rn + 1
         |),
@@ -4168,14 +4174,24 @@ object SparkEntry {
         |FROM c, t
         |ORDER BY abs(cnt_b * 1000000 // tot_b - cnt_a * 1000000 // tot_a) DESC, term
         |LIMIT 30""".stripMargin,
-    // C101: same tokenization; the toy PRF and the integer z>4 rule
-    // mirror watermarkScore term for term
+    // C101: same tokenization; the keyed FNV-1a PRF over
+    // 'graft' || 0x01 || prev || 0x01 || cur (text_fingerprint's
+    // byte-fold, applied per bigram) and the integer z>4 rule mirror
+    // watermarkScore term for term
     "text_watermark" ->
       """WITH ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),
-        |g AS (SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS n_bigrams,
-        |        CAST(coalesce(list_sum(list_transform(range(1, len(w)), i ->
-        |          CASE WHEN (31 * length(w[i]) + 17 * length(w[i+1])) % 4 = 0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_green
-        |      FROM ws)
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+        |         'graft' || chr(1) || w[i] || chr(1) || w[i+1])) AS s FROM ws),
+        |h AS (SELECT doc_id, list_reduce(
+        |        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |          list_transform(range(1, octet_length(encode(s))+1), i ->
+        |            CAST(16*(strpos('0123456789ABCDEF', hx[2*i-1:2*i-1])-1)
+        |                  + (strpos('0123456789ABCDEF', hx[2*i:2*i])-1) AS HUGEINT))),
+        |        (acc, b) -> (xor(acc, b) * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)) AS hv
+        |      FROM (SELECT doc_id, s, hex(encode(s)) AS hx FROM bg) src),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        CAST(sum(CASE WHEN hv % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+        |      FROM h GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, n_green,
         |  CAST(10000 * n_green // n_bigrams AS BIGINT) AS green_bp,
         |  CAST(10000 * n_green // n_bigrams - 2500 AS BIGINT) AS excess_bp,

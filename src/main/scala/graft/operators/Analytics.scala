@@ -393,7 +393,19 @@ object Analytics {
     * sorted arrays — each event packs to ONE long ((us << 8) | stage
     * index), the fold is a codegen'd `aggregate` HOF over that long
     * array (state: 4 scalars), and nothing wider than 8 bytes/event
-    * crosses the exchange. Array length is bounded by a user's STAGE
+    * crosses the exchange.
+    *
+    * PACKED-FOLD FAMILY PRECONDITION (this, [[sequenceMatchDepth]],
+    * [[sequenceCountNonOverlap]], [[sequenceNextNode]]): event
+    * timestamps must be POST-EPOCH (us ≥ 0). The (us << 8) | stage
+    * pack sorts by the long's signed value, so a pre-1970 timestamp
+    * (negative us) would order before epoch but decode fine — the
+    * real hazard is us large enough that us << 8 overflows (year
+    * ~3128) or negative us interleaving with the t+1 "unset"
+    * sentinel arithmetic in the B86/B87 state. Event-stream
+    * timestamps are wall-clock capture times, so us ≥ 0 always holds
+    * in practice; feeding historical pre-epoch instants through
+    * these folds is out of contract. Array length is bounded by a user's STAGE
     * events inside the job's time span — the same per-user bound
     * sessionization carries; ClickHouse's own windowFunnel
     * materializes exactly this per-user event array.

@@ -552,6 +552,13 @@ object TextAnalysis {
       .localCheckpoint()
     val cb = tf.groupBy(col("hh"), col("th")).agg(sum(col("tf")).as("cb")).localCheckpoint()
     val nBigrams = cb.count()
+    // degenerate corpus (no doc has two words): nothing to score.
+    // Short-circuit rather than embed `DIV 0` into the P_cont
+    // expression — the joins below would produce zero rows anyway,
+    // but the plan should never carry a division by a zero literal.
+    if (nBigrams == 0L)
+      return tf.select(col(idCol), col("tf").as("n_bigrams"),
+        col("tf").as("kn_ppm"), col("tf").as("lambda_ppm")).limit(0)
     val ch = cb.groupBy(col("hh")).agg(sum(col("cb")).as("ch"), count(lit(1)).as("n1h"))
     val n1c = cb.groupBy(col("th")).agg(count(lit(1)).as("n1c"))
     tf.join(cb, Seq("hh", "th"))
@@ -579,7 +586,7 @@ object TextAnalysis {
     * totals roll up from the index at probe time (index-scale, never
     * corpus-scale).
     */
-  def buildLmIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def buildLmIndex(corpus: DataFrame, textCol: String): DataFrame = {
     val w = words(col(textCol))
     val heads = slice(w, lit(1), size(w) - 1)
     val tails = slice(w, lit(2), size(w) - 1)
@@ -627,8 +634,8 @@ object TextAnalysis {
     * ≡ buildLmIndex(corpus ∪ batch) row-for-row (spec-proven, the
     * probe-after-append ≡ rebuild contract).
     */
-  def updateLmIndex(index: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame =
-    index.unionByName(buildLmIndex(batch, idCol, textCol))
+  def updateLmIndex(index: DataFrame, batch: DataFrame, textCol: String): DataFrame =
+    index.unionByName(buildLmIndex(batch, textCol))
       .groupBy(col("hh"), col("th")).agg(sum(col("cb")).as("cb"))
 
   /** C100: token-distribution drift between two corpus snapshots —
@@ -664,10 +671,15 @@ object TextAnalysis {
         sum(when(col("side") =!= 0L, 1L).otherwise(0L)).as("cnt_b"))
       .localCheckpoint()
     val totals = counts.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+    // An empty side (all docs on one side of the split) yields
+    // share 0 for that side — defined behavior rather than NULL
+    // shares a downstream getLong would NPE on. The DuckDB twin
+    // requires both sides non-empty (`//` by zero errors there);
+    // the driver's doc_id % 2 split always satisfies it.
     counts.crossJoin(broadcast(totals))
       .select(col("term"), col("cnt_a"), col("cnt_b"),
-        expr("cnt_a * 1000000L DIV tot_a").as("share_a_ppm"),
-        expr("cnt_b * 1000000L DIV tot_b").as("share_b_ppm"))
+        expr("IF(tot_a = 0, 0L, cnt_a * 1000000L DIV tot_a)").as("share_a_ppm"),
+        expr("IF(tot_b = 0, 0L, cnt_b * 1000000L DIV tot_b)").as("share_b_ppm"))
       .withColumn("delta_ppm", col("share_b_ppm") - col("share_a_ppm"))
       .orderBy(abs(col("delta_ppm")).desc, col("term"))
       .limit(topK)
@@ -679,10 +691,14 @@ object TextAnalysis {
     * doesn't feed the next model: a keyed PRF of the PREVIOUS token
     * partitions the vocabulary into green/red quarters, watermarked
     * generators oversample green, and the detector is a one-sided
-    * binomial test on the observed green count. The PRF here is a
-    * deterministic stand-in over (|prev|, |cur|) word lengths —
-    * cross-engine exact; swap in the generator's real keyed hash for
-    * production (the detector math is PRF-agnostic). γ = 1/4, so
+    * binomial test on the observed green count. The PRF is the real
+    * thing: the suite's FNV-1a kernel ([[graft.functions.Fingerprint64]],
+    * DuckDB-oracle-matched byte-for-byte) over the detection key and
+    * the TOKEN IDENTITIES `key ∥ 0x01 ∥ prev ∥ 0x01 ∥ cur` — cur is
+    * green given prev iff the low two hash bits are zero, exactly the
+    * "hash of the previous token seeds the vocabulary partition"
+    * construction of the paper (§3, Algorithm 2), keyed so only the
+    * key holder can enumerate green lists. γ = 1/4, so
     * under H₀ green_bp ≈ 2500; per doc: bigram count, green count,
     * green share (bp), excess over expectation (bp), and the z > 4
     * detection flag decided by INTEGER cross-multiplication —
@@ -693,12 +709,20 @@ object TextAnalysis {
     * the green fold are array expressions — nothing shuffles but the
     * per-doc result rows).
     */
-  def watermarkScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def watermarkScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      key: String = "graft"
+  ): DataFrame = {
+    import graft.functions.Fingerprint64.fingerprint64
     val w = words(col(textCol))
     val greens = zip_with(
       slice(w, lit(1), size(w) - 1),
       slice(w, lit(2), size(w) - 1),
-      (p, c) => when((length(p) * 31 + length(c) * 17) % 4 === 0, 1L).otherwise(0L))
+      (p, c) => when(
+        (fingerprint64(concat(lit(key), lit("\u0001"), p, lit("\u0001"), c))
+          .bitwiseAND(3L)) === 0L, 1L).otherwise(0L))
     df.select(col(idCol), (size(w) - 1).cast("long").as("n_bigrams"),
         aggregate(greens, lit(0L), (acc, x) => acc + x).as("n_green"))
       .filter(col("n_bigrams") > 0L)

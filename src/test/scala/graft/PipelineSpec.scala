@@ -1002,7 +1002,7 @@ class PipelineSpec extends SparkSpec {
   test("lmIndex: batch scores from the persisted counts; novel text reports 0; append == rebuild") {
     val corpus = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     val batch = Seq((100L, "a b x"), (101L, "z q"), (102L, "b c")).toDF("doc_id", "text")
-    val idx = TextAnalysis.buildLmIndex(corpus, "doc_id", "text")
+    val idx = TextAnalysis.buildLmIndex(corpus, "text")
     val got = TextAnalysis.scoreAgainstLmIndex(idx, batch, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     // index: "a b" cb=2 (ch(a)=2), "b c" cb=1 (ch(b)=1)
@@ -1013,9 +1013,9 @@ class PipelineSpec extends SparkSpec {
       (101L, 1L, 0L, 0L),
       (102L, 1L, 10000L, 1000000L)), got.mkString(","))
     // append == rebuild, row for row
-    val appended = TextAnalysis.updateLmIndex(idx, batch, "doc_id", "text")
+    val appended = TextAnalysis.updateLmIndex(idx, batch, "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val rebuilt = TextAnalysis.buildLmIndex(corpus.unionByName(batch), "doc_id", "text")
+    val rebuilt = TextAnalysis.buildLmIndex(corpus.unionByName(batch), "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(appended == rebuilt, s"append drifted from rebuild: ${appended.size} vs ${rebuilt.size}")
   }
@@ -1031,19 +1031,71 @@ class PipelineSpec extends SparkSpec {
       ("y", 1L, 3L, 200000L, 600000L, 400000L)), got.mkString(","))
   }
 
-  test("watermarkScore: green PRF fold, excess and the integer z>4 flag; all-green doc flags at n>=6") {
-    val d = Seq(
-      (1L, "a b c d e f g"),    // 6 bigrams, all (1,1) -> green: 3+1=4%4=0; flagged
-      (2L, "aa bbb aa bbb"),    // (2,3)=9%4!=0, (3,2)=11%4!=0, (2,3) -> 0 green
-      (3L, "a b cc"),           // green + (3+2=5)%4!=0 -> 1 of 2
-      (4L, "solo")              // no bigrams: dropped
-    ).toDF("doc_id", "text")
-    val got = TextAnalysis.watermarkScore(d, "doc_id", "text")
+  /** The engine's green rule, replayed in plain Scala over the same
+    * FNV-1a kernel — the spec-side twin of watermarkScore's PRF.
+    */
+  private def wmGreen(key: String, prev: String, cur: String): Boolean =
+    (Fingerprint64.hash(s"$key\u0001$prev\u0001$cur".getBytes("UTF-8")) & 3L) == 0L
+
+  private def wmReplay(key: String, docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long, Long, Long)] =
+    docs.flatMap { case (id, t) =>
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      val n = (w.length - 1).toLong
+      if (n <= 0L) None
+      else {
+        val g = w.sliding(2).count(p => wmGreen(key, p.head, p(1))).toLong
+        val flag = if (4 * g > n && (4 * g - n) * (4 * g - n) > 48L * n) 1L else 0L
+        Some((id, n, g, 10000 * g / n, 10000 * g / n - 2500, flag))
+      }
+    }.sortBy(_._1)
+
+  test("watermarkScore: keyed FNV PRF matches a per-bigram Scala replay; zero-bigram docs dropped") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "aa bbb aa bbb"),
+      (3L, "a b cc"),
+      (4L, "solo") // no bigrams: dropped
+    )
+    val got = TextAnalysis.watermarkScore(docs.toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
-    assert(got.toSeq == Seq(
-      (1L, 6L, 6L, 10000L, 7500L, 1L),  // (4*6-6)^2=324 > 48*6=288 -> z>4
-      (2L, 3L, 0L, 0L, -2500L, 0L),
-      (3L, 2L, 1L, 5000L, 2500L, 0L)), got.mkString(","))
+    assert(got.toSeq == wmReplay("graft", docs), got.mkString(","))
+  }
+
+  test("watermarkScore: PRF-matched green-oversampled text flags at z>4; round-robin text stays clean") {
+    // A generator that KNOWS the key: at each step, scan the vocab
+    // from a rotating offset and emit the first GREEN continuation of
+    // the previous token (exactly Kirchenbauer's hard green-list
+    // sampling); every 10th step emits the first RED one so the text
+    // isn't degenerate. gamma=1/4 makes a green continuation exist in
+    // any 40-word vocab with overwhelming margin; the require() guards
+    // the staging assumption.
+    val key = "graft"
+    val vocab = (0 until 40).map(i => s"w$i")
+    val steps = 300
+    val wmTokens = scala.collection.mutable.ArrayBuffer("w0")
+    for (j <- 1 to steps) {
+      val prev = wmTokens.last
+      val wantGreen = j % 10 != 0
+      val rot = Iterator.range(0, vocab.size).map(k => vocab((j * 7 + k) % vocab.size))
+      val pick = rot.find(c => wmGreen(key, prev, c) == wantGreen)
+      require(pick.isDefined, s"no ${if (wantGreen) "green" else "red"} continuation of $prev")
+      wmTokens += pick.get
+    }
+    // clean text: same vocab, stride-7 round-robin — token choice
+    // never consults the PRF, so green incidence sits near gamma=1/4
+    val cleanTokens = (0 to steps).map(j => vocab(j * 7 % vocab.size))
+    val d = Seq((1L, wmTokens.mkString(" ")), (2L, cleanTokens.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.watermarkScore(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).sortBy(_._1)
+    val Seq((_, wmBp, wmFlag), (_, clBp, clFlag)) = got.toSeq
+    assert(wmFlag == 1L, s"watermarked text not flagged: green_bp=$wmBp")
+    assert(wmBp >= 8500L, s"generator should oversample green hard: $wmBp")
+    assert(clFlag == 0L, s"clean text falsely flagged: green_bp=$clBp")
+    // and the engine agrees with the replay on both staged docs
+    assert(
+      TextAnalysis.watermarkScore(d, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+        == wmReplay(key, Seq((1L, wmTokens.mkString(" ")), (2L, cleanTokens.mkString(" ")))))
   }
 
   test("knBigramScore: hand-computed discount + continuation terms; per-head mass ~ 1e6") {
