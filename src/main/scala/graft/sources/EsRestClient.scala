@@ -134,6 +134,65 @@ class EsRestClient(host: String, user: String = "", password: String = "") {
     total
   }
 
+  /** Open a point-in-time handle on `index` — ES 8's replacement for
+    * the scroll context (the public docs deprecate scroll for deep
+    * pagination): the PIT freezes a consistent searcher, pagination
+    * itself becomes stateless `search_after` cursors over
+    * `POST /_search`. Returns the PIT id.
+    */
+  def openPit(index: String, keepAlive: String = "5m"): String =
+    send("POST", s"/$index/_pit?keep_alive=$keepAlive", None).path("id").asText("")
+
+  /** Release a PIT (`DELETE /_pit` with the id in the body — the
+    * same DELETE-with-body shape as scroll cleanup).
+    */
+  def closePit(pitId: String): Unit =
+    send("DELETE", "/_pit", Some(s"""{"id":"$pitId"}"""))
+
+  /** The modern cursor loop: PIT + `search_after` pagination with the
+    * same page-streaming contract as [[scrollPages]] (one page on the
+    * driver at a time, cleanup in `finally`). Each page's body comes
+    * from [[EsSourceConfig.pitSearchBody]] — query + pit handle +
+    * deterministic (sortField, _shard_doc) order — with the previous
+    * page's last `sort` array as the cursor; the PIT id is re-read
+    * from every response (ES may refresh the handle). Because the PIT
+    * pins a snapshot, a SHORT page is definitive end-of-results (no
+    * empty-page round-trip needed); a full final page still costs one
+    * empty page, exactly like scroll. Returns documents fetched.
+    */
+  def pitSearchAfterPages(
+      index: String,
+      query: String,
+      size: Int,
+      sortField: String = "",
+      keepAlive: String = "5m")(
+      onPage: Seq[(String, String)] => Unit): Long = {
+    var pitId = openPit(index, keepAlive)
+    var searchAfter = ""
+    var total = 0L
+    try {
+      var done = false
+      while (!done) {
+        val body = EsSourceConfig.pitSearchBody(size, query, pitId, keepAlive, sortField, searchAfter)
+        val data = send("POST", "/_search", Some(body))
+        pitId = data.path("pit_id").asText(pitId)
+        val hits = data.path("hits").path("hits")
+        if (hits.size() == 0) done = true
+        else {
+          val page = (0 until hits.size()).map { i =>
+            val h = hits.get(i)
+            (h.path("_id").asText(""), om.writeValueAsString(h.path("_source")))
+          }
+          onPage(page)
+          total += page.size
+          searchAfter = om.writeValueAsString(hits.get(hits.size() - 1).path("sort"))
+          if (hits.size() < size) done = true
+        }
+      }
+    } finally if (pitId.nonEmpty) closePit(pitId)
+    total
+  }
+
   /** Convenience full fetch of one (driver-sized) index into a
     * DataFrame of (`_id`, `doc`) rows — compose with
     * `JsonIngest.parseAndFlatten` for the reference's flattened

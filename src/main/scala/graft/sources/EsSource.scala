@@ -117,4 +117,31 @@ object EsSourceConfig {
     */
   def fullSearchBody(scrollSize: Int): String =
     s"""{"size":$scrollSize,"query":{"match_all":{}}}"""
+
+  /** PIT + search_after page body — ES 8's replacement for the scroll
+    * cursor (scroll is deprecated for deep pagination; a point-in-time
+    * handle freezes the searcher and `search_after` carries an
+    * explicit cursor, so pagination is stateless server-side and
+    * restartable). Shape per the public Search-After/PIT docs:
+    * size + query + `pit:{id, keep_alive}` (PIT requests hit
+    * `POST /_search` with NO index in the path — the handle pins the
+    * index) + a DETERMINISTIC total order: the caller's time sort
+    * tie-broken by `_shard_doc`, ES's built-in unique PIT sort key.
+    * `searchAfter` is the previous page's last `sort` array verbatim;
+    * empty on page one.
+    */
+  def pitSearchBody(
+      size: Int,
+      query: String,
+      pitId: String,
+      keepAlive: String,
+      sortField: String = "",
+      searchAfter: String = ""
+  ): String = {
+    val sort =
+      if (sortField.nonEmpty) s"""[{"$sortField":"asc"},{"_shard_doc":"asc"}]"""
+      else """[{"_shard_doc":"asc"}]"""
+    val sa = if (searchAfter.nonEmpty) s""","search_after":$searchAfter""" else ""
+    s"""{"size":$size,"query":$query,"pit":{"id":"$pitId","keep_alive":"$keepAlive"},"sort":$sort$sa}"""
+  }
 }

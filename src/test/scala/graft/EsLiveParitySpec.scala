@@ -109,6 +109,55 @@ class EsLiveParitySpec extends SparkSpec {
     }
   }
 
+  test("PIT full sync: search_after pages stream in (ts,_shard_doc) order; wire bodies byte-exact; PIT closed") {
+    withStub { (stub, client, _) =>
+      val pages = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      val n = client.pitSearchAfterPages("logs_a", """{"match_all":{}}""", size = 3, sortField = "ts")(
+        p => pages += p.map(_._1))
+      assert(n == 7L)
+      // deterministic total order: pages 3/3/1, ids in ts order
+      assert(pages.toSeq == Seq(Seq("1", "2", "3"), Seq("4", "5", "6"), Seq("7")), pages.toString)
+      val reqs = stub.requests.toSeq
+      // protocol shape: one PIT open, search_after pagination over
+      // POST /_search (NO index in the path), one DELETE cleanup;
+      // the short final page ends the loop without an empty fetch
+      assert(reqs.count(r => r._1 == "POST" && r._2 == "/logs_a/_pit?keep_alive=5m") == 1, reqs)
+      assert(reqs.count(r => r._1 == "POST" && r._2 == "/_search") == 3, reqs)
+      assert(reqs.count(r => r._1 == "DELETE" && r._2 == "/_pit") == 1, reqs)
+      // byte-exact contract: page-1 body has no cursor, page-2 carries
+      // page-1's last sort values verbatim
+      val bodies = reqs.filter(r => r._1 == "POST" && r._2 == "/_search").map(_._3)
+      assert(bodies(0) == graft.sources.EsSourceConfig.pitSearchBody(
+        3, """{"match_all":{}}""", "pit-1", "5m", "ts"), bodies(0))
+      assert(bodies(1) == graft.sources.EsSourceConfig.pitSearchBody(
+        3, """{"match_all":{}}""", "pit-1", "5m", "ts", """["2024-01-03 00:00:00",3]"""), bodies(1))
+      assert(reqs.find(r => r._1 == "DELETE" && r._2 == "/_pit").get._3 == """{"id":"pit-1"}""")
+    }
+  }
+
+  test("PIT incremental: range DSL rides the pit body; snapshot isolation hides a mid-pagination insert") {
+    withStub { (stub, client, _) =>
+      val query = graft.sources.EsSourceConfig.incrementalQuery("ts", "2024-01-02 00:00:00")
+      val ids = scala.collection.mutable.ArrayBuffer[String]()
+      var inserted = false
+      val n = client.pitSearchAfterPages("logs_a", query, size = 2, sortField = "ts") { page =>
+        ids ++= page.map(_._1)
+        // a doc lands AFTER page one — inside the PIT's lifetime,
+        // matching the range filter, invisible by the PIT guarantee
+        if (!inserted) {
+          stub.addDoc("logs_a", "8", doc(8, 8, "late", "a9", 8))
+          inserted = true
+        }
+      }
+      assert(n == 5L)
+      assert(ids.toSeq == Seq("3", "4", "5", "6", "7"), ids.toString)
+      // a FRESH pit opened after the insert sees the new doc
+      val ids2 = scala.collection.mutable.ArrayBuffer[String]()
+      client.pitSearchAfterPages("logs_a", query, size = 10, sortField = "ts")(p => ids2 ++= p.map(_._1))
+      assert(ids2.toSeq == Seq("3", "4", "5", "6", "7", "8"), ids2.toString)
+    }
+  }
+
   test("incremental insert-or-update: dual-watermark should-query matches EITHER range") {
     withStub { (_, client, _) =>
       // ts > 01-05 catches ids 6,7; updated_at > 01-08 catches id 6

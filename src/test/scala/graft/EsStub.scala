@@ -24,12 +24,24 @@ import scala.collection.mutable
 class EsStub(indices: Map[String, Seq[String]], mappings: Map[String, String]) {
 
   private val om = new ObjectMapper()
-  private val docs: Map[String, Seq[(String, JsonNode)]] = indices.map { case (idx, rows) =>
-    idx -> rows.zipWithIndex.map { case (json, i) => ((i + 1).toString, om.readTree(json)) }
-  }
+  private val docs: mutable.Map[String, Seq[(String, JsonNode)]] = mutable.Map(
+    indices.map { case (idx, rows) =>
+      idx -> rows.zipWithIndex.map { case (json, i) => ((i + 1).toString, om.readTree(json)) }
+    }.toSeq: _*)
   private val scrolls = mutable.Map[String, mutable.Queue[Seq[(String, JsonNode)]]]()
+  // PIT id -> frozen doc snapshot (the consistency guarantee the spec proves)
+  private val pits = mutable.Map[String, Seq[(String, JsonNode)]]()
   private var nextScroll = 0
+  private var nextPit = 0
   val requests = mutable.ArrayBuffer[(String, String, String)]() // (method, path+query, body)
+
+  /** Live mutation between requests — lets a spec prove PIT snapshot
+    * isolation: a doc added mid-pagination must NOT appear in an open
+    * PIT but must appear to a later one.
+    */
+  def addDoc(index: String, id: String, json: String): Unit = docs.synchronized {
+    docs(index) = docs(index) :+ ((id, om.readTree(json)))
+  }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -80,6 +92,51 @@ class EsStub(indices: Map[String, Seq[String]], mappings: Map[String, String]) {
           val sid = om.readTree(body).path("scroll_id").asText("")
           scrolls.synchronized { scrolls.remove(sid) }
           respond(ex, 200, """{"succeeded":true,"num_freed":1}""")
+        case ("POST", p) if p.endsWith("/_pit") =>
+          val idx = p.stripPrefix("/").stripSuffix("/_pit")
+          docs.synchronized { docs.get(idx) } match {
+            case None => respond(ex, 404, s"""{"error":"no such index [$idx]"}""")
+            case Some(rows) =>
+              // the snapshot IS the guarantee: the Seq is immutable, so
+              // later addDoc calls can't leak into an open PIT
+              val sid = pits.synchronized { nextPit += 1; val s = s"pit-$nextPit"; pits(s) = rows; s }
+              respond(ex, 200, s"""{"id":"$sid"}""")
+          }
+        case ("DELETE", "/_pit") =>
+          val sid = om.readTree(body).path("id").asText("")
+          val existed = pits.synchronized { pits.remove(sid).isDefined }
+          respond(ex, 200, s"""{"succeeded":$existed,"num_freed":${if (existed) 1 else 0}}""")
+        case ("POST", "/_search") =>
+          // PIT search_after pagination: no index in the path — the
+          // pit handle pins the (frozen) index snapshot
+          val req = om.readTree(body)
+          val sid = req.path("pit").path("id").asText("")
+          pits.synchronized { pits.get(sid) } match {
+            case None => respond(ex, 404, """{"error":"pit not found"}""")
+            case Some(rows) =>
+              val size = req.path("size").asInt(10)
+              val matched = rows.filter { case (_, d) => matches(req.path("query"), d) }
+              val field = sortField(req).filterNot(_ == "_shard_doc")
+              def key(id: String, d: JsonNode): (String, Long) =
+                (field.map(f => d.path(f).asText("")).getOrElse(""), id.toLong)
+              val sorted = matched.sortBy { case (id, d) => key(id, d) }
+              val sa = req.path("search_after")
+              val after: Option[(String, Long)] =
+                if (sa.isArray && sa.size() > 0) {
+                  if (field.isDefined) Some((sa.get(0).asText(""), sa.get(1).asLong()))
+                  else Some(("", sa.get(0).asLong()))
+                } else None
+              val ord = implicitly[Ordering[(String, Long)]]
+              val remaining = after.fold(sorted)(a =>
+                sorted.dropWhile { case (id, d) => ord.lteq(key(id, d), a) })
+              val hits = remaining.take(size).map { case (id, d) =>
+                val k = key(id, d)
+                val sortJson =
+                  if (field.isDefined) s"""["${k._1}",${k._2}]""" else s"""[${k._2}]"""
+                s"""{"_id":"$id","_source":${om.writeValueAsString(d)},"sort":$sortJson}"""
+              }.mkString("[", ",", "]")
+              respond(ex, 200, s"""{"pit_id":"$sid","hits":{"hits":$hits}}""")
+          }
         case ("POST", p) if p.endsWith("/_search") =>
           val idx = p.stripPrefix("/").stripSuffix("/_search")
           docs.get(idx) match {

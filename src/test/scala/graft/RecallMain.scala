@@ -56,13 +56,13 @@ object RecallMain {
       ("sim_topk_lsh", "planes=8,tables=4,probeHamming=1", false, lsh(1)),
       ("sim_topk_lsh", "planes=8,tables=4,probeHamming=2", true, lsh(2)),
       ("sim_topk_ivf", "nClusters=16,nProbes=2", false, ivf(2)),
-      ("sim_topk_ivf", "nClusters=16,nProbes=4", true, ivf(4)),
-      ("sim_topk_ivf", "nClusters=16,nProbes=8", false, ivf(8)),
-      ("sim_topk_ivf_sq8", "nClusters=16,nProbes=4,shortlist=50", true, sq8(4, 50)),
-      ("sim_topk_ivf_sq8", "nClusters=16,nProbes=8,shortlist=100", false, sq8(8, 100)),
+      ("sim_topk_ivf", "nClusters=16,nProbes=4", false, ivf(4)),
+      ("sim_topk_ivf", "nClusters=16,nProbes=8", true, ivf(8)),
+      ("sim_topk_ivf_sq8", "nClusters=16,nProbes=4,shortlist=50", false, sq8(4, 50)),
+      ("sim_topk_ivf_sq8", "nClusters=16,nProbes=8,shortlist=100", true, sq8(8, 100)),
       ("sim_topk_pq", "m=8,kCodes=64,shortlist=25", false, pq(25)),
-      ("sim_topk_pq", "m=8,kCodes=64,shortlist=50", true, pq(50)),
-      ("sim_topk_pq", "m=8,kCodes=64,shortlist=100", false, pq(100)),
+      ("sim_topk_pq", "m=8,kCodes=64,shortlist=50", false, pq(50)),
+      ("sim_topk_pq", "m=8,kCodes=64,shortlist=100", true, pq(100)),
       ("sim_topk_ivfpq", "nClusters=16,nProbes=4,m=8,kCodes=64,shortlist=50", false, ivfpq(4, 50)),
       ("sim_topk_ivfpq", "nClusters=16,nProbes=8,m=8,kCodes=64,shortlist=100", true, ivfpq(8, 100)),
       ("sim_topk_ivfpq", "nClusters=16,nProbes=12,m=8,kCodes=64,shortlist=200", false, ivfpq(12, 200))
