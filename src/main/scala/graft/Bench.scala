@@ -59,7 +59,9 @@ object Bench {
     "text_gopher_gate", "dedup_keep_best",
     "sequence_match", "sequence_count", "text_kn_bigram", "holt_winters",
     "segment_overlap", "mm_color_hist", "text_lm_incr",
-    "token_drift", "text_watermark", "sequence_next_node"
+    "token_drift", "text_watermark", "sequence_next_node",
+    // round-10 additions
+    "text_bpe_tokens"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

@@ -1298,6 +1298,10 @@ object SparkEntry {
       TextAnalysis.gopherGate(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_stats" -> ((s, d) => TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_bpe_tokens" -> ((s, d) =>
+      // C102: REAL tokenizer counts — greedy longest-match over the
+      // embedded merge table, one trie-walk kernel per row, no shuffle
+      TextAnalysis.bpeTokenStats(t(s, d, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"), fingerprint64(col("text")).as("fp")).orderBy("doc_id")),
     "text_topterms" -> ((s, d) =>
@@ -3842,6 +3846,34 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text,'[^ ]+')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // C102: the greedy longest-match walk replayed as a recursive CTE —
+    // per (distinct word, position) the longest vocab match length is
+    // precomputed (codepoint substr = the kernel's codepoint cursor),
+    // then each word walks pos -> pos + match (else +1 fallback); the
+    // vocabulary is interpolated from TextAnalysis.BpeVocab so engine
+    // and oracle share one merge table by construction
+    "text_bpe_tokens" ->
+      s"""WITH RECURSIVE v AS (SELECT unnest([${graft.operators.TextAnalysis.BpeVocab.map(t => s"'$t'").mkString(",")}]) AS tok),
+        |ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w FROM documents),
+        |wd AS (SELECT doc_id, unnest(w) AS word FROM ws),
+        |uw AS (SELECT DISTINCT word FROM wd),
+        |pp AS (SELECT word, unnest(range(1, length(word)+1)) AS pos FROM uw),
+        |ml AS (SELECT p.word, p.pos, CAST(max(length(v.tok)) AS BIGINT) AS l
+        |       FROM pp p JOIN v ON substr(p.word, CAST(p.pos AS INT), length(v.tok)) = v.tok
+        |       GROUP BY 1, 2),
+        |walk AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS fb FROM uw
+        |  UNION ALL
+        |  SELECT w.word, w.pos + coalesce(m.l, 1), w.n + 1,
+        |         w.fb + CASE WHEN m.l IS NULL THEN 1 ELSE 0 END
+        |  FROM walk w LEFT JOIN ml m ON m.word = w.word AND m.pos = w.pos
+        |  WHERE w.pos <= length(w.word)),
+        |fin AS (SELECT word, n, fb FROM walk WHERE pos > length(word))
+        |SELECT wd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(f.n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(f.fb) AS BIGINT) AS fallback_cp
+        |FROM wd JOIN fin f USING (word)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "curate_corpus" ->
       """WITH RECURSIVE
         |n AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ') AS w FROM documents),

@@ -800,6 +800,39 @@ object VecOps {
   def trigram_profile_scores(text: Column, profiles: Seq[Seq[String]]): Column =
     ColumnBridge.column(TrigramProfileScores(ColumnBridge.expression(text), profiles))
 
+  def greedy_token_stats(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(GreedyTokenStats(ColumnBridge.expression(text), vocab))
+
+  /** Greedy longest-match tokenizer kernel over a NORMALIZED
+    * (lowercase, single-space) string: per word, repeatedly consume
+    * the longest vocabulary entry matching at the cursor (the merge-
+    * table lookup a real BPE tokenizer performs after training), else
+    * fall back to ONE code point = one token. Returns
+    * [n_words, n_tokens, fallback_cp]. One pass, one trie walk per
+    * token, no per-token allocation; code points (not Java chars)
+    * advance the cursor so multi-byte text agrees with DuckDB's
+    * codepoint-indexed `substr`. Vocabulary entries contain no
+    * spaces, so a match can never cross a word boundary.
+    */
+  def greedyTokenStats(u: org.apache.spark.unsafe.types.UTF8String, trie: TokenTrie): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val s = u.toString
+    var i = 0
+    var words = 1L
+    var tokens = 0L
+    var fb = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') { words += 1; i += 1 }
+      else {
+        val m = trie.longestMatch(s, i)
+        if (m > 0) { tokens += 1; i += m }
+        else { tokens += 1; fb += 1; i += Character.charCount(cp) }
+      }
+    }
+    new GenericArrayData(Array(words, tokens, fb))
+  }
+
   /** One code-point scan scoring a string against several trigram
     * profiles at once: every 3-code-point window packs into one Long
     * (21 bits/code point) and probes each profile's sorted pack array
@@ -2116,4 +2149,65 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.winnowFps($c, $k, $w)")
   override protected def withNewChildInternal(c: Expression): WinnowFps = copy(child = c)
+}
+
+/** Code-point trie for [[VecOps.greedyTokenStats]] — built once per
+  * expression instance from the vocabulary, walked once per emitted
+  * token. `longestMatch` returns the match length in Java CHARS (the
+  * cursor advance) while honoring code-point boundaries, so surrogate
+  * pairs are one fallback token, matching codepoint-indexed oracles.
+  */
+final class TokenTrie(vocab: Seq[String]) extends Serializable {
+  private final class Node extends Serializable {
+    val children = new java.util.HashMap[Integer, Node]()
+    var terminal = false
+  }
+  private val root = new Node
+  vocab.foreach { t =>
+    require(!t.contains(' ') && t.nonEmpty, s"vocab entry must be non-empty and space-free: '$t'")
+    var n = root
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      var child = n.children.get(cp)
+      if (child == null) { child = new Node; n.children.put(cp, child) }
+      n = child
+      i += Character.charCount(cp)
+    }
+    n.terminal = true
+  }
+
+  def longestMatch(s: String, start: Int): Int = {
+    var n = root
+    var j = start
+    var best = 0
+    var done = false
+    while (!done && j < s.length) {
+      val cp = s.codePointAt(j)
+      val child = n.children.get(cp)
+      if (child == null) done = true
+      else {
+        j += Character.charCount(cp)
+        n = child
+        if (n.terminal) best = j - start
+      }
+    }
+    best
+  }
+}
+
+case class GreedyTokenStats(child: Expression, vocab: Seq[String]) extends UnaryExpression {
+  @transient private lazy val trie: TokenTrie = new TokenTrie(vocab)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"greedy_token_stats needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.greedyTokenStats(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], trie)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenTrie", trie, "graft.functions.TokenTrie")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.greedyTokenStats($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): GreedyTokenStats = copy(child = c)
 }

@@ -368,6 +368,55 @@ object TextAnalysis {
     )
   }
 
+  /** The merge table for [[bpeTokenStats]] — a small public-style BPE
+    * vocabulary: high-frequency English subwords, affixes, and whole
+    * function words, the shape a trained merge table converges to
+    * (Sennrich et al. 2016). Multi-character entries only, so the
+    * fallback count is a real out-of-vocabulary signal. Single source
+    * of truth: the DuckDB oracle interpolates THIS list, so engine
+    * and oracle can never drift on vocabulary content.
+    */
+  val BpeVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tion", "ation", "ent", "ment", "ed", "er",
+    "est", "ly", "re", "un", "in", "on", "at", "or", "an", "en",
+    "es", "al", "ar", "is", "it", "of", "to", "as", "le", "se",
+    "ve", "de", "ra", "ro", "ri", "li", "la", "lo", "ne", "na",
+    "no", "ta", "te", "ti", "co", "con", "com", "per", "pro", "pre",
+    "sub", "ter", "ther", "ght", "ough", "ous", "ive", "ize", "able", "ness",
+    "less", "ful", "with", "for", "that", "this", "from", "have", "not", "are",
+    "was", "you", "all", "can", "has", "had", "but", "his", "her", "she")
+
+  /** C102: REAL tokenizer token counts — greedy longest-match over the
+    * [[BpeVocab]] merge table (the lookup phase of a trained BPE/
+    * WordPiece tokenizer; C10's `n_bpe_tokens` is a character-class
+    * regex APPROXIMATION of this count). Per doc: word count, token
+    * count, and the code points consumed by single-character fallback
+    * (the OOV signal — rising fallback_cp means the vocabulary no
+    * longer fits the feed). This is the count that actually prices
+    * sequence packing, chunking, and mixture budgets downstream.
+    *
+    * Semantics pinned for the oracle: normalize (lower, collapse ws),
+    * then per word repeatedly consume the LONGEST vocab entry matching
+    * at the cursor, else one CODE POINT (so multi-byte text agrees
+    * with DuckDB's codepoint `substr`); entries contain no spaces so
+    * a match never crosses a word. Greedy is not optimal and that is
+    * the contract: "them" → "the"+"m" (2), never "th"+"em".
+    *
+    * Plan: ONE projection — a single trie-walk kernel per row
+    * ([[graft.functions.VecOps.greedyTokenStats]]), no explode, no
+    * shuffle; the DuckDB twin replays the identical walk with a
+    * recursive CTE over per-(word,pos) match lengths.
+    */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.functions.VecOps.greedy_token_stats(Dedup.normalize(col(textCol)), BpeVocab)
+    df.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st").getItem(0).as("n_words"),
+        col("__st").getItem(1).as("n_tokens"),
+        col("__st").getItem(2).as("fallback_cp"))
+      .orderBy(col(idCol))
+  }
+
   /** C41: every term with corpus frequency >= minCount, EXACT counts,
     * via a Count-Min prefilter (see [[graft.functions.CountMin]]).
     * Pass 1 folds the exploded term stream into a 2 MB mergeable

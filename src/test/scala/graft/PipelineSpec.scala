@@ -1098,6 +1098,62 @@ class PipelineSpec extends SparkSpec {
         == wmReplay(key, Seq((1L, wmTokens.mkString(" ")), (2L, cleanTokens.mkString(" ")))))
   }
 
+  /** Spec-side replay of the greedy longest-match walk — independent
+    * code path (linear vocab scan vs the kernel's trie), same pinned
+    * semantics: codepoint cursor, longest entry wins, 1-cp fallback.
+    */
+  private def bpeReplay(text: String): (Long, Long, Long) = {
+    val words = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1).toSeq
+    var tokens = 0L
+    var fb = 0L
+    words.foreach { w =>
+      var i = 0
+      while (i < w.length) {
+        val m = TextAnalysis.BpeVocab
+          .filter(v => w.regionMatches(i, v, 0, v.length))
+          .map(_.length).maxOption.getOrElse(0)
+        if (m > 0) { tokens += 1; i += m }
+        else { tokens += 1; fb += 1; i += Character.charCount(w.codePointAt(i)) }
+      }
+    }
+    (words.length.toLong, tokens, fb)
+  }
+
+  private def bpeStats(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] =
+    TextAnalysis.bpeTokenStats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("bpeTokenStats: trie kernel matches an independent linear-scan replay; greedy is pinned") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "them through information"),
+      (3L, "internationalization considerations THEREFORE"),
+      (4L, ""))
+    val got = bpeStats(docs)
+    val exp = docs.map { case (id, t) => val (w, n, f) = bpeReplay(t); (id, w, n, f) }
+    assert(got == exp, got.mkString(","))
+    // greedy pinned: "them" -> "the"+"m" (2 tokens, 1 fallback cp),
+    // never the 2-token no-fallback "th"+"em" an optimal split finds
+    assert(bpeStats(Seq((9L, "them"))) == Seq((9L, 1L, 2L, 1L)))
+  }
+
+  test("bpeTokenStats: word-concat stability and codepoint fallback on multi-byte text") {
+    val a = "the rationalization"
+    val b = "per formation"
+    val Seq((_, wa, na, fa)) = bpeStats(Seq((1L, a)))
+    val Seq((_, wb, nb, fbb)) = bpeStats(Seq((2L, b)))
+    val Seq((_, wc, nc, fc)) = bpeStats(Seq((3L, s"$a $b")))
+    // tokenization is per-word, so joining docs with a space adds counts
+    assert((wc, nc, fc) == (wa + wb, na + nb, fa + fbb), s"($wc,$nc,$fc)")
+    // multi-byte: é / 你 / an astral emoji are ONE fallback code point
+    // each (the kernel advances by code points, like DuckDB substr)
+    val got = bpeStats(Seq((5L, "héllo 你好 🙂 naïve")))
+    val exp = Seq((5L, bpeReplay("héllo 你好 🙂 naïve")._1,
+      bpeReplay("héllo 你好 🙂 naïve")._2, bpeReplay("héllo 你好 🙂 naïve")._3))
+    assert(got == exp, got.mkString(","))
+    assert(got.head._2 == 4L, s"words: ${got.head}")
+  }
+
   test("knBigramScore: hand-computed discount + continuation terms; per-head mass ~ 1e6") {
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo")).toDF("doc_id", "text")
     val got = TextAnalysis.knBigramScore(d, "doc_id", "text").collect()

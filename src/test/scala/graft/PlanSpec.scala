@@ -713,6 +713,13 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "FileScan parquet") == 1, p.take(3000))
   }
 
+  test("text_bpe_tokens: one trie-walk projection — no shuffle, no explode-side exchange") {
+    val p = planOf("text_bpe_tokens")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(count(p, "FileScan parquet") == 1, p.take(3000))
+  }
+
   test("text_lm_incr: probe joins keyed on the bigram hashes; no word strings across exchanges") {
     val p = planOf("text_lm_incr")
     assert(!p.contains("CartesianProduct"), p.take(3000))
