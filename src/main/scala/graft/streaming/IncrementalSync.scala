@@ -216,6 +216,89 @@ object IncrementalSync {
       .dropDuplicatesWithinWatermark("id_a", "id_b")
   }
 
+  /** C21d: streaming perceptual-hash probe — the VISUAL signal for
+    * continuous ingest, closing the index-probe family (exact C21b,
+    * MinHash C21c, containment C21e): as image rows arrive, decode +
+    * aHash each (one per-row JVM pass — [[graft.operators.Multimodal
+    * .aHashOf]], the window/agg chain of the batch hasher is illegal
+    * on streams; hash equality is spec-pinned against the batch
+    * probe) and left-join the persisted phash index. Fully STATELESS:
+    * no watermark, no state store — the join is stream-static on the
+    * 16-char hash, output (id, ts, is_dup, dup_of) per arriving
+    * image, the [[dedupAgainstIndexStream]] contract on pixels.
+    * Same static-snapshot caveat as every C21 probe: fold processed
+    * batches in via Multimodal.updatePhashIndex and restart.
+    */
+  def phashAgainstIndexStream(
+      docs: DataFrame,
+      idCol: String,
+      binCol: String,
+      tsCol: String,
+      index: DataFrame
+  ): DataFrame = {
+    graft.operators.Multimodal.requirePhashIndex(index)
+    import docs.sparkSession.implicits._
+    val hashed = docs
+      .select(col(idCol).cast("long"), col(tsCol).cast("timestamp"), col(binCol))
+      .as[(Long, Timestamp, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, ts, bytes) =>
+        graft.operators.Multimodal.aHashOf(bytes).map(ph => (id, ts, ph))
+      })
+      .toDF(idCol, tsCol, "phash")
+    hashed
+      .join(index, Seq("phash"), "left")
+      .select(col(idCol), col(tsCol),
+        when(col("kept_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        col("kept_id").as("dup_of"))
+  }
+
+  /** C21e: streaming containment probe — the overlap/quotation signal
+    * for continuous ingest, against a persisted
+    * [[graft.operators.Dedup.buildContainmentIndex]] frame. The batch
+    * probe's prefix/positional/KMV machinery exists to avoid fetching
+    * full arrays for losing pairs; a stream can't re-join itself to
+    * fetch its own arrays back, so the streaming form computes the
+    * intersection WITHOUT arrays: explode the batch doc's shingle
+    * hashes (8 bytes each ride the exchange), equi-join the index's
+    * posting list, and COUNT matching hashes per (id_a, id_b) — both
+    * sides are distinct sets, so count(shared h) IS |∩| exactly, and
+    * cont = |∩| DIV min(|a|,|b|) reproduces the batch semantics
+    * (≥ τ·smaller, no size-ratio filter) pair for pair (spec-pinned).
+    * The candidate prune happens structurally: only co-occurring
+    * hashes join. State: one counter per candidate pair inside the
+    * watermark (the aggregation), two longs + counts — text and
+    * arrays never enter the state store. Batch/corpus id spaces must
+    * be disjoint (the [[nearDupAgainstIndexStream]] contract).
+    */
+  def containmentAgainstIndexStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      index: DataFrame,
+      n: Int = 3,
+      tauPct: Int = 80,
+      lateness: String = "1 hour"
+  ): DataFrame = {
+    import graft.operators.Dedup
+    val postings = docs
+      .select(col(idCol).cast("long").as("id_a"), col(tsCol),
+        array_sort(array_distinct(Dedup.shingleHashSet(col(textCol), n))).as("hs"))
+      .withColumn("na", size(col("hs")).cast("long"))
+      .select(col("id_a"), col(tsCol), col("na"), explode(col("hs")).as("h"))
+      .withWatermark(tsCol, lateness)
+    val idxPostings = index
+      .select(col("id").as("id_b"), col("nsh").as("nb"), explode(col("hs")).as("h"))
+    postings
+      .join(idxPostings, Seq("h"))
+      .groupBy(col(tsCol), col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i") * 100 >= least(col("na"), col("nb")) * tauPct)
+      .select(col("id_a"), col("id_b"),
+        floor(col("i") * lit(100.0) / least(col("na"), col("nb"))).as("cont_pct"),
+        col(tsCol))
+  }
+
   /** foreachBatch upsert into an UNPARTITIONED parquet target: merge
     * the micro-batch with the existing target by key (latest version
     * wins) and swap with checked renames (a failed swap restores the

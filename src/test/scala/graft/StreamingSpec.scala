@@ -513,6 +513,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static phash probe flags visual dups as images arrive; rows match the batch probe") {
+    import graft.operators.Multimodal
+    // ten distinct stripe visuals; corpus indexes patterns 0-4, the
+    // arriving batch carries all ten -> half dup, half new
+    val pats = Multimodal.encodeStagedPngStripes(spark,
+      (0 until 10).map(pk => (pk.toLong, 8 + (pk % 2) * 8, 8)).toDF("pk", "w", "h"),
+      "pk", "w", "h").select(col("pk"), col("png"))
+    val corpus = (1L to 5L).map(id => (id, id - 1)).toDF("doc_id", "pk").join(pats, "pk")
+    val idx = Multimodal.buildPhashIndex(spark, corpus, "doc_id", "png")
+    val batch = (101L to 110L).map(id => (id, id - 101)).toDF("doc_id", "pk").join(pats, "pk")
+      .withColumn("ts", lit(new java.sql.Timestamp(1700000000000L)))
+      .select("doc_id", "ts", "png")
+    val srcDir = tmpDir("graft_stream_ph_src")
+    batch.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema("doc_id BIGINT, ts TIMESTAMP, png BINARY")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IncrementalSync.phashAgainstIndexStream(stream, "doc_id", "png", "ts", idx)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ph_probe_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ph_probe_out")
+        .select("doc_id", "is_dup", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val batched = Multimodal.phashAgainstIndex(spark, batch.drop("ts"), "doc_id", "png", idx)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // the per-row JVM hasher and the declarative window+agg chain
+      // must agree hash for hash, or dup verdicts would differ here
+      assert(streamed == batched,
+        s"stream-only ${(streamed -- batched)}, batch-only ${(batched -- streamed)}")
+      // patterns 0-4 are in the index: those five MUST flag with the
+      // right canonical id; higher patterns may or may not alias at
+      // 8px stripe geometry (the batch probe is the arbiter above)
+      (101L to 105L).foreach(id =>
+        assert(streamed.contains((id, 1L, id - 100L)), s"$id should dup onto ${id - 100}: $streamed"))
+      assert(streamed.exists(_._2 == 0L), s"some pattern should be new: $streamed")
+    } finally q.stop()
+  }
+
+  test("stream-static containment probe: posting-join counts reproduce the batch pairs exactly") {
+    val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val idxDir = tmpDir("graft_stream_ct_idx")
+    graft.operators.Dedup.buildContainmentIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val t0 = 1700000000000L
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("ts", lit(new java.sql.Timestamp(t0)))
+    val srcDir = tmpDir("graft_stream_ct_src")
+    batch.repartition(3).write.mode("overwrite").parquet(srcDir)
+    // a later flush sentinel (unique gibberish, no shared shingles)
+    // advances the watermark past t0 so the pair counters close —
+    // group-by aggregation on a stream only EMITS at watermark expiry
+    Seq((999999L, "qqqxyzzy wubbalub frobnic glorpty snarfle blintzer",
+        new java.sql.Timestamp(t0 + 3L * 3600 * 1000)))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IncrementalSync.containmentAgainstIndexStream(stream, "doc_id", "text", "ts", idx)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ct_probe_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ct_probe_out")
+        .select("id_a", "id_b", "cont_pct").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batched = graft.operators.Dedup
+        .containmentAgainstIndex(batch.drop("ts"), "doc_id", "text", idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batched.nonEmpty, "fixture should contain cross containment pairs")
+      assert(streamed == batched,
+        s"stream-only ${(streamed -- batched).size}, batch-only ${(batched -- streamed).size}")
+      // one counter per pair: the aggregation can never emit duplicates
+      assert(spark.table("ct_probe_out").count() == streamed.size)
+    } finally q.stop()
+  }
+
   test("stream-static MinHash probe finds near-dups as docs arrive; pairs match the batch probe") {
     val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
