@@ -21,14 +21,20 @@ rows_only = [x for x in os.environ.get("ROWS_ONLY", "").split(",") if x]
 
 queries = {}
 totals = {"pass": 0, "oracle_timeout": 0, "oracle_skipped": 0, "rows_only": 0, "fail": 0}
-pat = re.compile(r"^(PASS|FAIL|TIMEOUT|SKIP) (\S+?):\s*(.*)$")
+pat = re.compile(r"^(PASS|FAIL|TIMEOUT|SKIP|SAMPLED) (\S+?):\s*(.*)$")
+sampled = {}
 for log in logs:
     for line in open(log):
         m = pat.match(line.strip())
         if not m:
             continue
         verdict, name, rest = m.groups()
-        if verdict == "PASS":
+        if verdict == "SAMPLED":
+            # replica-0 slice of the big-SF engine run vs the full
+            # sf0.1 oracle (tools/sampled_check.py) — recorded as an
+            # extra field on the skip row, not a status of its own
+            sampled[name] = rest[:200]
+        elif verdict == "PASS":
             entry = {"status": "pass"}
             rm = re.match(r"(\d+) rows", rest)
             if rm:
@@ -42,8 +48,13 @@ for log in logs:
             queries[name] = {"status": "fail", "note": rest[:160]}
 for name in rows_only:
     queries[name] = {"status": "rows_only", "note": "approximate ANN by design; recall-property-tested in ScaleSpec"}
+for name, note in sampled.items():
+    if name in queries:
+        queries[name]["sampled_check"] = note
 for q in queries.values():
     totals[q["status"]] += 1
+totals["sampled_pass"] = sum(1 for q in queries.values()
+                             if str(q.get("sampled_check", "")).startswith("pass"))
 totals = {k: v for k, v in totals.items() if v}
 art = {"sf": int(sf), "data": data_note, "check": check_note, "totals": totals,
        "queries": dict(sorted(queries.items()))}
