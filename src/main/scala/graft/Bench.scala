@@ -61,7 +61,7 @@ object Bench {
     "segment_overlap", "mm_color_hist", "text_lm_incr",
     "token_drift", "text_watermark", "sequence_next_node",
     // round-10 additions
-    "text_bpe_tokens"
+    "text_bpe_tokens", "pack_sequences_bpe"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

@@ -1487,6 +1487,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("shard"), col("pack_id"))
     }),
+    "pack_sequences_bpe" -> ((s, d) => {
+      // C103: sequence packing priced by the REAL tokenizer count
+      // (C102's trie kernel) instead of the whitespace proxy — the
+      // budget that actually fills a training context window; same
+      // one-window plan as pack_sequences, the count rides the scan
+      val st = graft.functions.VecOps.greedy_token_stats(
+        graft.operators.Dedup.normalize(col("text")), TextAnalysis.BpeVocab)
+      Curation.packSequences(t(s, d, "documents"), "doc_id", st.getItem(1), budget = 512L, shards = 8)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("shard"), col("pack_id"))
+    }),
     "chunk_overlap" -> ((s, d) =>
       // C67: overlapping 64-token chunks at stride 48 (16-token
       // overlap), identified by content hash — zero-shuffle projection
@@ -3996,6 +4008,30 @@ object SparkEntry {
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS n_tokens,
         |                  doc_id % 8 AS shard FROM documents),
+        |c AS (SELECT shard, doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)
+        |SELECT shard, CAST(floor(prev/512) AS BIGINT) AS pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // C103: text_bpe_tokens' recursive walk supplies n_tokens, then
+    // the identical packing CTEs as pack_sequences
+    "pack_sequences_bpe" ->
+      s"""WITH RECURSIVE v AS (SELECT unnest([${graft.operators.TextAnalysis.BpeVocab.map(t => s"'$t'").mkString(",")}]) AS tok),
+        |ws AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ') AS w FROM documents),
+        |wd AS (SELECT doc_id, unnest(w) AS word FROM ws),
+        |uw AS (SELECT DISTINCT word FROM wd),
+        |pp AS (SELECT word, unnest(range(1, length(word)+1)) AS pos FROM uw),
+        |ml AS (SELECT p.word, p.pos, CAST(max(length(v.tok)) AS BIGINT) AS l
+        |       FROM pp p JOIN v ON substr(p.word, CAST(p.pos AS INT), length(v.tok)) = v.tok
+        |       GROUP BY 1, 2),
+        |walk AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n FROM uw
+        |  UNION ALL
+        |  SELECT w.word, w.pos + coalesce(m.l, 1), w.n + 1
+        |  FROM walk w LEFT JOIN ml m ON m.word = w.word AND m.pos = w.pos
+        |  WHERE w.pos <= length(w.word)),
+        |fin AS (SELECT word, n FROM walk WHERE pos > length(word)),
+        |t AS (SELECT wd.doc_id, CAST(sum(f.n) AS BIGINT) AS n_tokens, wd.doc_id % 8 AS shard
+        |      FROM wd JOIN fin f USING (word) GROUP BY wd.doc_id),
         |c AS (SELECT shard, doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)
         |SELECT shard, CAST(floor(prev/512) AS BIGINT) AS pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens

@@ -24,9 +24,12 @@ reason:
   cluster ids/membership legitimately differ across scales; the
   tau-pair semantics are sampled via dedup_embedding.
 
-Usage: sampled_check.py <baseSfDir(sf0.1)> <bigDumpDir> [q1,q2,...]
+Usage: sampled_check.py <baseSfDir(sf0.1)> <dump1>[,dump2,...] [q1,q2,...]
 Emits "SAMPLED <name>: pass (N rows)" / "SAMPLED <name>: fail ..." /
-"SAMPLED <name>: n/a (...)" lines for assemble_scale_artifact.py.
+"SAMPLED <name>: n/a (...)" lines for assemble_scale_artifact.py, one
+block per dump (prefixed "## <dump>"). The sf0.1 oracle result is
+computed ONCE per query and reused across dumps — the text all-pairs
+oracles cost ~8 min each at 5000 docs, the whole point of sampling.
 """
 import glob
 import json
@@ -59,49 +62,68 @@ NA = {
                       "across scales by design); tau-pair semantics sampled via dedup_embedding",
 }
 
-base, dump = sys.argv[1], sys.argv[2]
+import time
+
+base, dumps = sys.argv[1], sys.argv[2].split(",")
 queries = sys.argv[3].split(",") if len(sys.argv) > 3 else sorted(set(RESTRICT) | set(NA))
 
 con = duckdb.connect()
 for p in glob.glob(f"{base}/*.parquet"):
     name = os.path.basename(p)[: -len(".parquet")]
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
-oracle = json.load(open(f"{dump}/oracle_sql.json"))
+oracle = json.load(open(f"{dumps[0]}/oracle_sql.json"))
 
 fails = 0
-for q in queries:
-    if q in NA:
-        print(f"SAMPLED {q}: n/a ({NA[q]})")
-        continue
-    if q not in RESTRICT:
-        print(f"SAMPLED {q}: fail (no restriction rule)"); fails += 1
-        continue
-    resdir = f"{dump}/{q}"
-    if not os.path.isdir(resdir):
-        print(f"SAMPLED {q}: fail (no engine dump)"); fails += 1
-        continue
-    try:
-        pred = " AND ".join(f'"{c}" < {OFF}' for c in RESTRICT[q])
-        got = con.sql(f"SELECT * FROM '{resdir}/*.parquet' WHERE {pred}")
+cached = {}  # query -> (cols, sorted oracle rows)
+
+
+def oracle_rows(q):
+    if q not in cached:
+        t0 = time.time()
         exp = con.sql(oracle[q])
-        gcols, ecols = sorted(got.columns), sorted(exp.columns)
-        if gcols != ecols:
-            print(f"SAMPLED {q}: fail (columns {gcols} vs {ecols})"); fails += 1
+        cols = sorted(exp.columns)
+        sel = ", ".join(f'"{c}"' for c in cols)
+        rows = con.sql(f"SELECT {sel} FROM exp ORDER BY ALL").fetchall()
+        print(f"# oracle {q}: {len(rows)} rows in {time.time() - t0:.0f}s", flush=True)
+        cached[q] = (cols, rows)
+    return cached[q]
+
+
+for dump in dumps:
+    print(f"## {dump}", flush=True)
+    for q in queries:
+        if q in NA:
+            print(f"SAMPLED {q}: n/a ({NA[q]})", flush=True)
             continue
-        sel = ", ".join(f'"{c}"' for c in gcols)
-        grows = con.sql(f"SELECT {sel} FROM got ORDER BY ALL").fetchall()
-        erows = con.sql(f"SELECT {sel} FROM exp ORDER BY ALL").fetchall()
-        if grows == erows and grows:
-            print(f"SAMPLED {q}: pass ({len(grows)} rows)")
-        elif grows == erows:
-            print(f"SAMPLED {q}: fail (vacuous: zero rows on both sides)"); fails += 1
-        else:
-            fails += 1
-            print(f"SAMPLED {q}: fail ({len(grows)} vs {len(erows)} rows)")
-            diff = [(a, b) for a, b in zip(grows, erows) if a != b]
-            for a, b in diff[:3]:
-                print(f"   engine: {a}\n   oracle: {b}")
-    except Exception as e:
-        print(f"SAMPLED {q}: fail ({e})"); fails += 1
+        if q not in RESTRICT:
+            print(f"SAMPLED {q}: fail (no restriction rule)", flush=True); fails += 1
+            continue
+        resdir = f"{dump}/{q}"
+        if not os.path.isdir(resdir):
+            print(f"SAMPLED {q}: fail (no engine dump)", flush=True); fails += 1
+            continue
+        try:
+            ecols, erows = oracle_rows(q)
+            pred = " AND ".join(f'"{c}" < {OFF}' for c in RESTRICT[q])
+            got = con.sql(f"SELECT * FROM '{resdir}/*.parquet' WHERE {pred}")
+            if sorted(got.columns) != ecols:
+                print(f"SAMPLED {q}: fail (columns {sorted(got.columns)} vs {ecols})", flush=True)
+                fails += 1
+                continue
+            sel = ", ".join(f'"{c}"' for c in ecols)
+            grows = con.sql(f"SELECT {sel} FROM got ORDER BY ALL").fetchall()
+            if grows == erows and grows:
+                print(f"SAMPLED {q}: pass ({len(grows)} rows)", flush=True)
+            elif grows == erows:
+                print(f"SAMPLED {q}: fail (vacuous: zero rows on both sides)", flush=True)
+                fails += 1
+            else:
+                fails += 1
+                print(f"SAMPLED {q}: fail ({len(grows)} vs {len(erows)} rows)", flush=True)
+                diff = [(a, b) for a, b in zip(grows, erows) if a != b]
+                for a, b in diff[:3]:
+                    print(f"   engine: {a}\n   oracle: {b}", flush=True)
+        except Exception as e:
+            print(f"SAMPLED {q}: fail ({e})", flush=True); fails += 1
 
 sys.exit(1 if fails else 0)
