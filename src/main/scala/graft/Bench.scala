@@ -125,9 +125,11 @@ object Bench {
       // over executor memory evicts mid-measurement and makes later
       // queries pay eviction+respill instead of their own cost
       spark.catalog.clearCache()
-      // release the evicted blocks' heap before the next query starts
-      // timing — otherwise the next heavy pays THIS query's full GC
-      System.gc()
+      // NO System.gc() here: measured round-10, a forced full GC per
+      // query made the NEXT query's runs uniformly ~0.7-1.9s slower
+      // (heap uncommit / re-commit after the full collection) —
+      // +35s across the 218-query suite at sf0.1. The tie-breaking
+      // third run above is the variance guard; the GC was a trap.
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
