@@ -98,11 +98,14 @@ object Bench {
     // min of N runs: the first pays one-time plan/codegen compilation,
     // later runs measure steady-state throughput (what a long-running
     // cluster job sees). Sub-second queries get a third run so one
-    // noisy-neighbor hiccup can't distort a number that small, and any
-    // query whose two samples disagree by >25% gets a tie-breaking
-    // third — measured in-suite spread on >5s queries was ~2× (GC /
-    // neighbor pressure), which made per-decade scaling ratios
-    // environment-shaped rather than plan-shaped.
+    // noisy-neighbor hiccup can't distort a number that small. The
+    // noise tie-break deliberately does NOT compare warm vs cold —
+    // cold includes compilation and exceeds warm*1.25 almost always,
+    // which would silently make this min-of-3 for every query (a
+    // measured systematic bench-time increase, not a variance guard).
+    // Instead the third run fires only when the WARM sample itself is
+    // suspect: slower than the cold run (steady state can't cost more
+    // than compile+run, so the warm sample hit GC/neighbor noise).
     val results = selected.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -116,7 +119,7 @@ object Bench {
         else {
           val second = once()
           val warm = math.min(cold, second)
-          if (warm < 1.0 || math.max(cold, second) > warm * 1.25)
+          if (warm < 1.0 || second > cold)
             math.min(warm, once())
           else warm
         }

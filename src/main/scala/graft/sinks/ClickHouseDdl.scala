@@ -130,6 +130,27 @@ object ClickHouseDdl {
   def insertSyncStateSqlCh(db: String, stateTable: String = "_sync_state"): String =
     insertSql(db, stateTable, Seq("table_name", "last_sync_time", "last_update_time", "sync_count"))
 
+  /** ES-variant watermark read — the dual-watermark pendant of
+    * [[lastSyncTimeSql]] against the INDEX-keyed state table
+    * ([[syncStateTableSql]]): max over both STRING watermark columns
+    * (ISO times compare lexicographically), restricted to one index
+    * (es_to_bytehouse.py:429-460 `get_last_sync_time` /
+    * `get_last_update_time`).
+    */
+  def lastSyncTimeSqlEs(db: String, index: String, stateTable: String = "_sync_state"): String =
+    s"SELECT max(`last_sync_time`), max(`last_update_time`) FROM `$db`.`${Flatten.sanitizeName(stateTable)}` " +
+      s"WHERE `index_name` = '${index.replace("\\", "\\\\").replace("'", "\\'")}'"
+
+  /** ES-variant state append (es_to_bytehouse.py:740-760
+    * `update_sync_state`): full bookkeeping row — index, target table,
+    * both detected time fields, both watermarks, row count; the
+    * `updated_at` version column takes its server default.
+    */
+  def insertSyncStateSqlEs(db: String, stateTable: String = "_sync_state"): String =
+    insertSql(db, stateTable, Seq(
+      "index_name", "table_name", "time_field", "update_time_field",
+      "last_sync_time", "last_update_time", "last_sync_count"))
+
   def insertSql(db: String, table: String, columns: Seq[String]): String = {
     val cols = columns.map(c => s"`${Flatten.sanitizeName(c)}`").mkString(", ")
     s"INSERT INTO `$db`.`${Flatten.sanitizeName(table)}` ($cols) VALUES"

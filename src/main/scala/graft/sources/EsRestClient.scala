@@ -189,7 +189,16 @@ class EsRestClient(host: String, user: String = "", password: String = "") {
           if (hits.size() < size) done = true
         }
       }
-    } finally if (pitId.nonEmpty) closePit(pitId)
+    } finally if (pitId.nonEmpty) {
+      // cleanup must not mask the original pagination failure: a PIT
+      // that already expired server-side makes closePit's send()
+      // throw on the non-2xx, which would replace the real exception
+      try closePit(pitId)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[es] closePit failed (ignored): ${e.getMessage}")
+      }
+    }
     total
   }
 

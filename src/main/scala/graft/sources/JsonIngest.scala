@@ -64,15 +64,21 @@ object JsonIngest {
     * (mongodb_to_bytehouse.py:133, 372): stamp every ingested row with
     * the sync time as a `_timestamp` column.
     */
+  /** `schemaOverride` bypasses the cached inference — callers feeding
+    * driver-built frames (wire-client pages, which have no file
+    * fingerprint for the cache key) pass a per-batch schema so two
+    * same-shaped batches can never share a stale inferred schema.
+    */
   def parseAndFlatten(
       spark: SparkSession,
       df: DataFrame,
       jsonCol: String,
       sample: Int = 5000,
       keepSource: Boolean = false,
-      addTimestampUs: Option[Long] = None
+      addTimestampUs: Option[Long] = None,
+      schemaOverride: Option[StructType] = None
   ): DataFrame = {
-    val schema = inferSchema(spark, df, jsonCol, sample)
+    val schema = schemaOverride.getOrElse(inferSchema(spark, df, jsonCol, sample))
     val withSource = if (keepSource) df.withColumn("_source", col(jsonCol)) else df
     val parsed = withSource.withColumn(jsonCol, from_json(col(jsonCol), schema))
     val flat = Flatten.flatten(parsed)

@@ -1,0 +1,193 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.operators.{Incremental, TypeMapper}
+import graft.sinks.{BatchedUpsertWriter, ChHttpClient, ClickHouseDdl}
+import graft.sources.{EsRestClient, EsSourceConfig, JsonIngest}
+
+/** The reference's DEFINING job, composed end-to-end over live wire
+  * clients: Elasticsearch in, ClickHouse out, `_sync_state` kept in
+  * the target — `run()` in es_to_bytehouse.py:782-823 (discover →
+  * map → DDL → full sync → incremental forever), re-expressed over
+  * [[graft.sources.EsRestClient]] (scroll or ES 8 PIT pagination) and
+  * [[graft.sinks.BatchedUpsertWriter]] +
+  * [[graft.sinks.ChHttpBatchExecutor]] (partition-parallel batched
+  * INSERT with row-at-a-time fallback). Every per-side component was
+  * already live-protocol-proven (`EsLiveParitySpec`,
+  * `ChLiveParitySpec`); this object is the composition — ONE auto-mode
+  * pass per call, exactly the reference's loop body.
+  *
+  * Auto mode per index (es_to_bytehouse.py:843-868 + 429-460): no
+  * `_sync_state` row → full sync (match_all); watermarks present →
+  * incremental with the insert-or-update OR-query (create-time range
+  * OR update-time range, `minimum_should_match: 1`) sorted ascending
+  * on the create-time field so a crash resumes from a monotone
+  * watermark. Indices with no detectable time field fall back to a
+  * full re-sync every pass, like the reference warns-and-does.
+  *
+  * Data model is the reference's all-String surface
+  * (es_to_bytehouse.py:166-188): `_id` + every flattened mapping field
+  * as Nullable(String), with `_timestamp` taking its server-side
+  * `now64(3)` DEFAULT. Watermarks are ISO strings compared
+  * lexicographically — max() in the state read IS the newest row.
+  *
+  * Scale note: pages stream through the driver (the protocol-parity
+  * read; bulk movement at warehouse scale is the es-hadoop
+  * partition-per-shard reader, [[graft.sources.EsSourceConfig.reader]])
+  * but the WRITE side is the production path — the conformed frame is
+  * repartitioned and every Spark partition drives its own HTTP batch
+  * executor, so target throughput scales with executor count.
+  */
+object WireSync {
+
+  /** One index's pass outcome. `rows` counts rows LANDED (batch +
+    * fallback survivors); `failedRows` rows lost to per-row failures.
+    */
+  case class PassResult(
+      index: String,
+      table: String,
+      mode: String, // "full" | "incremental"
+      rows: Long,
+      fallbackRows: Long,
+      failedRows: Long,
+      timeField: String,
+      updateTimeField: String,
+      lastSyncTime: String,
+      lastUpdateTime: String)
+
+  /** Target bootstrap, reference order (es_to_bytehouse.py:401-427):
+    * database, then the index-keyed `_sync_state` table. Idempotent
+    * (IF NOT EXISTS on both).
+    */
+  def bootstrap(ch: ChHttpClient, db: String): Unit =
+    ClickHouseDdl.bootstrapSql(db).foreach(ch.execute)
+
+  /** One auto-mode sweep over every index matching the configured
+    * pattern — the loop body of the reference's continuous mode.
+    * Call again after the source moves to get the incremental pass.
+    */
+  def run(
+      spark: SparkSession,
+      es: EsRestClient,
+      esCfg: EsSourceConfig,
+      ch: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      insertBatchSize: Int = 1000,
+      usePit: Boolean = false
+  ): Seq[PassResult] = {
+    bootstrap(ch, targetDb)
+    es.catIndices(esCfg.indexPattern).map { index =>
+      syncIndex(spark, es, esCfg, ch, chExecutorFactory, targetDb, index,
+        insertBatchSize, usePit)
+    }
+  }
+
+  /** One index, one pass: mapping → DDL → watermark-routed read →
+    * flatten → conform → batched wire write → state append.
+    */
+  def syncIndex(
+      spark: SparkSession,
+      es: EsRestClient,
+      esCfg: EsSourceConfig,
+      ch: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      index: String,
+      insertBatchSize: Int = 1000,
+      usePit: Boolean = false
+  ): PassResult = {
+    import spark.implicits._
+
+    // --- mapping → flattened field names + time-field detection ------
+    // (es_to_bytehouse.py:260-294, 467-529): detection runs on the
+    // MAPPING's types, not sampled data — an empty index still routes
+    val fields = es.mappingFields(index) // sanitized name -> es type
+    val fieldNames = fields.keys.toSeq.sorted
+    val mappingSchema = StructType(fieldNames.map(n => StructField(n, TypeMapper.esType(fields(n)))))
+    val timeField = Incremental.detectTimeField(mappingSchema)
+    val updateField = Incremental.detectUpdateTimeField(mappingSchema).filterNot(timeField.contains)
+
+    // --- target DDL, all-String fidelity (es_to_bytehouse.py:300-336) —
+    // _timestamp rides its now64(3) server DEFAULT, so inserts skip it
+    ch.execute(ClickHouseDdl.createTableSqlAllString(targetDb, index, fieldNames, addTimestamp = true))
+    val table = graft.operators.Flatten.sanitizeName(index)
+
+    // --- watermark read from the target's _sync_state ----------------
+    val wm = ch.query(ClickHouseDdl.lastSyncTimeSqlEs(targetDb, index))
+    val (lastSync, lastUpdate) = wm.headOption match {
+      case Some(r) => (Option(r(0)).getOrElse(""), Option(r(1)).getOrElse(""))
+      case None => ("", "")
+    }
+    val isFull = timeField.isEmpty || lastSync.isEmpty
+    val mode = if (isFull) "full" else "incremental"
+
+    // --- watermark-routed source read (server-side filter + sort) ----
+    val body =
+      if (isFull) EsSourceConfig.fullSearchBody(esCfg.scrollSize)
+      else EsSourceConfig.incrementalSearchBody(
+        esCfg.scrollSize, timeField.get, lastSync,
+        updateField.getOrElse(""), if (updateField.isDefined) lastUpdate else "")
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    if (usePit) {
+      // ES 8 path: the query rides the PIT body (the incremental sort
+      // is supplied as the PIT sortField; full sync orders by _shard_doc)
+      val q =
+        if (isFull) """{"match_all":{}}"""
+        else EsSourceConfig.incrementalQuery(
+          timeField.get, lastSync,
+          updateField.getOrElse(""), if (updateField.isDefined) lastUpdate else "")
+      es.pitSearchAfterPages(index, q, esCfg.scrollSize,
+        sortField = timeField.getOrElse(""), keepAlive = esCfg.scrollTimeout)(page => buf ++= page)
+    } else {
+      es.scrollPages(index, body, esCfg.scrollTimeout)(page => buf ++= page)
+    }
+
+    if (buf.isEmpty) {
+      // nothing moved: state does NOT advance (the reference skips the
+      // bookkeeping insert on an empty batch, es_to_bytehouse.py:1087)
+      return PassResult(index, table, mode, 0L, 0L, 0L,
+        timeField.getOrElse(""), updateField.getOrElse(""), lastSync, lastUpdate)
+    }
+
+    // --- flatten to the all-String row surface -----------------------
+    // per-batch inference (explicit, uncached): driver-built frames
+    // carry no file fingerprint, and an incremental batch may surface
+    // fields the full pass never saw
+    val raw = buf.toSeq.toDF("_id", "doc")
+    val docSchema = spark.read.json(raw.select("doc").as[String]).schema
+    val flat = JsonIngest.parseAndFlatten(spark, raw, "doc", schemaOverride = Some(docSchema))
+    val renamed = flat.columns.foldLeft(flat) { (d, c) =>
+      if (c.startsWith("doc_")) d.withColumnRenamed(c, c.stripPrefix("doc_")) else d
+    }
+    val targetSchema = StructType(
+      StructField("_id", StringType) +: fieldNames.map(n => StructField(n, StringType)))
+    val conformed = Incremental.conformToTarget(renamed, targetSchema)
+
+    // --- partition-parallel batched INSERT over the wire -------------
+    val stats = BatchedUpsertWriter.write(
+      conformed, targetDb, table, insertBatchSize, chExecutorFactory)
+
+    // --- advance watermarks (monotone: max of old and batch max) -----
+    val (newSync, newUpdate) = timeField match {
+      case None => (lastSync, lastUpdate)
+      case Some(tf) =>
+        val aggs = max(col(tf)) +: updateField.map(u => max(col(u))).toSeq
+        val r = conformed.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val s = if (r.isNullAt(0)) "" else r.getString(0)
+        val u = if (updateField.isDefined && !r.isNullAt(1)) r.getString(1) else ""
+        (Seq(lastSync, s).max, Seq(lastUpdate, u).max)
+    }
+    if (timeField.isDefined && stats.rows > 0) {
+      val values = Seq(index, table, timeField.getOrElse(""), updateField.getOrElse(""),
+        newSync, newUpdate).map(graft.sinks.ChHttp.sqlLiteral) :+ stats.rows.toString
+      ch.execute(ClickHouseDdl.insertSyncStateSqlEs(targetDb) + " " +
+        values.mkString("(", ", ", ")"))
+    }
+    PassResult(index, table, mode, stats.rows, stats.fallbackRows, stats.failedRows,
+      timeField.getOrElse(""), updateField.getOrElse(""), newSync, newUpdate)
+  }
+}

@@ -43,6 +43,14 @@ class EsStub(indices: Map[String, Seq[String]], mappings: Map[String, String]) {
     docs(index) = docs(index) :+ ((id, om.readTree(json)))
   }
 
+  /** In-place update of an existing doc (same `_id`, new body) — the
+    * source-side event the dual-watermark incremental must pick up.
+    */
+  def updateDoc(index: String, id: String, json: String): Unit = docs.synchronized {
+    val node = om.readTree(json)
+    docs(index) = docs(index).map { case (i, d) => if (i == id) (i, node) else (i, d) }
+  }
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   server.setExecutor(null)

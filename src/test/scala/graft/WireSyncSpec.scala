@@ -1,0 +1,158 @@
+package graft
+
+import graft.sinks.{ChHttpBatchExecutor, ChHttpClient, ClickHouseDdl}
+import graft.sources.{EsRestClient, EsSourceConfig}
+import graft.sync.WireSync
+
+/** The reference's actual topology composed end-to-end in ONE flow:
+  * ES stub → engine → ClickHouse stub, both live wire protocols at
+  * once — `run()` in es_to_bytehouse.py:782-823 (discover → map →
+  * DDL → full sync → incremental), previously proven only per-side
+  * (EsLiveParitySpec / ChLiveParitySpec). The spec drives
+  * [[graft.sync.WireSync]] with [[EsRestClient]] pages in and
+  * [[ChHttpBatchExecutor]] upserts out, `_sync_state` written through
+  * the CH wire, an in-place update picked up through the dual
+  * watermark, and wire bodies asserted byte-exact on BOTH sides.
+  */
+class WireSyncSpec extends SparkSpec {
+
+  private def doc(id: Long, day: Int, msg: String, agentId: String, updDay: Int): String =
+    s"""{"id":$id,"created_at":"2024-01-0$day 00:00:00","msg":"$msg",""" +
+      s""""agent":{"id":"$agentId"},"updated_at":"2024-01-0$updDay 00:00:00"}"""
+
+  private val mapping =
+    """{"id":{"type":"long"},"created_at":{"type":"date"},"msg":{"type":"keyword"},""" +
+      """"agent":{"properties":{"id":{"type":"keyword"}}},"updated_at":{"type":"date"}}"""
+
+  private val seedDocs = (1 to 7).map(i => doc(i.toLong, i, s"m$i", s"a${(i + 1) / 2}", i))
+
+  private def withWire(f: (EsStub, ChStub, EsRestClient, EsSourceConfig, ChHttpClient) => Unit): Unit = {
+    val es = new EsStub(
+      indices = Map("app_logs" -> seedDocs, ".internal" -> Seq("""{"x":1}""")),
+      mappings = Map("app_logs" -> mapping))
+    val ch = new ChStub
+    val port = es.start()
+    ch.start()
+    try {
+      val cfg = EsSourceConfig.fromEnv(Map(
+        "ES_HOST" -> s"http://127.0.0.1:$port",
+        "INDEX_PATTERN" -> "app_*",
+        "SCROLL_SIZE" -> "3"))
+      f(es, ch, new EsRestClient(cfg.host), cfg, new ChHttpClient(ch.endpoint))
+    } finally { es.stop(); ch.stop() }
+  }
+
+  test("full sync → dual-watermark incremental → quiescent pass: the es-to-clickhouse job, both wires live") {
+    withWire { (es, ch, client, cfg, tgt) =>
+      val ep = ch.endpoint
+      def pass() = WireSync.run(spark, client, cfg, tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "wh", insertBatchSize = 4)
+
+      // ---- pass 1: no state → FULL sync --------------------------------
+      val r1 = pass()
+      assert(r1.map(p => (p.index, p.mode, p.rows, p.failedRows)) == Seq(("app_logs", "full", 7L, 0L)), r1.toString)
+      assert(r1.head.timeField == "created_at" && r1.head.updateTimeField == "updated_at", r1.toString)
+      // target landed the all-String surface: _id + _timestamp + sorted fields
+      val t = ch.tables(("wh", "app_logs"))
+      assert(t.schema.map(_._1) ==
+        Seq("_id", "_timestamp", "agent_id", "created_at", "id", "msg", "updated_at"), t.schema.toString)
+      assert(t.rows.size == 7)
+      val d6 = t.rows.find(r => r(t.schema.indexWhere(_._1 == "id")) == "6").get
+      assert(d6(t.schema.indexWhere(_._1 == "agent_id")) == "a3", d6.toString) // nested field flattened
+      // _sync_state written THROUGH THE WIRE: the reference's bookkeeping row
+      val st = ch.tables(("wh", "_sync_state"))
+      assert(st.rows.size == 1)
+      val row1 = st.rows.head
+      def cell(r: Seq[String], c: String) = r(st.schema.indexWhere(_._1 == c))
+      assert(cell(row1, "index_name") == "app_logs" && cell(row1, "time_field") == "created_at")
+      assert(cell(row1, "last_sync_time") == "2024-01-07 00:00:00", row1.toString)
+      assert(cell(row1, "last_update_time") == "2024-01-07 00:00:00", row1.toString)
+      assert(cell(row1, "last_sync_count") == "7")
+      // ES-side wire bodies byte-exact: discovery, mapping, full-scroll open
+      val esReqs = es.requests.toSeq
+      assert(esReqs.exists(r => r._1 == "GET" && r._2 == "/_cat/indices/app_*?format=json&h=index,docs.count,store.size"), esReqs.take(3).toString)
+      assert(esReqs.exists(r => r._1 == "GET" && r._2 == "/app_logs/_mapping"))
+      val open1 = esReqs.find(r => r._2 == "/app_logs/_search?scroll=5m").get._3
+      assert(open1 == EsSourceConfig.fullSearchBody(3), open1)
+      // CH-side wire: bootstrap DDL, table DDL and INSERT prefixes byte-exact
+      val chReqs = ch.requests.toSeq
+      assert(chReqs.contains(ClickHouseDdl.createDatabaseSql("wh")), chReqs.take(3).toString)
+      assert(chReqs.contains(ClickHouseDdl.syncStateTableSql("wh")))
+      assert(chReqs.exists(_.startsWith(ClickHouseDdl.insertSql("wh", "app_logs",
+        Seq("_id", "agent_id", "created_at", "id", "msg", "updated_at")))), chReqs.filter(_.startsWith("INSERT")).toString)
+      assert(chReqs.exists(_.startsWith(ClickHouseDdl.insertSyncStateSqlEs("wh"))))
+
+      // ---- source moves: one NEW doc + one IN-PLACE update -------------
+      es.addDoc("app_logs", "8", doc(8, 8, "m8", "a4", 8))
+      es.updateDoc("app_logs", "2", doc(2, 2, "m2-EDITED", "a1", 9))
+
+      // ---- pass 2: state present → INCREMENTAL with the OR-query -------
+      val esBefore = es.requests.size
+      val r2 = pass()
+      assert(r2.map(p => (p.mode, p.rows)) == Seq(("incremental", 2L)), r2.toString)
+      // the watermark pair was read back from CH and rode the ES wire as
+      // the insert-or-update should-query, byte-exact
+      val open2 = es.requests.drop(esBefore).find(r => r._2 == "/app_logs/_search?scroll=5m").get._3
+      assert(open2 == EsSourceConfig.incrementalSearchBody(
+        3, "created_at", "2024-01-07 00:00:00", "updated_at", "2024-01-07 00:00:00"), open2)
+      // both rows landed (stub store is append-only; real CH upserts via
+      // UNIQUE KEY _id): the new doc and the EDITED version of doc 2
+      assert(t.rows.size == 9)
+      val msgs = t.rows.map(r => r(t.schema.indexWhere(_._1 == "msg")))
+      assert(msgs.contains("m8") && msgs.contains("m2-EDITED"), msgs.toString)
+      // state advanced monotonically on BOTH watermarks
+      val row2 = st.rows.last
+      assert(cell(row2, "last_sync_time") == "2024-01-08 00:00:00", row2.toString)
+      assert(cell(row2, "last_update_time") == "2024-01-09 00:00:00", row2.toString)
+      assert(cell(row2, "last_sync_count") == "2")
+      // the max() state read resolves the newest row across both appends
+      val wm = tgt.query(ClickHouseDdl.lastSyncTimeSqlEs("wh", "app_logs")).head
+      assert(wm(0) == "2024-01-08 00:00:00" && wm(1) == "2024-01-09 00:00:00", wm.mkString(","))
+
+      // ---- pass 3: quiescent source → 0 rows, state does NOT advance ---
+      val stRows = st.rows.size
+      val r3 = pass()
+      assert(r3.map(p => (p.mode, p.rows)) == Seq(("incremental", 0L)), r3.toString)
+      assert(st.rows.size == stRows, "an empty batch must not append state")
+      assert(t.rows.size == 9)
+    }
+  }
+
+  test("PIT read path: the same composed flow rides ES 8 search_after; PIT opened and closed on the wire") {
+    withWire { (es, ch, client, cfg, tgt) =>
+      val ep = ch.endpoint
+      val r1 = WireSync.run(spark, client, cfg, tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "wh", insertBatchSize = 10, usePit = true)
+      assert(r1.map(p => (p.mode, p.rows)) == Seq(("full", 7L)), r1.toString)
+      assert(ch.tables(("wh", "app_logs")).rows.size == 7)
+      val reqs = es.requests.toSeq
+      assert(reqs.count(r => r._1 == "POST" && r._2 == "/app_logs/_pit?keep_alive=5m") == 1, reqs.toString)
+      assert(reqs.count(r => r._1 == "DELETE" && r._2 == "/_pit") == 1)
+      assert(!reqs.exists(r => r._2.contains("_search?scroll")), "PIT mode must not open a scroll")
+      // incremental pass over PIT: the OR-query rides the pit body
+      es.addDoc("app_logs", "8", doc(8, 8, "m8", "a4", 8))
+      val r2 = WireSync.run(spark, client, cfg, tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "wh", insertBatchSize = 10, usePit = true)
+      assert(r2.map(p => (p.mode, p.rows)) == Seq(("incremental", 1L)), r2.toString)
+      val pitBody = es.requests.reverse.find(r => r._1 == "POST" && r._2 == "/_search").get._3
+      assert(pitBody.contains(EsSourceConfig.incrementalQuery(
+        "created_at", "2024-01-07 00:00:00", "updated_at", "2024-01-07 00:00:00")), pitBody)
+    }
+  }
+
+  test("composed fallback: a poisoned row degrades to row-at-a-time mid-flow; state records only landed rows") {
+    withWire { (_, ch, client, cfg, tgt) =>
+      ch.rejectMarker = Some("m4")
+      val ep = ch.endpoint
+      val r = WireSync.run(spark, client, cfg, tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "wh", insertBatchSize = 100)
+      // rows scatter over Spark partitions, so how many ride the failed
+      // batch (and retry singly) varies — landed/lost counts do not
+      assert(r.map(p => (p.mode, p.rows, p.failedRows)) == Seq(("full", 6L, 1L)), r.toString)
+      assert(ch.tables(("wh", "app_logs")).rows.size == 6)
+      // the state row prices the batch at LANDED rows, not attempted
+      val st = ch.tables(("wh", "_sync_state"))
+      assert(st.rows.map(r => r(st.schema.indexWhere(_._1 == "last_sync_count"))) == Seq("6"), st.rows.toString)
+    }
+  }
+}

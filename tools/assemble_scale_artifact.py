@@ -32,8 +32,12 @@ for log in logs:
         if verdict == "SAMPLED":
             # replica-0 slice of the big-SF engine run vs the full
             # sf0.1 oracle (tools/sampled_check.py) — recorded as an
-            # extra field on the skip row, not a status of its own
-            sampled[name] = rest[:200]
+            # extra field on the skip row, not a status of its own.
+            # A fail is sticky: if ANY dump block reported fail for
+            # this query, a later block's pass must not mask it.
+            prev = sampled.get(name, "")
+            if not prev.startswith("fail"):
+                sampled[name] = rest[:200]
         elif verdict == "PASS":
             entry = {"status": "pass"}
             rm = re.match(r"(\d+) rows", rest)
