@@ -34,7 +34,7 @@ object Bench {
     "dedup_simhash", "dedup_embedding", "dedup_embedding_blocked", "dedup_incr_embedding",
     "dedup_clusters",
     "dedup_passages", "dedup_semantic", "fuzzy_match_join",
-    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_sq8", "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_quant", "embed_nearest_centroid",
+    "sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_sq8", "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_hnsw", "sim_topk_quant", "embed_nearest_centroid",
     "embed_quantize", "embed_project", "embed_pca_top", "embed_kmeans", "embed_outliers", "graph_pagerank", "graph_triangles", "graph_hits", "graph_kcore", "dedup_incr_bloom", "domain_cap", "dedup_url",
     "text_langid", "text_langid_ngram", "text_quality", "text_stats", "text_tokens", "text_fingerprint", "text_topterms",
     "text_rep_stats", "text_tfidf_top", "text_unigram_score", "text_model_score", "corpus_stats",

@@ -1266,6 +1266,21 @@ object SparkEntry {
       Similarity.ivfPqTopKRefined(s, dir, e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, nProbes = 8, shortlist = 100)
     }),
+    "sim_topk_hnsw" -> ((s, d) => {
+      // C104: graph ANN — HNSW-class beam search over a persisted
+      // degree-bounded neighbor graph (single-layer NSW on Spark:
+      // each hop is ONE keyed join amortized over the query batch;
+      // probe cost independent of corpus size). Rows-only:
+      // approximate by design, recall measured in RECALL_r11 at
+      // these shipped defaults (n_queries=100, both scales)
+      val e = t(s, d, "embeddings")
+      val dir = s"target/hnsw_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      // nClusters auto-sizes to ~512-vector blocks (build stays
+      // LINEAR in corpus size; entry points grow with the corpus)
+      Similarity.buildGraphIndexIfAbsent(s, e, "vec_id", "embedding", indexDir = dir, m = 16)
+      Similarity.graphTopK(s, dir, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, beam = 32, rounds = 6)
+    }),
     "sim_topk_ivf_sq8" -> ((s, d) => {
       // C42: IVF-SQ8 — int8-quantized cell-partitioned index probe
       // with exact re-rank of the int8 shortlist (rows-only:

@@ -674,8 +674,10 @@ object VecOps {
     * Spark's `lower` uses — ASCII fast path, Unicode-correct
     * otherwise), then a byte scan that collapses whitespace runs to
     * single spaces and drops leading/trailing ones. Byte-exact with
-    * the regex form: Java and RE2 both define `\s` as the pure-ASCII
-    * class [ \t\n\x0B\f\r], and UTF-8 keeps those bytes unambiguous.
+    * the DuckDB-oracle regex form: RE2 defines `\s` as the
+    * pure-ASCII class [ \t\n\f\r] — NO vertical tab (0x0B), unlike
+    * Java's `\s` — so this kernel deliberately matches RE2's class;
+    * 0x0B passes through as an ordinary byte on both sides.
     * Public static for codegen.
     */
   def normalizeWs(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
@@ -686,7 +688,7 @@ object VecOps {
     var i = 0
     while (i < b.length) {
       val c = b(i)
-      val ws = c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
       if (ws) { if (o > 0) pendingSpace = true } // leading run: dropped
       else {
         if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
@@ -2157,25 +2159,29 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
   * cursor advance) while honoring code-point boundaries, so surrogate
   * pairs are one fallback token, matching codepoint-indexed oracles.
   */
-final class TokenTrie(vocab: Seq[String]) extends Serializable {
-  private final class Node extends Serializable {
-    val children = new java.util.HashMap[Integer, Node]()
-    var terminal = false
+/** Code-point trie over a BPE/WordPiece merge table. Built for
+  * production vocab scale (~50k merges): what crosses the wire is the
+  * compact string vocabulary, NEVER the pointer-heavy node graph (a
+  * Java-serialized 50k-entry trie would ship megabytes with every
+  * task), and each executor JVM materializes the node graph ONCE per
+  * distinct vocabulary via a process-wide cache keyed by a driver-
+  * computed content fingerprint — tasks share the built trie, so task
+  * count does not multiply build cost or heap.
+  */
+final class TokenTrie(val vocab: Seq[String]) extends Serializable {
+  vocab.foreach(t =>
+    require(!t.contains(' ') && t.nonEmpty, s"vocab entry must be non-empty and space-free: '$t'"))
+
+  /** Content fingerprint, computed once on the driver and serialized
+    * with the instance — the executor-side cache key.
+    */
+  private val fingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    vocab.foreach { t => md.update(t.getBytes("UTF-8")); md.update(0.toByte) }
+    md.digest().map("%02x".format(_)).mkString
   }
-  private val root = new Node
-  vocab.foreach { t =>
-    require(!t.contains(' ') && t.nonEmpty, s"vocab entry must be non-empty and space-free: '$t'")
-    var n = root
-    var i = 0
-    while (i < t.length) {
-      val cp = t.codePointAt(i)
-      var child = n.children.get(cp)
-      if (child == null) { child = new Node; n.children.put(cp, child) }
-      n = child
-      i += Character.charCount(cp)
-    }
-    n.terminal = true
-  }
+
+  @transient private lazy val root: TokenTrie.Node = TokenTrie.rootFor(fingerprint, vocab)
 
   def longestMatch(s: String, start: Int): Int = {
     var n = root
@@ -2193,6 +2199,45 @@ final class TokenTrie(vocab: Seq[String]) extends Serializable {
       }
     }
     best
+  }
+}
+
+object TokenTrie {
+  private[functions] final class Node {
+    val children = new java.util.HashMap[Integer, Node]()
+    var terminal = false
+  }
+
+  /** JVM-wide built-trie cache: one node graph per distinct vocabulary
+    * per executor process, shared by every task/plan that references
+    * the same merge table. Vocabularies are plan-lifetime objects
+    * (a pipeline uses one or two tokenizers), so the cache is bounded
+    * by construction and never evicts.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Node]()
+
+  /** Observable build count (test hook: asserts once-per-JVM builds). */
+  val builds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def rootFor(fp: String, vocab: Seq[String]): Node =
+    cache.computeIfAbsent(fp, _ => buildRoot(vocab))
+
+  private def buildRoot(vocab: Seq[String]): Node = {
+    builds.incrementAndGet()
+    val root = new Node
+    vocab.foreach { t =>
+      var n = root
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        var child = n.children.get(cp)
+        if (child == null) { child = new Node; n.children.put(cp, child) }
+        n = child
+        i += Character.charCount(cp)
+      }
+      n.terminal = true
+    }
+    root
   }
 }
 

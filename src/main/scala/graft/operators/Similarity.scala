@@ -1352,4 +1352,218 @@ object Similarity {
       k
     )
   }
+
+  // ------------------------------------------------------------------
+  // C104: graph ANN — Spark-native HNSW-class beam search
+  // ------------------------------------------------------------------
+
+  /** Top-`nAssign` coarse-cell assignment with per-cell distance —
+    * the multi-assignment that gives the neighbor graph its
+    * cross-cell edges. One crossJoin against the broadcast centroid
+    * frame + a per-vector window (build-time only; probes never run
+    * this over the corpus).
+    */
+  private def assignTopCells(
+      vecs: DataFrame,
+      centers: Array[Array[Double]],
+      nAssign: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("__d"), col("__cell"))
+    vecs
+      .crossJoin(centersDf(vecs.sparkSession, centers))
+      .withColumn("__d", sqDistExpr(col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nAssign)
+      .select(col("cid"), col("cvec"), col("cnrm"),
+        col("__cell").as("cell"), col("__d").as("cdist"), col("__rn").as("crank"))
+  }
+
+  /** Build a degree-bounded navigable neighbor graph — the HNSW-class
+    * index (Malkov & Yashunin 2016), here as a single-layer NSW
+    * variant: the hierarchy exists to cut single-machine pointer-chase
+    * latency, but a Spark probe amortizes every hop over the whole
+    * query BATCH as one keyed join, so one well-connected layer plus
+    * per-cell entry points plays the upper layers' role (greedy
+    * zoom-in starts near the right region by construction).
+    *
+    * Construction is IVF-blocked kNN: every vector joins its 2 nearest
+    * coarse cells (multi-assignment creates the cross-cell edges
+    * single-cell blocking would miss), intra-block pairs score
+    * exactly, each vector keeps its m best, and the edge set is
+    * symmetrized then degree-capped at m keep-best (HNSW's neighbor
+    * pruning). Build work is Σ block², dialed by `nClusters` — the
+    * 100 TB knob: more cells = smaller blocks; the graph, not the
+    * blocks, carries probe-time recall.
+    *
+    * Persisted layout under `indexDir`: `vectors` (cid, cvec, cnrm),
+    * `edges` (src, dst), `entries` (cid — one nearest-to-centroid
+    * vector per cell, the beam's deterministic start set).
+    */
+  /** `nClusters = 0` (the default) auto-sizes the coarse blocking to
+    * ~512-vector blocks (n/256 cells at 2-cell assignment, floor 16):
+    * build work is Σ block² ≈ n·512, LINEAR in corpus size, and the
+    * entry-point count grows with the corpus so beam navigation depth
+    * stays bounded — a fixed cell count would make build quadratic
+    * AND strand a fixed seed set in an ever-larger graph.
+    */
+  def buildGraphIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      m: Int = 16,
+      nClusters: Int = 0
+  ): Unit = {
+    candidates
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+      .write.mode("overwrite").parquet(s"$indexDir/vectors")
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+    val c =
+      if (nClusters > 0) nClusters
+      else math.max(16, (vecs.count() / 256L).toInt)
+    val centers = fitCentroids(candidates, vecCol, c)
+    val assigned = assignTopCells(vecs, centers, nAssign = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // entry points: the vector nearest its PRIMARY cell's centroid
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("cdist"), col("cid"))
+    assigned.filter(col("crank") === 1)
+      .withColumn("__rn", row_number().over(we))
+      .filter(col("__rn") === 1)
+      .select(col("cid"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$indexDir/entries")
+    // intra-block exact kNN, deduped across the 2 assignments
+    val a = assigned.select(col("cell"), col("cid").as("src"), col("cvec").as("svec"), col("cnrm").as("snrm"))
+    val b = assigned.select(col("cell"), col("cid").as("dst"), col("cvec").as("dvec"), col("cnrm").as("dnrm"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (dot(col("svec"), col("dvec")) / (col("snrm") * col("dnrm"))).as("score"))
+      .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("score").desc, col("dst"))
+    val knn = scored.withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") <= m).select(col("src"), col("dst"), col("score"))
+    // symmetrize (navigability needs the reverse edge), re-cap at m
+    knn
+      .unionByName(knn.select(col("dst").as("src"), col("src").as("dst"), col("score")))
+      .groupBy(col("src"), col("dst")).agg(max(col("score")).as("score"))
+      .withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") <= m)
+      .select(col("src"), col("dst"))
+      .write.mode("overwrite").parquet(s"$indexDir/edges")
+    assigned.unpersist(blocking = false)
+  }
+
+  def buildGraphIndexIfAbsent(
+      spark: org.apache.spark.sql.SparkSession,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      m: Int = 16,
+      nClusters: Int = 0
+  ): Unit = {
+    val ok =
+      try spark.read.parquet(s"$indexDir/edges").limit(1).count() >= 0 &&
+        spark.read.parquet(s"$indexDir/entries").limit(1).count() >= 0
+      catch { case _: Exception => false }
+    if (!ok) buildGraphIndex(spark, candidates, idCol, vecCol, indexDir, m, nClusters)
+  }
+
+  /** Beam search over the persisted graph: seed with the entry points,
+    * then `rounds` rounds of expand-score-prune — frontier joins the
+    * edge list (8-byte ids ride the exchange), fresh candidates fetch
+    * their vectors by ONE keyed join and score exactly, and a
+    * per-query window keeps the best `beam`. Every hop is one join
+    * over the whole query batch, so probe cost is
+    * O(rounds × |Q| × beam × m) candidate scorings — independent of
+    * corpus size, the property that makes graph ANN the industry
+    * workhorse. Rounds are plan-checkpointed (localCheckpoint) so the
+    * iterative plan can't stack.
+    *
+    * Returns (qid, rank, neighbor_id) — the ANN surface contract
+    * (rank 1-based; score desc, id asc tie-break).
+    */
+  def graphTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      beam: Int = 32,
+      rounds: Int = 6
+  ): DataFrame = {
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+    val edges = spark.read.parquet(s"$indexDir/edges")
+    val entries = broadcast(spark.read.parquet(s"$indexDir/entries"))
+    val qs = broadcast(queries.select(
+      col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm")))
+    def score(cands: DataFrame): DataFrame = cands
+      .join(vecs, Seq("cid"))
+      .join(qs, Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("cvec"), col("qvec")) / (col("cnrm") * col("qnrm"))).as("score"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    def prune(cands: DataFrame): DataFrame = cands
+      .withColumn("__rn", row_number().over(wb)).filter(col("__rn") <= beam).drop("__rn")
+    var best = prune(score(qs.select(col("qid")).crossJoin(entries))).localCheckpoint()
+    var visited = best.select(col("qid"), col("cid")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val fresh = best.select(col("qid"), col("cid").as("src"))
+        .join(edges, Seq("src"))
+        .select(col("qid"), col("dst").as("cid"))
+        .distinct()
+        .join(visited, Seq("qid", "cid"), "left_anti")
+        .localCheckpoint()
+      best = prune(best.unionByName(score(fresh))).localCheckpoint()
+      visited = visited.unionByName(fresh).localCheckpoint()
+    }
+    best
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("rank", row_number().over(wb).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid").as("neighbor_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Incremental attach: each new vector probes the existing graph for
+    * its m nearest, then joins the graph with edges in BOTH directions
+    * — the standard online-insert move (HNSW §4 insert without the
+    * repair pass; appended-node degree is exactly m, neighbors gain
+    * one reverse edge each, so degree drifts up only by append
+    * volume — rebuild on schedule like the IVF refit discipline).
+    * Id-idempotent: ids already in the index are skipped, so a
+    * replayed batch (at-least-once delivery) cannot double edges.
+    */
+  def appendGraphIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 16,
+      beam: Int = 32,
+      rounds: Int = 6
+  ): Unit = {
+    val existing = spark.read.parquet(s"$indexDir/vectors").select(col("cid"))
+    val fresh = batch
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+      .join(existing, Seq("cid"), "left_anti")
+      .localCheckpoint() // materialize BEFORE appending to dirs it reads
+    val nbrs = graphTopK(spark, indexDir,
+      fresh.select(col("cid").as(idCol), col("cvec").as(vecCol)), idCol, vecCol,
+      k = m, beam = beam, rounds = rounds)
+      .select(col("qid").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint() // graphTopK checkpoints internally; pin the edge batch too
+    nbrs
+      .unionByName(nbrs.select(col("dst").as("src"), col("src").as("dst")))
+      .write.mode("append").parquet(s"$indexDir/edges")
+    fresh.write.mode("append").parquet(s"$indexDir/vectors")
+  }
 }

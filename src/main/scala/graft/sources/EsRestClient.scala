@@ -29,7 +29,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Jackson (bundled with Spark) parses responses; no extra
   * dependency.
   */
-class EsRestClient(host: String, user: String = "", password: String = "") {
+/** `maxRetries` bounds re-sends of a request answered 429 (cluster
+  * throttling) or 503 (node restart / shard relocation) — ES's two
+  * RETRYABLE statuses; the server's `Retry-After` header (seconds) is
+  * honored when present, else exponential backoff. Any other non-2xx
+  * (404 expired scroll/PIT, 4xx bad request) fails immediately: those
+  * are not transient, and a sync pass must abort WITHOUT advancing
+  * state so the next pass resumes cleanly. `retrySleep` is injectable
+  * so fault-injection specs don't wait.
+  */
+class EsRestClient(
+    host: String,
+    user: String = "",
+    password: String = "",
+    maxRetries: Int = 3,
+    retrySleep: Long => Unit = Thread.sleep) {
 
   private val http = HttpClient.newHttpClient()
   private val om = new ObjectMapper()
@@ -55,11 +69,25 @@ class EsRestClient(host: String, user: String = "", password: String = "") {
           withAuth.method("DELETE", HttpRequest.BodyPublishers.ofString(x)))
       case other => throw new IllegalArgumentException(s"unsupported method $other")
     }
-    val resp = http.send(req.build(), HttpResponse.BodyHandlers.ofString())
-    require(
-      resp.statusCode() >= 200 && resp.statusCode() < 300,
-      s"ES $method $path -> HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
-    om.readTree(resp.body())
+    val built = req.build() // immutable: safe to re-send on retry
+    var attempt = 0
+    while (true) {
+      val resp = http.send(built, HttpResponse.BodyHandlers.ofString())
+      val code = resp.statusCode()
+      if (code >= 200 && code < 300) return om.readTree(resp.body())
+      if ((code == 429 || code == 503) && attempt < maxRetries) {
+        attempt += 1
+        val header = resp.headers().firstValue("Retry-After")
+        val retryAfterMs =
+          if (header.isPresent)
+            try header.get.trim.toLong * 1000L catch { case _: NumberFormatException => -1L }
+          else -1L
+        retrySleep(if (retryAfterMs >= 0) retryAfterMs else 200L * (1L << (attempt - 1)))
+      } else throw new IllegalArgumentException(
+        s"ES $method $path -> HTTP $code: ${resp.body().take(500)}" +
+          (if (attempt > 0) s" (after $attempt retries)" else ""))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** User indices matching `pattern` — system ('.'-prefixed) indices
@@ -129,8 +157,15 @@ class EsRestClient(host: String, user: String = "", password: String = "") {
         scrollId = data.path("_scroll_id").asText(scrollId)
         hits = data.path("hits").path("hits")
       }
-    } finally if (scrollId.nonEmpty)
-      send("DELETE", "/_search/scroll", Some(s"""{"scroll_id":"$scrollId"}"""))
+    } finally if (scrollId.nonEmpty) {
+      // cleanup must not mask the original pagination failure (an
+      // expired scroll makes the DELETE non-2xx on a real cluster)
+      try send("DELETE", "/_search/scroll", Some(s"""{"scroll_id":"$scrollId"}"""))
+      catch {
+        case e: Exception =>
+          System.err.println(s"[es] scroll cleanup failed (ignored): ${e.getMessage}")
+      }
+    }
     total
   }
 

@@ -299,6 +299,52 @@ object IncrementalSync {
         col(tsCol))
   }
 
+  /** C21f: streaming winnow probe — the copied-MATERIAL signal for
+    * continuous ingest, closing the last index-family member without a
+    * streaming form (exact C21b, MinHash C21c, phash C21d, containment
+    * C21e). Each arriving doc winnows to its distinct fingerprint
+    * hashes in ONE per-row projection (`winnow_fps` is a codegen
+    * kernel — no window functions, which are illegal on streams),
+    * explodes them (8-byte hashes ride the exchange, never text), and
+    * equi-joins the persisted [[graft.operators.TextAnalysis
+    * .buildWinnowIndex]] posting list — the C21e posting-join
+    * discipline: candidates arise structurally from co-occurring
+    * hashes, state is one counter per candidate pair inside the
+    * watermark. Both sides are distinct per doc, so count(shared) is
+    * exactly the batch probe's n_shared — spec-pinned drained ≡ batch.
+    * Batch/corpus id spaces must be disjoint (self-pairs dropped
+    * defensively, the [[nearDupAgainstIndexStream]] contract); fold
+    * processed batches in via TextAnalysis.updateWinnowIndex and
+    * restart for index growth.
+    */
+  def winnowAgainstIndexStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      index: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Long = 2L,
+      lateness: String = "1 hour"
+  ): DataFrame = {
+    val fps = docs
+      .select(col(idCol).cast("long").as("id_a"), col(tsCol),
+        explode(array_distinct(transform(
+          graft.functions.VecOps.winnow_fps(
+            split(graft.operators.Dedup.normalize(col(textCol)), " "), k, w),
+          f => f.getField("fp_hash")))).as("fp_hash"))
+      .withWatermark(tsCol, lateness)
+    val idxFps = index.select(col(idCol).as("id_b"), col("fp_hash")).distinct()
+    fps
+      .join(idxFps, Seq("fp_hash"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col(tsCol), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col(tsCol))
+  }
+
   /** foreachBatch upsert into an UNPARTITIONED parquet target: merge
     * the micro-batch with the existing target by key (latest version
     * wins) and swap with checked renames (a failed swap restores the

@@ -172,7 +172,14 @@ object WireSync {
       conformed, targetDb, table, insertBatchSize, chExecutorFactory)
 
     // --- advance watermarks (monotone: max of old and batch max) -----
+    // A batch with ANY permanently-failed row must NOT advance state:
+    // the failed rows' timestamps may be at or below the batch max, so
+    // advancing would orphan them forever. Leaving the watermark put
+    // means the next pass re-reads the whole failed batch — re-inserts
+    // are idempotent on the target (UNIQUE KEY _id), lost rows are not.
+    val advanced = stats.failedRows == 0L
     val (newSync, newUpdate) = timeField match {
+      case _ if !advanced => (lastSync, lastUpdate)
       case None => (lastSync, lastUpdate)
       case Some(tf) =>
         val aggs = max(col(tf)) +: updateField.map(u => max(col(u))).toSeq
@@ -181,7 +188,7 @@ object WireSync {
         val u = if (updateField.isDefined && !r.isNullAt(1)) r.getString(1) else ""
         (Seq(lastSync, s).max, Seq(lastUpdate, u).max)
     }
-    if (timeField.isDefined && stats.rows > 0) {
+    if (advanced && timeField.isDefined && stats.rows > 0) {
       val values = Seq(index, table, timeField.getOrElse(""), updateField.getOrElse(""),
         newSync, newUpdate).map(graft.sinks.ChHttp.sqlLiteral) :+ stats.rows.toString
       ch.execute(ClickHouseDdl.insertSyncStateSqlEs(targetDb) + " " +

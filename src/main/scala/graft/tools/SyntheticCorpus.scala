@@ -76,6 +76,76 @@ object SyntheticCorpus {
       )
       .select(col("vec_id"), col("embedding"))
 
+  /** Zipf(s) quantile table over `vocab` ranks: entry k is the
+    * 0-based rank whose CDF bucket contains (k+0.5)/bins. Driver-side,
+    * tiny, deterministic — ships to executors as one literal array.
+    */
+  private def zipfQuantiles(vocab: Int, s: Double, bins: Int): Array[Int] = {
+    val w = Array.tabulate(vocab)(r => math.pow((r + 1).toDouble, -s))
+    val total = w.sum
+    val cdf = w.scanLeft(0.0)(_ + _).drop(1).map(_ / total)
+    val out = new Array[Int](bins)
+    var r = 0
+    var k = 0
+    while (k < bins) {
+      val u = (k + 0.5) / bins
+      while (r < vocab - 1 && cdf(r) < u) r += 1
+      out(k) = r
+      k += 1
+    }
+    out
+  }
+
+  /** Zipf-vocabulary documents — same staged-dup structure as [[docs]]
+    * (same [[DupEvery]]/[[stagedPairs]] ground truth) but words drawn
+    * Zipf(s≈1.1) from a LARGE vocabulary instead of uniform from 500:
+    * head words are near-universal, tail words discriminate — the
+    * real-web frequency shape. Candidate-generation volume in
+    * set-similarity dedup depends on this shape (the near-universal
+    * HEAD drives shared-token candidates); this generator lets the
+    * scale specs measure that delta against the uniform corpus
+    * instead of assuming a direction.
+    * Draw = hash → uniform bin → quantile-table inverse CDF (8k bins
+    * quantize the tail but preserve the head/tail mass split exactly).
+    */
+  def zipfDocs(
+      spark: SparkSession,
+      n: Long,
+      vocabSize: Int = 20000,
+      s: Double = 1.1,
+      bins: Int = 8192): DataFrame = {
+    val q = zipfQuantiles(vocabSize, s, bins)
+    val qWords = typedLit(q.map(r => "z" + r).toSeq)
+    spark.range(n)
+      .select(col("id").as("doc_id"), baseId(col("id")).as("base_id"))
+      .withColumn("nw", (pmod(xxhash64(col("base_id"), lit(7)), lit(31L)) + 30L).cast("int"))
+      .withColumn(
+        "words",
+        transform(
+          sequence(lit(1), col("nw")),
+          i => element_at(qWords, pmod(xxhash64(col("base_id"), i), lit(bins.toLong)).cast("int") + 1)
+        )
+      )
+      .withColumn(
+        "words",
+        when(
+          col("doc_id") =!= col("base_id"),
+          concat(col("words"), array(concat(lit("uniq"), col("doc_id"))))
+        ).otherwise(col("words"))
+      )
+      .select(col("doc_id"), array_join(col("words"), " ").as("text"))
+  }
+
+  /** Materialize the Zipf corpus like [[ensure]] does the uniform one. */
+  def ensureZipf(spark: SparkSession, dir: String, nDocs: Long): String = {
+    val path = s"$dir/zipf_docs_$nDocs"
+    val have =
+      try spark.read.parquet(path).count() == nDocs
+      catch { case _: Throwable => false }
+    if (!have) zipfDocs(spark, nDocs).repartition(8).write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Ground-truth staged near-dup pairs for a corpus of size n. */
   def stagedPairs(n: Long): Set[(Long, Long)] =
     ((DupEvery - 1).toLong until n by DupEvery.toLong).map(id => (id - 1, id)).toSet

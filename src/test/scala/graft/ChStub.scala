@@ -33,6 +33,12 @@ class ChStub {
   val requests = mutable.ArrayBuffer[String]() // raw SQL bodies
   /** Any INSERT whose VALUES contain this literal cell fails with 500. */
   @volatile var rejectMarker: Option[String] = None
+  /** Transient fault: the next N INSERT statements fail with 500
+    * regardless of content (a restarting server / dropped connection),
+    * then service resumes — the per-row fallback should land every
+    * row on retry.
+    */
+  @volatile var failNextInserts: Int = 0
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -161,6 +167,10 @@ class ChStub {
       val idx = cols.map { c =>
         val i = tb.schema.indexWhere(_._1 == c)
         require(i >= 0, s"no column $c in $db.$t"); i
+      }
+      if (failNextInserts > 0) {
+        failNextInserts -= 1
+        throw new IllegalArgumentException("injected transient failure")
       }
       val tuples = parseTuples(valuesPart)
       rejectMarker.foreach { m =>

@@ -344,6 +344,46 @@ class EmbedOpsSpec extends SparkSpec {
       "vec_id", "embedding", 64, 16, dir3, 8, 64), "unchanged corpus must skip")
   }
 
+  test("graph ANN: beam search has real recall vs brute; append attaches findably and idempotently") {
+    import graft.operators.Similarity
+    val dir = "target/hnsw_unit"
+    Similarity.buildGraphIndex(spark, embs, "vec_id", "embedding", indexDir = dir, m = 16, nClusters = 16)
+    // degree cap holds after symmetrize-then-prune
+    val maxDeg = spark.read.parquet(s"$dir/edges")
+      .groupBy("src").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDeg <= 16L, s"degree cap violated: $maxDeg")
+    // one entry point per non-empty cell, all resolvable to vectors
+    val entries = spark.read.parquet(s"$dir/entries")
+    assert(entries.count() >= 1 && entries.count() <= 16)
+    assert(entries.join(spark.read.parquet(s"$dir/vectors"), Seq("cid")).count() == entries.count())
+    // recall vs brute over 20 queries at 500 vectors
+    val queries = embs.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.graphTopK(spark, dir, queries, "vec_id", "embedding",
+      k = 5, beam = 32, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    info(f"graph ANN recall@5 vs brute at 500 vectors: $recall%.2f")
+    assert(recall >= 0.8, s"beam search recall collapsed: $recall")
+    // append: a near-twin of vec 3 under a fresh id attaches with
+    // edges in BOTH directions, so a probe FROM the old vector finds it
+    val twin = embs.filter(col("vec_id") === 3L).select(
+      lit(9000L).as("vec_id"),
+      transform(col("embedding"), (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+    Similarity.appendGraphIndex(spark, dir, twin, "vec_id", "embedding", m = 16)
+    val post = Similarity.graphTopK(spark, dir, embs.filter(col("vec_id") === 3L),
+      "vec_id", "embedding", k = 1, beam = 32, rounds = 3).collect()
+    assert(post.length == 1 && post(0).getLong(2) == 9000L,
+      s"appended twin must be vec 3's new top-1: ${post.mkString(",")}")
+    // id-idempotent replay: re-appending the same batch adds nothing
+    val edgesBefore = spark.read.parquet(s"$dir/edges").count()
+    val vecsBefore = spark.read.parquet(s"$dir/vectors").count()
+    Similarity.appendGraphIndex(spark, dir, twin, "vec_id", "embedding", m = 16)
+    assert(spark.read.parquet(s"$dir/edges").count() == edgesBefore)
+    assert(spark.read.parquet(s"$dir/vectors").count() == vecsBefore)
+  }
+
   test("pca top component: recovers a planted dominant direction, exactly reproducible") {
     import spark.implicits._
     import graft.operators.EmbedOps

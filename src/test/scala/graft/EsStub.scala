@@ -35,6 +35,20 @@ class EsStub(indices: Map[String, Seq[String]], mappings: Map[String, String]) {
   private var nextPit = 0
   val requests = mutable.ArrayBuffer[(String, String, String)]() // (method, path+query, body)
 
+  /** Targeted fault injection: while the HEAD entry's path-substring
+    * matches the incoming request, dequeue it and answer with that
+    * status (plus a `Retry-After` header when given) instead of
+    * dispatching — ES throttling (429), node restarts (503), proxy
+    * errors, injected per endpoint in arrival order.
+    */
+  val failures = mutable.Queue[(String, Int, String)]() // (pathSubstring, status, retryAfterSecs)
+
+  /** Server-side cursor loss: an expired scroll/PIT answers 404 on
+    * the next continuation, the fault a long pagination can hit.
+    */
+  def expireScrolls(): Unit = scrolls.synchronized { scrolls.clear() }
+  def expirePits(): Unit = pits.synchronized { pits.clear() }
+
   /** Live mutation between requests — lets a spec prove PIT snapshot
     * isolation: a doc added mid-pagination must NOT appear in an open
     * PIT but must appear to a later one.
@@ -72,6 +86,14 @@ class EsStub(indices: Map[String, Seq[String]], mappings: Map[String, String]) {
     val query = Option(ex.getRequestURI.getQuery).getOrElse("")
     val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
     requests.synchronized { requests += ((method, s"$path${if (query.nonEmpty) "?" + query else ""}", body)) }
+    failures.synchronized {
+      if (failures.nonEmpty && path.contains(failures.head._1)) {
+        val (_, code, ra) = failures.dequeue()
+        if (ra.nonEmpty) ex.getResponseHeaders.add("Retry-After", ra)
+        respond(ex, code, s"""{"error":"injected $code"}""")
+        return
+      }
+    }
     try {
       (method, path) match {
         case ("GET", p) if p.startsWith("/_cat/indices/") =>

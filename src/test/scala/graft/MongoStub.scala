@@ -28,6 +28,10 @@ class MongoStub {
   val requests = mutable.ArrayBuffer[ListMap[String, Any]]()
   /** Live cursors: id -> remaining docs. */
   val cursors = mutable.Map[Long, Iterator[ListMap[String, Any]]]()
+  /** Fault injection: the next getMore finds its cursor gone (server
+    * restart / cursor timeout — Mongo's CursorNotFound), once.
+    */
+  @volatile var dropCursorsOnGetMore = false
   private var nextCursorId = 1000L
 
   private val server = new ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
@@ -131,6 +135,7 @@ class MongoStub {
           "id" -> cid, "ns" -> s"${db(cmd)}.$name", "firstBatch" -> first),
         "ok" -> 1.0)
     case ("getMore", cid: Long) =>
+      if (dropCursorsOnGetMore) { cursors.clear(); dropCursorsOnGetMore = false }
       val it = cursors.getOrElse(cid, throw new IllegalArgumentException(s"cursor $cid not found"))
       val batchSize = cmd.get("batchSize") match { case Some(b: Int) => b; case _ => 101 }
       val batch = it.take(batchSize).toSeq

@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions.col
   */
 object RecallMain {
 
-  private def q10(e: DataFrame): DataFrame = e.filter(col("vec_id") < 10)
+  /** Round 11: n_queries widened 10 → 100 (VERDICT r10 item 2) —
+    * at 10 queries one flipped neighbor moved recall@5 by 0.02 and
+    * rank-1 by 0.10; 100 queries puts the knee decision on a stable
+    * base. vec_id < 100 exists at every scale (sf0.01 has 500).
+    */
+  private val NQueries = 100
+  private def qN(e: DataFrame): DataFrame = e.filter(col("vec_id") < NQueries)
 
   /** (index, params-label, is-shipped-default, probe runner). */
   private def annRuns(dir: String): Seq[(String, String, Boolean, (SparkSession, DataFrame) => DataFrame)] = {
@@ -29,26 +35,33 @@ object RecallMain {
     val ivfPqDir = s"target/ivfpq_$safe"
     val sq8Dir = s"target/ivf_sq8_$safe"
     def lsh(probe: Int) = (s: SparkSession, e: DataFrame) =>
-      operators.Similarity.lshTopK(e, q10(e), "vec_id", "embedding", k = 5, dim = 64,
+      operators.Similarity.lshTopK(e, qN(e), "vec_id", "embedding", k = 5, dim = 64,
         planes = 8, tables = 4, probeHamming = probe)
     def ivf(probes: Int) = (s: SparkSession, e: DataFrame) =>
-      operators.Similarity.ivfTopK(e, q10(e), "vec_id", "embedding", k = 5,
+      operators.Similarity.ivfTopK(e, qN(e), "vec_id", "embedding", k = 5,
         nClusters = 16, nProbes = probes)
     def sq8(probes: Int, short: Int) = (s: SparkSession, e: DataFrame) => {
       operators.Similarity.buildIvfIndexSq8(s, e, "vec_id", "embedding", nClusters = 16, indexDir = sq8Dir)
-      operators.Similarity.ivfTopKIndexedSq8Refined(s, sq8Dir, q10(e), e,
+      operators.Similarity.ivfTopKIndexedSq8Refined(s, sq8Dir, qN(e), e,
         "vec_id", "embedding", k = 5, nProbes = probes, shortlist = short)
     }
     def pq(short: Int) = (s: SparkSession, e: DataFrame) => {
       operators.Similarity.buildPqIndexIfAbsent(s, e, "vec_id", "embedding", dim = 64,
         indexDir = pqDir, m = 8, kCodes = 64)
-      operators.Similarity.pqTopKRefined(s, pqDir, q10(e), e, "vec_id", "embedding",
+      operators.Similarity.pqTopKRefined(s, pqDir, qN(e), e, "vec_id", "embedding",
         k = 5, shortlist = short)
+    }
+    val hnswDir = s"target/hnsw_$safe"
+    def hnsw(beam: Int, rounds: Int) = (s: SparkSession, e: DataFrame) => {
+      operators.Similarity.buildGraphIndexIfAbsent(s, e, "vec_id", "embedding",
+        indexDir = hnswDir, m = 16)
+      operators.Similarity.graphTopK(s, hnswDir, qN(e), "vec_id", "embedding",
+        k = 5, beam = beam, rounds = rounds)
     }
     def ivfpq(probes: Int, short: Int) = (s: SparkSession, e: DataFrame) => {
       operators.Similarity.buildIvfPqIndexIfAbsent(s, e, "vec_id", "embedding", dim = 64,
         nClusters = 16, indexDir = ivfPqDir, m = 8, kCodes = 64)
-      operators.Similarity.ivfPqTopKRefined(s, ivfPqDir, q10(e), e, "vec_id", "embedding",
+      operators.Similarity.ivfPqTopKRefined(s, ivfPqDir, qN(e), e, "vec_id", "embedding",
         k = 5, nProbes = probes, shortlist = short)
     }
     Seq(
@@ -65,14 +78,20 @@ object RecallMain {
       ("sim_topk_pq", "m=8,kCodes=64,shortlist=100", true, pq(100)),
       ("sim_topk_ivfpq", "nClusters=16,nProbes=4,m=8,kCodes=64,shortlist=50", false, ivfpq(4, 50)),
       ("sim_topk_ivfpq", "nClusters=16,nProbes=8,m=8,kCodes=64,shortlist=100", true, ivfpq(8, 100)),
-      ("sim_topk_ivfpq", "nClusters=16,nProbes=12,m=8,kCodes=64,shortlist=200", false, ivfpq(12, 200))
+      ("sim_topk_ivfpq", "nClusters=16,nProbes=12,m=8,kCodes=64,shortlist=200", false, ivfpq(12, 200)),
+      ("sim_topk_hnsw", "m=16,auto-cells,beam=16,rounds=3", false, hnsw(16, 3)),
+      ("sim_topk_hnsw", "m=16,auto-cells,beam=32,rounds=6", true, hnsw(32, 6)),
+      ("sim_topk_hnsw", "m=16,auto-cells,beam=64,rounds=8", false, hnsw(64, 8))
     )
   }
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("RECALL_r10.json")
+    val outPath = args.headOption.getOrElse("RECALL_r11.json")
+    // sf1 (20k vectors via tools/scale_up.py) runs DEFAULTS-ONLY: the
+    // knee choice must hold where cell occupancy is realistic, but the
+    // off-default curve points are an sf0.01/sf0.1 artifact
     val sfDirs = if (args.length > 1) args.drop(1).toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/graft_scale/sf1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .appName("recall").getOrCreate()
@@ -84,9 +103,10 @@ object RecallMain {
 
     val records = for {
       dir <- sfDirs
-      brute = rankedDf(SparkEntry.queries("sim_topk_brute")(spark, dir))
       e = sources.Catalog.load(spark, dir, "embeddings")
+      brute = rankedDf(operators.Similarity.bruteForceTopK(e, qN(e), "vec_id", "embedding", k = 5))
       (name, params, isDefault, fn) <- annRuns(dir)
+      if isDefault || !dir.contains("graft_scale")
     } yield {
       val approx = rankedDf(fn(spark, e))
       val brutePairs = brute.toSeq.flatMap { case (q, ns) => ns.map((q, _)) }.toSet

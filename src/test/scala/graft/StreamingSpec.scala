@@ -592,6 +592,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static winnow probe: posting-join fingerprint counts reproduce the batch pairs exactly") {
+    import graft.operators.TextAnalysis
+    val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val idxDir = tmpDir("graft_stream_wn_idx")
+    TextAnalysis.buildWinnowIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    val t0 = 1700000000000L
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("ts", lit(new java.sql.Timestamp(t0)))
+    val srcDir = tmpDir("graft_stream_wn_src")
+    batch.repartition(3).write.mode("overwrite").parquet(srcDir)
+    // flush sentinel advances the watermark so pair counters emit
+    Seq((999999L, "qqqxyzzy wubbalub frobnic glorpty snarfle blintzer",
+        new java.sql.Timestamp(t0 + 3L * 3600 * 1000)))
+      .toDF("doc_id", "text", "ts").write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IncrementalSync.winnowAgainstIndexStream(stream, "doc_id", "text", "ts", idx, minShared = 3L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wn_probe_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wn_probe_out")
+        .select("id_a", "id_b", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batched = TextAnalysis
+        .winnowAgainstIndex(batch.drop("ts"), "doc_id", "text", idx, minShared = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batched.nonEmpty, "fixture should contain cross winnow pairs")
+      assert(streamed == batched,
+        s"stream-only ${(streamed -- batched).size}, batch-only ${(batched -- streamed).size}")
+      // one counter per pair: the aggregation can never emit duplicates
+      assert(spark.table("wn_probe_out").count() == streamed.size)
+    } finally q.stop()
+  }
+
   test("stream-static MinHash probe finds near-dups as docs arrive; pairs match the batch probe") {
     val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)

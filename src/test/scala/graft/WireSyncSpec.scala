@@ -140,7 +140,7 @@ class WireSyncSpec extends SparkSpec {
     }
   }
 
-  test("composed fallback: a poisoned row degrades to row-at-a-time mid-flow; state records only landed rows") {
+  test("composed fallback: a poisoned row degrades to row-at-a-time; state does NOT advance past the failure") {
     withWire { (_, ch, client, cfg, tgt) =>
       ch.rejectMarker = Some("m4")
       val ep = ch.endpoint
@@ -150,9 +150,20 @@ class WireSyncSpec extends SparkSpec {
       // batch (and retry singly) varies — landed/lost counts do not
       assert(r.map(p => (p.mode, p.rows, p.failedRows)) == Seq(("full", 6L, 1L)), r.toString)
       assert(ch.tables(("wh", "app_logs")).rows.size == 6)
-      // the state row prices the batch at LANDED rows, not attempted
+      // a lost row means NO state row: advancing the watermark past it
+      // would orphan it forever; the next pass must re-read the batch
       val st = ch.tables(("wh", "_sync_state"))
-      assert(st.rows.map(r => r(st.schema.indexWhere(_._1 == "last_sync_count"))) == Seq("6"), st.rows.toString)
+      assert(st.rows.isEmpty, st.rows.toString)
+      assert(r.head.lastSyncTime == "" && r.head.lastUpdateTime == "", r.head.toString)
+      // target healed → the retry pass is a FULL re-read (empty
+      // watermark) and every row lands; re-inserts are idempotent on
+      // real CH (UNIQUE KEY _id), the stub store just appends
+      ch.rejectMarker = None
+      val r2 = WireSync.run(spark, client, cfg, tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "wh", insertBatchSize = 100)
+      assert(r2.map(p => (p.mode, p.rows, p.failedRows)) == Seq(("full", 7L, 0L)), r2.toString)
+      assert(st.rows.size == 1)
+      assert(st.rows.head(st.schema.indexWhere(_._1 == "last_sync_time")) == "2024-01-07 00:00:00")
     }
   }
 }
