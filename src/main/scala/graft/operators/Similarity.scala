@@ -1514,15 +1514,24 @@ object Similarity {
       .withColumn("__rn", row_number().over(wb)).filter(col("__rn") <= beam).drop("__rn")
     var best = prune(score(qs.select(col("qid")).crossJoin(entries))).localCheckpoint()
     var visited = best.select(col("qid"), col("cid")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
       val fresh = best.select(col("qid"), col("cid").as("src"))
         .join(edges, Seq("src"))
         .select(col("qid"), col("dst").as("cid"))
         .distinct()
         .join(visited, Seq("qid", "cid"), "left_anti")
         .localCheckpoint()
-      best = prune(best.unionByName(score(fresh))).localCheckpoint()
-      visited = visited.unionByName(fresh).localCheckpoint()
+      // early exit: every beam's full neighborhood is already visited
+      // — remaining rounds would re-schedule empty joins (the frame is
+      // checkpointed, so this emptiness probe is a metadata-cheap job)
+      if (fresh.take(1).isEmpty) converged = true
+      else {
+        best = prune(best.unionByName(score(fresh))).localCheckpoint()
+        visited = visited.unionByName(fresh).localCheckpoint()
+      }
     }
     best
       .filter(col("cid") =!= col("qid"))

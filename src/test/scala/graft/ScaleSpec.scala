@@ -224,6 +224,29 @@ class ScaleSpec extends SparkSpec {
     assert(hits >= (lsh.size * 0.95).toInt, s"LSH missed staged twins: $hits/${lsh.size}")
   }
 
+  test("graph ANN at 100k vectors: staged twin found first through the persisted graph; build linear-blocked", Slow) {
+    val (_, vecsPath) = SyntheticCorpus.ensure(spark, corpusDir, nDocs = 1000, nVecs = 100000, dim = 32)
+    val vecs = spark.read.parquet(vecsPath)
+    val dir = "target/scale_hnsw_100k"
+    val (_, buildSec) = time {
+      Similarity.buildGraphIndex(spark, vecs, "vec_id", "embedding", indexDir = dir, m = 16)
+    }
+    // auto-blocking: ~n/256 cells — build work is Σ block² ≈ n·512,
+    // LINEAR in corpus size (a fixed cell count would be quadratic)
+    val nEntries = spark.read.parquet(s"$dir/entries").count()
+    assert(nEntries >= 300 && nEntries <= 500, s"auto cell count off: $nEntries")
+    val queries = vecs.filter(pmod(col("vec_id"), lit(20L)) === 19L && col("vec_id") < 400L)
+    val (got, sec) = time {
+      Similarity.graphTopK(spark, dir, queries, "vec_id", "embedding", k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    info(f"graph ANN over 100k vectors: build $buildSec%.1fs, probe of ${got.size} queries $sec%.1fs")
+    // rank-1 neighbor of a staged dup must be its base vector (cosine
+    // >= 0.999 by construction — the twin-finding contract)
+    val hits = got.count { case (qid, nid) => nid == qid - 1 }
+    assert(hits >= (got.size * 0.95).toInt, s"graph ANN missed staged twins: $hits/${got.size}")
+  }
+
   test("IVF range search at 100k clustered vectors: bit-identical to brute scan, prune collapses probed cells", Slow) {
     import spark.implicits._
     val dim = 8
