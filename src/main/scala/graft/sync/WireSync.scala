@@ -197,4 +197,72 @@ object WireSync {
     PassResult(index, table, mode, stats.rows, stats.fallbackRows, stats.failedRows,
       timeField.getOrElse(""), updateField.getOrElse(""), newSync, newUpdate)
   }
+
+  /** The MongoDB variant's defining job, composed over both live
+    * wires (mongodb_to_bytehouse.py:579-779 `run`): per collection,
+    * read the ObjectId keyset watermark from the TARGET's CH-variant
+    * `_sync_state` (24-hex ObjectIds compare lexicographically, so
+    * the reference's max() state read returns the newest id — the
+    * watermark rides `last_sync_time`), page the delta over OP_MSG
+    * find/getMore with the `_id > oid` filter evaluated SERVER-side,
+    * depth-1-flatten to the all-String row surface, evolve the target
+    * schema on the wire (`ALTER TABLE … ADD COLUMN` for fields later
+    * batches surface — document stores are ragged by design), and
+    * land rows through the partition-parallel batched INSERT with
+    * row-at-a-time fallback. Same failed-batch discipline as
+    * [[syncIndex]]: any permanently-failed row vetoes the state
+    * append, so the next pass re-reads the batch (idempotent on the
+    * UNIQUE-KEY target) instead of orphaning rows.
+    */
+  def runMongo(
+      spark: SparkSession,
+      mongoHost: String,
+      mongoPort: Int,
+      mongoDb: String,
+      collections: Seq[String],
+      ch: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      batchSize: Int = 1000,
+      insertBatchSize: Int = 1000
+  ): Seq[PassResult] = {
+    ClickHouseDdl.bootstrapSqlCh(targetDb).foreach(ch.execute)
+    collections.map { coll =>
+      val table = graft.operators.Flatten.sanitizeName(coll)
+      val wm = ch.query(ClickHouseDdl.lastSyncTimeSql(targetDb, table))
+      val lastId = wm.headOption.map(r => Option(r(0)).getOrElse("")).getOrElse("")
+      val mode = if (lastId.isEmpty) "full" else "incremental"
+      val df = graft.sources.MongoSource.read(spark, mongoHost, mongoPort, mongoDb, coll,
+        batchSize, if (lastId.isEmpty) None else Some(lastId))
+      if (df.isEmpty) {
+        PassResult(coll, table, mode, 0L, 0L, 0L, "_id", "", lastId, "")
+      } else {
+        // target DDL from this batch's discovered fields; fields the
+        // existing target lacks become wire-side ALTERs (the
+        // reference's add_new_columns move)
+        val fields = df.columns.filterNot(_ == "_id").toIndexedSeq
+        ch.execute(ClickHouseDdl.createTableSqlAllString(targetDb, coll, fields, addTimestamp = true))
+        val described = ch.describeTable(targetDb, table).map(_._1)
+        val sanitized = fields.map(graft.operators.Flatten.sanitizeName).distinct
+        val newCols = sanitized.filterNot(described.toSet)
+        Incremental.alterStatements(targetDb, table, newCols.map(_ -> "String")).foreach(ch.execute)
+        // insert column order = target order; _timestamp keeps its
+        // server-side now64(3) DEFAULT by being absent from the insert
+        val targetSchema = StructType(
+          (described.filterNot(_ == "_timestamp") ++ newCols).distinct
+            .map(n => StructField(n, StringType)))
+        val conformed = Incremental.conformToTarget(df, targetSchema)
+        val stats = BatchedUpsertWriter.write(conformed, targetDb, table, insertBatchSize, chExecutorFactory)
+        val advanced = stats.failedRows == 0L
+        val maxId = df.agg(max(col("_id"))).collect()(0).getString(0)
+        val newWm = if (advanced) Seq(lastId, maxId).max else lastId
+        if (advanced && stats.rows > 0) {
+          ch.execute(ClickHouseDdl.insertSyncStateSqlCh(targetDb) +
+            s" (${graft.sinks.ChHttp.sqlLiteral(table)}, ${graft.sinks.ChHttp.sqlLiteral(newWm)}, '', ${stats.rows})")
+        }
+        PassResult(coll, table, mode, stats.rows, stats.fallbackRows, stats.failedRows,
+          "_id", "", newWm, "")
+      }
+    }
+  }
 }

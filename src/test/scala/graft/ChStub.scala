@@ -24,7 +24,8 @@ import graft.sinks.ChHttp
   */
 class ChStub {
 
-  final class Table(val schema: Seq[(String, String)]) {
+  final class Table(initialSchema: Seq[(String, String)]) {
+    var schema: Seq[(String, String)] = initialSchema // ALTER ADD COLUMN appends
     val rows = mutable.ArrayBuffer[Seq[String]]() // cells in schema order, null = SQL NULL
   }
 
@@ -94,6 +95,7 @@ class ChStub {
   private val MaxState =
     s"SELECT max\\($ident\\), max\\($ident\\) FROM $ident\\.$ident WHERE $ident = '((?:[^'\\\\]|\\\\.)*)'".r
   private val Insert = s"(?s)INSERT INTO $ident\\.$ident \\(([^)]*)\\) VALUES (.*)".r
+  private val AlterAdd = s"ALTER TABLE $ident\\.$ident ADD COLUMN $ident Nullable\\((\\w+)\\)".r
 
   private def table(db: String, t: String): Table =
     tables.getOrElse((db, t), throw new IllegalArgumentException(s"Table $db.$t does not exist"))
@@ -161,6 +163,13 @@ class ChStub {
         if (vs.isEmpty) "" else vs.max
       }
       s"${ChHttp.escapeTsv(mx(i1))}\t${ChHttp.escapeTsv(mx(i2))}\n"
+    case AlterAdd(db, t, colName, typ) =>
+      val tb = table(db, t)
+      require(!tb.schema.exists(_._1 == colName), s"column $colName already exists")
+      tb.schema = tb.schema :+ (colName, s"Nullable($typ)")
+      // existing rows read NULL for the new column, like real CH
+      for (i <- tb.rows.indices) tb.rows(i) = tb.rows(i) :+ null
+      ""
     case Insert(db, t, colList, valuesPart) =>
       val tb = table(db, t)
       val cols = colList.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq

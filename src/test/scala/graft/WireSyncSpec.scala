@@ -140,6 +140,65 @@ class WireSyncSpec extends SparkSpec {
     }
   }
 
+  test("Mongo variant composed: OID watermark in the CH target, wire-side schema evolution, both wires live") {
+    import scala.collection.immutable.ListMap
+    val mongo = new MongoStub
+    def mdoc(i: Int, extra: Option[String] = None): ListMap[String, Any] = {
+      val base = ListMap[String, Any]("_id" -> graft.sources.Bson.Oid(f"$i%024x"), "v" -> s"d$i",
+        "meta" -> ListMap[String, Any]("n" -> i))
+      extra.fold(base)(e => base + ("extra" -> e))
+    }
+    mongo.seed("shop", "items", (1 to 9).map(i => mdoc(i)))
+    val (mHost, mPort) = mongo.start()
+    val ch = new ChStub
+    ch.start()
+    try {
+      val tgt = new graft.sinks.ChHttpClient(ch.endpoint)
+      val ep = ch.endpoint
+      def pass() = WireSync.runMongo(spark, mHost, mPort, "shop", Seq("items"),
+        tgt, () => new ChHttpBatchExecutor(ep), targetDb = "wh", batchSize = 4)
+
+      // ---- pass 1: no state → FULL, 9 docs over find/getMore pages ----
+      val r1 = pass()
+      assert(r1.map(p => (p.table, p.mode, p.rows, p.failedRows)) == Seq(("items", "full", 9L, 0L)), r1.toString)
+      val t = ch.tables(("wh", "items"))
+      assert(t.schema.map(_._1).take(2) == Seq("_id", "_timestamp"), t.schema.toString)
+      assert(t.rows.size == 9)
+      // nested doc flattened depth-1: meta became a JSON string column
+      val metaIdx = t.schema.indexWhere(_._1 == "meta")
+      assert(metaIdx >= 0 && t.rows.head(metaIdx).contains("\"n\""), t.rows.head.toString)
+      // OID watermark rides last_sync_time in the CH-variant state
+      val st = ch.tables(("wh", "_sync_state"))
+      def cell(r: Seq[String], c: String) = r(st.schema.indexWhere(_._1 == c))
+      assert(st.rows.size == 1 && cell(st.rows.head, "last_sync_time") == f"${9}%024x", st.rows.toString)
+
+      // ---- source moves: 3 new docs, one carrying a NEW field ---------
+      mongo.seed("shop", "items", (1 to 9).map(i => mdoc(i)) ++
+        Seq(mdoc(10), mdoc(11, Some("bonus")), mdoc(12)))
+      val r2 = pass()
+      assert(r2.map(p => (p.mode, p.rows)) == Seq(("incremental", 3L)), r2.toString)
+      // only the delta crossed the mongo wire ($gt filter server-side)
+      assert(t.rows.size == 12)
+      // wire-side schema evolution: the new field became an ALTER, old
+      // rows read NULL, the new doc's value landed
+      assert(ch.requests.exists(_.startsWith("ALTER TABLE `wh`.`items` ADD COLUMN `extra`")),
+        ch.requests.filter(_.startsWith("ALTER")).toString)
+      val extraIdx = t.schema.indexWhere(_._1 == "extra")
+      assert(extraIdx >= 0)
+      val vIdx = t.schema.indexWhere(_._1 == "v")
+      assert(t.rows.find(_(vIdx) == "d11").get(extraIdx) == "bonus")
+      assert(t.rows.find(_(vIdx) == "d3").get(extraIdx) == null)
+      // watermark advanced to the newest oid
+      assert(cell(st.rows.last, "last_sync_time") == f"${12}%024x", st.rows.last.toString)
+
+      // ---- quiescent pass: zero rows, state untouched ------------------
+      val stRows = st.rows.size
+      val r3 = pass()
+      assert(r3.map(p => (p.mode, p.rows)) == Seq(("incremental", 0L)), r3.toString)
+      assert(st.rows.size == stRows && t.rows.size == 12)
+    } finally { mongo.stop(); ch.stop() }
+  }
+
   test("composed fallback: a poisoned row degrades to row-at-a-time; state does NOT advance past the failure") {
     withWire { (_, ch, client, cfg, tgt) =>
       ch.rejectMarker = Some("m4")
