@@ -241,6 +241,14 @@ class ChHttpBatchExecutor(endpoint: String, user: String = "", password: String 
   * is the part that carries over.
   */
 object ChSource {
+  /** `where` (a raw SQL predicate, e.g. `` `created_at` > '…' ``)
+    * rides both the COUNT and every page query, so an incremental
+    * sweep reads ONLY the delta server-side — the reference's
+    * `sync_table_incremental` WHERE clause
+    * (clickhouse_to_bytehouse.py:330-352). The quiescence/key-range
+    * caveats in the class note apply to the filtered row set the same
+    * way.
+    */
   def read(
       spark: SparkSession,
       endpoint: String,
@@ -249,12 +257,14 @@ object ChSource {
       batchSize: Int,
       orderBy: Option[String] = None,
       user: String = "",
-      password: String = ""
+      password: String = "",
+      where: Option[String] = None
   ): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val driverClient = new ChHttpClient(endpoint, user, password)
     val schema = driverClient.sparkSchema(db, table)
-    val total = driverClient.count(db, table)
+    val cond = where.map(w => s" WHERE $w").getOrElse("")
+    val total = driverClient.query(s"SELECT COUNT(*) FROM `$db`.`$table`$cond").head(0).toLong
     val offsets = 0L.until(total, batchSize.toLong)
     val order = orderBy.map(c => s" ORDER BY `$c`").getOrElse("")
     val types = schema.fields.map(_.dataType)
@@ -263,7 +273,7 @@ object ChSource {
       .mapPartitions { offs =>
         val c = new ChHttpClient(endpoint, user, password)
         offs.flatMap { off =>
-          c.query(s"SELECT * FROM `$db`.`$table`$order LIMIT $batchSize OFFSET $off")
+          c.query(s"SELECT * FROM `$db`.`$table`$cond$order LIMIT $batchSize OFFSET $off")
             .map { cells =>
               Row.fromSeq(cells.toIndexedSeq.zip(types).map { case (v, t) => ChHttp.parseCell(v, t) })
             }

@@ -198,6 +198,76 @@ object WireSync {
       timeField.getOrElse(""), updateField.getOrElse(""), newSync, newUpdate)
   }
 
+  /** The ClickHouse-to-ClickHouse variant's defining job, composed
+    * over both live wires (clickhouse_to_bytehouse.py:226-371 `run`):
+    * per source table, DESCRIBE-derived TYPED target DDL, the
+    * time-field-routed full/incremental read — the incremental WHERE
+    * (`time > watermark`) evaluates SERVER-side and rides every COUNT
+    * and page query of the distributed paged read, so the engine
+    * moves only the delta — batched INSERT with row fallback, and the
+    * CH-variant `_sync_state` bookkeeping in the target. Watermarks
+    * are stored at MICROSECOND precision (`yyyy-MM-dd HH:mm:ss.SSSSSS`
+    * — the reference's seconds-precision `%Y-%m-%d %H:%M:%S` watermark
+    * silently re-reads or misses sub-second rows at the boundary;
+    * micro strings compare lexicographically the same way DateTime64
+    * compares). Tables with no detectable time field re-sync fully
+    * every pass (idempotent on a unique-keyed target), like the
+    * reference warns-and-does. Failed-batch discipline as everywhere:
+    * any lost row vetoes the state append.
+    */
+  def runCh(
+      spark: SparkSession,
+      srcEndpoint: String,
+      srcDb: String,
+      tgt: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      batchSize: Int = 1000,
+      insertBatchSize: Int = 1000,
+      orderKeys: Map[String, String] = Map.empty
+  ): Seq[PassResult] = {
+    val src = new ChHttpClient(srcEndpoint)
+    ClickHouseDdl.bootstrapSqlCh(targetDb).foreach(tgt.execute)
+    src.showTables(srcDb).map { srcTable =>
+      val schema = src.sparkSchema(srcDb, srcTable)
+      val table = graft.operators.Flatten.sanitizeName(srcTable)
+      tgt.execute(ClickHouseDdl.createTableSql(targetDb, srcTable, schema))
+      val timeField = Incremental.detectTimeField(schema)
+      val wm = tgt.query(ClickHouseDdl.lastSyncTimeSql(targetDb, table))
+      val lastSync = wm.headOption.map(r => Option(r(0)).getOrElse("")).getOrElse("")
+      val isFull = timeField.isEmpty || lastSync.isEmpty
+      val mode = if (isFull) "full" else "incremental"
+      val where =
+        if (isFull) None
+        else timeField.map(t =>
+          s"`$t` > '${lastSync.replace("\\", "\\\\").replace("'", "\\'")}'")
+      // disjoint pages need a deterministic order key (see ChSource
+      // class note) — callers override per table, default first column
+      val orderKey = orderKeys.getOrElse(srcTable, schema.fieldNames.head)
+      val df = graft.sinks.ChSource.read(spark, srcEndpoint, srcDb, srcTable, batchSize,
+        orderBy = Some(orderKey), where = where)
+      if (df.isEmpty) {
+        PassResult(srcTable, table, mode, 0L, 0L, 0L, timeField.getOrElse(""), "", lastSync, "")
+      } else {
+        val stats = BatchedUpsertWriter.write(df, targetDb, table, insertBatchSize, chExecutorFactory)
+        val advanced = stats.failedRows == 0L
+        val newSync = timeField match {
+          case Some(t) if advanced =>
+            val s = df.agg(max(date_format(col(t), "yyyy-MM-dd HH:mm:ss.SSSSSS")))
+              .collect()(0).getString(0)
+            if (s == null) lastSync else Seq(lastSync, s).max
+          case _ => lastSync
+        }
+        if (advanced && timeField.isDefined && stats.rows > 0) {
+          tgt.execute(ClickHouseDdl.insertSyncStateSqlCh(targetDb) +
+            s" (${graft.sinks.ChHttp.sqlLiteral(table)}, ${graft.sinks.ChHttp.sqlLiteral(newSync)}, '', ${stats.rows})")
+        }
+        PassResult(srcTable, table, mode, stats.rows, stats.fallbackRows, stats.failedRows,
+          timeField.getOrElse(""), "", newSync, "")
+      }
+    }
+  }
+
   /** The MongoDB variant's defining job, composed over both live
     * wires (mongodb_to_bytehouse.py:579-779 `run`): per collection,
     * read the ObjectId keyset watermark from the TARGET's CH-variant

@@ -86,9 +86,11 @@ class ChStub {
   private val CreateTable = s"(?s)CREATE TABLE IF NOT EXISTS $ident\\.$ident \\((.*)\\) ENGINE = .*".r
   private val ShowTables = s"SHOW TABLES FROM $ident".r
   private val Describe = s"DESCRIBE TABLE $ident\\.$ident".r
-  private val CountStar = s"SELECT COUNT\\(\\*\\) FROM $ident\\.$ident".r
+  // optional `WHERE `col` > 'literal'` — the incremental delta filter
+  private val wherePart = s"(?: WHERE $ident > '((?:[^'\\\\]|\\\\.)*)')?"
+  private val CountStar = s"SELECT COUNT\\(\\*\\) FROM $ident\\.$ident$wherePart".r
   private val SelectPage =
-    s"SELECT \\* FROM $ident\\.$ident(?: ORDER BY $ident)? LIMIT (\\d+) OFFSET (\\d+)".r
+    s"SELECT \\* FROM $ident\\.$ident$wherePart(?: ORDER BY $ident)? LIMIT (\\d+) OFFSET (\\d+)".r
   private val MinMax = s"SELECT min\\($ident\\), max\\($ident\\) FROM $ident\\.$ident".r
   private val SelectKeyRange =
     s"SELECT \\* FROM $ident\\.$ident WHERE $ident BETWEEN (-?\\d+) AND (-?\\d+) ORDER BY $ident".r
@@ -99,6 +101,22 @@ class ChStub {
 
   private def table(db: String, t: String): Table =
     tables.getOrElse((db, t), throw new IllegalArgumentException(s"Table $db.$t does not exist"))
+
+  /** `col > 'val'` with DateTime-aware semantics: a seconds-precision
+    * literal is padded to the stored micro format before the string
+    * compare (real CH compares as DateTime values — a bare string
+    * compare would let `x.000000` pass a `> x` filter).
+    */
+  private def whereFilter(tb: Table, whereCol: String, whereVal: String): Seq[Seq[String]] =
+    Option(whereCol) match {
+      case None => tb.rows.toSeq
+      case Some(c) =>
+        val i = tb.schema.indexWhere(_._1 == c)
+        require(i >= 0, s"no column $c")
+        val lit0 = whereVal.replace("\\'", "'").replace("\\\\", "\\")
+        val lit = if (lit0.length == 19 && lit0(10) == ' ') lit0 + ".000000" else lit0
+        tb.rows.toSeq.filter(r => r(i) != null && r(i) > lit)
+    }
 
   private def dispatch(sql: String): String = sql match {
     case "SELECT 1" => "1\n"
@@ -121,16 +139,17 @@ class ChStub {
       tables.keys.toSeq.filter(_._1 == db).map(_._2).sorted.map(_ + "\n").mkString
     case Describe(db, t) =>
       table(db, t).schema.map { case (n, ty) => s"$n\t$ty\n" }.mkString
-    case CountStar(db, t) =>
-      s"${table(db, t).rows.size}\n"
-    case SelectPage(db, t, order, limit, offset) =>
+    case CountStar(db, t, whereCol, whereVal) =>
+      s"${whereFilter(table(db, t), whereCol, whereVal).size}\n"
+    case SelectPage(db, t, whereCol, whereVal, order, limit, offset) =>
       val tb = table(db, t)
+      val filtered = whereFilter(tb, whereCol, whereVal)
       val base = Option(order) match {
         case Some(c) =>
           val i = tb.schema.indexWhere(_._1 == c)
           require(i >= 0, s"no column $c")
-          tb.rows.sortBy(r => Option(r(i)).getOrElse(""))
-        case None => tb.rows
+          filtered.sortBy(r => Option(r(i)).getOrElse(""))
+        case None => filtered
       }
       base.slice(offset.toInt, offset.toInt + limit.toInt)
         .map(_.map(ChHttp.escapeTsv).mkString("", "\t", "\n")).mkString

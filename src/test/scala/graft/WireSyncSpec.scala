@@ -199,6 +199,57 @@ class WireSyncSpec extends SparkSpec {
     } finally { mongo.stop(); ch.stop() }
   }
 
+  test("CH-to-CH composed: typed DDL, server-side incremental WHERE on the paged read, micro watermark") {
+    val source = new ChStub
+    val target = new ChStub
+    val srcSchema = Seq(
+      ("id", "Int64"), ("name", "Nullable(String)"),
+      ("amount", "Nullable(Float64)"), ("created_at", "Nullable(DateTime64(6))"))
+    source.seed("shop", "orders", srcSchema, (1 to 23).map(i => Seq(
+      i.toString, s"name_$i", s"${i * 10}.5", f"2024-01-${i % 28 + 1}%02d 00:00:00.000000")))
+    val se = source.start()
+    target.start()
+    try {
+      val tgt = new graft.sinks.ChHttpClient(target.endpoint)
+      val ep = target.endpoint
+      def pass() = WireSync.runCh(spark, source.endpoint, "shop", tgt,
+        () => new ChHttpBatchExecutor(ep), targetDb = "bh", batchSize = 5)
+
+      // ---- pass 1: full — typed DDL from DESCRIBE, 23 rows land -------
+      val r1 = pass()
+      assert(r1.map(p => (p.table, p.mode, p.rows, p.failedRows)) == Seq(("orders", "full", 23L, 0L)), r1.toString)
+      val t = target.tables(("bh", "orders"))
+      assert(t.schema.toMap.apply("amount") == "Nullable(Float64)", t.schema.toString)
+      assert(t.rows.size == 23)
+      // the micro-precision watermark landed in _sync_state
+      val st = target.tables(("bh", "_sync_state"))
+      def cell(r: Seq[String], c: String) = r(st.schema.indexWhere(_._1 == c))
+      assert(cell(st.rows.head, "last_sync_time") == "2024-01-24 00:00:00.000000", st.rows.head.toString)
+
+      // ---- source moves: two newer rows ---------------------------------
+      source.tables(("shop", "orders")).rows ++= Seq(
+        Seq("24", "name_24", "240.5", "2024-02-01 00:00:00.000000"),
+        Seq("25", "name_25", "250.5", "2024-02-02 00:00:00.000000"))
+      val srcBefore = source.requests.size
+      val r2 = pass()
+      assert(r2.map(p => (p.mode, p.rows)) == Seq(("incremental", 2L)), r2.toString)
+      assert(t.rows.size == 25)
+      // the delta filter evaluated SERVER-side: every COUNT and page
+      // query of the incremental read carries the WHERE clause
+      val incReads = source.requests.drop(srcBefore).filter(r => r.startsWith("SELECT"))
+      assert(incReads.nonEmpty &&
+        incReads.forall(_.contains("WHERE `created_at` > '2024-01-24 00:00:00.000000'")),
+        incReads.toString)
+      assert(cell(st.rows.last, "last_sync_time") == "2024-02-02 00:00:00.000000", st.rows.last.toString)
+
+      // ---- quiescent: zero rows, state untouched ------------------------
+      val stRows = st.rows.size
+      val r3 = pass()
+      assert(r3.map(p => (p.mode, p.rows)) == Seq(("incremental", 0L)), r3.toString)
+      assert(st.rows.size == stRows && t.rows.size == 25)
+    } finally { source.stop(); target.stop() }
+  }
+
   test("composed fallback: a poisoned row degrades to row-at-a-time; state does NOT advance past the failure") {
     withWire { (_, ch, client, cfg, tgt) =>
       ch.rejectMarker = Some("m4")
