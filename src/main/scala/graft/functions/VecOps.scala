@@ -677,7 +677,14 @@ object VecOps {
     * the DuckDB-oracle regex form: RE2 defines `\s` as the
     * pure-ASCII class [ \t\n\f\r] — NO vertical tab (0x0B), unlike
     * Java's `\s` — so this kernel deliberately matches RE2's class;
-    * 0x0B passes through as an ordinary byte on both sides.
+    * 0x0B passes through as an ordinary byte on both sides. The
+    * DuckDB/RE2 class is the CONTRACTUAL one: the engine's correctness
+    * gate hashes results against DuckDB, so the kernel must agree with
+    * it byte-for-byte, and Spark's own `regexp_replace` (Java `\s`,
+    * which eats 0x0B) is the side that diverges. Migration note: this
+    * changed in round 11 — fingerprint/winnow/dedup indexes persisted
+    * over VT-containing text BEFORE that change hash differently and
+    * must be rebuilt before incremental probes against them resume.
     * Public static for codegen.
     */
   def normalizeWs(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
@@ -2173,11 +2180,22 @@ final class TokenTrie(val vocab: Seq[String]) extends Serializable {
     require(!t.contains(' ') && t.nonEmpty, s"vocab entry must be non-empty and space-free: '$t'"))
 
   /** Content fingerprint, computed once on the driver and serialized
-    * with the instance — the executor-side cache key.
+    * with the instance — the executor-side cache key. The framing is
+    * INJECTIVE: entry count + a per-entry byte-length prefix. A bare
+    * 0x00 separator is forgeable because U+0000 is a legal entry
+    * character (only spaces/empty are banned), so `["a<NUL>b"]` and
+    * `["a","b"]` would collide and silently share a trie.
     */
   private val fingerprint: String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    vocab.foreach { t => md.update(t.getBytes("UTF-8")); md.update(0.toByte) }
+    def putInt(v: Int): Unit =
+      md.update(Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    putInt(vocab.size)
+    vocab.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      putInt(b.length)
+      md.update(b)
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -2211,16 +2229,27 @@ object TokenTrie {
   /** JVM-wide built-trie cache: one node graph per distinct vocabulary
     * per executor process, shared by every task/plan that references
     * the same merge table. Vocabularies are plan-lifetime objects
-    * (a pipeline uses one or two tokenizers), so the cache is bounded
-    * by construction and never evicts.
+    * (a pipeline uses one or two tokenizers), so in normal use the
+    * cache holds a handful of entries for the process lifetime; the
+    * [[MaxCachedTries]] bound is the backstop for a pathological
+    * caller generating vocabularies dynamically — past it the cache
+    * drops everything and rebuilds (a rebuild is cheap; unbounded
+    * heap growth is not).
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Node]()
+  private val MaxCachedTries = 64
 
   /** Observable build count (test hook: asserts once-per-JVM builds). */
   val builds = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def rootFor(fp: String, vocab: Seq[String]): Node =
-    cache.computeIfAbsent(fp, _ => buildRoot(vocab))
+  private def rootFor(fp: String, vocab: Seq[String]): Node = {
+    val hit = cache.get(fp)
+    if (hit != null) hit
+    else {
+      if (cache.size >= MaxCachedTries) cache.clear()
+      cache.computeIfAbsent(fp, _ => buildRoot(vocab))
+    }
+  }
 
   private def buildRoot(vocab: Seq[String]): Node = {
     builds.incrementAndGet()

@@ -155,4 +155,30 @@ object ClickHouseDdl {
     val cols = columns.map(c => s"`${Flatten.sanitizeName(c)}`").mkString(", ")
     s"INSERT INTO `$db`.`${Flatten.sanitizeName(table)}` ($cols) VALUES"
   }
+
+  private val Dt64Precision = """DateTime64\((\d+)""".r
+
+  /** Spark `date_format` pattern for a watermark literal at the time
+    * COLUMN's native precision, derived from its DESCRIBE type. The
+    * reference's seconds-precision `%Y-%m-%d %H:%M:%S` watermark
+    * (clickhouse_to_bytehouse.py:318-323) silently re-reads or misses
+    * sub-second rows on a DateTime64 column; a blanket 6-digit literal
+    * fixes that but hands a fractional literal to a plain DateTime
+    * column, where server-side parsing of the fraction is
+    * version-dependent. Formatting FROM the described type gives each
+    * column an exact, unambiguous literal: micros (capped at Spark's
+    * timestamp grain) for DateTime64(p), whole seconds for DateTime,
+    * bare dates for Date — and `>` at the column's own precision is
+    * lossless by construction.
+    */
+  def watermarkFormat(chType: String): String =
+    Dt64Precision.findFirstMatchIn(chType) match {
+      case Some(m) =>
+        val p = math.min(m.group(1).toInt, 6) // Spark timestamps carry micros
+        "yyyy-MM-dd HH:mm:ss" + (if (p > 0) "." + "S" * p else "")
+      case None if chType.contains("DateTime") => "yyyy-MM-dd HH:mm:ss"
+      case None if chType.contains("Date") => "yyyy-MM-dd"
+      // String-typed time columns keep the engine's micro grain
+      case None => "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    }
 }

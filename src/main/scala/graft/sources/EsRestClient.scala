@@ -109,22 +109,38 @@ class EsRestClient(
     * `graft.operators.TypeMapper.esType` for Spark types or the
     * all-String mode for the reference's own DDL.
     */
-  def mappingFields(index: String): Map[String, String] = {
+  def mappingFields(index: String): Map[String, String] =
+    mappingFieldsDetailed(index).map { case (n, (t, _)) => n -> t }
+
+  /** Sanitized name → (ES type, RAW field path). The raw path keeps
+    * `@` and dot-joins nested properties the way the ES query DSL
+    * addresses them — sanitization is a TARGET-side concern only.
+    * The reference remaps `timestamp` back to `@timestamp` before
+    * building the incremental range query (es_to_bytehouse.py:836-839,
+    * `original_time_field`); carrying the raw path for EVERY field
+    * generalizes that remap, so range filters and sorts always name
+    * real ES fields — querying the sanitized name on an ECS-style
+    * `@timestamp` index silently matches nothing (permanent
+    * incremental data loss).
+    */
+  def mappingFieldsDetailed(index: String): Map[String, (String, String)] = {
     val root = send("GET", s"/$index/_mapping", None)
     val it = root.fields()
     if (!it.hasNext) Map.empty
-    else flattenProps(it.next().getValue.path("mappings").path("properties"), "")
+    else flattenProps(it.next().getValue.path("mappings").path("properties"), "", "")
   }
 
-  private def flattenProps(node: JsonNode, prefix: String): Map[String, String] = {
+  private def flattenProps(
+      node: JsonNode, prefix: String, rawPrefix: String): Map[String, (String, String)] = {
     import scala.jdk.CollectionConverters._
     node.fields().asScala.flatMap { e =>
-      val raw = if (prefix.isEmpty) e.getKey else s"${prefix}_${e.getKey}"
-      val name = raw.replace(".", "_").replace("-", "_").replace("@", "")
+      val rawPath = if (rawPrefix.isEmpty) e.getKey else s"$rawPrefix.${e.getKey}"
+      val joined = if (prefix.isEmpty) e.getKey else s"${prefix}_${e.getKey}"
+      val name = joined.replace(".", "_").replace("-", "_").replace("@", "")
       val cfg = e.getValue
-      if (cfg.has("properties")) flattenProps(cfg.get("properties"), name)
-      else if (cfg.has("type")) Map(name -> cfg.get("type").asText())
-      else Map.empty[String, String]
+      if (cfg.has("properties")) flattenProps(cfg.get("properties"), name, rawPath)
+      else if (cfg.has("type")) Map(name -> ((cfg.get("type").asText(), rawPath)))
+      else Map.empty[String, (String, String)]
     }.toMap
   }
 

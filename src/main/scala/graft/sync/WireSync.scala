@@ -86,6 +86,46 @@ object WireSync {
     }
   }
 
+  /** The reference's actual DEPLOYMENT mode, over live wires:
+    * `run_incremental(continuous=True)` (es_to_bytehouse.py:1053-1102)
+    * — poll forever (here `maxPasses` times: tests bound it, production
+    * passes Int.MaxValue), re-reading `_sync_state` each pass so every
+    * pass routes itself, with the reference's per-index fault isolation
+    * (its `except Exception: logger.error; continue`, :1088-1094): one
+    * index failing mid-pass yields a `Left` for THAT index and the
+    * sweep moves on — its state has not advanced, so the next pass
+    * resumes it cleanly from the old watermark. `onPassEnd` is the
+    * observation hook (logging/alerting in production, the
+    * source-mutation driver in tests); `intervalMs` is the poll sleep.
+    */
+  def runContinuous(
+      spark: SparkSession,
+      es: EsRestClient,
+      esCfg: EsSourceConfig,
+      ch: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      maxPasses: Int,
+      insertBatchSize: Int = 1000,
+      usePit: Boolean = false,
+      intervalMs: Long = 0L,
+      onPassEnd: (Int, Seq[Either[(String, String), PassResult]]) => Unit = (_, _) => ()
+  ): Seq[Seq[Either[(String, String), PassResult]]] = {
+    bootstrap(ch, targetDb)
+    (1 to maxPasses).map { pass =>
+      val results = es.catIndices(esCfg.indexPattern).map { index =>
+        try Right(syncIndex(spark, es, esCfg, ch, chExecutorFactory, targetDb, index,
+          insertBatchSize, usePit))
+        catch {
+          case scala.util.control.NonFatal(e) => Left((index, e.toString))
+        }
+      }
+      onPassEnd(pass, results)
+      if (intervalMs > 0 && pass < maxPasses) Thread.sleep(intervalMs)
+      results
+    }
+  }
+
   /** One index, one pass: mapping → DDL → watermark-routed read →
     * flatten → conform → batched wire write → state append.
     */
@@ -105,8 +145,14 @@ object WireSync {
     // --- mapping → flattened field names + time-field detection ------
     // (es_to_bytehouse.py:260-294, 467-529): detection runs on the
     // MAPPING's types, not sampled data — an empty index still routes
-    val fields = es.mappingFields(index) // sanitized name -> es type
+    val detailed = es.mappingFieldsDetailed(index) // sanitized -> (es type, raw ES path)
+    val fields = detailed.map { case (n, (t, _)) => n -> t }
     val fieldNames = fields.keys.toSeq.sorted
+    // ES-side queries/sorts must name RAW fields (the reference's
+    // original_time_field remap, es_to_bytehouse.py:836-839): the
+    // sanitized spelling ('@timestamp' -> 'timestamp') only exists in
+    // the TARGET — ES would match nothing, losing every incremental row
+    def rawPath(n: String): String = detailed.get(n).map(_._2).getOrElse(n)
     val mappingSchema = StructType(fieldNames.map(n => StructField(n, TypeMapper.esType(fields(n)))))
     val timeField = Incremental.detectTimeField(mappingSchema)
     val updateField = Incremental.detectUpdateTimeField(mappingSchema).filterNot(timeField.contains)
@@ -115,6 +161,13 @@ object WireSync {
     // _timestamp rides its now64(3) server DEFAULT, so inserts skip it
     ch.execute(ClickHouseDdl.createTableSqlAllString(targetDb, index, fieldNames, addTimestamp = true))
     val table = graft.operators.Flatten.sanitizeName(index)
+    // wire-side schema evolution (the reference's add_new_columns,
+    // es_to_bytehouse.py:994-1023): mapping fields the existing target
+    // lacks become ALTERs — otherwise every INSERT after a mapping
+    // change references a missing column and the sync wedges forever
+    val described = ch.describeTable(targetDb, table).map(_._1).toSet
+    Incremental.alterStatements(targetDb, table,
+      fieldNames.filterNot(described).map(_ -> "String")).foreach(ch.execute)
 
     // --- watermark read from the target's _sync_state ----------------
     val wm = ch.query(ClickHouseDdl.lastSyncTimeSqlEs(targetDb, index))
@@ -129,8 +182,8 @@ object WireSync {
     val body =
       if (isFull) EsSourceConfig.fullSearchBody(esCfg.scrollSize)
       else EsSourceConfig.incrementalSearchBody(
-        esCfg.scrollSize, timeField.get, lastSync,
-        updateField.getOrElse(""), if (updateField.isDefined) lastUpdate else "")
+        esCfg.scrollSize, rawPath(timeField.get), lastSync,
+        updateField.map(rawPath).getOrElse(""), if (updateField.isDefined) lastUpdate else "")
     val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
     if (usePit) {
       // ES 8 path: the query rides the PIT body (the incremental sort
@@ -138,10 +191,10 @@ object WireSync {
       val q =
         if (isFull) """{"match_all":{}}"""
         else EsSourceConfig.incrementalQuery(
-          timeField.get, lastSync,
-          updateField.getOrElse(""), if (updateField.isDefined) lastUpdate else "")
+          rawPath(timeField.get), lastSync,
+          updateField.map(rawPath).getOrElse(""), if (updateField.isDefined) lastUpdate else "")
       es.pitSearchAfterPages(index, q, esCfg.scrollSize,
-        sortField = timeField.getOrElse(""), keepAlive = esCfg.scrollTimeout)(page => buf ++= page)
+        sortField = timeField.map(rawPath).getOrElse(""), keepAlive = esCfg.scrollTimeout)(page => buf ++= page)
     } else {
       es.scrollPages(index, body, esCfg.scrollTimeout)(page => buf ++= page)
     }
@@ -206,11 +259,13 @@ object WireSync {
     * and page query of the distributed paged read, so the engine
     * moves only the delta — batched INSERT with row fallback, and the
     * CH-variant `_sync_state` bookkeeping in the target. Watermarks
-    * are stored at MICROSECOND precision (`yyyy-MM-dd HH:mm:ss.SSSSSS`
-    * — the reference's seconds-precision `%Y-%m-%d %H:%M:%S` watermark
-    * silently re-reads or misses sub-second rows at the boundary;
-    * micro strings compare lexicographically the same way DateTime64
-    * compares). Tables with no detectable time field re-sync fully
+    * are stored at the time COLUMN's NATIVE precision from DESCRIBE
+    * ([[ClickHouseDdl.watermarkFormat]]): micros for DateTime64 — the
+    * reference's seconds-precision `%Y-%m-%d %H:%M:%S` watermark
+    * silently re-reads or misses sub-second rows at the boundary —
+    * whole seconds for plain DateTime, so the server never parses a
+    * fractional literal against a second-precision column.
+    * Tables with no detectable time field re-sync fully
     * every pass (idempotent on a unique-keyed target), like the
     * reference warns-and-does. Failed-batch discipline as everywhere:
     * any lost row vetoes the state append.
@@ -229,10 +284,16 @@ object WireSync {
     val src = new ChHttpClient(srcEndpoint)
     ClickHouseDdl.bootstrapSqlCh(targetDb).foreach(tgt.execute)
     src.showTables(srcDb).map { srcTable =>
-      val schema = src.sparkSchema(srcDb, srcTable)
+      val described = src.describeTable(srcDb, srcTable)
+      val schema = StructType(described.map { case (n, t) => StructField(n, TypeMapper.chType(t)) })
       val table = graft.operators.Flatten.sanitizeName(srcTable)
       tgt.execute(ClickHouseDdl.createTableSql(targetDb, srcTable, schema))
       val timeField = Incremental.detectTimeField(schema)
+      // watermark literal at the time COLUMN's native precision (see
+      // ClickHouseDdl.watermarkFormat): DateTime64 keeps the micro fix,
+      // plain DateTime/Date get literals their parser compares exactly
+      val wmFormat = timeField.map(t =>
+        ClickHouseDdl.watermarkFormat(described.find(_._1 == t).map(_._2).getOrElse("")))
       val wm = tgt.query(ClickHouseDdl.lastSyncTimeSql(targetDb, table))
       val lastSync = wm.headOption.map(r => Option(r(0)).getOrElse("")).getOrElse("")
       val isFull = timeField.isEmpty || lastSync.isEmpty
@@ -253,7 +314,7 @@ object WireSync {
         val advanced = stats.failedRows == 0L
         val newSync = timeField match {
           case Some(t) if advanced =>
-            val s = df.agg(max(date_format(col(t), "yyyy-MM-dd HH:mm:ss.SSSSSS")))
+            val s = df.agg(max(date_format(col(t), wmFormat.get)))
               .collect()(0).getString(0)
             if (s == null) lastSync else Seq(lastSync, s).max
           case _ => lastSync

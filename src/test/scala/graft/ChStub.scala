@@ -41,6 +41,22 @@ class ChStub {
     */
   @volatile var failNextInserts: Int = 0
 
+  /** One-shot targeted fault: the next statement CONTAINING this
+    * substring fails with 500, then the hook clears. Pointing it at
+    * the `_sync_state` INSERT simulates a crash in the at-least-once
+    * window every state-after-write system has — data landed, state
+    * append lost — so a spec can assert the re-run converges.
+    */
+  @volatile var failNextMatching: Option[String] = None
+
+  /** CNCH/ByteHouse UNIQUE KEY semantics, opt-in per stub: an INSERT
+    * carrying this column REPLACES any stored row with the same key
+    * value (newest write wins) instead of appending. Tables without
+    * the column (e.g. `_sync_state`) keep append semantics — exactly
+    * the target model the reference relies on for idempotent re-reads.
+    */
+  @volatile var uniqueKeyCol: Option[String] = None
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
@@ -74,6 +90,12 @@ class ChStub {
     val sql = new String(ex.getRequestBody.readAllBytes(), "UTF-8").trim
     requests.synchronized { requests += sql }
     try {
+      failNextMatching.foreach { m =>
+        if (sql.contains(m)) {
+          failNextMatching = None
+          throw new IllegalArgumentException(s"injected one-shot failure on '$m'")
+        }
+      }
       val out = ChStub.this.synchronized(dispatch(sql.stripSuffix("FORMAT TabSeparated").trim))
       respond(ex, 200, out)
     } catch {
@@ -102,10 +124,13 @@ class ChStub {
   private def table(db: String, t: String): Table =
     tables.getOrElse((db, t), throw new IllegalArgumentException(s"Table $db.$t does not exist"))
 
-  /** `col > 'val'` with DateTime-aware semantics: a seconds-precision
-    * literal is padded to the stored micro format before the string
-    * compare (real CH compares as DateTime values — a bare string
-    * compare would let `x.000000` pass a `> x` filter).
+  /** `col > 'val'` as a PLAIN string compare — deliberately strict:
+    * the engine formats every watermark literal at the column's native
+    * precision ([[graft.sinks.ClickHouseDdl.watermarkFormat]]), so the
+    * literal's shape always matches the stored one and a bare compare
+    * is exact. No padding/coercion here: a precision mismatch (the
+    * boundary bug class the native-precision format exists to prevent)
+    * should FAIL a spec loudly, not be silently healed by the stub.
     */
   private def whereFilter(tb: Table, whereCol: String, whereVal: String): Seq[Seq[String]] =
     Option(whereCol) match {
@@ -113,8 +138,7 @@ class ChStub {
       case Some(c) =>
         val i = tb.schema.indexWhere(_._1 == c)
         require(i >= 0, s"no column $c")
-        val lit0 = whereVal.replace("\\'", "'").replace("\\\\", "\\")
-        val lit = if (lit0.length == 19 && lit0(10) == ' ') lit0 + ".000000" else lit0
+        val lit = whereVal.replace("\\'", "'").replace("\\\\", "\\")
         tb.rows.toSeq.filter(r => r(i) != null && r(i) > lit)
     }
 
@@ -205,10 +229,19 @@ class ChStub {
         if (tuples.exists(_.contains(m)))
           throw new IllegalArgumentException(s"rejected: marker '$m' present")
       }
+      val keyIdx = uniqueKeyCol.map(k => tb.schema.indexWhere(_._1 == k)).filter(_ >= 0)
       tuples.foreach { tup =>
         require(tup.size == cols.size, s"arity mismatch: ${tup.size} vs ${cols.size}")
         val row = Array.fill[String](tb.schema.size)(null)
         idx.zip(tup).foreach { case (i, v) => row(i) = v }
+        // UNIQUE KEY upsert: same-key rows are replaced, newest wins
+        keyIdx.foreach { ki =>
+          val k = row(ki)
+          if (k != null) {
+            val dup = tb.rows.indexWhere(_(ki) == k)
+            if (dup >= 0) tb.rows.remove(dup)
+          }
+        }
         tb.rows += row.toSeq
       }
       ""

@@ -24,6 +24,14 @@ import scala.collection.mutable
 class EsStub(indices: Map[String, Seq[String]], mappings: Map[String, String]) {
 
   private val om = new ObjectMapper()
+  private val mappingStore = mutable.Map(mappings.toSeq: _*)
+
+  /** Live mapping mutation — models a producer adding a field to the
+    * index mapping AFTER the target table exists, the event the
+    * engine's wire-side ALTER (reference add_new_columns) must absorb.
+    */
+  def updateMapping(index: String, json: String): Unit =
+    mappingStore.synchronized { mappingStore(index) = json }
   private val docs: mutable.Map[String, Seq[(String, JsonNode)]] = mutable.Map(
     indices.map { case (idx, rows) =>
       idx -> rows.zipWithIndex.map { case (json, i) => ((i + 1).toString, om.readTree(json)) }
@@ -104,7 +112,7 @@ class EsStub(indices: Map[String, Seq[String]], mappings: Map[String, String]) {
           respond(ex, 200, rows.mkString("[", ",", "]"))
         case ("GET", p) if p.endsWith("/_mapping") =>
           val idx = p.stripPrefix("/").stripSuffix("/_mapping")
-          mappings.get(idx) match {
+          mappingStore.synchronized { mappingStore.get(idx) } match {
             case Some(m) => respond(ex, 200, s"""{"$idx":{"mappings":{"properties":$m}}}""")
             case None    => respond(ex, 404, s"""{"error":"no such index [$idx]"}""")
           }

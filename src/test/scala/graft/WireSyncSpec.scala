@@ -250,6 +250,122 @@ class WireSyncSpec extends SparkSpec {
     } finally { source.stop(); target.stop() }
   }
 
+  test("ECS-style @timestamp index: the incremental query/sort name the RAW ES field, the target the sanitized one") {
+    // the reference remaps 'timestamp' back to '@timestamp' before
+    // querying (es_to_bytehouse.py:836-839): sanitized names exist only
+    // target-side — filtering ES on 'timestamp' matches NOTHING, so
+    // every incremental pass would silently sync 0 rows forever
+    val ecsMapping = """{"@timestamp":{"type":"date"},"value":{"type":"long"}}"""
+    def ecsDoc(day: Int, v: Int) = s"""{"@timestamp":"2024-02-0$day 00:00:00","value":$v}"""
+    val es = new EsStub(
+      indices = Map("app_metrics" -> (1 to 4).map(d => ecsDoc(d, d * 10))),
+      mappings = Map("app_metrics" -> ecsMapping))
+    val ch = new ChStub
+    val port = es.start()
+    ch.start()
+    try {
+      val cfg = EsSourceConfig.fromEnv(Map(
+        "ES_HOST" -> s"http://127.0.0.1:$port", "INDEX_PATTERN" -> "app_*", "SCROLL_SIZE" -> "3"))
+      val client = new EsRestClient(cfg.host)
+      val tgt = new ChHttpClient(ch.endpoint)
+      val ep = ch.endpoint
+      def pass() = WireSync.run(spark, client, cfg, tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "wh", insertBatchSize = 10)
+
+      val r1 = pass()
+      assert(r1.map(p => (p.mode, p.rows, p.timeField)) == Seq(("full", 4L, "timestamp")), r1.toString)
+      // target column is the SANITIZED spelling; watermark aggregated from it
+      val t = ch.tables(("wh", "app_metrics"))
+      assert(t.schema.exists(_._1 == "timestamp") && !t.schema.exists(_._1 == "@timestamp"), t.schema.toString)
+      assert(r1.head.lastSyncTime == "2024-02-04 00:00:00", r1.toString)
+
+      es.addDoc("app_metrics", "5", ecsDoc(5, 50))
+      val esBefore = es.requests.size
+      val r2 = pass()
+      // the delta came back: the range filter and sort hit the REAL field
+      assert(r2.map(p => (p.mode, p.rows)) == Seq(("incremental", 1L)), r2.toString)
+      val open2 = es.requests.drop(esBefore).find(r => r._2 == "/app_metrics/_search?scroll=5m").get._3
+      assert(open2 == EsSourceConfig.incrementalSearchBody(3, "@timestamp", "2024-02-04 00:00:00"), open2)
+      assert(t.rows.size == 5)
+      assert(r2.head.lastSyncTime == "2024-02-05 00:00:00", r2.toString)
+
+      // PIT path: the raw field also rides the pit query AND sortField
+      es.addDoc("app_metrics", "6", ecsDoc(6, 60))
+      val r3 = WireSync.run(spark, client, cfg, tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "wh", insertBatchSize = 10, usePit = true)
+      assert(r3.map(p => (p.mode, p.rows)) == Seq(("incremental", 1L)), r3.toString)
+      val pitBody = es.requests.reverse.find(r => r._1 == "POST" && r._2 == "/_search").get._3
+      assert(pitBody.contains(EsSourceConfig.incrementalQuery("@timestamp", "2024-02-05 00:00:00")), pitBody)
+      assert(pitBody.contains(""""sort":[{"@timestamp":"asc"}"""), pitBody)
+    } finally { es.stop(); ch.stop() }
+  }
+
+  test("ES mapping gains a field after table creation: the pass ALTERs it into the target instead of wedging") {
+    withWire { (es, ch, client, cfg, tgt) =>
+      val ep = ch.endpoint
+      def pass() = WireSync.run(spark, client, cfg, tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "wh", insertBatchSize = 10)
+      assert(pass().map(_.rows) == Seq(7L))
+      // producer adds a field to the mapping + a doc carrying it
+      es.updateMapping("app_logs", mapping.dropRight(1) + ""","note":{"type":"keyword"}}""")
+      es.addDoc("app_logs", "8",
+        """{"id":8,"created_at":"2024-01-08 00:00:00","msg":"m8","agent":{"id":"a4"},""" +
+          """"updated_at":"2024-01-08 00:00:00","note":"hello"}""")
+      val r2 = pass()
+      assert(r2.map(p => (p.mode, p.rows, p.failedRows)) == Seq(("incremental", 1L, 0L)), r2.toString)
+      // the new field crossed the wire as an ALTER (reference
+      // add_new_columns, es_to_bytehouse.py:994-1023), old rows read NULL
+      assert(ch.requests.exists(_.startsWith("ALTER TABLE `wh`.`app_logs` ADD COLUMN `note`")),
+        ch.requests.filter(_.startsWith("ALTER")).toString)
+      val t = ch.tables(("wh", "app_logs"))
+      val noteIdx = t.schema.indexWhere(_._1 == "note")
+      val msgIdx = t.schema.indexWhere(_._1 == "msg")
+      assert(noteIdx >= 0)
+      assert(t.rows.find(_(msgIdx) == "m8").get(noteIdx) == "hello")
+      assert(t.rows.find(_(msgIdx) == "m1").get(noteIdx) == null)
+      // and the NEXT pass must not re-ALTER (column now described)
+      es.addDoc("app_logs", "9",
+        """{"id":9,"created_at":"2024-01-09 00:00:00","msg":"m9","agent":{"id":"a5"},""" +
+          """"updated_at":"2024-01-09 00:00:00","note":"again"}""")
+      val altersBefore = ch.requests.count(_.startsWith("ALTER"))
+      assert(pass().map(_.rows) == Seq(1L))
+      assert(ch.requests.count(_.startsWith("ALTER")) == altersBefore, "ALTER must be issued exactly once")
+    }
+  }
+
+  test("CH-to-CH on a plain DateTime column: watermark and WHERE literal at the column's NATIVE (second) precision") {
+    val source = new ChStub
+    val target = new ChStub
+    source.seed("shop", "audit", Seq(("id", "Int64"), ("created_at", "Nullable(DateTime)")),
+      (1 to 5).map(i => Seq(i.toString, f"2024-03-0$i%01d 10:00:00")))
+    source.start()
+    target.start()
+    try {
+      val tgt = new graft.sinks.ChHttpClient(target.endpoint)
+      val ep = target.endpoint
+      def pass() = WireSync.runCh(spark, source.endpoint, "shop", tgt,
+        () => new ChHttpBatchExecutor(ep), targetDb = "bh", batchSize = 10)
+
+      val r1 = pass()
+      assert(r1.map(p => (p.mode, p.rows)) == Seq(("full", 5L)), r1.toString)
+      // the watermark is SECOND-precision: no fractional literal is ever
+      // handed to a DateTime column (server-side fraction parsing on a
+      // second-precision column is version-dependent in real CH)
+      val st = target.tables(("bh", "_sync_state"))
+      def cell(r: Seq[String], c: String) = r(st.schema.indexWhere(_._1 == c))
+      assert(cell(st.rows.head, "last_sync_time") == "2024-03-05 10:00:00", st.rows.head.toString)
+
+      source.tables(("shop", "audit")).rows += Seq("6", "2024-03-06 10:00:00")
+      val srcBefore = source.requests.size
+      val r2 = pass()
+      assert(r2.map(p => (p.mode, p.rows)) == Seq(("incremental", 1L)), r2.toString)
+      val incReads = source.requests.drop(srcBefore).filter(_.startsWith("SELECT"))
+      assert(incReads.nonEmpty &&
+        incReads.forall(_.contains("WHERE `created_at` > '2024-03-05 10:00:00'")), incReads.toString)
+      assert(cell(st.rows.last, "last_sync_time") == "2024-03-06 10:00:00", st.rows.last.toString)
+    } finally { source.stop(); target.stop() }
+  }
+
   test("composed fallback: a poisoned row degrades to row-at-a-time; state does NOT advance past the failure") {
     withWire { (_, ch, client, cfg, tgt) =>
       ch.rejectMarker = Some("m4")
