@@ -61,7 +61,9 @@ object Bench {
     "segment_overlap", "mm_color_hist", "text_lm_incr",
     "token_drift", "text_watermark", "sequence_next_node",
     // round-10 additions
-    "text_bpe_tokens", "pack_sequences_bpe"
+    "text_bpe_tokens", "pack_sequences_bpe",
+    // round-12 additions
+    "corpus_diff", "sample_weighted_strat"
   )
 
   /** Coverage guard: every SparkEntry query must have a timing record —

@@ -1103,6 +1103,28 @@ object SparkEntry {
     "sample_weighted" -> ((s, d) =>
       // C57: sequential-Poisson weighted sample, weight = doc length
       Curation.weightedSample(t(s, d, "documents"), "doc_id", "n_chars", k = 200)),
+    "sample_weighted_strat" -> ((s, d) =>
+      // C106: per-stratum weighted top-k (C57's draw WITHIN each lang)
+      Curation.weightedSampleStratified(t(s, d, "documents"),
+        "doc_id", "lang", "n_chars", kPerStratum = 50)),
+    "corpus_diff" -> ((s, d) => {
+      // C105: cross-snapshot corpus diff card. The two snapshots are
+      // staged deterministically from the one documents table so every
+      // category is populated: v1 drops id%5==4, v2 drops id%7==6 and
+      // edits id%11==0 (" v2edit" suffix), and the length gate
+      // tightens 200 -> 300 between snapshots (the policy change that
+      // makes `regated` a real bucket, not an empty column)
+      val docs = t(s, d, "documents")
+      val v1 = docs.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          (length(col("text")) >= 200).cast("long").as("gate"))
+      val t2 = when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2edit")))
+        .otherwise(col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 6)
+        .select(col("doc_id"), col("source"), md5(t2).as("h"),
+          (length(t2) >= 300).cast("long").as("gate"))
+      Curation.corpusDiff(v1, v2, "doc_id", "h", "gate", "source")
+    }),
     "mix_allocate" -> ((s, d) =>
       // C55: sqrt-temperature mixture allocation, exact budget apportionment
       Curation.temperatureAllocate(t(s, d, "documents"), "source", budget = 100000L)),
@@ -1271,15 +1293,18 @@ object SparkEntry {
       // degree-bounded neighbor graph (single-layer NSW on Spark:
       // each hop is ONE keyed join amortized over the query batch;
       // probe cost independent of corpus size). Rows-only:
-      // approximate by design, recall measured in RECALL_r11 at
-      // these shipped defaults (n_queries=100, both scales)
+      // approximate by design, recall measured in RECALL_r12 at
+      // these shipped defaults (n_queries=100, four scales)
       val e = t(s, d, "embeddings")
       val dir = s"target/hnsw_${d.replaceAll("[^A-Za-z0-9]", "_")}"
       // nClusters auto-sizes to ~512-vector blocks (build stays
-      // LINEAR in corpus size; entry points grow with the corpus)
+      // LINEAR in corpus size; entry points grow with the corpus);
+      // beam/rounds auto-size with log2(corpus) via graphProbeSizing
+      // — a fixed beam's recall sagged with scale (0.99 -> 0.87 over
+      // three decades), the sized probe holds >= 0.93 at every one
       Similarity.buildGraphIndexIfAbsent(s, e, "vec_id", "embedding", indexDir = dir, m = 16)
       Similarity.graphTopK(s, dir, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, beam = 32, rounds = 6)
+        k = 5)
     }),
     "sim_topk_ivf_sq8" -> ((s, d) => {
       // C42: IVF-SQ8 — int8-quantized cell-partitioned index probe
@@ -3279,6 +3304,41 @@ object SparkEntry {
         |    (a,x) -> a*16+x) AS h FROM documents),
         |p AS (SELECT doc_id, weight, CAST(h // greatest(weight, 1) AS BIGINT) AS priority FROM b)
         |SELECT doc_id, weight, priority FROM p ORDER BY priority, doc_id LIMIT 200""".stripMargin,
+    "sample_weighted_strat" ->
+      """WITH b AS (SELECT doc_id, lang AS stratum, n_chars AS weight, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1,9), i -> CAST(strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+        |    (a,x) -> a*16+x) AS h FROM documents),
+        |p AS (SELECT doc_id, stratum, weight, CAST(h // greatest(weight, 1) AS BIGINT) AS priority FROM b),
+        |r AS (SELECT stratum, doc_id, weight, priority,
+        |        row_number() OVER (PARTITION BY stratum ORDER BY priority, doc_id) AS rn FROM p)
+        |SELECT stratum, doc_id, weight, priority, CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 50 ORDER BY stratum, rn""".stripMargin,
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS h,
+        |    CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END AS gate
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |v2 AS (SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2edit' ELSE text END) AS h,
+        |    CASE WHEN length(CASE WHEN doc_id % 11 = 0 THEN text || ' v2edit' ELSE text END) >= 300
+        |         THEN 1 ELSE 0 END AS gate
+        |  FROM documents WHERE doc_id % 7 <> 6),
+        |j AS (SELECT coalesce(v2.source, v1.source) AS source,
+        |    coalesce(v1.doc_id, v2.doc_id) AS id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.h <> v2.h THEN 'edited'
+        |         WHEN v1.gate <> v2.gate THEN 'regated'
+        |         ELSE 'unchanged' END AS cat
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN cat = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN cat = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN cat = 'edited' THEN 1 ELSE 0 END) AS BIGINT) AS n_edited,
+        |  CAST(sum(CASE WHEN cat = 'regated' THEN 1 ELSE 0 END) AS BIGINT) AS n_regated,
+        |  CAST(sum(CASE WHEN cat = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN cat <> 'unchanged' THEN id ELSE 0 END) AS BIGINT) AS chk_changed_ids
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     "mix_allocate" ->
       """WITH c AS (SELECT source AS stratum, count(*) AS docs,
         |  CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w FROM documents GROUP BY 1),

@@ -824,4 +824,91 @@ object Curation {
         expr("10000 * sum(CASE WHEN id != first_id THEN 1 ELSE 0 END) DIV count(1)").as("dup_bp"))
       .orderBy(col("domain"))
   }
+
+  /** C105: cross-snapshot corpus diff card — the curation owner's
+    * standing question after every corpus rebuild: which documents
+    * changed between v1 and v2 and WHY. Each snapshot is a keyed frame
+    * of (id, content hash, gate decision, source); ONE full-outer join
+    * on the id classifies every document exactly once:
+    *
+    *   - `added`     in v2 only
+    *   - `removed`   in v1 only
+    *   - `edited`    in both, content hash differs
+    *   - `regated`   in both, same content, gate decision flipped
+    *                 (a policy change, not a data change)
+    *   - `unchanged` in both, same content, same gate
+    *
+    * Output is |sources|-bounded: per-source category counts plus a
+    * membership checksum over the changed ids (sum of doc ids in
+    * added/removed/edited/regated — the same order-free witness the
+    * curate cards use), so two runs disagreeing on WHICH docs changed
+    * can't agree on the card.
+    *
+    * Scale: both snapshots shuffle once on the 8-byte id (sort-merge;
+    * neither side broadcasts — at 100 TB both snapshots ARE the
+    * corpus), then one |sources|-keyed agg; no window, no driver work.
+    */
+  def corpusDiff(
+      v1: DataFrame,
+      v2: DataFrame,
+      idCol: String,
+      hashCol: String,
+      gateCol: String,
+      srcCol: String
+  ): DataFrame = {
+    val a = v1.select(col(idCol).as("id"), col(hashCol).as("h1"),
+      col(gateCol).cast("long").as("g1"), col(srcCol).as("s1"))
+    val b = v2.select(col(idCol).as("id"), col(hashCol).as("h2"),
+      col(gateCol).cast("long").as("g2"), col(srcCol).as("s2"))
+    val cat = when(col("h1").isNull, "added")
+      .when(col("h2").isNull, "removed")
+      .when(col("h1") =!= col("h2"), "edited")
+      .when(col("g1") =!= col("g2"), "regated")
+      .otherwise("unchanged")
+    a.join(b, Seq("id"), "full_outer")
+      .select(coalesce(col("s2"), col("s1")).as("source"), cat.as("cat"), col("id"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("cat") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("cat") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("cat") === "edited", 1L).otherwise(0L)).as("n_edited"),
+        sum(when(col("cat") === "regated", 1L).otherwise(0L)).as("n_regated"),
+        sum(when(col("cat") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(col("cat") =!= "unchanged", col("id")).otherwise(0L)).as("chk_changed_ids"))
+      .orderBy(col("source"))
+  }
+
+  /** C106: per-stratum weighted top-k sample — eval-set construction's
+    * standard draw: within every stratum (language, domain), k docs
+    * with inclusion odds ∝ weight, deterministic across runs. The
+    * priority is [[weightedSample]]'s sequential-Poisson key
+    * (hash(id) DIV weight — the md5 IS the uniform variate), ranked
+    * WITHIN the stratum instead of globally, so the two draws agree
+    * on every shared member (spec-pinned).
+    *
+    * Scale: the rank<=k filter compiles to WindowGroupLimit
+    * (Spark 3.5+), so each map task forwards only its own per-stratum
+    * top-k into the stratum shuffle — a million-doc stratum never
+    * sorts whole; plan-locked in PlanSpec.
+    */
+  def weightedSampleStratified(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      kPerStratum: Int
+  ): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("stratum")).orderBy(col("priority"), col(idCol))
+    df.select(
+        col(idCol),
+        col(strataCol).as("stratum"),
+        col(weightCol).cast("long").as("weight"),
+        h.as("h"))
+      .withColumn("priority", expr("h DIV greatest(weight, 1L)"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= kPerStratum)
+      .select(col("stratum"), col(idCol), col("weight"), col("priority"), col("rn"))
+      .orderBy(col("stratum"), col("rn"))
+  }
 }

@@ -284,6 +284,63 @@ object WireSync {
     val src = new ChHttpClient(srcEndpoint)
     ClickHouseDdl.bootstrapSqlCh(targetDb).foreach(tgt.execute)
     src.showTables(srcDb).map { srcTable =>
+      syncChTable(spark, src, srcEndpoint, srcDb, srcTable, tgt, chExecutorFactory,
+        targetDb, batchSize, insertBatchSize, orderKeys)
+    }
+  }
+
+  /** The reference CH variant's deployment loop
+    * (clickhouse_to_bytehouse.py:418-494 `run_incremental`): the table
+    * list resolves ONCE before the loop (a table created mid-run waits
+    * for a restart, like the reference), then every pass re-reads the
+    * watermark from the target and syncs each table under PER-TABLE
+    * fault isolation — one table's failure is a `Left`, the rest of
+    * the pass proceeds, and the failed table resumes from its intact
+    * watermark next pass.
+    */
+  def runContinuousCh(
+      spark: SparkSession,
+      srcEndpoint: String,
+      srcDb: String,
+      tgt: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      maxPasses: Int,
+      batchSize: Int = 1000,
+      insertBatchSize: Int = 1000,
+      orderKeys: Map[String, String] = Map.empty,
+      intervalMs: Long = 0L,
+      onPassEnd: (Int, Seq[Either[(String, String), PassResult]]) => Unit = (_, _) => ()
+  ): Seq[Seq[Either[(String, String), PassResult]]] = {
+    val src = new ChHttpClient(srcEndpoint)
+    ClickHouseDdl.bootstrapSqlCh(targetDb).foreach(tgt.execute)
+    val tables = src.showTables(srcDb)
+    (1 to maxPasses).map { pass =>
+      val results = tables.map { srcTable =>
+        try Right(syncChTable(spark, src, srcEndpoint, srcDb, srcTable, tgt,
+          chExecutorFactory, targetDb, batchSize, insertBatchSize, orderKeys))
+        catch { case scala.util.control.NonFatal(e) => Left((srcTable, e.toString)) }
+      }
+      onPassEnd(pass, results)
+      if (intervalMs > 0 && pass < maxPasses) Thread.sleep(intervalMs)
+      results
+    }
+  }
+
+  private def syncChTable(
+      spark: SparkSession,
+      src: ChHttpClient,
+      srcEndpoint: String,
+      srcDb: String,
+      srcTable: String,
+      tgt: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      batchSize: Int,
+      insertBatchSize: Int,
+      orderKeys: Map[String, String]
+  ): PassResult = {
+    {
       val described = src.describeTable(srcDb, srcTable)
       val schema = StructType(described.map { case (n, t) => StructField(n, TypeMapper.chType(t)) })
       val table = graft.operators.Flatten.sanitizeName(srcTable)
@@ -359,6 +416,62 @@ object WireSync {
   ): Seq[PassResult] = {
     ClickHouseDdl.bootstrapSqlCh(targetDb).foreach(ch.execute)
     collections.map { coll =>
+      syncMongoCollection(spark, mongoHost, mongoPort, mongoDb, coll, ch,
+        chExecutorFactory, targetDb, batchSize, insertBatchSize)
+    }
+  }
+
+  /** The reference Mongo variant's deployment loop
+    * (mongodb_to_bytehouse.py:726-776 `run_incremental`): collections
+    * resolve ONCE before the loop, then every pass re-reads each
+    * collection's OID watermark from the target and syncs under
+    * PER-COLLECTION fault isolation (the reference's try/except inside
+    * `for collection_name in collections`) — a dropped cursor or
+    * target outage on one collection is a `Left`; the rest of the
+    * pass proceeds and the failed collection resumes from its intact
+    * watermark next pass.
+    */
+  def runContinuousMongo(
+      spark: SparkSession,
+      mongoHost: String,
+      mongoPort: Int,
+      mongoDb: String,
+      collections: Seq[String],
+      ch: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      maxPasses: Int,
+      batchSize: Int = 1000,
+      insertBatchSize: Int = 1000,
+      intervalMs: Long = 0L,
+      onPassEnd: (Int, Seq[Either[(String, String), PassResult]]) => Unit = (_, _) => ()
+  ): Seq[Seq[Either[(String, String), PassResult]]] = {
+    ClickHouseDdl.bootstrapSqlCh(targetDb).foreach(ch.execute)
+    (1 to maxPasses).map { pass =>
+      val results = collections.map { coll =>
+        try Right(syncMongoCollection(spark, mongoHost, mongoPort, mongoDb, coll, ch,
+          chExecutorFactory, targetDb, batchSize, insertBatchSize))
+        catch { case scala.util.control.NonFatal(e) => Left((coll, e.toString)) }
+      }
+      onPassEnd(pass, results)
+      if (intervalMs > 0 && pass < maxPasses) Thread.sleep(intervalMs)
+      results
+    }
+  }
+
+  private def syncMongoCollection(
+      spark: SparkSession,
+      mongoHost: String,
+      mongoPort: Int,
+      mongoDb: String,
+      coll: String,
+      ch: ChHttpClient,
+      chExecutorFactory: () => BatchedUpsertWriter.BatchExecutor,
+      targetDb: String,
+      batchSize: Int,
+      insertBatchSize: Int
+  ): PassResult = {
+    {
       val table = graft.operators.Flatten.sanitizeName(coll)
       val wm = ch.query(ClickHouseDdl.lastSyncTimeSql(targetDb, table))
       val lastId = wm.headOption.map(r => Option(r(0)).getOrElse("")).getOrElse("")

@@ -26,6 +26,55 @@ class CurationSpec extends SparkSpec {
 
   lazy val docs = Catalog.load(spark, sf, "documents")
 
+  test("corpusDiff: every document classified exactly once; all five categories land") {
+    import spark.implicits._
+    // v1: ids 1..6; v2 drops 2 (removed), adds 7 (added), edits 3
+    // (hash change), regates 4 (same hash, gate flip), 1/5/6 unchanged
+    val v1 = Seq(
+      (1L, "h1", 1L, "web"), (2L, "h2", 0L, "web"), (3L, "h3", 1L, "web"),
+      (4L, "h4", 1L, "books"), (5L, "h5", 0L, "books"), (6L, "h6", 1L, "books")
+    ).toDF("doc_id", "h", "gate", "source")
+    val v2 = Seq(
+      (1L, "h1", 1L, "web"), (3L, "h3x", 1L, "web"),
+      (4L, "h4", 0L, "books"), (5L, "h5", 0L, "books"), (6L, "h6", 1L, "books"),
+      (7L, "h7", 1L, "web")
+    ).toDF("doc_id", "h", "gate", "source")
+    val got = Curation.corpusDiff(v1, v2, "doc_id", "h", "gate", "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      //        added removed edited regated unchanged chk(changed ids)
+      ("books", 0L, 0L, 0L, 1L, 2L, 4L),
+      ("web", 1L, 1L, 1L, 0L, 1L, 12L))) // 7 + 2 + 3
+    // totals partition the union of both snapshots: |v1 ∪ v2| = 7
+    assert(got.map(g => g._2 + g._3 + g._4 + g._5 + g._6).sum == 7L)
+  }
+
+  test("weightedSampleStratified: per-stratum k, priorities match the global C57 key, deterministic") {
+    val got = Curation.weightedSampleStratified(docs, "doc_id", "lang", "n_chars", kPerStratum = 10)
+    val rows = got.collect()
+    val perStratum = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val nLangs = docs.select("lang").distinct().count()
+    assert(perStratum.size == nLangs && perStratum.values.forall(_ == 10))
+    // rn is 1..k within each stratum, ordered by (priority, doc_id)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to 10L))
+      val keys = sorted.map(r => (r.getLong(3), r.getLong(1)))
+      assert(keys.toSeq == keys.sortBy(identity).toSeq)
+    }
+    // the priority key IS the C57 sequential-Poisson key: the global
+    // draw restricted to one stratum agrees on every member it keeps
+    val globalK = Curation.weightedSample(docs.filter(col("lang") === "en"), "doc_id", "n_chars", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val stratEn = rows.filter(_.getString(0) == "en").map(r => (r.getLong(1), r.getLong(3))).toMap
+    assert(globalK == stratEn)
+    // determinism: a second run returns byte-identical rows
+    val again = Curation.weightedSampleStratified(docs, "doc_id", "lang", "n_chars", kPerStratum = 10)
+      .collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("scrubPii: emails, phones, IPs replaced; ordering protects IP digits from phone regex") {
     val rows = Seq(
       "write a.b+c@foo-bar.co.uk today",

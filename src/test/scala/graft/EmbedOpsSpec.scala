@@ -384,6 +384,22 @@ class EmbedOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/vectors").count() == vecsBefore)
   }
 
+  test("graphProbeSizing: beam/rounds grow with log2(n), floor at the small-corpus dials") {
+    import graft.operators.Similarity
+    // floors: tiny corpora keep the hand-tuned small dials
+    assert(Similarity.graphProbeSizing(500L) == (36, 6))
+    assert(Similarity.graphProbeSizing(2L) == (32, 6))
+    // the measured curve's operating points (20k and 200k vectors)
+    assert(Similarity.graphProbeSizing(20000L) == (60, 7))
+    assert(Similarity.graphProbeSizing(200000L) == (72, 8))
+    // monotone non-decreasing over six decades — no sizing cliff
+    val pts = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L, 100000000L)
+      .map(Similarity.graphProbeSizing)
+    assert(pts.sliding(2).forall { case Seq((b1, r1), (b2, r2)) => b2 >= b1 && r2 >= r1 })
+    // growth is logarithmic: 100M vectors still probes a two-digit beam
+    assert(pts.last._1 <= 120 && pts.last._2 <= 16)
+  }
+
   test("pca top component: recovers a planted dominant direction, exactly reproducible") {
     import spark.implicits._
     import graft.operators.EmbedOps

@@ -12,6 +12,20 @@ class PlanSpec extends SparkSpec {
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  test("sample_weighted_strat: rank<=k compiles to WindowGroupLimit — map tasks forward only their per-stratum top-k") {
+    val p = planOf("sample_weighted_strat")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
+  test("corpus_diff: one id-keyed full-outer join, no cartesian, no broadcast of a corpus-sized side") {
+    val p = planOf("corpus_diff")
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // both snapshots are the corpus at scale — neither side may broadcast
+    assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q5: all four dimension joins broadcast, no shuffled join") {
     val p = planOf("q5_join5")
     assert(count(p, "BroadcastHashJoin") == 4, p.linesIterator.take(5).mkString("\n"))

@@ -80,18 +80,23 @@ object RecallMain {
       ("sim_topk_ivfpq", "nClusters=16,nProbes=8,m=8,kCodes=64,shortlist=100", true, ivfpq(8, 100)),
       ("sim_topk_ivfpq", "nClusters=16,nProbes=12,m=8,kCodes=64,shortlist=200", false, ivfpq(12, 200)),
       ("sim_topk_hnsw", "m=16,auto-cells,beam=16,rounds=3", false, hnsw(16, 3)),
-      ("sim_topk_hnsw", "m=16,auto-cells,beam=32,rounds=6", true, hnsw(32, 6)),
-      ("sim_topk_hnsw", "m=16,auto-cells,beam=64,rounds=8", false, hnsw(64, 8))
+      ("sim_topk_hnsw", "m=16,auto-cells,beam=32,rounds=6", false, hnsw(32, 6)),
+      // round 12: the shipped default is the log2(n)-sized auto probe
+      // (graphProbeSizing) — the fixed beam=32 row above documents the
+      // sag it replaces (0.99/0.93/0.87 across three decades)
+      ("sim_topk_hnsw", "m=16,auto-cells,beam=auto,rounds=auto", true, hnsw(0, 0))
     )
   }
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("RECALL_r11.json")
-    // sf1 (20k vectors via tools/scale_up.py) runs DEFAULTS-ONLY: the
-    // knee choice must hold where cell occupancy is realistic, but the
-    // off-default curve points are an sf0.01/sf0.1 artifact
+    val outPath = args.headOption.getOrElse("RECALL_r12.json")
+    // sf1/sf10 (20k/200k vectors via tools/scale_up.py) run
+    // DEFAULTS-ONLY: the knee choice must hold where cell occupancy is
+    // realistic, but the off-default curve points are an
+    // sf0.01/sf0.1 artifact
     val sfDirs = if (args.length > 1) args.drop(1).toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/graft_scale/sf1")
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
+        "/tmp/graft_scale/sf1", "/tmp/graft_scale/sf10")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .appName("recall").getOrCreate()

@@ -128,6 +128,37 @@ object Scratch {
           count(lit(1)).as("n_pairs")).show()
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROBE_HNSW")) {
+      // recall-vs-(beam,rounds) sweep on one persisted graph index —
+      // the probe dials never retrain, so each point is cheap; used to
+      // pick the auto-sizing rule for graphTopK at growing corpus size
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val e = graft.sources.Catalog.load(spark, sfDir, "embeddings")
+      val qs = e.filter(col("vec_id") < 100)
+      val dir = s"target/hnsw_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      time("build (reused if present)") {
+        Similarity.buildGraphIndexIfAbsent(spark, e, "vec_id", "embedding", indexDir = dir, m = 16)
+      }
+      def ranked(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("qid", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = ranked(Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5))
+      val sweep = sys.env.get("GRAFT_HNSW_SWEEP")
+        .map(_.split(";").toSeq.map { p =>
+          val Array(b, r) = p.split(","); (b.trim.toInt, r.trim.toInt)
+        })
+        .getOrElse(Seq((32, 6), (48, 6), (64, 8), (96, 8), (128, 10)))
+      for ((beam, rounds) <- sweep) {
+        var approx: Set[(Long, Long)] = Set.empty
+        time(s"probe beam=$beam rounds=$rounds") {
+          approx = ranked(Similarity.graphTopK(spark, dir, qs, "vec_id", "embedding",
+            k = 5, beam = beam, rounds = rounds))
+        }
+        println(f"[scratch] beam=$beam rounds=$rounds recall@5=${(approx intersect brute).size.toDouble / brute.size}%.4f")
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_QUANT")) {
       import org.apache.spark.sql.functions._
       import graft.functions.VecOps

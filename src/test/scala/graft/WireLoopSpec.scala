@@ -206,4 +206,123 @@ class WireLoopSpec extends SparkSpec {
       assert(st.rows.head(st.schema.indexWhere(_._1 == "last_sync_time")) == "2024-01-12 00:00:00.000000")
     } finally { source.stop(); target.stop() }
   }
+
+  test("continuous loop (Mongo): per-collection isolation — a dropped cursor fails ONE collection, the loop and its neighbor proceed") {
+    import scala.collection.immutable.ListMap
+    val mongo = new MongoStub
+    def mdoc(i: Int): ListMap[String, Any] =
+      ListMap[String, Any]("_id" -> graft.sources.Bson.Oid(f"$i%024x"), "v" -> s"d$i")
+    mongo.seed("shop", "items", (1 to 6).map(mdoc))
+    mongo.seed("shop", "logs", (101 to 102).map(mdoc))
+    val (mHost, mPort) = mongo.start()
+    val ch = new ChStub
+    ch.uniqueKeyCol = Some("_id")
+    ch.start()
+    try {
+      val tgt = new ChHttpClient(ch.endpoint)
+      val ep = ch.endpoint
+      def rowsOf(tbl: String) = ch.tables.get(("wh", tbl)).map(_.rows.size).getOrElse(0)
+      val between: Map[Int, () => Unit] = Map(
+        1 -> (() => {
+          // items gains 6 docs (> batchSize → the read must getMore);
+          // logs gains 1 (find exhausts in one batch, no getMore) —
+          // the one-shot cursor drop can then only hit items
+          mongo.seed("shop", "items", (1 to 12).map(mdoc))
+          mongo.seed("shop", "logs", (101 to 103).map(mdoc))
+          mongo.dropCursorsOnGetMore = true
+        })
+      )
+      val itemsAfter = scala.collection.mutable.Map[Int, Int]()
+      val passes = WireSync.runContinuousMongo(
+        spark, mHost, mPort, "shop", Seq("items", "logs"),
+        tgt, () => new ChHttpBatchExecutor(ep), targetDb = "wh",
+        maxPasses = 4, batchSize = 4,
+        onPassEnd = (p, _) => { itemsAfter(p) = rowsOf("items"); between.get(p).foreach(_.apply()) })
+
+      def ok(p: Int, c: Int) = passes(p - 1)(c).toOption.get
+      // pass 1: both collections full-sync
+      assert(ok(1, 0).mode == "full" && ok(1, 0).rows == 6L, passes(0).toString)
+      assert(ok(1, 1).mode == "full" && ok(1, 1).rows == 2L, passes(0).toString)
+      // pass 2: items' cursor dropped mid-pagination → Left; logs lands
+      // its delta anyway (the reference's per-collection try/except)
+      assert(passes(1)(0).isLeft, passes(1).toString)
+      assert(passes(1)(0).swap.toOption.get._1 == "items")
+      assert(ok(2, 1).rows == 1L, passes(1).toString)
+      // the failed read wrote NOTHING (MongoSource drains the cursor
+      // before any INSERT) and left the watermark intact
+      assert(itemsAfter(2) == itemsAfter(1), "failed collection must not half-write")
+      // pass 3: items resumes from the intact watermark — all 6 docs
+      assert(ok(3, 0).mode == "incremental" && ok(3, 0).rows == 6L, passes(2).toString)
+      assert(ok(3, 1).rows == 0L)
+      // pass 4: quiescent
+      assert(ok(4, 0).rows == 0L && ok(4, 1).rows == 0L, passes(3).toString)
+
+      assert(rowsOf("items") == 12 && rowsOf("logs") == 3)
+      val st = ch.tables(("wh", "_sync_state"))
+      val nameIdx = st.schema.indexWhere(_._1 == "table_name")
+      val wmIdx = st.schema.indexWhere(_._1 == "last_sync_time")
+      // one state row per ADVANCING (collection, pass); OID watermarks
+      // strictly monotone per collection
+      val itemsWms = st.rows.filter(_(nameIdx) == "items").map(_(wmIdx))
+      val logsWms = st.rows.filter(_(nameIdx) == "logs").map(_(wmIdx))
+      assert(itemsWms == Seq(f"${6}%024x", f"${12}%024x"), itemsWms.toString)
+      assert(logsWms == Seq(f"${102}%024x", f"${103}%024x"), logsWms.toString)
+      assert(st.rows.size == 4 && st.rows.distinct.size == 4)
+    } finally { mongo.stop(); ch.stop() }
+  }
+
+  test("continuous loop (CH-to-CH): per-table isolation — a source outage fails ONE table, resumes from its intact watermark") {
+    val source = new ChStub
+    val target = new ChStub
+    val srcSchema = Seq(("id", "Int64"), ("created_at", "Nullable(DateTime64(6))"))
+    def row(i: Int, month: Int = 1) =
+      Seq(i.toString, f"2024-$month%02d-${i % 28 + 1}%02d 00:00:00.000000")
+    source.seed("shop", "orders", srcSchema, (1 to 12).map(i => row(i)))
+    source.seed("shop", "events", srcSchema, (1 to 3).map(i => row(i)))
+    source.start()
+    target.start()
+    try {
+      val tgt = new ChHttpClient(target.endpoint)
+      val ep = target.endpoint
+      def rowsOf(tbl: String) = target.tables.get(("bh", tbl)).map(_.rows.size).getOrElse(0)
+      val between: Map[Int, () => Unit] = Map(
+        1 -> (() => {
+          // both tables move; the SOURCE then drops the next statement
+          // touching orders (its DESCRIBE — before any read or write)
+          source.tables(("shop", "orders")).rows ++= Seq(row(13, 2), row(14, 2))
+          source.tables(("shop", "events")).rows += row(4, 2)
+          source.failNextMatching = Some("`shop`.`orders`")
+        })
+      )
+      val ordersAfter = scala.collection.mutable.Map[Int, Int]()
+      val passes = WireSync.runContinuousCh(
+        spark, source.endpoint, "shop", tgt, () => new ChHttpBatchExecutor(ep),
+        targetDb = "bh", maxPasses = 4, batchSize = 5,
+        onPassEnd = (p, _) => { ordersAfter(p) = rowsOf("orders"); between.get(p).foreach(_.apply()) })
+
+      val tableOrder = passes(0).map(_.toOption.get.table)
+      val oi = tableOrder.indexOf("orders")
+      val ei = tableOrder.indexOf("events")
+      def ok(p: Int, c: Int) = passes(p - 1)(c).toOption.get
+      assert(ok(1, oi).mode == "full" && ok(1, oi).rows == 12L, passes(0).toString)
+      assert(ok(1, ei).rows == 3L)
+      // pass 2: orders' source statement 500s → Left; events proceeds
+      assert(passes(1)(oi).isLeft, passes(1).toString)
+      assert(passes(1)(oi).swap.toOption.get._1 == "orders")
+      assert(ok(2, ei).rows == 1L, passes(1).toString)
+      assert(ordersAfter(2) == ordersAfter(1), "failed table must not half-write")
+      // pass 3: orders resumes — the server-side WHERE re-reads only the
+      // delta above the pass-1 micro watermark
+      assert(ok(3, oi).mode == "incremental" && ok(3, oi).rows == 2L, passes(2).toString)
+      assert(ok(4, oi).rows == 0L && ok(4, ei).rows == 0L, passes(3).toString)
+
+      assert(rowsOf("orders") == 14 && rowsOf("events") == 4)
+      val st = target.tables(("bh", "_sync_state"))
+      val nameIdx = st.schema.indexWhere(_._1 == "table_name")
+      val wmIdx = st.schema.indexWhere(_._1 == "last_sync_time")
+      val ordersWms = st.rows.filter(_(nameIdx) == "orders").map(_(wmIdx))
+      assert(ordersWms == ordersWms.sorted && ordersWms.distinct == ordersWms, ordersWms.toString)
+      assert(ordersWms.last == "2024-02-15 00:00:00.000000", ordersWms.toString)
+    } finally { source.stop(); target.stop() }
+  }
 }
