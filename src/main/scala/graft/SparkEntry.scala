@@ -541,12 +541,21 @@ object SparkEntry {
       // full sort), broadcast back, outliers clamped in ONE re-scan's
       // conditional sum. The robust-mean inputs (n, cuts, clamped sum)
       // stay integer cents so the report is engine-exact.
+      // The (brand, v_c) frame PERSISTS: selection is multi-pass
+      // (per-group stats, per-rank targets, bin histogram, in-bin
+      // rank) plus the final clamped re-scan, and without the persist
+      // each pass re-executed the lineitem×part join — 28 FileScans
+      // in the r12 before-plan, the whole join 4+ times per run
+      // (plans/r12/winsorize_stats_{before,after}.txt). Narrow 16-byte
+      // rows; cache released by the caller's clearCache between
+      // queries (the GraphOps cache-lifetime convention).
       val v = t(s, d, "lineitem")
         .select(col("l_partkey"), Analytics.cents(col("l_extendedprice")).as("v_c"))
         .join(
           t(s, d, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"), col("v_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cuts = Analytics
         .groupedExactRanks(
           v, "brand", col("v_c"),

@@ -614,6 +614,176 @@ object VecOps {
     s
   }
 
+  /** C95 kernel: every count the Gopher gate needs, in ONE pass over
+    * the raw UTF-8 bytes plus one pass over the [[normalizeWs]] form —
+    * replacing 2 regexp_replace scans, 2 split-to-array
+    * materializations, 4 interpreted higher-order filters, an
+    * interpreted aggregate fold, and 8 array_contains probes per row
+    * (higher-order functions are CodegenFallback: every lambda
+    * invocation is interpreted). Byte-exact to the declarative form
+    * ([[graft.operators.TextAnalysis.gopherGateDeclarative]], parity
+    * spec in OptimizationParitySpec):
+    *
+    * Returns [n_words, sum_len, n_hash, n_ell, n_lines, n_bullet,
+    * n_ell_line, n_alpha, n_gstop] with the exact Spark semantics:
+    * split keeps trailing empty fields (n_lines = '\n' count + 1,
+    * n_words = ' ' count + 1 on the normalized form — empty text is
+    * ONE empty word); ltrim/rtrim strip ASCII space ONLY; "..." counts
+    * non-overlapping leftmost (= floor(run/3) per maximal dot run);
+    * word lengths are CODE POINTS (continuation bytes skipped); a word
+    * is alphabetic when it contains an ASCII [a-z] byte (the text is
+    * lowercased by normalizeWs, matching rlike("[a-z]")); stop words
+    * are counted by distinct PRESENCE. Public static for codegen.
+    */
+  def gopherCounts(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val raw = text.getBytes
+    val n = raw.length
+    var nHash = 0L
+    var dots3 = 0L
+    var nEllChar = 0L
+    var nLines = 1L
+    var nBullet = 0L
+    var nEllLine = 0L
+    var dotRun = 0
+    var lineFirstNs = -1 // index of first non-space byte of current line
+    var lineLastNs = -1 // index of last non-space byte of current line
+    var i = 0
+    def closeLine(): Unit = {
+      if (lineFirstNs >= 0) {
+        val b = raw(lineFirstNs)
+        if (b == '-' || b == '*' ||
+          (b == 0xE2.toByte && lineFirstNs + 2 < n &&
+            raw(lineFirstNs + 1) == 0x80.toByte && raw(lineFirstNs + 2) == 0xA2.toByte))
+          nBullet += 1L
+      }
+      if (lineLastNs >= 2) {
+        val c = raw(lineLastNs)
+        if (c == '.' && raw(lineLastNs - 1) == '.' && raw(lineLastNs - 2) == '.')
+          nEllLine += 1L
+        else if (c == 0xA6.toByte && raw(lineLastNs - 1) == 0x80.toByte &&
+          raw(lineLastNs - 2) == 0xE2.toByte)
+          nEllLine += 1L
+      }
+      lineFirstNs = -1
+      lineLastNs = -1
+    }
+    while (i < n) {
+      val b = raw(i)
+      if (b == '.') dotRun += 1
+      else { dots3 += dotRun / 3; dotRun = 0 }
+      if (b == '#') nHash += 1L
+      if (b == 0xE2.toByte && i + 2 < n && raw(i + 1) == 0x80.toByte && raw(i + 2) == 0xA6.toByte)
+        nEllChar += 1L
+      if (b == '\n') { closeLine(); nLines += 1L }
+      else if (b != ' ') {
+        if (lineFirstNs < 0) lineFirstNs = i
+        lineLastNs = i
+      }
+      i += 1
+    }
+    dots3 += dotRun / 3
+    closeLine()
+    // pass B over the normalized (lowercase, single-space) form
+    val norm = normalizeWs(text).getBytes
+    val m = norm.length
+    var nWords = 1L
+    var sumLen = 0L
+    var nAlpha = 0L
+    var wordHasAlpha = false
+    var wordStart = 0
+    var stopBits = 0
+    def closeWord(end: Int): Unit = {
+      if (wordHasAlpha) nAlpha += 1L
+      val len = end - wordStart
+      // distinct-presence stop words: the, be, to, of, and, that, have, with
+      if (len >= 2 && len <= 4) {
+        val b0 = norm(wordStart)
+        val b1 = norm(wordStart + 1)
+        len match {
+          case 2 =>
+            if (b0 == 'b' && b1 == 'e') stopBits |= 1
+            else if (b0 == 't' && b1 == 'o') stopBits |= 2
+            else if (b0 == 'o' && b1 == 'f') stopBits |= 4
+          case 3 =>
+            val b2 = norm(wordStart + 2)
+            if (b0 == 't' && b1 == 'h' && b2 == 'e') stopBits |= 8
+            else if (b0 == 'a' && b1 == 'n' && b2 == 'd') stopBits |= 16
+          case 4 =>
+            val b2 = norm(wordStart + 2)
+            val b3 = norm(wordStart + 3)
+            if (b0 == 't' && b1 == 'h' && b2 == 'a' && b3 == 't') stopBits |= 32
+            else if (b0 == 'h' && b1 == 'a' && b2 == 'v' && b3 == 'e') stopBits |= 64
+            else if (b0 == 'w' && b1 == 'i' && b2 == 't' && b3 == 'h') stopBits |= 128
+          case _ =>
+        }
+      }
+      wordHasAlpha = false
+    }
+    var j = 0
+    while (j < m) {
+      val b = norm(j)
+      if (b == ' ') { closeWord(j); nWords += 1L; wordStart = j + 1 }
+      else {
+        if ((b & 0xC0) != 0x80) sumLen += 1L // one code point
+        if (b >= 'a' && b <= 'z') wordHasAlpha = true
+      }
+      j += 1
+    }
+    closeWord(m)
+    val nGstop = java.lang.Integer.bitCount(stopBits).toLong
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      Array(nWords, sumLen, nHash, dots3 + nEllChar, nLines, nBullet, nEllLine, nAlpha, nGstop))
+  }
+
+  /** C101 kernel: green-list watermark counts in one pass over the
+    * NORMALIZED (lowercase, single-space) text — replacing two slice
+    * arrays, an interpreted zip_with that concatenates a fresh
+    * key∥0x01∥prev∥0x01∥cur string per bigram, and an interpreted
+    * aggregate fold. FNV-1a is byte-sequential, so the hash threads
+    * straight over the word bytes in place: `keyState` is the FNV
+    * state after key∥0x01 (precomputed once per query), each adjacent
+    * word pair continues it over prev∥0x01∥cur, and greenness is
+    * (h & 3) == 0 — bit-identical to
+    * fingerprint64(concat(key, 0x01, prev, 0x01, cur)) (parity spec in
+    * OptimizationParitySpec). Returns [n_words, n_green]; n_bigrams =
+    * n_words − 1 by the split convention (empty text = one empty
+    * word). Public static for codegen.
+    */
+  def watermarkGreenCounts(text: org.apache.spark.unsafe.types.UTF8String, keyState: Long): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    val P = 0x100000001b3L
+    var nWords = 1L
+    var nGreen = 0L
+    var prevStart = 0
+    var prevEnd = -1 // end-exclusive of previous word; -1 = none yet
+    var wordStart = 0
+    var i = 0
+    def closePair(curStart: Int, curEnd: Int): Unit = {
+      if (prevEnd >= 0) {
+        var h = keyState
+        var k = prevStart
+        while (k < prevEnd) { h ^= (b(k) & 0xffL); h *= P; k += 1 }
+        h ^= 0x01L; h *= P
+        k = curStart
+        while (k < curEnd) { h ^= (b(k) & 0xffL); h *= P; k += 1 }
+        if ((h & 3L) == 0L) nGreen += 1L
+      }
+      prevStart = curStart
+      prevEnd = curEnd
+    }
+    while (i < n) {
+      if (b(i) == ' ') {
+        closePair(wordStart, i)
+        nWords += 1L
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    closePair(wordStart, n)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array(nWords, nGreen))
+  }
+
   /** Squared L2 distance between a float vector and a double vector
     * (centroid), ordered accumulation — bit-identical to
     * `aggregate(zip_with(v, c, (a,b) => (a-b)*(a-b)), 0.0, +)` for
@@ -811,6 +981,12 @@ object VecOps {
 
   def greedy_token_stats(text: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(GreedyTokenStats(ColumnBridge.expression(text), vocab))
+
+  def gopher_counts(text: Column): Column =
+    ColumnBridge.column(GopherCountsExpr(ColumnBridge.expression(text)))
+
+  def watermark_green_counts(text: Column, key: String): Column =
+    ColumnBridge.column(WatermarkGreenCounts(ColumnBridge.expression(text), key))
 
   /** Greedy longest-match tokenizer kernel over a NORMALIZED
     * (lowercase, single-space) string: per word, repeatedly consume
@@ -1997,6 +2173,44 @@ case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]]) e
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.trigramProfileScores($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): TrigramProfileScores = copy(child = c)
+}
+
+case class GopherCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"gopher_counts needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.gopherCounts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.gopherCounts($c)")
+  override protected def withNewChildInternal(c: Expression): GopherCountsExpr = copy(child = c)
+}
+
+case class WatermarkGreenCounts(child: Expression, key: String) extends UnaryExpression {
+  /** FNV-1a state after key ∥ 0x01 — the per-bigram hash resumes from
+    * here, so the key bytes are hashed once per QUERY, not per pair.
+    */
+  @transient private lazy val keyState: Long = {
+    val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < kb.length) { h ^= (kb(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h ^= 0x01L
+    h *= 0x100000001b3L
+    h
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"watermark_green_counts needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.watermarkGreenCounts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], keyState)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.watermarkGreenCounts($c, ${keyState}L)")
+  override protected def withNewChildInternal(c: Expression): WatermarkGreenCounts = copy(child = c)
 }
 
 case class QuantizeI8(child: Expression) extends UnaryExpression {

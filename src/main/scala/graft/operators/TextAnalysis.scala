@@ -112,13 +112,32 @@ object TextAnalysis {
     * against the DuckDB twin — no float thresholds. One projection,
     * no shuffle beyond the driver-compare orderBy.
     */
-  def gopherGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherGate(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // all nine counts from ONE kernel pass over the raw bytes + one
+    // over the normalized form ([[graft.functions.VecOps.gopherCounts]]);
+    // the declarative formulation below is the semantic reference the
+    // kernel must equal row-for-row (OptimizationParitySpec parity test) and
+    // the shape the DuckDB oracle runs — it paid 2 regex scans, 2
+    // array splits, 4 interpreted higher-order filters and an
+    // interpreted fold per row (HOFs are CodegenFallback)
+    gopherFlags(
+      df.select(col(idCol), graft.functions.VecOps.gopher_counts(col(textCol)).as("__g"))
+        .select(
+          col(idCol),
+          col("__g")(0).as("n_words"), col("__g")(1).as("sum_len"),
+          col("__g")(2).as("n_hash"), col("__g")(3).as("n_ell"),
+          col("__g")(4).as("n_lines"), col("__g")(5).as("n_bullet"),
+          col("__g")(6).as("n_ell_line"), col("__g")(7).as("n_alpha"),
+          col("__g")(8).as("n_gstop")),
+      idCol)
+
+  private[graft] def gopherGateDeclarative(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
     val w = words(c)
     val lines = split(c, "\n")
     val gStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    def flag(b: Column): Column = when(b, 1L).otherwise(0L)
-    df.select(
+    gopherFlags(
+      df.select(
         col(idCol),
         size(w).cast("long").as("n_words"),
         aggregate(w, lit(0L), (a, x) => a + length(x)).as("sum_len"),
@@ -135,7 +154,16 @@ object TextAnalysis {
           t.endsWith("...") || t.endsWith("…")
         })).cast("long").as("n_ell_line"),
         size(filter(w, x => x.rlike("[a-z]"))).cast("long").as("n_alpha"),
-        gStops.map(s => when(array_contains(w, s), 1L).otherwise(0L)).reduce(_ + _).as("n_gstop"))
+        gStops.map(s => when(array_contains(w, s), 1L).otherwise(0L)).reduce(_ + _).as("n_gstop")),
+      idCol)
+  }
+
+  /** The rule flags over the nine counts — shared by the kernel and
+    * declarative formulations so parity is decided on the counts.
+    */
+  private def gopherFlags(counts: DataFrame, idCol: String): DataFrame = {
+    def flag(b: Column): Column = when(b, 1L).otherwise(0L)
+    counts
       .select(
         col(idCol), col("n_words"),
         flag(col("n_words") >= 50L && col("n_words") <= 100000L).as("r_words"),
@@ -764,6 +792,37 @@ object TextAnalysis {
       textCol: String,
       key: String = "graft"
   ): DataFrame = {
+    // ONE kernel pass over the normalized bytes
+    // ([[graft.functions.VecOps.watermarkGreenCounts]]): FNV-1a is
+    // byte-sequential, so the per-bigram PRF threads over the word
+    // bytes in place from the precomputed key∥ 0x01 state — replacing
+    // two slice arrays, an interpreted zip_with building a fresh
+    // 5-part concat string per bigram, and an interpreted fold
+    // (bit-identical; parity spec in OptimizationParitySpec, and the DuckDB
+    // oracle still runs the concat formulation)
+    val wm = graft.functions.VecOps.watermark_green_counts(
+      graft.functions.VecOps.normalize_ws(col(textCol)), key)
+    df.select(col(idCol), wm.as("__wm"))
+      .select(col(idCol), (col("__wm")(0) - 1L).as("n_bigrams"), col("__wm")(1).as("n_green"))
+      .filter(col("n_bigrams") > 0L)
+      .select(col(idCol), col("n_bigrams"), col("n_green"),
+        expr("10000 * n_green DIV n_bigrams").as("green_bp"),
+        expr("10000 * n_green DIV n_bigrams - 2500").as("excess_bp"),
+        expr("CAST(CASE WHEN 4 * n_green > n_bigrams AND " +
+          "(4 * n_green - n_bigrams) * (4 * n_green - n_bigrams) > 48 * n_bigrams " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("flagged"))
+      .orderBy(col(idCol))
+  }
+
+  /** The HOF/concat reference formulation of [[watermarkScore]]
+    * (parity spec target + the shape the DuckDB oracle runs).
+    */
+  private[graft] def watermarkScoreDeclarative(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      key: String = "graft"
+  ): DataFrame = {
     import graft.functions.Fingerprint64.fingerprint64
     val w = words(col(textCol))
     val greens = zip_with(
@@ -856,7 +915,7 @@ object TextAnalysis {
     * explodes — no shuffle at all before the caller's join/agg. The
     * windowed-SQL formulation below ([[winnowFingerprintsWindowed]])
     * is the semantic reference the kernel must equal row-for-row
-    * (TextAnalysisSpec parity test) and the shape the DuckDB oracle
+    * (OptimizationParitySpec parity test) and the shape the DuckDB oracle
     * runs; at sf10 it pushed ~100M exploded shingle rows through a
     * doc-keyed window sort for a 29s floor the kernel removes.
     */

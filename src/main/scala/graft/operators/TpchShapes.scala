@@ -274,6 +274,15 @@ object TpchShapes {
     lineitem
       .select(col("l_partkey"), col("l_suppkey"))
       .join(broadcast(bad), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      // dedupe (partkey, suppkey) BEFORE the part join and the
+      // distinct-count: lineitem repeats each partsupp pair ~7-8x, and
+      // countDistinct's dedup phase would otherwise shuffle every
+      // surviving fact row WITH its (brand, type) strings attached —
+      // this distinct moves 16-byte pairs instead and feeds the join
+      // ~7x fewer rows. countDistinct still dedupes per GROUP (several
+      // partkeys share a (brand, type, size)), so semantics are
+      // unchanged (distinct-before-distinct-count is a no-op).
+      .distinct()
       .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -338,14 +347,19 @@ object TpchShapes {
     val fOrders = orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
     val scoped = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), col("l_us"))
-    val perOrder = scoped
-      .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"), max(col("l_us")).as("max_us"))
-      .filter(col("n_supp") > 1)
-      .select(col("l_orderkey").as("agg_ok"), col("max_us"))
+    // per-order aggregates as WINDOW functions over one order-keyed
+    // partitioning instead of agg + join-back: the agg/join form put
+    // `scoped` (itself a lineitem×orders join) in the DAG twice —
+    // Catalyst does not dedupe common subtrees, so the join executed
+    // twice and scoped crossed two more exchanges. One window pass
+    // computes both per-order values in place (per-order state is a
+    // ≤7-entry supplier set); results are row-identical (proven vs the
+    // agg+join form in OptimizationParitySpec).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
     scoped
-      .join(perOrder, col("l_orderkey") === col("agg_ok"))
-      .filter(col("l_us") === col("max_us"))
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)).cast("long"))
+      .withColumn("max_us", max(col("l_us")).over(w))
+      .filter(col("n_supp") > 1L && col("l_us") === col("max_us"))
       .groupBy(col("l_suppkey"))
       .agg(countDistinct(col("l_orderkey")).as("n_waits"))
       .join(supplier.select(col("s_suppkey"), col("s_name")), col("l_suppkey") === col("s_suppkey"))

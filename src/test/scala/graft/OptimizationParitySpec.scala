@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, TpchShapes}
+import graft.sources.Catalog
+
+/** Round-12 optimization parity: every restructured operator must
+  * produce BIT-IDENTICAL results to the formulation it replaced. Each
+  * test runs old and new side by side on real sf0.001 tables plus
+  * staged edge cases and diffs collected rows.
+  */
+class OptimizationParitySpec extends SparkSpec {
+
+  private def diff(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.schema.map(f => (f.name, f.dataType)) === b.schema.map(f => (f.name, f.dataType)))
+    val ra = a.collect().map(_.toString).toSeq
+    val rb = b.collect().map(_.toString).toSeq
+    assert(ra === rb)
+  }
+
+  // ---- text kernels ----
+
+  private def edgeDocs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, ""), // empty: split('') = [''] — one empty word
+      (2L, "word"),
+      (3L, "the quick brown fox and that dog have fun with it"),
+      (4L, "- bullet one\n  - indented bullet\n\t- tab is NOT ltrimmed\n• unicode bullet\nplain"),
+      (5L, "ends with dots...\nends with unicode…\nends with spaces...   \nno ellipsis here"),
+      (6L, "......"), // 6 dots = two non-overlapping '...'
+      (7L, "....."), // 5 dots = one match
+      (8L, "a…b…c ### #"),
+      (9L, "Ünïcödé wörds ánd ASCII mix 机器 学习 123 456"),
+      (10L, "trailing newline\n"),
+      (11L, " \t \n mixed   whitespaceVT\f\r end "),
+      (12L, (1 to 80).map(i => s"w$i the of and").mkString(" ")),
+      (13L, "* star bullet\n- dash\n• dot\nnot - a bullet"),
+      (14L, "x...\n...\n…\n.\n.."),
+      (15L, "HAVE WITH THAT BE TO OF AND THE have with")
+    ).toDF("doc_id", "text")
+  }
+
+  test("gopherGate: kernel ≡ declarative formulation on edge cases + sf0.001 docs") {
+    val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    for (d <- Seq(edgeDocs, docs)) {
+      diff(
+        TextAnalysis.gopherGate(d, "doc_id", "text").orderBy("doc_id"),
+        TextAnalysis.gopherGateDeclarative(d, "doc_id", "text").orderBy("doc_id"))
+    }
+  }
+
+  test("watermarkScore: kernel ≡ declarative formulation on edge cases + sf0.001 docs") {
+    val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    for (d <- Seq(edgeDocs, docs)) {
+      diff(
+        TextAnalysis.watermarkScore(d, "doc_id", "text"),
+        TextAnalysis.watermarkScoreDeclarative(d, "doc_id", "text"))
+    }
+  }
+
+  // ---- TPC-H shape restructures ----
+
+  test("q21Waiting: window formulation ≡ agg+join-back formulation") {
+    val li = Catalog.load(spark, sf, "lineitem")
+    val orders = Catalog.load(spark, sf, "orders")
+    val supplier = Catalog.load(spark, sf, "supplier")
+    // the pre-r12 agg + join-back formulation, verbatim
+    val liN = li.select(col("l_orderkey"), col("l_suppkey"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("l_us"))
+    val fOrders = orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val scoped = liN.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_us"))
+    val perOrder = scoped
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"), max(col("l_us")).as("max_us"))
+      .filter(col("n_supp") > 1)
+      .select(col("l_orderkey").as("agg_ok"), col("max_us"))
+    val old = scoped
+      .join(perOrder, col("l_orderkey") === col("agg_ok"))
+      .filter(col("l_us") === col("max_us"))
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_orderkey")).as("n_waits"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waits"))
+      .orderBy(col("n_waits").desc, col("s_suppkey"))
+      .limit(20)
+    diff(TpchShapes.q21Waiting(supplier, orders, li), old)
+  }
+
+  test("q16SupplierCnt: pre-join (partkey, suppkey) distinct ≡ no-distinct formulation") {
+    val li = Catalog.load(spark, sf, "lineitem")
+    val part = Catalog.load(spark, sf, "part")
+    val supplier = Catalog.load(spark, sf, "supplier")
+    val bad = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_suppkey"))
+    val parts = part.filter(col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val old = li
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    diff(TpchShapes.q16SupplierCnt(supplier, part, li), old)
+  }
+}

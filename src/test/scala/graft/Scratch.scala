@@ -197,6 +197,23 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROBE_TEXTKERNEL")) {
+      // r12: single-pass byte kernels vs the declarative (HOF/regex)
+      // formulations they replaced — same rows by OptimizationParitySpec
+      import graft.operators.TextAnalysis
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"), org.apache.spark.sql.functions.col("text"))
+      noop(docs.limit(10)) // warm-up
+      for (r <- 1 to 2) {
+        time(s"gopher kernel      r$r") { noop(TextAnalysis.gopherGate(docs, "doc_id", "text")) }
+        time(s"gopher declarative r$r") { noop(TextAnalysis.gopherGateDeclarative(docs, "doc_id", "text")) }
+        time(s"wm kernel          r$r") { noop(TextAnalysis.watermarkScore(docs, "doc_id", "text")) }
+        time(s"wm declarative     r$r") { noop(TextAnalysis.watermarkScoreDeclarative(docs, "doc_id", "text")) }
+      }
+      spark.stop(); return
+    }
     val names = sys.env.getOrElse("GRAFT_SCRATCH_QUERIES", "sim_topk_brute,sim_topk_quant")
       .split(",").map(_.trim).filter(_.nonEmpty)
     val explain = sys.env.contains("GRAFT_SCRATCH_EXPLAIN")
