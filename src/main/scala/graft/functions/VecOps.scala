@@ -784,6 +784,54 @@ object VecOps {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(Array(nWords, nGreen))
   }
 
+  /** C77/C97 kernel: per-bigram (head-hash, bigram-or-tail-hash) pairs
+    * over the NORMALIZED (lowercase, single-space) text, zero copies —
+    * replacing two slice arrays, a zip_with building a fresh
+    * `prev ∥ ' ' ∥ cur` string per bigram, and three interpreted
+    * xxhash64 calls per pair (HOFs are CodegenFallback). Because the
+    * normalized form separates words with EXACTLY one space, the
+    * bigram string `prev ∥ ' ' ∥ cur` IS a contiguous byte range of
+    * the input, and every word is one too — so all hashes are
+    * `XXH64.hashUnsafeBytes` over in-place ranges (seed 42, Spark's
+    * `xxhash64` seed; bit-identical, parity spec in
+    * OptimizationParitySpec). `tailMode=false` returns (hh, bh) =
+    * (hash(head), hash(bigram)) — [[graft.operators.TextAnalysis.bigramLmScore]]'s
+    * keys; `tailMode=true` returns (hh, th) = (hash(head),
+    * hash(tail)) — [[graft.operators.TextAnalysis.knBigramScore]]'s.
+    * One empty word (empty text) or a single word yields no pairs,
+    * the split/slice convention. Public static for codegen.
+    */
+  def bigramHashPairs(u: org.apache.spark.unsafe.types.UTF8String, tailMode: Boolean): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = u.numBytes()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var prevStart = -1
+    var prevEnd = -1
+    var wordStart = 0
+    var i = 0
+    def emit(curStart: Int, curEnd: Int): Unit = {
+      if (prevStart >= 0) {
+        val hh = XXH64.hashUnsafeBytes(base, off + prevStart, prevEnd - prevStart, 42L)
+        val xh =
+          if (tailMode) XXH64.hashUnsafeBytes(base, off + curStart, curEnd - curStart, 42L)
+          else XXH64.hashUnsafeBytes(base, off + prevStart, curEnd - prevStart, 42L)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](hh, xh))
+      }
+      prevStart = curStart
+      prevEnd = curEnd
+    }
+    while (i < n) {
+      if (u.getByte(i) == ' ') { emit(wordStart, i); wordStart = i + 1 }
+      i += 1
+    }
+    emit(wordStart, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Squared L2 distance between a float vector and a double vector
     * (centroid), ordered accumulation — bit-identical to
     * `aggregate(zip_with(v, c, (a,b) => (a-b)*(a-b)), 0.0, +)` for
@@ -984,6 +1032,9 @@ object VecOps {
 
   def gopher_counts(text: Column): Column =
     ColumnBridge.column(GopherCountsExpr(ColumnBridge.expression(text)))
+
+  def bigram_hash_pairs(text: Column, tailMode: Boolean): Column =
+    ColumnBridge.column(BigramHashPairs(ColumnBridge.expression(text), tailMode))
 
   def watermark_green_counts(text: Column, key: String): Column =
     ColumnBridge.column(WatermarkGreenCounts(ColumnBridge.expression(text), key))
@@ -2173,6 +2224,23 @@ case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]]) e
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.trigramProfileScores($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): TrigramProfileScores = copy(child = c)
+}
+
+case class BigramHashPairs(child: Expression, tailMode: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hh", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(if (tailMode) "th" else "bh", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"bigram_hash_pairs needs string, got $other")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VecOps.bigramHashPairs(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], tailMode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.bigramHashPairs($c, $tailMode)")
+  override protected def withNewChildInternal(c: Expression): BigramHashPairs = copy(child = c)
 }
 
 case class GopherCountsExpr(child: Expression) extends UnaryExpression {

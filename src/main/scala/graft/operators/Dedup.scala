@@ -1399,6 +1399,11 @@ object Dedup {
     require(idCol != "cluster_id" && idCol != "is_kept" && idCol != "n_words",
       s"idCol '$idCol' collides with a clusterKeepBest output column")
     val comps = connectedComponents(pairs)
+    // NOT checkpointed/persisted although base feeds two consumers:
+    // measured at sf1 (r12), materializing it read level-or-slower —
+    // the duplicated work is one cheap kernel-split scan (comps is
+    // already driver-materialized below the union-find threshold), and
+    // the eager materialization barrier cost more than it saved.
     val base = df
       .select(col(idCol).cast("long").as(idCol),
         size(split(normalize(col(textCol)), " ")).cast("long").as("n_words"))

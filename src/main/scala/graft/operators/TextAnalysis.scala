@@ -553,22 +553,22 @@ object TextAnalysis {
     * sf1, 50k docs).
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String, rareMaxC: Long = 2L): DataFrame = {
-    val w = words(col(textCol))
-    val heads = slice(w, lit(1), size(w) - 1)
-    val bigrams = zip_with(
-      heads,
-      slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b)
-    )
     // localCheckpoint rather than persist: the tf frame feeds three
     // consumers (cb, ch, the final join) so it must materialize once,
     // but a bare persist would pin a corpus-bigram-cardinality cache
     // block for the life of the session (no hook to unpersist after a
     // lazily-returned result). Checkpointed blocks are released by the
     // ContextCleaner once the frame is unreferenced.
+    // The (hh, bh) pairs come from the zero-copy kernel
+    // ([[graft.functions.VecOps.bigramHashPairs]]): both hashes are
+    // XXH64 over contiguous byte ranges of the normalized text — no
+    // word array, no per-bigram concat string, no interpreted zip_with
+    // (bit-identical to the xxhash64(concat) form; parity spec in
+    // OptimizationParitySpec).
     val tf = df
       .select(col(idCol),
-        explode(zip_with(heads, bigrams, (h, b) => struct(xxhash64(h).as("hh"), xxhash64(b).as("bh")))).as("p"))
+        explode(graft.functions.VecOps.bigram_hash_pairs(
+          graft.functions.VecOps.normalize_ws(col(textCol)), tailMode = false)).as("p"))
       .groupBy(col(idCol), col("p.bh").as("bh"), col("p.hh").as("hh"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -618,12 +618,12 @@ object TextAnalysis {
     * model joins are KEYED — a web-scale vocabulary never broadcasts.
     */
   def knBigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(col(textCol))
-    val heads = slice(w, lit(1), size(w) - 1)
-    val tails = slice(w, lit(2), size(w) - 1)
+    // (hh, th) pairs from the same zero-copy kernel as
+    // [[bigramLmScore]], tail mode (hash(head), hash(tail))
     val tf = df
       .select(col(idCol),
-        explode(zip_with(heads, tails, (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(tl).as("th")))).as("p"))
+        explode(graft.functions.VecOps.bigram_hash_pairs(
+          graft.functions.VecOps.normalize_ws(col(textCol)), tailMode = true)).as("p"))
       .groupBy(col(idCol), col("p.hh").as("hh"), col("p.th").as("th"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()

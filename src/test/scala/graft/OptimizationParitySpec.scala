@@ -61,6 +61,32 @@ class OptimizationParitySpec extends SparkSpec {
     }
   }
 
+  test("bigramHashPairs: zero-copy range hashes ≡ xxhash64 over word/concat strings, both modes") {
+    import graft.operators.Dedup
+    import graft.functions.VecOps
+    for (d <- Seq(edgeDocs, Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text")))) {
+      val w = split(Dedup.normalize(col("text")), " ")
+      val heads = slice(w, lit(1), size(w) - 1)
+      val tails = slice(w, lit(2), size(w) - 1)
+      // lm mode: (hash(head), hash(head ∥ ' ' ∥ tail))
+      val declLm = d.select(col("doc_id"), explode(zip_with(heads, tails,
+        (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(concat(h, lit(" "), tl)).as("bh")))).as("p"))
+        .select(col("doc_id"), col("p.hh"), col("p.bh")).orderBy("doc_id", "hh", "bh")
+      val kernLm = d.select(col("doc_id"),
+        explode(VecOps.bigram_hash_pairs(VecOps.normalize_ws(col("text")), tailMode = false)).as("p"))
+        .select(col("doc_id"), col("p.hh"), col("p.bh")).orderBy("doc_id", "hh", "bh")
+      diff(kernLm, declLm)
+      // kn mode: (hash(head), hash(tail))
+      val declKn = d.select(col("doc_id"), explode(zip_with(heads, tails,
+        (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(tl).as("th")))).as("p"))
+        .select(col("doc_id"), col("p.hh"), col("p.th")).orderBy("doc_id", "hh", "th")
+      val kernKn = d.select(col("doc_id"),
+        explode(VecOps.bigram_hash_pairs(VecOps.normalize_ws(col("text")), tailMode = true)).as("p"))
+        .select(col("doc_id"), col("p.hh"), col("p.th")).orderBy("doc_id", "hh", "th")
+      diff(kernKn, declKn)
+    }
+  }
+
   // ---- TPC-H shape restructures ----
 
   test("q21Waiting: window formulation ≡ agg+join-back formulation") {

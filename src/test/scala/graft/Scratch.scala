@@ -197,6 +197,35 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROBE_BIGRAM")) {
+      // r12: kernel bigram-hash explode vs the zip_with/concat form it
+      // replaced (the tf stage feeding bigram_lm / kn / ccnet), plus
+      // the full queries after the swap
+      import org.apache.spark.sql.functions._
+      import graft.functions.VecOps
+      import graft.operators.Dedup
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      noop(docs.limit(10))
+      val w = split(Dedup.normalize(col("text")), " ")
+      val heads = slice(w, lit(1), size(w) - 1)
+      val tails = slice(w, lit(2), size(w) - 1)
+      for (r <- 1 to 2) {
+        time(s"tf declarative r$r") {
+          noop(docs.select(col("doc_id"), explode(zip_with(heads, tails,
+            (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(concat(h, lit(" "), tl)).as("bh")))).as("p"))
+            .groupBy(col("doc_id"), col("p.bh"), col("p.hh")).agg(count(lit(1)).as("tf")))
+        }
+        time(s"tf kernel      r$r") {
+          noop(docs.select(col("doc_id"),
+            explode(VecOps.bigram_hash_pairs(VecOps.normalize_ws(col("text")), tailMode = false)).as("p"))
+            .groupBy(col("doc_id"), col("p.bh"), col("p.hh")).agg(count(lit(1)).as("tf")))
+        }
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_TEXTKERNEL")) {
       // r12: single-pass byte kernels vs the declarative (HOF/regex)
       // formulations they replaced — same rows by OptimizationParitySpec
