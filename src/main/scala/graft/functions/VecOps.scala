@@ -832,6 +832,84 @@ object VecOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** C70 kernel: clip-out reconstruction from SORTED shared window
+    * starts — every token position covered by [s, s+n-1] for some
+    * start s is removed; returns (n_removed, clean_text) where
+    * clean_text is the kept words joined by single spaces. Replaces an
+    * n-way sequence explode + DISTINCT shuffle + collect_set + an
+    * interpreted per-token `array_contains` filter (O(words·|removed|)
+    * per doc) with one interval-merge walk (O(words + |starts|)).
+    * Byte-exact to the declarative form (parity spec in
+    * OptimizationParitySpec). Public static for codegen.
+    */
+  def clipOutKept(ws: ArrayData, starts: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nWords = ws.numElements()
+    val nStarts = starts.numElements()
+    val kept = new Array[org.apache.spark.unsafe.types.UTF8String](nWords)
+    var nKept = 0
+    var removed = 0L
+    var si = 0
+    var coverEnd = -1L // inclusive end of the current merged interval
+    var i = 0L
+    while (i < nWords) {
+      while (si < nStarts && starts.getLong(si) <= i) {
+        val e = starts.getLong(si) + (n - 1)
+        if (e > coverEnd) coverEnd = e
+        si += 1
+      }
+      if (i <= coverEnd) removed += 1L
+      else { kept(nKept) = ws.getUTF8String(i.toInt); nKept += 1 }
+      i += 1L
+    }
+    val clean = org.apache.spark.unsafe.types.UTF8String.concatWs(
+      org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+      java.util.Arrays.copyOf(kept, nKept): _*)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](removed, clean))
+  }
+
+  /** Count of token positions covered by ∪ [s, s+n-1] over sorted
+    * starts — [[clipOutKept]]'s count half without the text rebuild
+    * (the curatePipeline clip stage only needs the count). Public
+    * static for codegen.
+    */
+  def coveredCount(starts: ArrayData, n: Int): Long = {
+    val m = starts.numElements()
+    var covered = 0L
+    var coverEnd = -1L // exclusive end of the last merged interval
+    var i = 0
+    while (i < m) {
+      val s = starts.getLong(i)
+      val e = s + n // exclusive
+      if (s >= coverEnd) covered += n.toLong
+      else if (e > coverEnd) covered += e - coverEnd
+      if (e > coverEnd) coverEnd = e
+      i += 1
+    }
+    covered
+  }
+
+  /** Longest run of CONSECUTIVE integers in a sorted distinct array —
+    * the gaps-and-islands `pos − row_number` fold as one walk,
+    * replacing a per-doc window sort + two aggregations
+    * ([[graft.operators.Curation.dupSpanStats]]). Public static for
+    * codegen.
+    */
+  def maxConsecRun(sorted: ArrayData): Long = {
+    val m = sorted.numElements()
+    if (m == 0) return 0L
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < m) {
+      if (sorted.getLong(i) == sorted.getLong(i - 1) + 1L) run += 1L
+      else run = 1L
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+
   /** Squared L2 distance between a float vector and a double vector
     * (centroid), ordered accumulation — bit-identical to
     * `aggregate(zip_with(v, c, (a,b) => (a-b)*(a-b)), 0.0, +)` for
@@ -1035,6 +1113,15 @@ object VecOps {
 
   def bigram_hash_pairs(text: Column, tailMode: Boolean): Column =
     ColumnBridge.column(BigramHashPairs(ColumnBridge.expression(text), tailMode))
+
+  def clip_out_kept(ws: Column, starts: Column, n: Int): Column =
+    ColumnBridge.column(ClipOutKept(ColumnBridge.expression(ws), ColumnBridge.expression(starts), n))
+
+  def covered_count(starts: Column, n: Int): Column =
+    ColumnBridge.column(CoveredCount(ColumnBridge.expression(starts), n))
+
+  def max_consec_run(sorted: Column): Column =
+    ColumnBridge.column(MaxConsecRun(ColumnBridge.expression(sorted)))
 
   def watermark_green_counts(text: Column, key: String): Column =
     ColumnBridge.column(WatermarkGreenCounts(ColumnBridge.expression(text), key))
@@ -2224,6 +2311,45 @@ case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]]) e
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.trigramProfileScores($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): TrigramProfileScores = copy(child = c)
+}
+
+case class ClipOutKept(left: Expression, right: Expression, n: Int) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_removed", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("clean", StringType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType, n) match {
+    case (ArrayType(StringType, _), ArrayType(LongType, _), nn) if nn >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"clip_out_kept needs (array<string>, array<long>, n>=1); got $other")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.clipOutKept(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.clipOutKept($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ClipOutKept = copy(left = l, right = r)
+}
+
+case class CoveredCount(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType, n) match {
+    case (ArrayType(LongType, _), nn) if nn >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"covered_count needs (array<long>, n>=1); got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.coveredCount(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.coveredCount($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CoveredCount = copy(child = c)
+}
+
+case class MaxConsecRun(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"max_consec_run needs array<long>, got $other")
+  }
+  override def nullSafeEval(v: Any): Any = VecOps.maxConsecRun(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.maxConsecRun($c)")
+  override protected def withNewChildInternal(c: Expression): MaxConsecRun = copy(child = c)
 }
 
 case class BigramHashPairs(child: Expression, tailMode: Boolean) extends UnaryExpression {

@@ -358,6 +358,44 @@ object Curation {
           .otherwise(array().cast("array<long>")).as("shs"))
       .select(col("id"), posexplode(col("shs")))
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
+    // ONE doc-keyed aggregation computes all three signals: the island
+    // detection (max consecutive shared run) folds over the sorted
+    // shared positions in a codegen kernel
+    // ([[graft.functions.VecOps.maxConsecRun]]) instead of a second
+    // doc-keyed window sort + two more aggregations + a second join —
+    // row-identical (parity spec in OptimizationParitySpec; the
+    // gaps-and-islands formulation remains below as the reference).
+    val perDoc = exploded
+      .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("first_id") < col("id"), 1L).otherwise(0L)).as("dup_windows"),
+        graft.functions.VecOps.max_consec_run(
+          sort_array(collect_list(when(col("first_id") < col("id"), col("pos")))))
+          .as("max_dup_run"))
+    df.select(col(idCol))
+      .join(perDoc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+      .orderBy(col(idCol))
+  }
+
+  /** The gaps-and-islands reference formulation of [[dupSpanStats]]
+    * (parity spec target + the shape the DuckDB oracle runs).
+    */
+  private[graft] def dupSpanStatsDeclarative(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        when(size(split(Dedup.normalize(col(textCol)), " ")) >= n,
+          graft.functions.VecOps.shingle_hashes(
+            split(Dedup.normalize(col(textCol)), " "), n))
+          .otherwise(array().cast("array<long>")).as("shs"))
+      .select(col("id"), posexplode(col("shs")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
     val shared = exploded
       .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
       .select(col("id"), col("pos"), (col("first_id") < col("id")).as("shared"))
@@ -403,6 +441,43 @@ object Curation {
     * there).
     */
   def clipDedup(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), split(Dedup.normalize(col(textCol)), " ").as("__ws"))
+    val exploded = docs
+      .select(col("id"),
+        when(size(col("__ws")) >= n,
+          graft.functions.VecOps.shingle_hashes(col("__ws"), n))
+          .otherwise(array().cast("array<long>")).as("shs"))
+      .select(col("id"), posexplode(col("shs")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
+    // shared window STARTS fold straight into one sorted per-doc list;
+    // the covered-position set and the kept-text rebuild run in one
+    // interval-merge kernel ([[graft.functions.VecOps.clipOutKept]]) —
+    // replacing the n-way sequence explode + DISTINCT shuffle +
+    // collect_set + the interpreted per-token array_contains filter
+    // (O(words·|removed|) per doc). Row-identical (parity spec in
+    // OptimizationParitySpec; the exploded formulation remains below
+    // as the reference).
+    val removedStarts = exploded
+      .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
+      .filter(col("first_id") < col("id"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    docs
+      .join(removedStarts, Seq("id"), "left")
+      .select(col("id").as(idCol), size(col("__ws")).cast("long").as("n_tokens"),
+        graft.functions.VecOps.clip_out_kept(
+          col("__ws"), coalesce(col("starts"), array().cast("array<long>")), n).as("__c"))
+      .select(col(idCol), col("n_tokens"),
+        col("__c.n_removed").as("n_removed"),
+        md5(col("__c.clean").cast("binary")).as("clean_hash"))
+      .orderBy(col(idCol))
+  }
+
+  /** The sequence-explode/distinct/array_contains reference
+    * formulation of [[clipDedup]] (parity spec target + the oracle's
+    * shape).
+    */
+  private[graft] def clipDedupDeclarative(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val docs = df.select(col(idCol).as("id"), split(Dedup.normalize(col(textCol)), " ").as("__ws"))
     val exploded = docs
       .select(col("id"),
@@ -712,10 +787,12 @@ object Curation {
       .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
       .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
       .filter(col("first_id") < col("id"))
-      .select(col("id"), explode(sequence(col("pos"), col("pos") + (clipN - 1))).as("tpos"))
-      .distinct()
+      // covered-token count via the interval-merge kernel over sorted
+      // shared starts (the clipDedup r12 shape) — no clipN-way
+      // sequence explode, no DISTINCT shuffle; identical count
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_removed"))
+      .agg(graft.functions.VecOps.covered_count(
+        sort_array(collect_list(col("pos"))), clipN).as("n_removed"))
     // C72: any eval doc within the fuzzy-Jaccard radius contaminates;
     // short docs carry a whole-text shingle (shingleHashSet's convention)
     def dcShingled(src: DataFrame, as: String) = src.select(

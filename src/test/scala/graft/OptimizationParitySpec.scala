@@ -87,6 +87,43 @@ class OptimizationParitySpec extends SparkSpec {
     }
   }
 
+  test("clipDedup: interval-merge kernel ≡ sequence-explode/distinct/array_contains formulation") {
+    import graft.operators.Curation
+    val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    for ((d, n) <- Seq((edgeDocs, 2), (edgeDocs, 4), (docs, 8))) {
+      diff(
+        Curation.clipDedup(d, "doc_id", "text", n),
+        Curation.clipDedupDeclarative(d, "doc_id", "text", n))
+    }
+  }
+
+  test("dupSpanStats: sorted-run kernel ≡ gaps-and-islands formulation") {
+    import graft.operators.Curation
+    val docs = Catalog.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    for ((d, n) <- Seq((edgeDocs, 2), (edgeDocs, 4), (docs, 8))) {
+      diff(
+        Curation.dupSpanStats(d, "doc_id", "text", n),
+        Curation.dupSpanStatsDeclarative(d, "doc_id", "text", n))
+    }
+  }
+
+  test("coveredCount/maxConsecRun: interval and run edge cases") {
+    import graft.functions.VecOps
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    // disjoint, overlapping, touching, duplicate-free sorted starts
+    assert(VecOps.coveredCount(arr(), 4) === 0L)
+    assert(VecOps.coveredCount(arr(0L), 4) === 4L)
+    assert(VecOps.coveredCount(arr(0L, 10L), 4) === 8L)
+    assert(VecOps.coveredCount(arr(0L, 2L), 4) === 6L) // overlap merges
+    assert(VecOps.coveredCount(arr(0L, 4L), 4) === 8L) // touching
+    assert(VecOps.coveredCount(arr(0L, 1L, 2L, 3L), 4) === 7L)
+    assert(VecOps.maxConsecRun(arr()) === 0L)
+    assert(VecOps.maxConsecRun(arr(5L)) === 1L)
+    assert(VecOps.maxConsecRun(arr(1L, 2L, 3L, 7L, 8L)) === 3L)
+    assert(VecOps.maxConsecRun(arr(1L, 3L, 5L)) === 1L)
+  }
+
   // ---- TPC-H shape restructures ----
 
   test("q21Waiting: window formulation ≡ agg+join-back formulation") {

@@ -197,6 +197,40 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROBE_CLIP")) {
+      // r12: where does the clip family spend — the shingle explode +
+      // first-seen window, or the post-window covered-position work?
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Curation, Dedup}
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      noop(docs.limit(10))
+      val n = 8
+      val dd = docs.select(col("doc_id").as("id"), split(Dedup.normalize(col("text")), " ").as("__ws"))
+      val exploded = dd
+        .select(col("id"),
+          when(size(col("__ws")) >= n, graft.functions.VecOps.shingle_hashes(col("__ws"), n))
+            .otherwise(array().cast("array<long>")).as("shs"))
+        .select(col("id"), posexplode(col("shs")))
+        .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
+      for (r <- 1 to 2) {
+        time(s"explode only          r$r") { noop(exploded) }
+        time(s"explode+window+filter r$r") {
+          noop(exploded
+            .withColumn("first_id", min(col("id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+            .filter(col("first_id") < col("id"))
+            .select(col("id"), col("pos")))
+        }
+        time(s"clipDedup kernel      r$r") { noop(Curation.clipDedup(docs, "doc_id", "text", n)) }
+        time(s"clipDedup declarative r$r") { noop(Curation.clipDedupDeclarative(docs, "doc_id", "text", n)) }
+        time(s"dupSpanStats kernel   r$r") { noop(Curation.dupSpanStats(docs, "doc_id", "text", n)) }
+        time(s"dupSpanStats declar.  r$r") { noop(Curation.dupSpanStatsDeclarative(docs, "doc_id", "text", n)) }
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_BIGRAM")) {
       // r12: kernel bigram-hash explode vs the zip_with/concat form it
       // replaced (the tf stage feeding bigram_lm / kn / ccnet), plus
