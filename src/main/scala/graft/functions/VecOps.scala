@@ -932,6 +932,33 @@ object VecOps {
   def vec_sqdist(a: Column, b: Column): Column =
     ColumnBridge.column(VecSqDistFD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** C52 kernel: the power-iteration projection
+    * s = (Σ_d (xq[d] − mu[d]) · v[d]) DIV 1e6 with mu/v as REFERENCE
+    * objects instead of 64 inlined literals. The string-built
+    * expression form regenerated different codegen SOURCE every
+    * iteration (v changes), forcing a fresh janino compile + full
+    * re-analysis per iteration — measured 0.54 s/iteration at sf0.1
+    * (fresh-constants agg 0.94 s vs same-constants 0.40 s, Scratch
+    * GRAFT_PROBE_PCA); with reference objects the generated source is
+    * identical across iterations and runs, so the compile happens
+    * once. Long addition is associative mod 2^64 and Spark's DIV on
+    * Longs is Java truncation-toward-zero division — bit-identical to
+    * the expression form (parity in OptimizationParitySpec). Public
+    * static for codegen.
+    */
+  def dotCenteredDiv(xq: ArrayData, mu: Array[Long], v: Array[Long]): Long = {
+    var s = 0L
+    var d = 0
+    while (d < mu.length) {
+      s += (xq.getLong(d) - mu(d)) * v(d)
+      d += 1
+    }
+    s / 1000000L
+  }
+
+  def dot_centered_div(xq: Column, mu: Array[Long], v: Array[Long]): Column =
+    ColumnBridge.column(DotCenteredDiv(ColumnBridge.expression(xq), mu, v))
+
   /** Nearest centroid over a quantized Long vector: returns
     * [argmin_j, d2_min] where d2_j = Σ_d (vec[d] − cents[j·d0+d])²
     * in exact Long arithmetic, ties broken by smallest j (strict-less
@@ -2311,6 +2338,21 @@ case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]]) e
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.trigramProfileScores($c, $ref)")
   }
   override protected def withNewChildInternal(c: Expression): TrigramProfileScores = copy(child = c)
+}
+
+case class DotCenteredDiv(child: Expression, mu: Array[Long], v: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if mu.length == v.length => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"dot_centered_div needs array<long> and |mu|==|v|; got $other")
+  }
+  override def nullSafeEval(x: Any): Any = VecOps.dotCenteredDiv(x.asInstanceOf[ArrayData], mu, v)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("muArr", mu, "long[]")
+    val vRef = ctx.addReferenceObj("vArr", v, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.dotCenteredDiv($c, $muRef, $vRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): DotCenteredDiv = copy(child = c)
 }
 
 case class ClipOutKept(left: Expression, right: Expression, n: Int) extends BinaryExpression {

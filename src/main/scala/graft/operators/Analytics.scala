@@ -235,7 +235,14 @@ object Analytics {
       stages: Seq[String]
   ): DataFrame = {
     require(stages.length >= 2, "funnel latency needs at least two stages")
+    // PERSISTED: `durs` unions one arm per hop and each arm references
+    // this frame — without the persist the whole per-stage
+    // groupBy+join chain over the fact table re-executed once per hop
+    // INSIDE the single durs materialization (Catalyst does not dedupe
+    // common subtrees; the winsorize_stats r12 lesson). User-cardinality
+    // rows; released by the caller's clearCache.
     val reached = funnelReached(events, userCol, typeCol, tsCol, stages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val durs = (1 until stages.length)
       .map { i =>
         reached

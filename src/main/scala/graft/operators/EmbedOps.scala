@@ -21,6 +21,34 @@ import graft.functions.VecOps
   */
 object EmbedOps {
 
+  /** Scale-adaptive partition width for the cached iteration frames:
+    * ~2 MB of input per partition, clamped to [1, defaultParallelism].
+    * The old rule was the constant `defaultParallelism` — right for a
+    * compactly-written big corpus (one 49 MB file = one input split
+    * would serialize every iteration scan), but at small inputs it made
+    * every per-iteration job pay `par` near-empty tasks: measured at
+    * sf0.1 (2k vectors, 0.5 MB), a bare count() on the cached frame
+    * cost 0.23-0.40 s — the task-scheduling floor itself — so the
+    * 10-job k-means/PCA loops were floor-bound. Bytes come from driver
+    * file metadata (one status call per input file, the
+    * dataFingerprint discipline); non-file frames (tests) keep the old
+    * rule. At cluster scale bytes/2MB ≫ par, so this clamps to par —
+    * behavior unchanged where it mattered.
+    */
+  private def iterPartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty) return par
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    math.max(1L, math.min(par.toLong, bytes / (2L << 20) + 1L)).toInt
+  }
+
   /** C36: per-vector symmetric int8 quantization, long format:
     * (idCol, dim, q) with q = round(x*127/max|x|) in [-127,127].
     */
@@ -121,8 +149,8 @@ object EmbedOps {
     // every iteration's scan onto a single core — measured 3x the
     // whole loop at 200k vectors. One small shuffle up front buys
     // parallel scans for all `iters` passes.
-    val par = embeddings.sparkSession.sparkContext.defaultParallelism
-    val xq = (if (embeddings.rdd.getNumPartitions < par) embeddings.repartition(par) else embeddings)
+    val par = iterPartitions(embeddings)
+    val xq = (if (embeddings.rdd.getNumPartitions != par) embeddings.repartition(par) else embeddings)
       .select(
         col(idCol),
         transform(col(vecCol), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq")
@@ -131,12 +159,20 @@ object EmbedOps {
     val muRow = xq
       .agg(array((0 until dims).map(d => expr(s"sum(xq[$d]) DIV count(*)")): _*).as("mu"))
       .head().getSeq[Long](0).toArray
-    def sExpr(v: Array[Long]): String =
-      (0 until dims).map(d => s"(xq[$d] - ${muRow(d)}L) * ${v(d)}L").mkString("(", " + ", ") DIV 1000000")
+    // s via the dot_centered_div KERNEL (mu/v as reference objects):
+    // the string-built 64-term expression regenerated different codegen
+    // source per iteration (v inlined), costing a fresh janino compile
+    // + re-analysis every round — measured 0.54 s/iteration at sf0.1;
+    // with reference objects the per-round plan compiles once ever.
+    // The w-agg's mu literals are FIXED for the whole query, so its
+    // source was already iteration-stable. Arithmetic is bit-identical
+    // (Long addition is associative mod 2^64; Spark DIV on Longs is
+    // Java truncation division) — parity in OptimizationParitySpec.
+    def sCol(v: Array[Long]) = graft.functions.VecOps.dot_centered_div(col("xq"), muRow, v)
     var v = Array.fill(dims)(1000000L)
     for (_ <- 0 until iters) {
       val w = xq
-        .select(expr(sExpr(v)).as("s"), col("xq"))
+        .select(sCol(v).as("s"), col("xq"))
         .agg(array((0 until dims).map(d => expr(s"sum(s * (xq[$d] - ${muRow(d)}L))")): _*).as("w"))
         .head().getSeq[Long](0).toArray
       val shift = math.max(1L, w.map(math.abs).max / 1000000L)
@@ -144,7 +180,7 @@ object EmbedOps {
       val m = math.max(1L, wr.map(math.abs).max)
       v = wr.map(_ * 1000000L / m)
     }
-    xq.select(col(idCol).as("vec_id"), expr(sExpr(v)).as("pc1_proj")).orderBy("vec_id")
+    xq.select(col(idCol).as("vec_id"), sCol(v).as("pc1_proj")).orderBy("vec_id")
   }
 
   /** C53: Lloyd's k-means fit in EXACT integer arithmetic — the
@@ -179,8 +215,8 @@ object EmbedOps {
   ): DataFrame = {
     // same single-input-split hazard as pcaTopProjection: spread
     // before the per-round scans
-    val par = embeddings.sparkSession.sparkContext.defaultParallelism
-    val xq = (if (embeddings.rdd.getNumPartitions < par) embeddings.repartition(par) else embeddings)
+    val par = iterPartitions(embeddings)
+    val xq = (if (embeddings.rdd.getNumPartitions != par) embeddings.repartition(par) else embeddings)
       .select(
         col(idCol).as("id"),
         transform(col(vecCol), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq")

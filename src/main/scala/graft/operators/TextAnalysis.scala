@@ -663,15 +663,15 @@ object TextAnalysis {
     * totals roll up from the index at probe time (index-scale, never
     * corpus-scale).
     */
-  def buildLmIndex(corpus: DataFrame, textCol: String): DataFrame = {
-    val w = words(col(textCol))
-    val heads = slice(w, lit(1), size(w) - 1)
-    val tails = slice(w, lit(2), size(w) - 1)
+  def buildLmIndex(corpus: DataFrame, textCol: String): DataFrame =
+    // same zero-copy kernel as [[knBigramScore]] (r12): (hh, th) pairs
+    // hashed over in-place byte ranges — bit-identical to the
+    // zip_with/xxhash64 form (OptimizationParitySpec)
     corpus
-      .select(explode(zip_with(heads, tails, (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(tl).as("th")))).as("p"))
+      .select(explode(graft.functions.VecOps.bigram_hash_pairs(
+        graft.functions.VecOps.normalize_ws(col(textCol)), tailMode = true)).as("p"))
       .groupBy(col("p.hh").as("hh"), col("p.th").as("th"))
       .agg(count(lit(1)).as("cb"))
-  }
 
   /** C99 probe: score a batch against the persisted index — per doc
     * the bigram-token count, the INDEX-COVERED share in basis points
@@ -685,12 +685,10 @@ object TextAnalysis {
     * the only document scan).
     */
   def scoreAgainstLmIndex(index: DataFrame, batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(col(textCol))
-    val heads = slice(w, lit(1), size(w) - 1)
-    val tails = slice(w, lit(2), size(w) - 1)
     val tf = batch
       .select(col(idCol),
-        explode(zip_with(heads, tails, (h, tl) => struct(xxhash64(h).as("hh"), xxhash64(tl).as("th")))).as("p"))
+        explode(graft.functions.VecOps.bigram_hash_pairs(
+          graft.functions.VecOps.normalize_ws(col(textCol)), tailMode = true)).as("p"))
       .groupBy(col(idCol), col("p.hh").as("hh"), col("p.th").as("th"))
       .agg(count(lit(1)).as("tf"))
     val ch = index.groupBy(col("hh")).agg(sum(col("cb")).as("ch"))

@@ -127,11 +127,24 @@ object JsonIngest {
           .when(col("st") === "VOID", "null")
           .otherwise("number"))
     val spark = df.sparkSession
+    // each level PERSISTS and the loop exits at the first empty
+    // frontier (children of an empty level are empty by induction, so
+    // the union is unchanged): without this, union arm k re-executed
+    // the whole parse+explode chain 1..k — level 1 ran maxDepth times,
+    // ~maxDepth²/2 chain evaluations total, and levels past the data's
+    // real depth still paid a full re-walk to find nothing (r12;
+    // plans/r12/json_path_census_{before,after}.txt). The standard
+    // BFS-materialization trade: each level is node-cardinality,
+    // MEMORY_AND_DISK, one count per level as the emptiness probe;
+    // caller releases via clearCache (the GraphOps convention).
     var frontier = typed(
       df.select(col(idCol).as("id"), lit("$").as("path"), parse_json(col(jsonCol)).as("v"))
         .filter(col(jsonCol).isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var out = frontier.select(col("id"), col("path"), col("jtype"))
-    for (_ <- 2 to maxDepth) {
+    var depth = 1
+    var drained = frontier.count() == 0L
+    while (depth < maxDepth && !drained) {
       val kids = frontier
         .filter(col("jtype").isin("object", "array"))
         .select(col("id"), col("path"), col("jtype").as("ptype"), col("v"))
@@ -144,8 +157,10 @@ object JsonIngest {
           when(col("ptype") === "object", concat(col("path"), lit("."), col("key")))
             .otherwise(concat(col("path"), lit("[]"))).as("path"),
           col("value").as("v"))
-      frontier = typed(kids)
-      out = out.unionByName(frontier.select(col("id"), col("path"), col("jtype")))
+      frontier = typed(kids).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      drained = frontier.count() == 0L
+      if (!drained) out = out.unionByName(frontier.select(col("id"), col("path"), col("jtype")))
+      depth += 1
     }
     out
       .groupBy(col("path"), col("jtype"))

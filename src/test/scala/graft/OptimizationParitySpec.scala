@@ -124,6 +124,24 @@ class OptimizationParitySpec extends SparkSpec {
     assert(VecOps.maxConsecRun(arr(1L, 3L, 5L)) === 1L)
   }
 
+  test("dotCenteredDiv: reference-object kernel ≡ inlined-literal expression, incl. negative DIV") {
+    import graft.functions.VecOps
+    import spark.implicits._
+    val dims = 8
+    val rows = Seq(
+      Array(5L, -3L, 1000L, -999L, 0L, 7L, -7L, 123456L),
+      Array.fill(dims)(0L),
+      Array(-1000000L, 999999L, 2L, -2L, 3L, -3L, 4L, -4L))
+    val df = rows.map(Tuple1(_)).toDF("xq")
+    val mu = Array(1L, -2L, 3L, -4L, 5L, -6L, 7L, -8L)
+    for (v <- Seq(Array.fill(dims)(1000000L), Array(-7L, 13L, -1000000L, 999999L, 0L, 1L, -1L, 500000L))) {
+      val exprStr = (0 until dims).map(d => s"(xq[$d] - ${mu(d)}L) * ${v(d)}L").mkString("(", " + ", ") DIV 1000000")
+      diff(
+        df.select(VecOps.dot_centered_div(col("xq"), mu, v).as("s")),
+        df.select(expr(exprStr).as("s")))
+    }
+  }
+
   // ---- TPC-H shape restructures ----
 
   test("q21Waiting: window formulation ≡ agg+join-back formulation") {

@@ -197,6 +197,58 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROBE_PCA")) {
+      // r12: per-piece cost of one pca iteration at sf0.1 — codegen
+      // recompile (v-constants inlined per iteration) vs job floor
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Catalog.load(spark, sfDir, "embeddings")
+      val dims = 64
+      val par = spark.sparkContext.defaultParallelism
+      val xq = (if (emb.rdd.getNumPartitions < par) emb.repartition(par) else emb)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq"))
+        .cache()
+      time("cache fill (count)") { xq.count() }
+      for (r <- 1 to 3) time(s"plain count r$r") { xq.count() }
+      for (r <- 1 to 3) time(s"1-sum agg   r$r") { xq.agg(expr("sum(xq[0])")).head() }
+      val muRow = xq.agg(array((0 until dims).map(d => expr(s"sum(xq[$d]) DIV count(*)")): _*).as("mu"))
+        .head().getSeq[Long](0).toArray
+      def sExpr(v: Array[Long]): String =
+        (0 until dims).map(d => s"(xq[$d] - ${muRow(d)}L) * ${v(d)}L").mkString("(", " + ", ") DIV 1000000")
+      val v0 = Array.fill(dims)(1000000L)
+      for (r <- 1 to 3) {
+        val v = v0.map(_ + r) // distinct constants: forces fresh codegen like real iterations
+        time(s"w-agg fresh-consts r$r") {
+          xq.select(expr(sExpr(v)).as("s"), col("xq"))
+            .agg(array((0 until dims).map(d => expr(s"sum(s * (xq[$d] - ${muRow(d)}L))")): _*).as("w"))
+            .head()
+        }
+      }
+      for (r <- 1 to 3) time(s"w-agg same-consts  r$r") {
+        xq.select(expr(sExpr(v0)).as("s"), col("xq"))
+          .agg(array((0 until dims).map(d => expr(s"sum(s * (xq[$d] - ${muRow(d)}L))")): _*).as("w"))
+          .head()
+      }
+      spark.stop(); return
+    }
+    if (sys.env.contains("GRAFT_PROBE_PLANSPLIT")) {
+      // r12: construction (incl. eager phases) / physical planning /
+      // execution split for suspected driver-overhead-bound queries
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      noop(graft.sources.Catalog.load(spark, sfDir, "documents").limit(5))
+      val qnames = sys.env.getOrElse("GRAFT_PLANSPLIT_QUERIES",
+        "quartiles_price,rfm_segments,graph_pagerank,embed_pca_top,embed_kmeans,funnel_latency")
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      for (n <- qnames; r <- 1 to 2) {
+        var df: org.apache.spark.sql.DataFrame = null
+        time(f"$n%-18s construct r$r") { df = SparkEntry.queries(n)(spark, sfDir) }
+        time(f"$n%-18s plan      r$r") { df.queryExecution.executedPlan }
+        time(f"$n%-18s exec      r$r") { noop(df) }
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_CLIP")) {
       // r12: where does the clip family spend — the shingle explode +
       // first-seen window, or the post-window covered-position work?
