@@ -549,6 +549,10 @@ object SparkEntry {
       // (plans/r12/winsorize_stats_{before,after}.txt). Narrow 16-byte
       // rows; cache released by the caller's clearCache between
       // queries (the GraphOps cache-lifetime convention).
+      // NOT width-coalesced (unlike the funnel/pagerank caches): the
+      // downstream selection passes do real aggregation work over
+      // lineitem-cardinality rows — shrinking the cache serialized
+      // that compute and measured WORSE at sf0.1 (2.7 → 2.9-3.1 s).
       val v = t(s, d, "lineitem")
         .select(col("l_partkey"), Analytics.cents(col("l_extendedprice")).as("v_c"))
         .join(
@@ -933,7 +937,10 @@ object SparkEntry {
       // index persisted: the scorer reads it twice (head-count rollup
       // + the per-doc join) — one corpus bigram pass instead of two
       TextAnalysis.scoreAgainstLmIndex(
-        TextAnalysis.buildLmIndex(docs.filter(col("doc_id") % 10 =!= 7), "text")
+        // byte-derived cache width (no-op at scale): the scorer's two
+        // passes over the index otherwise pay the full-width task floor
+        operators.Sizing.coalesceForCache(
+          TextAnalysis.buildLmIndex(docs.filter(col("doc_id") % 10 =!= 7), "text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
         docs.filter(col("doc_id") % 10 === 7), "doc_id", "text")
     }),

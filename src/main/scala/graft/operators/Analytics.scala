@@ -241,7 +241,12 @@ object Analytics {
     // INSIDE the single durs materialization (Catalyst does not dedupe
     // common subtrees; the winsorize_stats r12 lesson). User-cardinality
     // rows; released by the caller's clearCache.
-    val reached = funnelReached(events, userCol, typeCol, tsCol, stages)
+    // Byte-derived cache width (no-op at scale): the hop arms + the
+    // rank selection re-read this cache ~(stages+3) times, so the
+    // default full-width materialization paid the task floor on every
+    // pass (measured −45% on the whole query at sf0.1).
+    val reached = Sizing.coalesceForCache(
+      funnelReached(events, userCol, typeCol, tsCol, stages))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val durs = (1 until stages.length)
       .map { i =>
@@ -1055,7 +1060,15 @@ object Analytics {
       globalRowNumber(df, col(valueCol), descending = false, Seq(col("c_custkey")), persistBase = false)
         .withColumn(out, ntileFromRank(col("rn"), col("n_total"), 5))
         .drop("rn", "n_total")
-    coded(coded(coded(base, "last_day", "r_code"), "n_orders", "f_code"), "spend_c", "m_code")
+    // Each rank pass reads its input THREE times (stats, bin counts,
+    // in-bin rank), so the nested codes must materialize between
+    // levels: unchecked, level 1's whole plan re-executed ~9× inside
+    // level 3 (persistBase=false is right only for the checkpointed
+    // base). localCheckpoint per level = the hits() discipline
+    // (materialized blocks, nothing enters CacheManager).
+    val c1 = coded(base, "last_day", "r_code").localCheckpoint()
+    val c2 = coded(c1, "n_orders", "f_code").localCheckpoint()
+    coded(c2, "spend_c", "m_code")
       .select(col("c_custkey"), col("last_day"), col("n_orders"), col("spend_c"),
         col("r_code"), col("f_code"), col("m_code"))
       .orderBy(col("c_custkey"))

@@ -50,15 +50,21 @@ object GraphOps {
     require(dampPct >= 0 && dampPct <= 100, s"dampPct must be 0..100, got $dampPct")
     val SCALE = 1000000000000L
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
+    // Cached frames compile without AQE, so without explicit sizing
+    // both loop inputs materialize at the full shuffle width and all
+    // 2×iters downstream passes schedule that many tasks over
+    // node-cardinality rows — byte-derived shrink (no-op at scale,
+    // see Sizing) measured −50% on the whole query at sf0.1.
+    val nodes = Sizing.coalesceForCache(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct())
       .cache()
     val n = nodes.count()
     val r0 = SCALE / n // exact: both engines compute SCALE DIV n
     val base = ((100L - dampPct) * r0) / 100L
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ecd = e.join(deg, "src").cache()
+    val ecd = Sizing.coalesceForCache(e.join(deg, "src")).cache()
     var ranks = nodes.select(col("id"), lit(r0).as("r"))
     for (_ <- 0 until iters) {
       val sums = ecd
@@ -91,6 +97,10 @@ object GraphOps {
     * never visit the driver.
     */
   def hits(edges: DataFrame, iters: Int = 4): DataFrame = {
+    // NOT width-coalesced (unlike pageRank's caches): hits
+    // materializes per half-step via localCheckpoint, so the per-round
+    // frames are already AQE-narrow — shrinking e/nodes only
+    // serialized the join map side and measured flat-to-worse.
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).cache()
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct().cache()
     var hubs = nodes.select(col("id"), lit(1000000L).as("h"))

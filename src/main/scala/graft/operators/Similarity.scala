@@ -1525,6 +1525,12 @@ object Similarity {
       beam: Int = 0,
       rounds: Int = 0
   ): DataFrame = {
+    // NOT persisted: the per-round joins re-read the index parquet,
+    // but those scans are trivial next to the per-round plan compile,
+    // and a persist here measured WORSE at sf0.1 — two cache-fill
+    // jobs, a full-scan count() where parquet's count is
+    // metadata-only, and a CacheManager lookup in every round's
+    // compile (+25-40% on the whole probe).
     val vecs = spark.read.parquet(s"$indexDir/vectors")
     val (autoBeam, autoRounds) =
       if (beam > 0 && rounds > 0) (beam, rounds)
@@ -1559,11 +1565,20 @@ object Similarity {
         .localCheckpoint()
       // early exit: every beam's full neighborhood is already visited
       // — remaining rounds would re-schedule empty joins (the frame is
-      // checkpointed, so this emptiness probe is a metadata-cheap job)
-      if (fresh.take(1).isEmpty) converged = true
+      // checkpointed, so this emptiness probe is a metadata-cheap job).
+      // Skipped on the LAST round: there is no remaining round to
+      // save, and prune(best ∪ score(∅)) ≡ best, so the final beam is
+      // identical either way.
+      if (round < autoRounds && fresh.take(1).isEmpty) converged = true
       else {
         best = prune(best.unionByName(score(fresh))).localCheckpoint()
-        visited = visited.unionByName(fresh).localCheckpoint()
+        // NOT checkpointed: both inputs are already materialized
+        // (visited starts as a checkpoint, fresh checkpoints above),
+        // so the union is a zero-compute wrapper — a per-round
+        // checkpoint here re-materialized the whole visited set every
+        // round for no lineage benefit (depth grows only linearly in
+        // rounds, and rounds is O(log n)).
+        visited = visited.unionByName(fresh)
       }
     }
     best

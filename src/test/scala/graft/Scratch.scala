@@ -159,6 +159,52 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROBE_HNSWTIME")) {
+      // repeated default-dial probe timing in ONE JVM (min-of-N beats
+      // cross-JVM bench noise when comparing probe-plan variants);
+      // job/task counts from a listener are the noise-free structural
+      // metric the wall-clock samples back up
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          tasks.incrementAndGet()
+      })
+      val e = graft.sources.Catalog.load(spark, sfDir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val dir = s"target/hnsw_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      time("build (reused if present)") {
+        Similarity.buildGraphIndexIfAbsent(spark, e, "vec_id", "embedding", indexDir = dir, m = 16)
+      }
+      for (r <- 1 to 5) {
+        val j0 = jobs.get(); val t0 = tasks.get()
+        time(s"probe r$r") {
+          Similarity.graphTopK(spark, dir, qs, "vec_id", "embedding", k = 5)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Thread.sleep(200) // listener events drain async
+        println(s"[scratch] probe r$r jobs=${jobs.get() - j0} tasks=${tasks.get() - t0}")
+      }
+      spark.stop(); return
+    }
+    if (sys.env.contains("GRAFT_PROBE_HNSWBUILD")) {
+      // build-phase breakdown: fit vs (assignment + kNN + symmetrize)
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val e = graft.sources.Catalog.load(spark, sfDir, "embeddings")
+      val n = e.count()
+      val c = math.max(16, (n / 256L).toInt)
+      println(s"[scratch] n=$n c=$c")
+      time("fitCentroids") {
+        Similarity.fitCentroids(
+          spark.read.parquet(s"target/hnswb_probe/vectors"), "cvec", c)
+      }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_QUANT")) {
       import org.apache.spark.sql.functions._
       import graft.functions.VecOps
