@@ -957,7 +957,9 @@ object VecOps {
   }
 
   def dot_centered_div(xq: Column, mu: Array[Long], v: Array[Long]): Column =
-    ColumnBridge.column(DotCenteredDiv(ColumnBridge.expression(xq), mu, v))
+    ColumnBridge.column(DotCenteredDiv(ColumnBridge.expression(xq),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(mu),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
 
   /** Nearest centroid over a quantized Long vector: returns
     * [argmin_j, d2_min] where d2_j = Σ_d (vec[d] − cents[j·d0+d])²
@@ -2340,16 +2342,24 @@ case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]]) e
   override protected def withNewChildInternal(c: Expression): TrigramProfileScores = copy(child = c)
 }
 
-case class DotCenteredDiv(child: Expression, mu: Array[Long], v: Array[Long]) extends UnaryExpression {
+// mu/v as IndexedSeq, not Array: case-class equality on Array is
+// reference equality, which made semantically identical expressions
+// never compare equal — defeating expression canonicalization,
+// subexpression elimination, and CacheManager plan matching for any
+// frame containing the kernel. Arrays materialize once per instance
+// for the eval/codegen hot path.
+case class DotCenteredDiv(child: Expression, mu: IndexedSeq[Long], v: IndexedSeq[Long]) extends UnaryExpression {
+  @transient private lazy val muArr: Array[Long] = mu.toArray
+  @transient private lazy val vArr: Array[Long] = v.toArray
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) if mu.length == v.length => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(s"dot_centered_div needs array<long> and |mu|==|v|; got $other")
   }
-  override def nullSafeEval(x: Any): Any = VecOps.dotCenteredDiv(x.asInstanceOf[ArrayData], mu, v)
+  override def nullSafeEval(x: Any): Any = VecOps.dotCenteredDiv(x.asInstanceOf[ArrayData], muArr, vArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val muRef = ctx.addReferenceObj("muArr", mu, "long[]")
-    val vRef = ctx.addReferenceObj("vArr", v, "long[]")
+    val muRef = ctx.addReferenceObj("muArr", muArr, "long[]")
+    val vRef = ctx.addReferenceObj("vArr", vArr, "long[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.VecOps.dotCenteredDiv($c, $muRef, $vRef)")
   }
   override protected def withNewChildInternal(c: Expression): DotCenteredDiv = copy(child = c)

@@ -816,10 +816,15 @@ object Curation {
       .select(col("id"), col("stratum"),
         (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("kept_tokens"))
       .localCheckpoint()
-    // C33 on the cleaned length; C55 over what the gate kept
+    // C33 on the cleaned length; C55 over what the gate kept.
+    // Checkpointed: the survivors feed the allocation (which reads its
+    // input ~4× across tot/left/rank passes) AND the down-selection —
+    // unchecked, the gate window re-executed ~5× and the final plan
+    // carried every copy (24-byte rows, gate-surviving cardinality).
     val kept = percentileGate(sig, "id", "stratum", "kept_tokens", keepBp)
       .filter(col("keep") === 1L)
       .select(col("id"), col("stratum"), col("kept_tokens"))
+      .localCheckpoint()
     val alloc = temperatureAllocate(kept, "stratum", budget)
       .select(col("stratum"), col("alloc"))
     // deterministic per-stratum down-selection to the allocation: rank

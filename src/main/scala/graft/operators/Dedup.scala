@@ -894,24 +894,36 @@ object Dedup {
       maxIters: Int = 20,
       driverMaxEdges: Long = 1L << 20
   ): DataFrame = {
-    val und = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
-    val edges = und
-      .union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .persist()
+    // Materialize the pair list ONCE before anything references it
+    // twice: the union-with-swap below puts the pairs subtree in the
+    // plan twice, and Catalyst does not dedupe common subtrees — with
+    // an expensive candidate pipeline upstream (ngram/minhash joins)
+    // the whole pipeline executed twice per cluster query. Pair lists
+    // are near-dup-sized (tiny relative to the corpus at any scale),
+    // so the checkpoint is cheap; count() then reads materialized
+    // blocks.
+    val und = pairs
+      .select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nPairs = und.count()
     // size-adaptive strategy (same spirit as AQE's join re-planning):
     // the near-dup graph holds ONLY docs that have a near-dup — tiny
     // relative to the corpus even at 100 TB — so below the threshold a
     // driver union-find (one collect of the edge list, O(E α)) beats
     // 2 keyed shuffles + a scalar collect per iteration. Above it, the
-    // distributed label-propagation loop takes over; the count that
-    // picks the strategy is a metadata-scale aggregate.
-    val nEdges = edges.count()
-    val result =
-      if (nEdges <= driverMaxEdges) driverUnionFind(pairs.sparkSession, edges)
-      else distributedComponents(edges, maxIters)
-    edges.unpersist()
-    result
+    // distributed label-propagation loop takes over. Union-find is
+    // direction/duplicate-insensitive, so it reads the raw pair list;
+    // only the distributed loop needs the symmetrized distinct edges.
+    if (2L * nPairs <= driverMaxEdges) driverUnionFind(pairs.sparkSession, und)
+    else {
+      val edges = und
+        .union(und.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .persist()
+      val result = distributedComponents(edges, maxIters)
+      edges.unpersist()
+      result
+    }
   }
 
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {

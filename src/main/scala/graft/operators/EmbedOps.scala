@@ -150,7 +150,15 @@ object EmbedOps {
     // whole loop at 200k vectors. One small shuffle up front buys
     // parallel scans for all `iters` passes.
     val par = iterPartitions(embeddings)
-    val xq = (if (embeddings.rdd.getNumPartitions != par) embeddings.repartition(par) else embeddings)
+    // shrink via coalesce (no exchange added), spread via repartition
+    // only when genuinely below the target — `!= par` repartitioned a
+    // many-split cluster-scale source through a full corpus shuffle
+    val cur = embeddings.rdd.getNumPartitions
+    val spread =
+      if (cur < par) embeddings.repartition(par)
+      else if (cur > par) embeddings.coalesce(par)
+      else embeddings
+    val xq = spread
       .select(
         col(idCol),
         transform(col(vecCol), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq")
@@ -216,7 +224,13 @@ object EmbedOps {
     // same single-input-split hazard as pcaTopProjection: spread
     // before the per-round scans
     val par = iterPartitions(embeddings)
-    val xq = (if (embeddings.rdd.getNumPartitions != par) embeddings.repartition(par) else embeddings)
+    // same shrink-coalesce / spread-repartition rule as pcaTopProjection
+    val cur = embeddings.rdd.getNumPartitions
+    val spread =
+      if (cur < par) embeddings.repartition(par)
+      else if (cur > par) embeddings.coalesce(par)
+      else embeddings
+    val xq = spread
       .select(
         col(idCol).as("id"),
         transform(col(vecCol), x => floor(x.cast("double") * lit(1000d)).cast("long")).as("xq")

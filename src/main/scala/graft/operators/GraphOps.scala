@@ -97,12 +97,13 @@ object GraphOps {
     * never visit the driver.
     */
   def hits(edges: DataFrame, iters: Int = 4): DataFrame = {
-    // NOT width-coalesced (unlike pageRank's caches): hits
-    // materializes per half-step via localCheckpoint, so the per-round
-    // frames are already AQE-narrow — shrinking e/nodes only
-    // serialized the join map side and measured flat-to-worse.
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")).cache()
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct().cache()
+    // Byte-derived cache width (no-op at scale; the pageRank
+    // rationale): per probe run the full-width caches put 178 tasks
+    // on the wire vs ~50 sized — every half-step's join re-reads e.
+    val e = Sizing.coalesceForCache(
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))).cache()
+    val nodes = Sizing.coalesceForCache(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()).cache()
     var hubs = nodes.select(col("id"), lit(1000000L).as("h"))
     // zero-initialized so iters = 0 degrades to all-zero authorities
     // instead of an NPE at the final join
@@ -257,6 +258,11 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    // No early-exit-on-fixpoint here, although peeling is monotone and
+    // a count-stable round would make the tail rounds identity:
+    // measured at sf0.1 the staged graph keeps shrinking through all
+    // 10 rounds, so a per-round convergence count was pure added cost
+    // (36 → 58 jobs, no round ever saved).
     for (_ <- 0 until rounds) {
       val alive = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))

@@ -132,16 +132,20 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(2 * kEach >= k, s"fusion pool (up to 2*kEach=${2 * kEach}) must cover final k=$k")
     val terms = (c: Column) => split(Dedup.normalize(c), " ")
-    // PERSISTED: both the df rollup and the scoring join read this
-    // (doc, term, tf) aggregate — without the persist the corpus term
+    // MATERIALIZED once: both the df rollup and the scoring join read
+    // this (doc, term, tf) aggregate — without it the corpus term
     // explode + keyed agg executed twice (Catalyst does not dedupe
-    // common subtrees; the winsorize_stats r12 lesson). Narrow rows;
-    // released by the caller's clearCache.
+    // common subtrees; the winsorize_stats r12 lesson).
+    // localCheckpoint, not persist: the operator never unpersisted,
+    // so in library (non-harness) use the persist pinned a
+    // corpus-scale cache block for the whole session — checkpoint
+    // blocks are RDD-owned and ContextCleaner-released (the
+    // bigramLmScore discipline).
     val cTf = corpusText
       .select(col(textId).as("cid"), explode(terms(col(textCol))).as("term"))
       .groupBy(col("cid"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val dfreq = cTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qTerms = queryText
       .select(col(textId).as("qid"), explode(array_distinct(terms(col(textCol)))).as("term"))

@@ -127,20 +127,25 @@ object JsonIngest {
           .when(col("st") === "VOID", "null")
           .otherwise("number"))
     val spark = df.sparkSession
-    // each level PERSISTS and the loop exits at the first empty
+    // each level MATERIALIZES and the loop exits at the first empty
     // frontier (children of an empty level are empty by induction, so
     // the union is unchanged): without this, union arm k re-executed
     // the whole parse+explode chain 1..k — level 1 ran maxDepth times,
     // ~maxDepth²/2 chain evaluations total, and levels past the data's
     // real depth still paid a full re-walk to find nothing (r12;
     // plans/r12/json_path_census_{before,after}.txt). The standard
-    // BFS-materialization trade: each level is node-cardinality,
-    // MEMORY_AND_DISK, one count per level as the emptiness probe;
-    // caller releases via clearCache (the GraphOps convention).
+    // BFS-materialization trade: each level is node-cardinality and
+    // the final union reads ALL levels, so the worst-case materialized
+    // footprint is maxDepth × level size. localCheckpoint, not
+    // persist: checkpoint blocks are RDD-owned and ContextCleaner-
+    // reclaimed once the result plan is dropped — the per-level
+    // persists pinned every level in CacheManager until an external
+    // clearCache, session-long in library use. The count per level
+    // doubles as the emptiness probe over the just-materialized blocks.
     var frontier = typed(
       df.select(col(idCol).as("id"), lit("$").as("path"), parse_json(col(jsonCol)).as("v"))
         .filter(col(jsonCol).isNotNull))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var out = frontier.select(col("id"), col("path"), col("jtype"))
     var depth = 1
     var drained = frontier.count() == 0L
@@ -157,7 +162,7 @@ object JsonIngest {
           when(col("ptype") === "object", concat(col("path"), lit("."), col("key")))
             .otherwise(concat(col("path"), lit("[]"))).as("path"),
           col("value").as("v"))
-      frontier = typed(kids).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frontier = typed(kids).localCheckpoint()
       drained = frontier.count() == 0L
       if (!drained) out = out.unionByName(frontier.select(col("id"), col("path"), col("jtype")))
       depth += 1

@@ -693,7 +693,13 @@ class PlanSpec extends SparkSpec {
 
   test("funnel_latency: rank windows partition by bin; stage joins keyed — no cartesian") {
     val p = planOf("funnel_latency")
-    assert(p.contains("hashpartitioning(__b") || p.contains("hashpartitioning(g"), p.take(3000))
+    // r13: the reached-cache is byte-width-coalesced (Sizing), and at
+    // test scale that single partition satisfies every downstream
+    // clustered distribution — the keyed exchange only materializes
+    // when the input is wide enough to need one. Lock: either the
+    // keyed bin/group exchange or the sized coalesce must be present.
+    assert(p.contains("hashpartitioning(__b") || p.contains("hashpartitioning(g")
+      || p.contains("Coalesce 1"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 

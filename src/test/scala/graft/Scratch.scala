@@ -191,6 +191,108 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (sys.env.contains("GRAFT_PROBE_CURATE")) {
+      // curate_corpus_v2 stage split: signal-frame fill vs post-sig plan
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Curation, Dedup}
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      noop(docs.limit(5))
+      val evalCol = col("doc_id") % 97 === 0
+      val ws = split(Dedup.normalize(col("text")), " ")
+      val corpus = docs.filter(!evalCol)
+      for (r <- 1 to 3) {
+        val removed = corpus
+          .select(col("doc_id").cast("long").as("id"),
+            when(size(ws) >= 8, graft.functions.VecOps.shingle_hashes(ws, 8))
+              .otherwise(array().cast("array<long>")).as("sh_clip"))
+          .select(col("id"), posexplode(col("sh_clip")))
+          .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("sh"))
+          .withColumn("first_id", min(col("id")).over(Window.partitionBy(col("sh"))))
+          .filter(col("first_id") < col("id"))
+          .groupBy(col("id"))
+          .agg(graft.functions.VecOps.covered_count(
+            sort_array(collect_list(col("pos"))), 8).as("n_removed"))
+        time(s"r$r removed-only") { noop(removed) }
+        def dcShingled(src: org.apache.spark.sql.DataFrame, as: String) = src.select(
+          col("doc_id").cast("long").as(as),
+          array_distinct(Dedup.shingleHashSet(col("text"), 3)).as("sh"))
+        val ben = broadcast(dcShingled(docs.filter(evalCol), "eval_id")
+          .select(col("eval_id"), size(col("sh")).cast("long").as("sz_b"), explode(col("sh")).as("h")))
+        val contaminated = dcShingled(corpus, "id")
+          .select(col("id"), size(col("sh")).cast("long").as("sz_a"), explode(col("sh")).as("h"))
+          .join(ben, "h")
+          .groupBy(col("id"), col("eval_id"), col("sz_a"), col("sz_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") * 1000000L >= lit(150000L) * (col("sz_a") + col("sz_b") - col("shared")))
+          .select(col("id")).distinct()
+        time(s"r$r contaminated-only") { noop(contaminated) }
+        var sig: org.apache.spark.sql.DataFrame = null
+        time(s"r$r sig checkpoint fill") {
+          sig = corpus
+            .select(col("doc_id").cast("long").as("id"), col("source").as("stratum"),
+              size(ws).cast("long").as("n_tokens"))
+            .join(removed, Seq("id"), "left")
+            .join(contaminated, Seq("id"), "left_anti")
+            .select(col("id"), col("stratum"),
+              (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("kept_tokens"))
+            .localCheckpoint()
+        }
+        time(s"r$r full query") {
+          noop(Curation.curatePipeline(docs, "doc_id", "text", "source",
+            evalCol = col("doc_id") % 97 === 0))
+        }
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+    if (sys.env.contains("GRAFT_PROBE_GRAPH")) {
+      // graph-family solo timing, min-of-N in ONE JVM + job/task counts
+      import org.apache.spark.sql.functions._
+      import graft.operators.GraphOps
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          tasks.incrementAndGet()
+      })
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.sources.Catalog.load(spark, sfDir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(
+          (col("doc_id") * 7 + 1) % n,
+          (col("doc_id") * 13 + 2) % n,
+          (col("doc_id") * 31 + 3) % n)).as("dst"))
+      noop(edges.limit(5)) // warm-up
+      val which = sys.env.getOrElse("GRAFT_PROBE_GRAPH", "pagerank,hits,kcore,labelprop")
+        .split(",").toSet
+      def probe(name: String)(f: => org.apache.spark.sql.DataFrame): Unit =
+        if (which(name)) for (r <- 1 to 4) {
+          val j0 = jobs.get(); val t0 = tasks.get()
+          time(s"$name r$r") { noop(f) }
+          spark.catalog.clearCache()
+          Thread.sleep(200)
+          println(s"[scratch] $name r$r jobs=${jobs.get() - j0} tasks=${tasks.get() - t0}")
+        }
+      val full = array(
+        (col("doc_id") * 7 + 1) % n, (col("doc_id") * 13 + 2) % n,
+        (col("doc_id") * 31 + 3) % n, (col("doc_id") * 37 + 4) % n,
+        (col("doc_id") * 41 + 5) % n, (col("doc_id") * 43 + 6) % n,
+        (col("doc_id") * 47 + 7) % n, (col("doc_id") * 53 + 8) % n)
+      val kcEdges = docs.select(col("doc_id").as("src"),
+        explode(slice(full, lit(1), lit(2) + col("doc_id") % 7)).as("dst"))
+      probe("pagerank") { GraphOps.pageRank(edges, iters = 5, dampPct = 85) }
+      probe("hits") { GraphOps.hits(edges, iters = 4) }
+      probe("kcore") { GraphOps.kcoreRounds(kcEdges, k = 7, rounds = 10) }
+      probe("labelprop") { GraphOps.labelPropRounds(edges, rounds = 4) }
+      spark.stop(); return
+    }
     if (sys.env.contains("GRAFT_PROBE_HNSWBUILD")) {
       // build-phase breakdown: fit vs (assignment + kNN + symmetrize)
       import org.apache.spark.sql.functions._
