@@ -127,7 +127,7 @@ object JsonIngest {
           .when(col("st") === "VOID", "null")
           .otherwise("number"))
     val spark = df.sparkSession
-    // each level MATERIALIZES and the loop exits at the first empty
+    // each level PERSISTS and the loop exits at the first empty
     // frontier (children of an empty level are empty by induction, so
     // the union is unchanged): without this, union arm k re-executed
     // the whole parse+explode chain 1..k — level 1 ran maxDepth times,
@@ -135,17 +135,21 @@ object JsonIngest {
     // real depth still paid a full re-walk to find nothing (r12;
     // plans/r12/json_path_census_{before,after}.txt). The standard
     // BFS-materialization trade: each level is node-cardinality and
-    // the final union reads ALL levels, so the worst-case materialized
-    // footprint is maxDepth × level size. localCheckpoint, not
-    // persist: checkpoint blocks are RDD-owned and ContextCleaner-
-    // reclaimed once the result plan is dropped — the per-level
-    // persists pinned every level in CacheManager until an external
-    // clearCache, session-long in library use. The count per level
-    // doubles as the emptiness probe over the just-materialized blocks.
+    // the final union reads ALL levels, so the worst-case CACHED
+    // footprint is maxDepth × level size — the levels stay pinned in
+    // CacheManager until the caller's clearCache (the GraphOps cache-
+    // lifetime convention; library callers must release the session
+    // cache themselves). persist, NOT localCheckpoint, deliberately:
+    // the levels carry VARIANT payloads, and the columnar
+    // InMemoryRelation both compresses them and feeds the union arms
+    // through vectorized in-memory scans — the checkpoint's row-block
+    // form measured 1.6× slower on the whole query at sf1
+    // (2.5 → 4.0 s, controls flat). One count per level is the
+    // emptiness probe and doubles as the cache fill.
     var frontier = typed(
       df.select(col(idCol).as("id"), lit("$").as("path"), parse_json(col(jsonCol)).as("v"))
         .filter(col(jsonCol).isNotNull))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var out = frontier.select(col("id"), col("path"), col("jtype"))
     var depth = 1
     var drained = frontier.count() == 0L
@@ -162,7 +166,7 @@ object JsonIngest {
           when(col("ptype") === "object", concat(col("path"), lit("."), col("key")))
             .otherwise(concat(col("path"), lit("[]"))).as("path"),
           col("value").as("v"))
-      frontier = typed(kids).localCheckpoint()
+      frontier = typed(kids).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       drained = frontier.count() == 0L
       if (!drained) out = out.unionByName(frontier.select(col("id"), col("path"), col("jtype")))
       depth += 1
